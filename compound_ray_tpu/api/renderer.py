@@ -1,0 +1,402 @@
+"""EyeRenderer: the full API surface of libEyeRenderer3 on the TPU backend.
+
+Method-for-method mirror of the reference C ABI
+(libEyeRenderer3/libEyeRenderer.h:30-120 / libEyeRenderer.cpp:260-575), with
+snake_case Python names; the ctypes-compatible camelCase shim lives in
+compound_ray_tpu.api.shim so the reference's python-examples run unchanged.
+
+Renderer state mirrors the reference globals (scene, params, outputBuffer,
+width/height, notificationsActive at libEyeRenderer.cpp:96-106).  Per frame
+(renderFrame -> launchFrame, libEyeRenderer.cpp:174-244):
+  1. if a compound eye is active: run the fused sample pipeline -> per-
+     ommatidium means (and raw samples when the projection requires them),
+     bump the frame counter (the RNG key input).
+  2. if the non-compound pipeline is required and width*height > 0: render the
+     display buffer — the active camera's raygen for real cameras, or the
+     active compound projection over the freshly traced ommatidial data.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from compound_ray_tpu.cameras.raygen import render_camera_image
+from compound_ray_tpu.cameras.types import (
+    Camera,
+    CompoundEyeCamera,
+    OrthographicCamera,
+    PanoramicCamera,
+    PerspectiveCamera,
+)
+from compound_ray_tpu.eye.render import render_compound_means, render_compound_samples
+from compound_ray_tpu.projection.project import PROJECTIONS, project_frame
+from compound_ray_tpu.scene.eye_io import Ommatidium, ommatidia_to_array
+from compound_ray_tpu.scene.flat import FlatScene, load_scene
+from compound_ray_tpu.trace.lighting import default_lights
+from compound_ray_tpu.trace.shade import miss_id
+
+_BASE_SEED = 42  # curand_init(42, id, 0) in shaders.cu:689
+
+
+class EyeRenderer:
+    """TPU-backed renderer with the reference's full API surface."""
+
+    def __init__(self, verbose: bool = True):
+        self.scene: Optional[FlatScene] = None
+        self.verbose = verbose
+        self.width = 0
+        self.height = 0
+        self.require_noncompound_pipeline = True
+        self.lighting = False  # params.lighting (libEyeRenderer.cpp:127)
+        self._lights: Optional[np.ndarray] = None
+        self._current_camera = 0
+        self._frame_number = 0
+        self._frame_buffer: Optional[np.ndarray] = None  # (H,W,4) uint8
+        self._camera_data: Optional[np.ndarray] = None  # (N,3) float32 means
+        self._raw_samples: Optional[jnp.ndarray] = None
+        self._device_means: Optional[jnp.ndarray] = None
+        self._backend: str = "auto"  # "auto" | "xla" | "pallas"
+
+    # ------------------------------------------------------------------ config
+    def set_verbosity(self, v: bool) -> None:
+        self.verbose = bool(v)
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(f"[PyEye] {msg}")
+
+    def load_gltf_scene(self, filepath: str, root_transform=None) -> None:
+        self.scene = load_scene(filepath, root_transform)
+        self._current_camera = 0
+        self._frame_number = 0
+        self._lights = default_lights(self.scene.aabb_min, self.scene.aabb_max)
+        self._log(f"Loaded scene '{filepath}' "
+                  f"({self.scene.num_triangles} triangles, "
+                  f"{len(self.scene.cameras)} cameras).")
+
+    def stop(self) -> None:
+        self._log("Cleaning eye renderer resources.")
+        self.scene = None
+        self._frame_buffer = None
+        self._camera_data = None
+        self._raw_samples = None
+        self._device_means = None
+
+    def set_render_size(self, w: int, h: int) -> None:
+        self.width = int(w)
+        self.height = int(h)
+        self._frame_buffer = np.zeros((self.height, self.width, 4), np.uint8)
+
+    def set_require_noncompound_pipeline(self, require: bool) -> None:
+        self.require_noncompound_pipeline = bool(require)
+
+    def set_lighting(self, enabled: bool) -> None:
+        """Extension: toggles the GGX direct-lighting path (params.lighting)."""
+        self.lighting = bool(enabled)
+
+    # ------------------------------------------------------------------ render
+    def _scene_dev(self):
+        assert self.scene is not None, "no scene loaded"
+        return self.scene.device_triangles()
+
+    def render_frame(self) -> float:
+        """Render; returns wall milliseconds (renderFrame, libEyeRenderer.cpp:279-293)."""
+        assert self.scene is not None, "no scene loaded"
+        t0 = time.perf_counter()
+        cam = self.current_camera()
+        scene_dev = self._scene_dev()
+        background = miss_id(self.scene.background_shader)
+        lights = jnp.asarray(self._lights) if self.lighting else None
+
+        outputs = []
+        if isinstance(cam, CompoundEyeCamera):
+            key = jax.random.fold_in(jax.random.PRNGKey(_BASE_SEED), self._frame_number)
+            omms = jnp.asarray(cam.ommatidia)
+            pos = jnp.asarray(cam.position, jnp.float32)
+            ls = jnp.asarray(cam.local_space, jnp.float32)
+            s = cam.samples_per_ommatidium
+            need_raw = cam.projection == "raw_ommatidial_samples"
+            if need_raw:
+                raw = render_compound_samples(
+                    scene_dev, omms, pos, ls, key, s, background,
+                    self.lighting, lights,
+                )
+                self._raw_samples = raw
+                self._device_means = jnp.mean(raw, axis=0)
+            else:
+                self._raw_samples = None
+                self._device_means = self._render_means(
+                    scene_dev, omms, pos, ls, key, s, background, lights
+                )
+            outputs.append(self._device_means)
+            self._camera_data = None  # lazily fetched in get_camera_data
+            self._frame_number += 1
+
+            if self.require_noncompound_pipeline and self.width * self.height > 0:
+                raw_in = (
+                    self._raw_samples
+                    if self._raw_samples is not None
+                    else jnp.zeros((1, omms.shape[0], 3), jnp.float32)
+                )
+                frame = project_frame(
+                    cam.projection,
+                    self._device_means,
+                    raw_in,
+                    omms[:, 0:3],
+                    omms[:, 3:6],
+                    self.width,
+                    self.height,
+                )
+                outputs.append(frame)
+                self._frame_buffer = np.asarray(jax.device_get(frame))
+        else:
+            if self.require_noncompound_pipeline and self.width * self.height > 0:
+                if isinstance(cam, PerspectiveCamera):
+                    kind, param = "pinhole", jnp.asarray(cam.scale, jnp.float32)
+                elif isinstance(cam, PanoramicCamera):
+                    kind, param = "panoramic", jnp.asarray(
+                        [cam.start_radius], jnp.float32
+                    )
+                elif isinstance(cam, OrthographicCamera):
+                    kind, param = "orthographic", jnp.asarray(cam.scale, jnp.float32)
+                else:
+                    kind, param = "pinhole", jnp.asarray([10.0, 10.0, 1.0], jnp.float32)
+                frame = render_camera_image(
+                    scene_dev,
+                    kind,
+                    jnp.asarray(cam.position, jnp.float32),
+                    jnp.asarray(cam.local_space, jnp.float32),
+                    param,
+                    self.width,
+                    self.height,
+                    background,
+                    self.lighting,
+                    lights,
+                )
+                outputs.append(frame)
+                self._frame_buffer = np.asarray(jax.device_get(frame))
+
+        for o in outputs:  # block so the returned time covers the render
+            o.block_until_ready()
+        ms = (time.perf_counter() - t0) * 1000.0
+        self._log(f"Rendered frame in {ms}ms.")
+        return ms
+
+    def _render_means(self, scene_dev, omms, pos, ls, key, samples, background, lights):
+        """Dispatch to the accelerated tracer when available, else XLA path."""
+        if self._backend in ("auto", "pallas"):
+            try:
+                from compound_ray_tpu.trace.dispatch import render_means_fast
+
+                return render_means_fast(
+                    self.scene, scene_dev, omms, pos, ls, key, samples, background,
+                    self.lighting, lights,
+                )
+            except ImportError:
+                pass
+        return render_compound_means(
+            scene_dev, omms, pos, ls, key, samples, background,
+            self.lighting, lights,
+        )
+
+    def save_frame_as(self, path: str) -> None:
+        """Write the display buffer as binary PPM; buffer row 0 is the bottom
+        scanline, so rows are flipped like sutil::displayBufferFile."""
+        assert self._frame_buffer is not None, "no frame rendered"
+        h, w = self._frame_buffer.shape[:2]
+        rgb = self._frame_buffer[::-1, :, :3]
+        with open(path, "wb") as f:
+            f.write(f"P6\n{w} {h}\n255\n".encode())
+            f.write(np.ascontiguousarray(rgb).tobytes())
+        self._log(f"Saved render as '{path}'")
+
+    def get_frame_pointer(self) -> np.ndarray:
+        self._log("Retrieving frame pointer...")
+        if self._frame_buffer is None:
+            self._frame_buffer = np.zeros((self.height, self.width, 4), np.uint8)
+        return self._frame_buffer
+
+    # ------------------------------------------------------------ camera control
+    def get_camera_count(self) -> int:
+        return len(self.scene.cameras) if self.scene else 0
+
+    def current_camera(self) -> Camera:
+        assert self.scene is not None and self.scene.cameras, "no cameras"
+        return self.scene.cameras[self._current_camera]
+
+    def next_camera(self) -> None:
+        self._current_camera = (self._current_camera + 1) % self.get_camera_count()
+
+    def previous_camera(self) -> None:
+        self._current_camera = (self._current_camera - 1) % self.get_camera_count()
+
+    def get_current_camera_index(self) -> int:
+        return self._current_camera
+
+    def get_current_camera_name(self) -> str:
+        return self.current_camera().name
+
+    def goto_camera(self, index: int) -> None:
+        self._current_camera = int(index) % max(1, self.get_camera_count())
+
+    def goto_camera_by_name(self, name: str) -> bool:
+        """Resets to camera 0 then cycles (libEyeRenderer.cpp:358-368)."""
+        self.goto_camera(0)
+        for _ in range(self.get_camera_count()):
+            if self.get_current_camera_name() == name:
+                return True
+            self.next_camera()
+        return False
+
+    def set_camera_position(self, x, y, z) -> None:
+        self.current_camera().set_position((x, y, z))
+
+    def get_camera_position(self) -> Tuple[float, float, float]:
+        return tuple(float(v) for v in self.current_camera().position)
+
+    def set_camera_local_space(self, lxx, lxy, lxz, lyx, lyy, lyz, lzx, lzy, lzz):
+        self.current_camera().set_local_space(
+            (lxx, lxy, lxz), (lyx, lyy, lyz), (lzx, lzy, lzz)
+        )
+
+    def rotate_camera_around(self, angle, x, y, z) -> None:
+        self.current_camera().rotate_around(angle, (x, y, z))
+
+    def rotate_camera_locally_around(self, angle, x, y, z) -> None:
+        self.current_camera().rotate_locally_around(angle, (x, y, z))
+
+    def translate_camera(self, x, y, z) -> None:
+        self.current_camera().move((x, y, z))
+
+    def translate_camera_locally(self, x, y, z) -> None:
+        self.current_camera().move_locally((x, y, z))
+
+    def translate_cameras_locally(self, x, y, z) -> None:
+        for _ in range(self.get_camera_count()):
+            self.current_camera().move_locally((x, y, z))
+            self.next_camera()
+
+    def rotate_cameras_around(self, angle, x, y, z) -> None:
+        for _ in range(self.get_camera_count()):
+            self.current_camera().rotate_around(angle, (x, y, z))
+            self.next_camera()
+
+    def rotate_cameras_locally_around(self, angle, x, y, z) -> None:
+        for _ in range(self.get_camera_count()):
+            self.current_camera().rotate_locally_around(angle, (x, y, z))
+            self.next_camera()
+
+    def reset_camera_pose(self) -> None:
+        self.current_camera().reset_pose()
+
+    def set_camera_pose(self, px, py, pz, rx, ry, rz) -> None:
+        self.current_camera().set_pose(px, py, pz, rx, ry, rz)
+
+    def set_camera_pose_matrix(self, m) -> None:
+        self.current_camera().set_pose_matrix(np.asarray(m, np.float64))
+
+    # ------------------------------------------------------- compound controls
+    def is_compound_eye_active(self) -> bool:
+        return (
+            self.scene is not None
+            and bool(self.scene.cameras)
+            and isinstance(self.current_camera(), CompoundEyeCamera)
+        )
+
+    def get_eye_data_path(self) -> str:
+        if self.is_compound_eye_active():
+            return self.scene.eye_data_path
+        return ""
+
+    def get_current_eye_data_path(self) -> str:
+        if self.is_compound_eye_active():
+            return self.current_camera().eye_data_path
+        return ""
+
+    def set_current_eye_samples_per_ommatidium(self, s: int) -> None:
+        if self.is_compound_eye_active():
+            self.current_camera().set_samples_per_ommatidium(s)
+
+    def get_current_eye_samples_per_ommatidium(self) -> int:
+        if self.is_compound_eye_active():
+            return self.current_camera().samples_per_ommatidium
+        return -1
+
+    def change_current_eye_samples_per_ommatidium_by(self, s: int) -> None:
+        if self.is_compound_eye_active():
+            self.current_camera().change_samples_per_ommatidium_by(s)
+
+    def get_current_eye_ommatidial_count(self) -> int:
+        if self.is_compound_eye_active():
+            return self.current_camera().ommatidial_count
+        return 0
+
+    def set_ommatidia(self, omms) -> None:
+        if not self.is_compound_eye_active():
+            return
+        self.current_camera().set_ommatidia(omms)
+
+    def set_current_eye_shader_name(self, name: str) -> None:
+        if self.is_compound_eye_active():
+            if name.startswith("__raygen__compound_projection_"):
+                name = name[len("__raygen__compound_projection_"):]
+            self.current_camera().set_projection(name)
+
+    def get_camera_data(self) -> np.ndarray:
+        """Per-ommatidium mean radiance (N,3) float32, NaN-guarded
+        (libEyeRenderer.cpp:457-484)."""
+        if not self.is_compound_eye_active():
+            raise RuntimeError(
+                "Currently, getCameraData is implemented only for compound eye cameras"
+            )
+        if self._camera_data is None:
+            assert self._device_means is not None, "render a frame first"
+            data = np.array(jax.device_get(self._device_means), np.float32)
+            nan_rows = np.isnan(data[:, 0])
+            data[nan_rows] = 0.0
+            self._camera_data = data
+        return self._camera_data
+
+    # ----------------------------------------------------------- scene queries
+    def is_inside_hit_geometry(self, x, y, z, name: str) -> bool:
+        assert self.scene is not None
+        for hb in self.scene.hitboxes:
+            if hb.name == name:
+                return hb.contains((x, y, z))
+        self._log(f'WARNING: No hitbox with the given name "{name}" is present.')
+        return False
+
+    def _hitbox_world_aabb(self, hb) -> Tuple[np.ndarray, np.ndarray]:
+        omin, omax = hb.object_aabb_min, hb.object_aabb_max
+        corners = np.array(
+            [[x, y, z] for x in (omin[0], omax[0])
+             for y in (omin[1], omax[1]) for z in (omin[2], omax[2])]
+        )
+        wc = corners @ hb.transform[:3, :3].T + hb.transform[:3, 3]
+        return wc.min(axis=0), wc.max(axis=0)
+
+    def get_geometry_max_bounds(self, name: str) -> np.ndarray:
+        assert self.scene is not None
+        for hb in self.scene.hitboxes:
+            if hb.name == name:
+                return self._hitbox_world_aabb(hb)[1]
+        for rec in self.scene.mesh_records:
+            if rec.name == name:
+                return np.asarray(rec.world_aabb_max, np.float64)
+        return np.zeros(3)
+
+    def get_geometry_min_bounds(self, name: str) -> np.ndarray:
+        assert self.scene is not None
+        for hb in self.scene.hitboxes:
+            if hb.name == name:
+                return self._hitbox_world_aabb(hb)[0]
+        for rec in self.scene.mesh_records:
+            if rec.name == name:
+                return np.asarray(rec.world_aabb_min, np.float64)
+        return np.zeros(3)

@@ -1,0 +1,105 @@
+"""Ommatidial cone sampling with a counter-based PRNG.
+
+TPU-native replacement for the per-thread curand XORWOW state of the
+reference (shaders.cu:666-736, CompoundEye.cpp:144-170): instead of
+
+(omm x sample) mutable RNG states seeded lazily on the first frame, samples
+are drawn from threefry keyed on (base_seed, frame) — stateless, no warm-up
+render, statistically equivalent (verified by the variance-vs-samples tests,
+tests/test_statistics.py).
+
+Sampling semantics preserved exactly (shaders.cu:684-736):
+  * splay angle   ~ Normal(0, acceptance_angle / FWHM_SD_RATIO)
+  * spin angle    ~ Uniform(0, pi)  (half-turn: splay may be negative)
+  * direction     = rotate(rotate(axis, splay, perp), spin, axis)
+    with perp = normalize(cross(+y, axis)), or +z when that cross is the
+    degenerate all-zero vector (the reference tests x+y+z == 0)
+  * origin        = position - normalize(axis) * focal_point_offset
+  * world         = eye position + localSpace . relative
+  * tmin          = focal_point_offset  (lens surface), tmax = 1e16
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# FWHM of a Gaussian = 2*sqrt(2 ln 2) * sigma (shaders.cu:53)
+FWHM_SD_RATIO = 2.35482004503094938202313865291
+
+
+def rodrigues(point: jnp.ndarray, angle: jnp.ndarray, axis: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle rotation WITHOUT axis normalisation, matching the device
+    rotatePoint (shaders.cu:650-652). Shapes broadcast; angle is (...,)."""
+    c = jnp.cos(angle)[..., None]
+    s = jnp.sin(angle)[..., None]
+    return (
+        c * point
+        + s * jnp.cross(axis, point)
+        + (1.0 - c) * jnp.sum(axis * point, axis=-1, keepdims=True) * axis
+    )
+
+
+def cone_offset_directions(
+    axes: jnp.ndarray,  # (..., 3) ommatidial axis (relative direction)
+    splay: jnp.ndarray,  # (...,) angle away from the axis
+    spin: jnp.ndarray,  # (...,) angle around the axis
+) -> jnp.ndarray:
+    """generateOffsetRay (shaders.cu:653-664), vectorised."""
+    up = jnp.array([0.0, 1.0, 0.0])
+    perp = jnp.cross(jnp.broadcast_to(up, axes.shape), axes)
+    degenerate = jnp.sum(perp, axis=-1, keepdims=True) == 0.0
+    norm = jnp.maximum(jnp.linalg.norm(perp, axis=-1, keepdims=True), 1e-30)
+    perp = jnp.where(degenerate, jnp.array([0.0, 0.0, 1.0]), perp / norm)
+    splayed = rodrigues(axes, splay, perp)
+    return rodrigues(splayed, spin, axes)
+
+
+def sample_angles(
+    key: jax.Array,
+    n_omms: int,
+    samples: int,
+    acceptance_angles: jnp.ndarray,  # (N,)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Draw (S, N) splay and spin angles."""
+    k_splay, k_spin = jax.random.split(key)
+    sd = acceptance_angles / FWHM_SD_RATIO  # (N,)
+    splay = jax.random.normal(k_splay, (samples, n_omms)) * sd[None, :]
+    spin = jax.random.uniform(k_spin, (samples, n_omms)) * jnp.pi
+    return splay, spin
+
+
+def ommatidial_rays(
+    ommatidia: jnp.ndarray,  # (N, 8) [pos(3), dir(3), acceptance, focal_offset]
+    position: jnp.ndarray,  # (3,) eye world position
+    local_space: jnp.ndarray,  # (3,3) rows = x/y/z axes
+    samples: int,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Generate the full (S*N) world-space ray set for one frame.
+
+    Returns (origins (S*N,3), dirs (S*N,3), tmin (S*N,)) laid out so ray
+    s*N + o is sample s of ommatidium o — the reference's compound-buffer
+    layout (summing_kernel.cu:92)."""
+    n = ommatidia.shape[0]
+    rel_pos = ommatidia[:, 0:3]
+    axis = ommatidia[:, 3:6]
+    acceptance = ommatidia[:, 6]
+    focal = ommatidia[:, 7]
+
+    splay, spin = sample_angles(key, n, samples, acceptance)  # (S,N)
+    rel_dir = cone_offset_directions(
+        jnp.broadcast_to(axis[None, :, :], (samples, n, 3)), splay, spin
+    )  # (S,N,3)
+
+    axis_n = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-30)
+    rel_origin = rel_pos - axis_n * focal[:, None]  # (N,3)
+
+    # world transform: v_world = v.x * X + v.y * Y + v.z * Z = v @ local_space
+    origins = position[None, :] + rel_origin @ local_space  # (N,3)
+    origins = jnp.broadcast_to(origins[None, :, :], (samples, n, 3)).reshape(-1, 3)
+    dirs = (rel_dir.reshape(-1, 3)) @ local_space
+    tmin = jnp.broadcast_to(focal[None, :], (samples, n)).reshape(-1)
+    return origins, dirs, tmin

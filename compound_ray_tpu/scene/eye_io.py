@@ -1,0 +1,115 @@
+"""`.eye` file IO and the Ommatidium record.
+
+File format (reference data/eyes/eye-specification.txt:1-9): one line per
+ommatidium, space separated:
+    posX posY posZ dirX dirY dirZ acceptanceAngle(rad) focalPointOffset
+all in millimetres, parsed in MulticamScene.cpp:352-361.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class Ommatidium:
+    """One ommatidium (cameras/CompoundEyeDataTypes.h:24-30)."""
+
+    position: np.ndarray  # (3,) relative position (mm)
+    direction: np.ndarray  # (3,) relative axis direction
+    acceptance_angle: float  # radians
+    focal_point_offset: float
+
+    def solid_angle(self) -> float:
+        """Steradians of the acceptance cone (eyeRendererHelperFunctions.py:20-22)."""
+        return 2.0 * math.pi * (1.0 - math.cos(self.acceptance_angle / 2.0))
+
+    def copy(self) -> "Ommatidium":
+        return Ommatidium(
+            np.array(self.position, dtype=np.float64),
+            np.array(self.direction, dtype=np.float64),
+            float(self.acceptance_angle),
+            float(self.focal_point_offset),
+        )
+
+
+def ommatidia_to_array(omms: Sequence[Ommatidium]) -> np.ndarray:
+    """Pack to an (N, 8) float32 array [pos(3), dir(3), angle, focal_offset]."""
+    out = np.zeros((len(omms), 8), dtype=np.float32)
+    for i, o in enumerate(omms):
+        out[i, 0:3] = o.position
+        out[i, 3:6] = o.direction
+        out[i, 6] = o.acceptance_angle
+        out[i, 7] = o.focal_point_offset
+    return out
+
+
+def array_to_ommatidia(arr: np.ndarray) -> List[Ommatidium]:
+    return [
+        Ommatidium(np.array(r[0:3]), np.array(r[3:6]), float(r[6]), float(r[7]))
+        for r in np.asarray(arr, dtype=np.float64)
+    ]
+
+
+def read_eye_file(path: str) -> List[Ommatidium]:
+    """Parse a .eye CSV file into Ommatidium records."""
+    out: List[Ommatidium] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            vals = [float(x) for x in line.split()]
+            out.append(
+                Ommatidium(
+                    np.array(vals[0:3]), np.array(vals[3:6]), vals[6], vals[7]
+                )
+            )
+    return out
+
+
+def write_eye_file(path: str, omms: Sequence[Ommatidium]) -> None:
+    """Write .eye format (same 10-dp formatting as eyeRendererHelperFunctions.py:139-151)."""
+    with open(path, "w") as f:
+        for o in omms:
+            f.write(
+                "{:0.10f} {:0.10f} {:0.10f} {:0.10f} {:0.10f} {:0.10f} {:0.10f} {:0.10f}\n".format(
+                    o.position[0], o.position[1], o.position[2],
+                    o.direction[0], o.direction[1], o.direction[2],
+                    o.acceptance_angle, o.focal_point_offset,
+                )
+            )
+
+
+def resolve_eye_path(eye_path: str, gltf_dir: str) -> Optional[str]:
+    """Path resolution order from MulticamScene.cpp:320-351: absolute/cwd-relative
+    first, then relative to the glTF file's directory."""
+    if os.path.isfile(eye_path):
+        return eye_path
+    rel = os.path.join(gltf_dir, eye_path)
+    if os.path.isfile(rel):
+        return rel
+    return None
+
+
+def icosphere_eye(acceptance_angle: Optional[float] = None) -> List[Ommatidium]:
+    """12-ommatidium icosphere eye (eyeRendererHelperFunctions.py:171-194).
+
+    Default acceptance angle covers 1 steradian per ommatidium.
+    """
+    if acceptance_angle is None:
+        acceptance_angle = math.acos(-(1.0 / (2 * math.pi) - 1.0)) * 2.0
+    pts = [np.array([0.0, 1.0, 0.0])]
+    angles = [0.4 * math.pi * i for i in range(5)]
+    off = math.atan(0.5)
+    planar, vert = math.cos(off), math.sin(off)
+    pts += [np.array([math.cos(a) * planar, vert, math.sin(a) * planar]) for a in angles]
+    angles = [a + 0.2 * math.pi for a in angles]
+    pts += [np.array([math.cos(a) * planar, -vert, math.sin(a) * planar]) for a in angles]
+    pts.append(np.array([0.0, -1.0, 0.0]))
+    return [Ommatidium(np.zeros(3), p, acceptance_angle, 0.0) for p in pts]

