@@ -1,0 +1,108 @@
+"""Benchmark: the reference speedTest.py protocol on the TPU backend.
+
+Protocol (python-examples/speed-test/speedTest.py:80-134): 1000-ommatidium
+eye, single_dimension_fast projection, render size (ommatidia x 1), warm-up,
+then average frame time per samples-per-ommatidium setting.  Headline metric
+= ommatidial rays/second at 3200 samples/omm (BASELINE.md: RTX 2080 Ti does
+1.96e9 on ofstad, 1.83e9 on rothamsted; the v5e-8 north star is >=1e9).
+
+Prints ONE JSON line on stdout; per-sweep details go to bench_detail.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_NATURAL = "/root/reference/data/natural-standin-sky.gltf"
+REFERENCE_EYE = "/root/reference/data/eyes/1000-equidistant.eye"
+
+# 2080 Ti rothamsted @3200 samples: 1.748 ms -> 1.83e9 rays/s (BASELINE.md)
+BASELINE_RAYS_PER_S = 1.83e9
+
+
+def build_renderer():
+    from compound_ray_tpu.api.renderer import EyeRenderer
+    from compound_ray_tpu.cameras.types import CompoundEyeCamera
+    from compound_ray_tpu.scene.eye_io import read_eye_file
+
+    r = EyeRenderer(verbose=False)
+    if os.path.isfile(REFERENCE_NATURAL):
+        r.load_gltf_scene(REFERENCE_NATURAL)
+        scene_name = "natural-standin-sky"
+    else:
+        from compound_ray_tpu.testing import make_big_scene
+
+        r.scene = make_big_scene(n_boxes=2000, seed=0)  # ~24k triangles
+        scene_name = "procedural-24k"
+
+    if os.path.isfile(REFERENCE_EYE):
+        omms = read_eye_file(REFERENCE_EYE)
+    else:
+        from compound_ray_tpu.testing import make_sphere_eye
+
+        omms = make_sphere_eye(1000, acceptance_deg=2.6)
+
+    cam = CompoundEyeCamera("bench-eye", "single_dimension_fast", omms)
+    r.scene.cameras.append(cam)
+    r.goto_camera(len(r.scene.cameras) - 1)
+    from compound_ray_tpu.trace.lighting import default_lights
+
+    r._lights = default_lights(r.scene.aabb_min, r.scene.aabb_max)
+    # position the eye inside the scene volume
+    center = r.scene.aabb_center()
+    cam.set_position((float(center[0]), float(center[1]) + 1.0, float(center[2])))
+    return r, scene_name
+
+
+def time_frames(r, samples: int, n_frames: int, warmup: int = 3):
+    r.set_current_eye_samples_per_ommatidium(samples)
+    for _ in range(warmup):
+        r.render_frame()
+    times = [r.render_frame() for _ in range(n_frames)]
+    return float(np.mean(times)), float(np.std(times))
+
+
+def main():
+    sweep = [1, 100, 1000, 3200]
+    n_frames = int(os.environ.get("BENCH_FRAMES", "20"))
+
+    r, scene_name = build_renderer()
+    n_omms = r.get_current_eye_ommatidial_count()
+    # projection pipeline off: the data-access path is getCameraData
+    # (speedTest uses renderFrame timing with size (omms,1); the projection
+    # write is O(omms) and negligible — keep it for protocol fidelity)
+    r.set_render_size(n_omms, 1)
+
+    detail = {"scene": scene_name, "ommatidia": n_omms, "frames": n_frames,
+              "sweep": {}}
+    for s in sweep:
+        mean_ms, std_ms = time_frames(r, s, n_frames)
+        rays = n_omms * s / (mean_ms / 1000.0)
+        detail["sweep"][str(s)] = {
+            "frame_ms": mean_ms,
+            "std_ms": std_ms,
+            "rays_per_s": rays,
+        }
+        print(f"# samples={s}: {mean_ms:.3f} ms/frame ({rays:.3e} rays/s)",
+              file=sys.stderr)
+
+    headline = detail["sweep"]["3200"]["rays_per_s"]
+    with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    print(json.dumps({
+        "metric": "ommatidial rays/s (1000-omm eye, 3200 samples/omm, "
+                  f"{scene_name}, speedTest.py protocol)",
+        "value": headline,
+        "unit": "rays/s",
+        "vs_baseline": headline / BASELINE_RAYS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

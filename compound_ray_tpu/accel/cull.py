@@ -1,0 +1,81 @@
+"""Per-ommatidium acceptance-cone vs cluster culling (XLA).
+
+Each ommatidium's Gaussian splay (sigma = acceptance/FWHM_SD_RATIO,
+shaders.cu:693-696) is truncated at `cull_sigmas` standard deviations to get
+a hard cone half-angle; the probability mass outside 5 sigma is ~6e-7, far
+below the <1% fidelity budget (BASELINE.md).  The cone-vs-cluster test is a
+conservative apex/axis/half-angle vs bounding-sphere comparison: intersect if
+
+    angle(axis, c - apex) <= half_angle + angular_radius(sphere)
+
+or the apex lies inside the sphere.  One cull per ommatidium per frame is
+amortised over all of its samples — the structural replacement for the
+reference's per-ray BVH descent.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from compound_ray_tpu.eye.sampling import FWHM_SD_RATIO
+
+
+def eye_world_geometry(
+    ommatidia: jnp.ndarray,  # (N,8)
+    position: jnp.ndarray,  # (3,)
+    local_space: jnp.ndarray,  # (3,3)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World-space cone apex (retracted ray origin) and unit axis per omm."""
+    rel_pos = ommatidia[:, 0:3]
+    axis = ommatidia[:, 3:6]
+    focal = ommatidia[:, 7]
+    axis_n = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-30)
+    rel_origin = rel_pos - axis_n * focal[:, None]
+    apex = position[None, :] + rel_origin @ local_space
+    world_axis = axis_n @ local_space
+    world_axis = world_axis / jnp.maximum(
+        jnp.linalg.norm(world_axis, axis=-1, keepdims=True), 1e-30
+    )
+    return apex, world_axis
+
+
+@functools.partial(jax.jit, static_argnames=("cull_sigmas",))
+def cone_cull_clusters(
+    ommatidia: jnp.ndarray,  # (N,8)
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    sphere_center: jnp.ndarray,  # (C,3)
+    sphere_radius: jnp.ndarray,  # (C,)
+    cull_sigmas: float = 5.0,
+) -> Dict[str, jnp.ndarray]:
+    """Returns {'mask': (N,C) bool, 'count': (N,) int32}."""
+    apex, axis = eye_world_geometry(ommatidia, position, local_space)
+    half_angle = jnp.minimum(
+        ommatidia[:, 6] / FWHM_SD_RATIO * cull_sigmas, jnp.pi
+    )  # (N,)
+
+    to_c = sphere_center[None, :, :] - apex[:, None, :]  # (N,C,3)
+    dist = jnp.linalg.norm(to_c, axis=-1)  # (N,C)
+    inside = dist <= sphere_radius[None, :]
+    cos_a = jnp.einsum("ncd,nd->nc", to_c, axis) / jnp.maximum(dist, 1e-30)
+    alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
+    beta = jnp.arcsin(jnp.clip(sphere_radius[None, :] / jnp.maximum(dist, 1e-30), 0.0, 1.0))
+    mask = inside | (alpha <= half_angle[:, None] + beta)
+    return {"mask": mask, "count": jnp.sum(mask, axis=-1).astype(jnp.int32)}
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def shortlist_from_mask(mask: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact an (N,C) hit mask to (N,k) cluster ids + validity mask.
+
+    Stable argsort keeps surviving cluster ids in ascending order (memory-
+    friendly fetch order downstream)."""
+    order = jnp.argsort(~mask, axis=-1, stable=True)  # hits first
+    ids = order[:, :k].astype(jnp.int32)
+    counts = jnp.sum(mask, axis=-1)
+    valid = jnp.arange(k)[None, :] < counts[:, None]
+    return ids, valid

@@ -1,0 +1,127 @@
+"""Multi-chip sharding for the compound pipeline (jax.sharding + shard_map).
+
+The reference is single-GPU (SURVEY.md §2.6: its only parallelism is the SIMT
+launch grid; multi-GPU hooks are dead code).  Here scaling is first-class:
+
+  * ommatidium axis ("omm"): pure data parallelism — each device traces its
+    slice of the eye against the replicated scene.  No communication except
+    the output all-gather.
+  * sample axis ("sample"): each device draws a disjoint subset of every
+    ommatidium's cone samples (RNG key folded with the device's sample-axis
+    index) and the per-ommatidium partial sums are combined with a psum over
+    ICI — the collective replacement for summing_kernel.cu's warp shuffles.
+
+Both axes compose in a 2-D mesh; scene arrays are replicated (they are the
+"weights" of this workload and fit in HBM at reference-scene scale).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from compound_ray_tpu.eye.render import render_compound_samples
+from compound_ray_tpu.eye.sampling import (
+    cone_offset_directions,
+    sample_angles,
+)
+from compound_ray_tpu.trace.intersect import intersect_rays
+from compound_ray_tpu.trace.shade import shade_rays
+
+
+def make_eye_mesh(
+    n_devices: Optional[int] = None,
+    sample_parallel: int = 1,
+    devices: Optional[Sequence[Any]] = None,
+) -> Mesh:
+    """Mesh over ("omm", "sample"); sample_parallel=1 gives pure omm-DP."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    assert n_devices % sample_parallel == 0
+    grid = devices.reshape(n_devices // sample_parallel, sample_parallel)
+    return Mesh(grid, ("omm", "sample"))
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("samples", "background", "mesh", "n_omms"),
+)
+def _sharded_impl(
+    scene: Dict[str, Any],
+    ommatidia: jnp.ndarray,  # (Np, 8) padded to omm-axis multiple
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    key: jax.Array,
+    samples: int,
+    background: int,
+    mesh: Mesh,
+    n_omms: int,
+) -> jnp.ndarray:
+    omm_axis = mesh.shape["omm"]
+    sample_axis = mesh.shape["sample"]
+    assert samples % sample_axis == 0, "samples must divide over the sample axis"
+    local_samples = samples // sample_axis
+
+    def shard_fn(scene_l, omms_l, pos_l, ls_l, key_l):
+        # fold both mesh coordinates into the key: every (omm-shard,
+        # sample-shard) pair draws an independent stream
+        oi = jax.lax.axis_index("omm")
+        si = jax.lax.axis_index("sample")
+        k = jax.random.fold_in(jax.random.fold_in(key_l, oi), si)
+        rgb = render_compound_samples(
+            scene_l, omms_l, pos_l, ls_l, k, local_samples, background
+        )  # (local_samples, n_local, 3)
+        partial = jnp.sum(rgb, axis=0) / samples
+        # combine sample-axis partial sums over ICI
+        return jax.lax.psum(partial, axis_name="sample")
+
+    from jax import shard_map
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("omm", None), P(), P(), P()),
+        out_specs=P("omm", None),
+        check_vma=False,
+    )
+    means = fn(scene, ommatidia, position, local_space, key)
+    return means[:n_omms]
+
+
+def render_means_sharded(
+    scene: Dict[str, Any],
+    ommatidia: jnp.ndarray,  # (N,8)
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    key: jax.Array,
+    samples: int,
+    background: int,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Per-ommatidium means over the device mesh.
+
+    Note: the multi-device noise realisation differs from single-device runs
+    (independent per-shard streams) but is statistically identical — the same
+    caveat the reference documents for its curand re-seeding
+    (libEyeRenderer.h:94-96)."""
+    n = ommatidia.shape[0]
+    omm_axis = mesh.shape["omm"]
+    n_pad = _ceil_to(max(n, omm_axis), omm_axis)
+    omms_p = jnp.zeros((n_pad, 8), ommatidia.dtype).at[:n].set(ommatidia)
+    # padded rows need a nonzero axis so normalisation stays finite
+    omms_p = omms_p.at[n:, 5].set(1.0)
+    return _sharded_impl(
+        scene, omms_p, position, local_space, key, samples, background, mesh, n
+    )

@@ -12,6 +12,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon sitecustomize pins jax_platforms via config, which beats the env
+# var — override back to CPU explicitly so tests run on the virtual 8-device
+# host mesh
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/cr_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

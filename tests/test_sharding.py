@@ -1,0 +1,77 @@
+"""Sharding tests on the 8-device virtual CPU mesh (v5e-8 stand-in)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compound_ray_tpu.eye.render import render_compound_means
+from compound_ray_tpu.parallel.sharding import make_eye_mesh, render_means_sharded
+from compound_ray_tpu.scene.eye_io import ommatidia_to_array
+from compound_ray_tpu.testing import make_box_scene, make_sphere_eye
+from compound_ray_tpu.trace.shade import miss_id
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = make_box_scene(background="white")
+    dev = scene.device_triangles()
+    omms = jnp.asarray(ommatidia_to_array(make_sphere_eye(40)))
+    pos = jnp.asarray([0.0, 0.9, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    return scene, dev, omms, pos, ls
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_omm_sharded_means(setup):
+    scene, dev, omms, pos, ls = setup
+    mesh = make_eye_mesh(8, sample_parallel=1)
+    key = jax.random.PRNGKey(3)
+    bg = miss_id(scene.background_shader)
+    out = np.asarray(render_means_sharded(dev, omms, pos, ls, key, 4, bg, mesh))
+    assert out.shape == (40, 3)
+    # statistical agreement with the single-device render: with a white
+    # background + unlit colours, values live in [0, 1.01]
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-5
+
+
+def test_omm_sample_2d_mesh(setup):
+    scene, dev, omms, pos, ls = setup
+    mesh = make_eye_mesh(8, sample_parallel=2)
+    key = jax.random.PRNGKey(3)
+    bg = miss_id(scene.background_shader)
+    out = np.asarray(render_means_sharded(dev, omms, pos, ls, key, 8, bg, mesh))
+    assert out.shape == (40, 3)
+    assert np.isfinite(out).all()
+
+
+def test_sharded_agrees_with_dense_on_deterministic_eye(setup):
+    # with a tiny acceptance angle the jitter is negligible: every sample ray
+    # points down the ommatidial axis, so sharded and dense must agree closely
+    scene, dev, _, pos, ls = setup
+    omms = jnp.asarray(
+        ommatidia_to_array(make_sphere_eye(40, acceptance_deg=1e-5))
+    )
+    bg = miss_id(scene.background_shader)
+    key = jax.random.PRNGKey(0)
+    mesh = make_eye_mesh(8, sample_parallel=2)
+    sharded = np.asarray(render_means_sharded(dev, omms, pos, ls, key, 4, bg, mesh))
+    dense = np.asarray(render_compound_means(dev, omms, pos, ls, key, 4, bg))
+    np.testing.assert_allclose(sharded, dense, atol=1e-4)
+
+
+def test_uneven_ommatidia_padding(setup):
+    scene, dev, _, pos, ls = setup
+    # 37 is not divisible by 8 -> padding path
+    omms = jnp.asarray(ommatidia_to_array(make_sphere_eye(37)))
+    mesh = make_eye_mesh(8)
+    bg = miss_id(scene.background_shader)
+    out = np.asarray(
+        render_means_sharded(dev, omms, pos, ls, jax.random.PRNGKey(1), 2, bg, mesh)
+    )
+    assert out.shape == (37, 3)
+    assert np.isfinite(out).all()
