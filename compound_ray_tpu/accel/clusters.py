@@ -50,11 +50,21 @@ class ClusterSet:
         if self._device_cache is None:
             import jax.numpy as jnp
 
+            from compound_ray_tpu.trace.plucker import triangle_constants
+
             c, l = self.tri_id.shape
+            tri = triangle_constants(self.v0, self.e1, self.e2)
             self._device_cache = {
                 "v0": jnp.asarray(self.v0.reshape(c, l, 3)),
                 "e1": jnp.asarray(self.e1.reshape(c, l, 3)),
                 "e2": jnp.asarray(self.e2.reshape(c, l, 3)),
+                "edge6": jnp.asarray(
+                    np.asarray(tri["edge6"], np.float32).reshape(c, l, 3, 6)
+                ),
+                "normal": jnp.asarray(
+                    np.asarray(tri["normal"], np.float32).reshape(c, l, 3)
+                ),
+                "c0": jnp.asarray(np.asarray(tri["c0"], np.float32).reshape(c, l)),
                 "tri_id": jnp.asarray(self.tri_id),
                 "aabb_min": jnp.asarray(self.aabb_min),
                 "aabb_max": jnp.asarray(self.aabb_max),

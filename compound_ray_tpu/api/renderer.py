@@ -117,6 +117,7 @@ class EyeRenderer:
         outputs = []
         if isinstance(cam, CompoundEyeCamera):
             key = jax.random.fold_in(jax.random.PRNGKey(_BASE_SEED), self._frame_number)
+            omms_np = cam.ommatidia
             omms = jnp.asarray(cam.ommatidia)
             pos = jnp.asarray(cam.position, jnp.float32)
             ls = jnp.asarray(cam.local_space, jnp.float32)
@@ -132,7 +133,7 @@ class EyeRenderer:
             else:
                 self._raw_samples = None
                 self._device_means = self._render_means(
-                    scene_dev, omms, pos, ls, key, s, background, lights
+                    scene_dev, omms_np, pos, ls, key, s, background, lights
                 )
             outputs.append(self._device_means)
             self._camera_data = None  # lazily fetched in get_camera_data
@@ -188,20 +189,26 @@ class EyeRenderer:
         self._log(f"Rendered frame in {ms}ms.")
         return ms
 
-    def _render_means(self, scene_dev, omms, pos, ls, key, samples, background, lights):
-        """Dispatch to the accelerated tracer when available, else XLA path."""
-        if self._backend in ("auto", "pallas"):
-            try:
-                from compound_ray_tpu.trace.dispatch import render_means_fast
+    def _render_means(self, scene_dev, omms_np, pos, ls, key, samples, background, lights):
+        """Dispatch: Pallas kernel > culled XLA sweep > brute-force XLA."""
+        import os
 
-                return render_means_fast(
-                    self.scene, scene_dev, omms, pos, ls, key, samples, background,
-                    self.lighting, lights,
-                )
-            except ImportError:
-                pass
+        backend = os.environ.get("CR_TPU_BACKEND", self._backend)
+        if backend in ("auto", "pallas") and not self.lighting:
+            from compound_ray_tpu.eye.pipeline import render_means_pallas
+
+            return render_means_pallas(
+                self.scene, scene_dev, omms_np, pos, ls, key, samples, background,
+            )
+        if backend in ("auto", "xla"):
+            from compound_ray_tpu.trace.dispatch import render_means_fast
+
+            return render_means_fast(
+                self.scene, scene_dev, jnp.asarray(omms_np), pos, ls, key,
+                samples, background, self.lighting, lights,
+            )
         return render_compound_means(
-            scene_dev, omms, pos, ls, key, samples, background,
+            scene_dev, jnp.asarray(omms_np), pos, ls, key, samples, background,
             self.lighting, lights,
         )
 

@@ -1,0 +1,330 @@
+"""Pallas frame pipeline: plan caching + prep + kernel + epilogue.
+
+Per frame (2 device dispatches + 1 small host sync):
+  1. cull dispatch: cone-vs-cluster masks, per-group counts, distance bounds.
+     The max surviving count (Kmax) comes to the host to size the kernel's
+     ragged shortlist scratch; a high-water mark avoids recompiles.
+  2. render dispatch (one jit): sample-angle draw -> world rays -> Pallas
+     tracer kernel -> epilogue (vertex-colour linearisation, texture-atlas
+     resolve, miss shading, per-ommatidium mean).
+
+Ommatidia are permuted by view direction so that groups of G neighbours
+share coherent cluster shortlists (G shrinks to 1 as samples/omm grows —
+with many samples a single ommatidium already fills the kernel's ray
+blocks); results are inverse-permuted on the way out.
+
+The eye geometry is normalised for the kernel: ray directions are unit
+length and tmin is rescaled by |relative direction| so that the kernel's
+t values are world distances — required by the front-to-back early-exit
+comparison against cluster distance bounds.  Radiance outputs are
+identical to the reference semantics (shaders.cu:666-736) because only
+the t parameterisation changes, not the ray set.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compound_ray_tpu.accel.clusters import ClusterSet, build_clusters
+from compound_ray_tpu.accel.cull import eye_world_geometry
+from compound_ray_tpu.eye.sampling import (
+    FWHM_SD_RATIO,
+    cone_offset_directions,
+    sample_angles,
+)
+from compound_ray_tpu.trace.pallas_tracer import (
+    KERNEL_LEAF,
+    RAY_COMPS,
+    build_kernel_payload,
+    run_tracer_kernel,
+)
+from compound_ray_tpu.trace.shade import miss_color, sample_texture
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class ScenePlan:
+    """Per-scene kernel payload (built once, like the reference's GAS)."""
+
+    payload: jnp.ndarray  # (C, 40, 128)
+    sphere_center: jnp.ndarray  # (C, 3)
+    sphere_radius: jnp.ndarray  # (C,)
+    num_clusters: int
+    textured: bool
+
+
+_scene_plans: Dict[int, ScenePlan] = {}
+
+
+def scene_plan(scene_flat) -> ScenePlan:
+    key = id(scene_flat)
+    plan = _scene_plans.get(key)
+    if plan is None:
+        cs = build_clusters(scene_flat.v0, scene_flat.e1, scene_flat.e2,
+                            leaf_size=KERNEL_LEAF)
+        payload = build_kernel_payload(
+            {
+                "has_color": scene_flat.has_color,
+                "mat_id": scene_flat.mat_id,
+                "mat_base_color": scene_flat.mat_base_color,
+                "mat_tex": scene_flat.mat_tex,
+                "c0": scene_flat.c0,
+                "c1": scene_flat.c1,
+                "c2": scene_flat.c2,
+                "uv0": scene_flat.uv0,
+                "uv1": scene_flat.uv1,
+                "uv2": scene_flat.uv2,
+            },
+            cs,
+        )
+        plan = ScenePlan(
+            payload=jnp.asarray(payload),
+            sphere_center=jnp.asarray(cs.sphere_center),
+            sphere_radius=jnp.asarray(cs.sphere_radius),
+            num_clusters=cs.num_clusters,
+            textured=scene_flat.has_any_texture,
+        )
+        _scene_plans[key] = plan
+    return plan
+
+
+@dataclass
+class EyePlan:
+    """Per-(eye, samples) static layout: permutation + group geometry."""
+
+    perm: np.ndarray  # (Np,) padded permutation into original omms
+    inv_valid: np.ndarray  # (N,) position of omm i in permuted order
+    n: int
+    n_pad: int
+    g: int  # omms per group
+    ng: int
+    rg_pad: int  # padded rays per group
+    rb_size: int
+    nrb: int
+    kmax_hint: int = 8
+
+
+_eye_plans: Dict[Tuple, EyePlan] = {}
+
+
+def eye_plan(ommatidia: np.ndarray, samples: int) -> EyePlan:
+    h = hashlib.blake2b(np.ascontiguousarray(ommatidia).tobytes(),
+                        digest_size=12).hexdigest()
+    key = (h, samples)
+    plan = _eye_plans.get(key)
+    if plan is not None:
+        return plan
+
+    n = ommatidia.shape[0]
+    # group size: fill at least 128 rays per group
+    g = max(1, min(32, _ceil_to(128, max(samples, 1)) // max(samples, 1)))
+    # sort by direction: theta bands then phi, so groups look the same way
+    d = ommatidia[:, 3:6].astype(np.float64)
+    dn = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-30)
+    theta = np.arccos(np.clip(dn[:, 1], -1, 1))
+    phi = np.arctan2(dn[:, 2], dn[:, 0])
+    band = np.floor(theta / 0.35).astype(np.int64)
+    order = np.lexsort((phi, band))
+    n_pad = _ceil_to(n, g)
+    perm = np.concatenate([order, np.full(n_pad - n, order[-1])])
+    inv_valid = np.empty(n, np.int64)
+    inv_valid[order] = np.arange(n)
+
+    ng = n_pad // g
+    rg = g * samples
+    rg_pad = _ceil_to(rg, 128)
+    rb_size = min(1024, rg_pad)
+    rg_pad = _ceil_to(rg_pad, rb_size)
+    nrb = rg_pad // rb_size
+    plan = EyePlan(
+        perm=perm, inv_valid=inv_valid, n=n, n_pad=n_pad, g=g, ng=ng,
+        rg_pad=rg_pad, rb_size=rb_size, nrb=nrb,
+    )
+    _eye_plans[key] = plan
+    return plan
+
+
+@functools.partial(jax.jit, static_argnames=("cull_sigmas", "g"))
+def _cull_groups(
+    omms_p: jnp.ndarray,  # (Np,8) permuted+padded
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    centers: jnp.ndarray,  # (C,3)
+    radii: jnp.ndarray,  # (C,)
+    cull_sigmas: float,
+    g: int,
+):
+    apex, axis = eye_world_geometry(omms_p, position, local_space)
+    half = jnp.minimum(omms_p[:, 6] / FWHM_SD_RATIO * cull_sigmas, jnp.pi)
+    to_c = centers[None, :, :] - apex[:, None, :]
+    dist = jnp.linalg.norm(to_c, axis=-1)
+    inside = dist <= radii[None, :]
+    cos_a = jnp.einsum("ncd,nd->nc", to_c, axis) / jnp.maximum(dist, 1e-30)
+    alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
+    beta = jnp.arcsin(jnp.clip(radii[None, :] / jnp.maximum(dist, 1e-30), 0.0, 1.0))
+    mask = inside | (alpha <= half[:, None] + beta)  # (Np,C)
+
+    ng = omms_p.shape[0] // g
+    c = centers.shape[0]
+    gmask = mask.reshape(ng, g, c).any(axis=1)
+    counts = jnp.sum(gmask, axis=-1).astype(jnp.int32)
+
+    centroid = jnp.mean(apex.reshape(ng, g, 3), axis=1)
+    spread = jnp.max(
+        jnp.linalg.norm(apex.reshape(ng, g, 3) - centroid[:, None, :], axis=-1),
+        axis=1,
+    )
+    gdist = jnp.linalg.norm(centers[None, :, :] - centroid[:, None, :], axis=-1)
+    dmin_all = jnp.maximum(gdist - radii[None, :] - spread[:, None], 0.0)
+    return gmask, counts, dmin_all
+
+
+@functools.partial(jax.jit, static_argnames=("kmax",))
+def _shortlist_sorted(gmask, dmin_all, kmax: int):
+    # columns padded to a 128 multiple: Mosaic DMA slices must be lane-aligned
+    kp = _ceil_to(kmax, 128)
+    masked = jnp.where(gmask, dmin_all, jnp.inf)
+    ng, c = masked.shape
+    if kp > c:
+        masked = jnp.concatenate(
+            [masked, jnp.full((ng, kp - c), jnp.inf, masked.dtype)], axis=-1
+        )
+    order = jnp.argsort(masked, axis=-1)[:, :kp].astype(jnp.int32)
+    dmin_s = jnp.take_along_axis(masked, order.astype(jnp.int64), axis=-1)
+    dmin_s = jnp.where(jnp.isfinite(dmin_s), dmin_s, 3e38).astype(jnp.float32)
+    # out-of-range padding ids point at cluster 0 (never dereferenced: counts
+    # bound the kernel loop)
+    order = jnp.where(order < c, order, 0)
+    return order, dmin_s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "samples", "background", "ng", "g", "nrb", "rb_size", "kmax", "textured"
+    ),
+)
+def _render_frame(
+    payload: jnp.ndarray,
+    scene_dev: Dict[str, Any],
+    omms_p: jnp.ndarray,  # (Np,8)
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    key: jax.Array,
+    counts: jnp.ndarray,
+    ids: jnp.ndarray,
+    dmin: jnp.ndarray,
+    samples: int,
+    background: int,
+    ng: int,
+    g: int,
+    nrb: int,
+    rb_size: int,
+    kmax: int,
+    textured: bool,
+) -> jnp.ndarray:
+    n_pad = omms_p.shape[0]
+    axis = omms_p[:, 3:6]
+    axis_len = jnp.linalg.norm(axis, axis=-1)
+    axis_n = axis / jnp.maximum(axis_len[:, None], 1e-30)
+    focal = omms_p[:, 7]
+    rel_origin = omms_p[:, 0:3] - axis_n * focal[:, None]
+    origins = position[None, :] + rel_origin @ local_space  # (Np,3)
+
+    splay, spin = sample_angles(key, n_pad, samples, omms_p[:, 6])  # (S,Np)
+    rel_dir = cone_offset_directions(
+        jnp.broadcast_to(axis[None], (samples, n_pad, 3)), splay, spin
+    )
+    dirs = jnp.einsum("snc,cd->nsd", rel_dir, local_space)  # (Np,S,3)
+    # normalise for the kernel: t becomes world distance, tmin scales by |axis|
+    dirs_n = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30
+    )
+    tmin = (focal * axis_len)[:, None]  # (Np,1)
+
+    rays = jnp.concatenate(
+        [
+            dirs_n,
+            jnp.broadcast_to(origins[:, None, :], dirs_n.shape),
+            jnp.broadcast_to(tmin[:, :, None], (n_pad, samples, 1)),
+            jnp.zeros((n_pad, samples, 1), jnp.float32),
+        ],
+        axis=-1,
+    )  # (Np,S,8)
+    rg = g * samples
+    rg_pad = nrb * rb_size
+    rays = rays.reshape(ng, rg, RAY_COMPS)
+    rays_p = jnp.zeros((ng, rg_pad, RAY_COMPS), jnp.float32).at[:, :rg].set(rays)
+    out = run_tracer_kernel(
+        counts, ids, dmin, payload,
+        rays_p.reshape(ng * rg_pad, RAY_COMPS),
+        ng=ng, nrb=nrb, rb_size=rb_size, kmax=kmax,
+    )
+    out = out.reshape(ng, rg_pad, RAY_COMPS)[:, :rg].reshape(n_pad, samples, 8)
+
+    t = out[..., 0]
+    hit = t < 1e30
+    rgb = out[..., 1:4]
+    lin = out[..., 7:8] > 0.5
+    rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
+
+    if textured:
+        texid = out[..., 6].astype(jnp.int32)
+        uv = out[..., 4:6].reshape(-1, 2)
+        tex_rgb = sample_texture(
+            scene_dev, jnp.maximum(texid, 0).reshape(-1), uv
+        )[:, :3].reshape(n_pad, samples, 3)
+        rgb = jnp.where(((texid >= 0) & hit)[..., None], tex_rgb, rgb)
+
+    missc = miss_color(dirs_n.reshape(-1, 3), background).reshape(
+        n_pad, samples, 3
+    )
+    rgb = jnp.where(hit[..., None], rgb, missc)
+    return jnp.mean(rgb, axis=1)  # (Np,3)
+
+
+CULL_SIGMAS = 4.0
+
+
+def render_means_pallas(
+    scene_flat,
+    scene_dev: Dict[str, Any],
+    ommatidia_np: np.ndarray,  # (N,8) host copy (for plan hashing)
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    key: jax.Array,
+    samples: int,
+    background: int,
+) -> jnp.ndarray:
+    """Full Pallas frame; returns (N,3) means in original ommatidium order."""
+    splan = scene_plan(scene_flat)
+    eplan = eye_plan(ommatidia_np, samples)
+
+    omms_p = jnp.asarray(ommatidia_np[eplan.perm])
+    gmask, counts, dmin_all = _cull_groups(
+        omms_p, position, local_space,
+        splan.sphere_center, splan.sphere_radius, CULL_SIGMAS, eplan.g,
+    )
+    k_needed = int(jax.device_get(jnp.max(counts)))
+    kmax = min(splan.num_clusters, max(eplan.kmax_hint, _ceil_to(max(k_needed, 1), 8)))
+    eplan.kmax_hint = kmax  # high-water mark: avoids recompiles on small poses
+    ids, dmin = _shortlist_sorted(gmask, dmin_all, kmax)
+
+    means_p = _render_frame(
+        splan.payload, scene_dev, omms_p, position, local_space, key,
+        counts, ids, dmin,
+        samples=samples, background=background,
+        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
+        kmax=kmax, textured=splan.textured,
+    )
+    return means_p[jnp.asarray(eplan.inv_valid)]

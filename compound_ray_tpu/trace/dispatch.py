@@ -1,11 +1,16 @@
 """Backend dispatch for the compound means pipeline.
 
 Chooses between the brute-force XLA sweep (small scenes, lighting path) and
-the cone-culled dense sweep (accel).  The shortlist width K is data-dependent
-(max surviving clusters across ommatidia); it is pulled to the host, rounded
-up, and the K-static kernel is compiled once per (K, S, N) combination —
-cheap because scene + eye geometry are static across frames, the same
-amortisation the reference relies on for its GAS build.
+the cone-culled sweep.  The shortlist width K is highly non-uniform across
+ommatidia (horizon-grazing cones intersect many clusters, sky-facing cones
+almost none), so ommatidia are partitioned into power-of-two K-classes and
+the kernel runs once per class — total intersection work tracks the MEAN
+surviving-cluster count instead of the max.  Class sizes are padded to
+limit recompilation as the camera moves.
+
+The cone jitter angles are drawn ONCE for the whole eye (same key/layout as
+the brute-force path) and sliced per class, so backend choice and class
+partitioning never change the sampled noise.
 """
 
 from __future__ import annotations
@@ -14,27 +19,34 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from compound_ray_tpu.accel.clusters import scene_clusters
 from compound_ray_tpu.accel.cull import cone_cull_clusters, shortlist_from_mask
 from compound_ray_tpu.eye.render import render_compound_means
-from compound_ray_tpu.trace.culled import render_means_culled
+from compound_ray_tpu.eye.sampling import sample_angles
+from compound_ray_tpu.trace.culled import render_means_culled_angles
 
 # below this triangle count the dense brute-force sweep is cheaper than
 # cull + gather (test-scene class)
 MIN_TRIANGLES_FOR_CULLING = 512
 
-DEFAULT_LEAF_SIZE = 64
-CULL_SIGMAS = 5.0
+DEFAULT_LEAF_SIZE = 16
+# 4 sigma truncation: P(|splay| > 4 sigma) ~ 6.3e-5 -- two orders of
+# magnitude under the <1% fidelity budget (BASELINE.md)
+CULL_SIGMAS = 4.0
+
+_K_CLASSES = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
-def _round_k(k: int) -> int:
-    """Round the shortlist width up to limit recompilation churn."""
-    if k <= 4:
-        return max(1, k)
-    p = 4
-    while p < k:
-        p *= 2
+def _pad_count(n: int, chunk: int = 64) -> int:
+    """Pad a class population to chunk multiples with power-of-2-ish growth
+    so per-pose population jitter reuses compiled kernels."""
+    if n <= chunk:
+        return chunk
+    p = chunk
+    while p < n:
+        p = p * 2 if p < 1024 else p + 1024
     return p
 
 
@@ -49,6 +61,8 @@ def render_means_fast(
     background: int,
     use_lighting: bool = False,
     lights: Optional[jnp.ndarray] = None,
+    omm_chunk: int = 64,
+    sample_chunk: int = 64,
 ) -> jnp.ndarray:
     if use_lighting or scene_flat.num_triangles < MIN_TRIANGLES_FOR_CULLING:
         return render_compound_means(
@@ -56,18 +70,38 @@ def render_means_fast(
             use_lighting, lights,
         )
 
+    n = ommatidia.shape[0]
     clusters = scene_clusters(scene_flat, DEFAULT_LEAF_SIZE)
     cdev = clusters.device_arrays()
     cull = cone_cull_clusters(
         ommatidia, position, local_space,
         cdev["sphere_center"], cdev["sphere_radius"], CULL_SIGMAS,
     )
-    k_needed = int(jax.device_get(jnp.max(cull["count"])))  # host sync (per frame)
-    k = min(clusters.num_clusters, _round_k(k_needed))
-    if k == 0:
-        k = 1
-    ids, valid = shortlist_from_mask(cull["mask"], k)
-    return render_means_culled(
-        scene_dev, cdev, ommatidia, position, local_space, key,
-        ids, valid, samples, background,
-    )
+    counts = np.asarray(jax.device_get(cull["count"]))  # host sync (per frame)
+    splay, spin = sample_angles(key, n, samples, ommatidia[:, 6])
+
+    out = jnp.zeros((n, 3), jnp.float32)
+    mask = cull["mask"]
+    prev_k = 0
+    for k_class in _K_CLASSES:
+        sel = np.flatnonzero((counts > prev_k) & (counts <= k_class))
+        prev_k = k_class
+        if len(sel) == 0:
+            if k_class >= counts.max():
+                break
+            continue
+        n_pad = _pad_count(len(sel))
+        # pad by repeating the first selected ommatidium (results discarded)
+        sel_p = np.concatenate([sel, np.full(n_pad - len(sel), sel[0])])
+        sel_j = jnp.asarray(sel_p)
+        k_eff = min(k_class, clusters.num_clusters)
+        ids, valid = shortlist_from_mask(mask[sel_j], k_eff)
+        means = render_means_culled_angles(
+            scene_dev, cdev, ommatidia[sel_j], position, local_space,
+            splay[:, sel_j], spin[:, sel_j], ids, valid, background,
+            omm_chunk=omm_chunk, sample_chunk=sample_chunk,
+        )
+        out = out.at[jnp.asarray(sel)].set(means[: len(sel)])
+        if k_class >= counts.max():
+            break
+    return out

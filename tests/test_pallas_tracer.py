@@ -1,0 +1,132 @@
+"""Pallas fused tracer vs the XLA oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compound_ray_tpu.eye.pipeline import render_means_pallas
+from compound_ray_tpu.eye.render import render_compound_means
+from compound_ray_tpu.scene.eye_io import ommatidia_to_array
+from compound_ray_tpu.testing import make_big_scene, make_box_scene, make_sphere_eye
+from compound_ray_tpu.trace.shade import miss_id
+
+
+def _setup(scene, n_omms=24, acceptance=1e-5, pos=(0.0, 1.5, 0.0)):
+    dev = scene.device_triangles()
+    omms_np = ommatidia_to_array(make_sphere_eye(n_omms, acceptance_deg=acceptance))
+    return (
+        dev,
+        omms_np,
+        jnp.asarray(pos, jnp.float32),
+        jnp.eye(3, dtype=jnp.float32),
+    )
+
+
+def test_pallas_matches_oracle_deterministic_eye():
+    # acceptance ~ 0: every sample looks straight down the axis, so RNG
+    # differences between paths vanish and results must match closely
+    scene = make_box_scene(background="simple_sky")
+    dev, omms_np, pos, ls = _setup(scene)
+    key = jax.random.PRNGKey(0)
+    bg = miss_id(scene.background_shader)
+    got = np.asarray(
+        render_means_pallas(scene, dev, omms_np, pos, ls, key, 4, bg)
+    )
+    ref = np.asarray(
+        render_compound_means(dev, jnp.asarray(omms_np), pos, ls, key, 4, bg)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_pallas_big_scene_deterministic_eye():
+    scene = make_big_scene(n_boxes=120, seed=4)
+    dev, omms_np, pos, ls = _setup(scene, n_omms=40, pos=(3.0, 2.0, -5.0))
+    key = jax.random.PRNGKey(1)
+    bg = miss_id(scene.background_shader)
+    got = np.asarray(
+        render_means_pallas(scene, dev, omms_np, pos, ls, key, 2, bg)
+    )
+    ref = np.asarray(
+        render_compound_means(dev, jnp.asarray(omms_np), pos, ls, key, 2, bg)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_pallas_jittered_statistics():
+    # real cone jitter: different RNG streams, so compare loosely via many
+    # samples on smooth geometry
+    scene = make_box_scene(background="white")
+    dev, omms_np, pos, ls = _setup(scene, acceptance=4.0, pos=(0.0, 50.0, 0.0))
+    key = jax.random.PRNGKey(2)
+    got = np.asarray(render_means_pallas(scene, dev, omms_np, pos, ls, key, 64, 1))
+    ref = np.asarray(
+        render_compound_means(dev, jnp.asarray(omms_np), pos, ls, key, 64, 1)
+    )
+    # high above the scene: upward omms see pure white in both
+    up = omms_np[:, 4] > 0.3
+    np.testing.assert_allclose(got[up], 1.0, atol=1e-6)
+    np.testing.assert_allclose(ref[up], 1.0, atol=1e-6)
+    # downward omms: statistical agreement
+    np.testing.assert_allclose(got.mean(), ref.mean(), atol=0.05)
+
+
+def test_pallas_occlusion_front_to_back():
+    # a red box directly in front of a distant blue pillar: early-exit must
+    # not skip the真 nearest hit. Ommatidium looks down +x.
+    from compound_ray_tpu.scene.eye_io import Ommatidium
+    from compound_ray_tpu.scene.flat import build_scene_from_arrays
+    from compound_ray_tpu.testing import box_mesh
+
+    vs, fs, cs_ = [], [], []
+    off = 0
+    for center, color in [((5.0, 0, 0), (1.0, 0, 0)), ((20.0, 0, 0), (0, 0, 1.0))]:
+        v, f = box_mesh(center, (1.0, 4.0, 4.0))
+        vs.append(v)
+        fs.append(f + off)
+        cs_.append(np.tile(np.array([*color, 1.0], np.float32), (len(v), 1)))
+        off += len(v)
+    scene = build_scene_from_arrays(
+        np.concatenate(vs), np.concatenate(fs),
+        vertex_colors=np.concatenate(cs_), background_shader="black",
+    )
+    dev = scene.device_triangles()
+    omms_np = ommatidia_to_array(
+        [Ommatidium(np.zeros(3), np.array([1.0, 0, 0]), 1e-6, 0.0)] * 8
+    )
+    got = np.asarray(
+        render_means_pallas(
+            scene, dev, omms_np, jnp.zeros(3, jnp.float32),
+            jnp.eye(3, dtype=jnp.float32), jax.random.PRNGKey(0), 2, 2,
+        )
+    )
+    # must be the near red box (linearized vertex colour), not blue
+    np.testing.assert_allclose(got[:, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(got[:, 2], 0.0, atol=1e-5)
+
+
+def test_pallas_renderer_api_backend():
+    import os
+
+    from compound_ray_tpu.api.renderer import EyeRenderer
+    from compound_ray_tpu.cameras.types import CompoundEyeCamera
+
+    r = EyeRenderer(verbose=False)
+    r.scene = make_box_scene(background="white")
+    r.scene.cameras.append(
+        CompoundEyeCamera("eye", "single_dimension_fast",
+                          make_sphere_eye(16, acceptance_deg=1e-5))
+    )
+    from compound_ray_tpu.trace.lighting import default_lights
+
+    r._lights = default_lights(r.scene.aabb_min, r.scene.aabb_max)
+    r.current_camera().set_position((0.0, 100.0, 0.0))
+    r._backend = "pallas"
+    r.render_frame()
+    d_pallas = r.get_camera_data().copy()
+    r._backend = "xla"
+    r._frame_number = 0
+    r._camera_data = None
+    r.render_frame()
+    d_xla = r.get_camera_data()
+    np.testing.assert_allclose(d_pallas, d_xla, atol=2e-4)
