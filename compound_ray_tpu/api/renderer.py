@@ -58,6 +58,7 @@ class EyeRenderer:
         self._current_camera = 0
         self._frame_number = 0
         self._frame_buffer: Optional[np.ndarray] = None  # (H,W,4) uint8
+        self._device_frame = None  # device-resident frame (lazy host copy)
         self._camera_data: Optional[np.ndarray] = None  # (N,3) float32 means
         self._raw_samples: Optional[jnp.ndarray] = None
         self._device_means: Optional[jnp.ndarray] = None
@@ -155,7 +156,8 @@ class EyeRenderer:
                     self.height,
                 )
                 outputs.append(frame)
-                self._frame_buffer = np.asarray(jax.device_get(frame))
+                self._device_frame = frame
+                self._frame_buffer = None  # fetched lazily by get_frame_pointer
         else:
             if self.require_noncompound_pipeline and self.width * self.height > 0:
                 if isinstance(cam, PerspectiveCamera):
@@ -181,7 +183,8 @@ class EyeRenderer:
                     lights,
                 )
                 outputs.append(frame)
-                self._frame_buffer = np.asarray(jax.device_get(frame))
+                self._device_frame = frame
+                self._frame_buffer = None
 
         for o in outputs:  # block so the returned time covers the render
             o.block_until_ready()
@@ -215,9 +218,9 @@ class EyeRenderer:
     def save_frame_as(self, path: str) -> None:
         """Write the display buffer as binary PPM; buffer row 0 is the bottom
         scanline, so rows are flipped like sutil::displayBufferFile."""
-        assert self._frame_buffer is not None, "no frame rendered"
-        h, w = self._frame_buffer.shape[:2]
-        rgb = self._frame_buffer[::-1, :, :3]
+        frame = self.get_frame_pointer()
+        h, w = frame.shape[:2]
+        rgb = frame[::-1, :, :3]
         with open(path, "wb") as f:
             f.write(f"P6\n{w} {h}\n255\n".encode())
             f.write(np.ascontiguousarray(rgb).tobytes())
@@ -226,7 +229,10 @@ class EyeRenderer:
     def get_frame_pointer(self) -> np.ndarray:
         self._log("Retrieving frame pointer...")
         if self._frame_buffer is None:
-            self._frame_buffer = np.zeros((self.height, self.width, 4), np.uint8)
+            if self._device_frame is not None:
+                self._frame_buffer = np.asarray(jax.device_get(self._device_frame))
+            else:
+                self._frame_buffer = np.zeros((self.height, self.width, 4), np.uint8)
         return self._frame_buffer
 
     # ------------------------------------------------------------ camera control

@@ -211,9 +211,42 @@ def _shortlist_sorted(gmask, dmin_all, kmax: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "samples", "background", "ng", "g", "nrb", "rb_size", "kmax", "textured"
+        "samples", "background", "ng", "g", "nrb", "rb_size", "kmax",
+        "textured", "cull_sigmas",
     ),
 )
+def _frame_fused(
+    payload: jnp.ndarray,
+    scene_dev: Dict[str, Any],
+    sphere_center: jnp.ndarray,
+    sphere_radius: jnp.ndarray,
+    omms_p: jnp.ndarray,  # (Np,8)
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    key: jax.Array,
+    samples: int,
+    background: int,
+    ng: int,
+    g: int,
+    nrb: int,
+    rb_size: int,
+    kmax: int,
+    textured: bool,
+    cull_sigmas: float,
+) -> jnp.ndarray:
+    """One dispatch per frame: cull -> shortlist -> rays -> kernel -> shade."""
+    gmask, counts, dmin_all = _cull_groups(
+        omms_p, position, local_space, sphere_center, sphere_radius,
+        cull_sigmas, g,
+    )
+    ids, dmin = _shortlist_sorted(gmask, dmin_all, kmax)
+    counts = jnp.minimum(counts, kmax)
+    return _render_frame(
+        payload, scene_dev, omms_p, position, local_space, key, counts, ids,
+        dmin, samples, background, ng, g, nrb, rb_size, kmax, textured,
+    )
+
+
 def _render_frame(
     payload: jnp.ndarray,
     scene_dev: Dict[str, Any],
@@ -296,6 +329,9 @@ def _render_frame(
 CULL_SIGMAS = 4.0
 
 
+_kmax_cache: Dict[Tuple, int] = {}
+
+
 def render_means_pallas(
     scene_flat,
     scene_dev: Dict[str, Any],
@@ -306,25 +342,41 @@ def render_means_pallas(
     samples: int,
     background: int,
 ) -> jnp.ndarray:
-    """Full Pallas frame; returns (N,3) means in original ommatidium order."""
+    """Full Pallas frame; returns (N,3) means in original ommatidium order.
+
+    One device dispatch per frame in the steady state.  The kernel's ragged
+    shortlist width kmax is pose-dependent; it is measured with a small cull
+    dispatch + host sync only the first time a (scene, eye, pose) combination
+    is seen, then cached (with high-water rounding so nearby poses reuse the
+    compiled kernel)."""
     splan = scene_plan(scene_flat)
     eplan = eye_plan(ommatidia_np, samples)
-
     omms_p = jnp.asarray(ommatidia_np[eplan.perm])
-    gmask, counts, dmin_all = _cull_groups(
-        omms_p, position, local_space,
-        splan.sphere_center, splan.sphere_radius, CULL_SIGMAS, eplan.g,
-    )
-    k_needed = int(jax.device_get(jnp.max(counts)))
-    kmax = min(splan.num_clusters, max(eplan.kmax_hint, _ceil_to(max(k_needed, 1), 8)))
-    eplan.kmax_hint = kmax  # high-water mark: avoids recompiles on small poses
-    ids, dmin = _shortlist_sorted(gmask, dmin_all, kmax)
 
-    means_p = _render_frame(
-        splan.payload, scene_dev, omms_p, position, local_space, key,
-        counts, ids, dmin,
+    pose_sig = (
+        np.asarray(position).tobytes(),
+        np.asarray(local_space).tobytes(),
+    )
+    ck = (id(scene_flat), eplan.perm.tobytes()[:64], samples, pose_sig)
+    kmax = _kmax_cache.get(ck)
+    if kmax is None:
+        _, counts, _ = _cull_groups(
+            omms_p, position, local_space,
+            splan.sphere_center, splan.sphere_radius, CULL_SIGMAS, eplan.g,
+        )
+        k_needed = int(jax.device_get(jnp.max(counts)))
+        kmax = min(
+            splan.num_clusters,
+            max(eplan.kmax_hint, _ceil_to(max(k_needed, 1), 8)),
+        )
+        eplan.kmax_hint = kmax  # high-water: nearby poses reuse the compile
+        _kmax_cache[ck] = kmax
+
+    means_p = _frame_fused(
+        splan.payload, scene_dev, splan.sphere_center, splan.sphere_radius,
+        omms_p, position, local_space, key,
         samples=samples, background=background,
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
-        kmax=kmax, textured=splan.textured,
+        kmax=kmax, textured=splan.textured, cull_sigmas=CULL_SIGMAS,
     )
     return means_p[jnp.asarray(eplan.inv_valid)]

@@ -48,8 +48,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 KERNEL_LEAF = 128  # triangles per cluster in the kernel payload
-PAYLOAD_COMPS = 40
-RAY_COMPS = 8  # dx dy dz mx my mz tmin pad
+PAYLOAD_COMPS = 44  # 40 per-triangle rows + cluster bounding sphere (40-43)
+RAY_COMPS = 8  # dx dy dz ox oy oz tmin pad
 
 
 def build_kernel_payload(scene: Dict[str, Any], cluster_set) -> np.ndarray:
@@ -84,14 +84,22 @@ def build_kernel_payload(scene: Dict[str, Any], cluster_set) -> np.ndarray:
     texid = mat_tex[:, None]
     valid = (tid >= 0).astype(np.float32)[:, None]
 
+    # cluster bounding sphere, replicated across the cluster's triangle rows
+    # so the kernel's per-ray sphere pretest reads it like any other component
+    sphere = np.concatenate(
+        [cluster_set.sphere_center, cluster_set.sphere_radius[:, None]], axis=1
+    ).astype(np.float32)  # (C, 4)
+    sphere_rows = np.repeat(sphere, l, axis=0)  # (C*L, 4)
+
     payload = np.concatenate(
-        [edge6, normal, c0, rgb0, rgb1, rgb2, lin, uv0, uv1, uv2, texid, valid],
+        [edge6, normal, c0, rgb0, rgb1, rgb2, lin, uv0, uv1, uv2, texid, valid,
+         sphere_rows],
         axis=1,
-    )  # (C*L, 40)
+    )  # (C*L, 44)
     assert payload.shape[1] == PAYLOAD_COMPS
     return np.ascontiguousarray(
         payload.reshape(c, l, PAYLOAD_COMPS).transpose(0, 2, 1)
-    )  # (C, 40, 128)
+    )  # (C, 44, 128)
 
 
 def _tracer_kernel(
@@ -101,9 +109,9 @@ def _tracer_kernel(
     tri_hbm,  # (C, 40, 128) f32
     rays_ref,  # VMEM (RB, 8)
     out_ref,  # VMEM (RB, 8)
-    ids_smem,  # SMEM (Kmax + 1,) int32
-    dmin_smem,  # SMEM (Kmax + 1,) f32
-    tri_vmem,  # VMEM (Kmax, 40, 128)
+    ids_smem,  # SMEM (KP,) int32
+    dmin_smem,  # SMEM (KP,) f32
+    tri_vmem,  # VMEM (Kmax, 44, 128)
     sem_ids,
     sem_dmin,
     sem_tri,  # (Kmax,) DMA sems
@@ -140,12 +148,13 @@ def _tracer_kernel(
         jax.lax.fori_loop(0, cnt, dma_wait, 0)
 
     big = jnp.float32(jnp.inf)
+    RS = 32  # rays per batch: 4 vregs per op amortises loop + branch overhead
 
     def ray_batch(rbi, _):
-        r0 = pl.multiple_of(rbi * 8, 8)
+        r0 = pl.multiple_of(rbi * RS, RS)
 
         def rcomp(c):
-            return rays_ref[pl.ds(r0, 8), c : c + 1]  # (8,1)
+            return rays_ref[pl.ds(r0, RS), c : c + 1]  # (RS,1)
 
         # ray layout: [dx dy dz ox oy oz tmin pad]; the Plücker moment
         # m = o x d is recomputed here (6 mul/sub) because o itself is needed
@@ -156,9 +165,8 @@ def _tracer_kernel(
         mx = oy * dz - oz * dy
         my = oz * dx - ox * dz
         mz = ox * dy - oy * dx
-
-        def cluster_step(state):
-            (j, bt, br, bg_, bb, bu, bv, btex, blin) = state
+        def cluster_step(j, state):
+            (bt, br, bg_, bb, bu, bv, btex, blin) = state
 
             def tc(c):
                 return tri_vmem[j, c, :].reshape(1, KERNEL_LEAF)
@@ -198,40 +206,31 @@ def _tracer_kernel(
             cu = w0n * tc(32) + u * tc(34) + v * tc(36)
             cv = w0n * tc(33) + u * tc(35) + v * tc(37)
 
-            bt = jnp.where(better, t, bt)
-            br = jnp.where(better, cr, br)
-            bg_ = jnp.where(better, cg, bg_)
-            bb = jnp.where(better, cb, bb)
-            bu = jnp.where(better, cu, bu)
-            bv = jnp.where(better, cv, bv)
-            btex = jnp.where(better, tc(38), btex)
-            blin = jnp.where(better, tc(31), blin)
-            return (j + 1, bt, br, bg_, bb, bu, bv, btex, blin)
+            return (
+                jnp.where(better, t, bt),
+                jnp.where(better, cr, br),
+                jnp.where(better, cg, bg_),
+                jnp.where(better, cb, bb),
+                jnp.where(better, cu, bu),
+                jnp.where(better, cv, bv),
+                jnp.where(better, tc(38), btex),
+                jnp.where(better, tc(31), blin),
+            )
 
-        def cluster_cond(state):
-            j = state[0]
-            bt = state[1]
-            # front-to-back early exit: continue only while some ray's best
-            # hit is still beyond the next cluster's lower distance bound.
-            # (j is clamped for the read; the j < cnt conjunct governs.)
-            jd = jnp.minimum(j, dmin_smem.shape[0] - 1)
-            return (j < cnt) & (jnp.max(bt) > dmin_smem[jd])
-
-        z = jnp.zeros((8, KERNEL_LEAF), jnp.float32)
+        z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
         init = (
-            jnp.int32(0),
-            jnp.full((8, KERNEL_LEAF), big),
+            jnp.full((RS, KERNEL_LEAF), big),
             z, z, z, z, z,
-            jnp.full((8, KERNEL_LEAF), -1.0),
+            jnp.full((RS, KERNEL_LEAF), -1.0),
             z,
         )
-        (_, bt, br, bg_, bb, bu, bv, btex, blin) = jax.lax.while_loop(
-            cluster_cond, cluster_step, init
+        (bt, br, bg_, bb, bu, bv, btex, blin) = jax.lax.fori_loop(
+            0, cnt, cluster_step, init
         )
 
         # cross-lane winner per ray (first-occurrence argmin)
-        tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (8,1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, KERNEL_LEAF), 1)
+        tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS,1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RS, KERNEL_LEAF), 1)
         cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
         first = jnp.min(cand, axis=1, keepdims=True)
         onehot = lane == first
@@ -239,19 +238,19 @@ def _tracer_kernel(
         def pick(buf):
             return jnp.sum(jnp.where(onehot, buf, 0.0), axis=1, keepdims=True)
 
-        out_ref[pl.ds(r0, 8), 0:1] = jnp.where(
+        out_ref[pl.ds(r0, RS), 0:1] = jnp.where(
             jnp.isfinite(tmin_l), tmin_l, big
         )
-        out_ref[pl.ds(r0, 8), 1:2] = pick(br)
-        out_ref[pl.ds(r0, 8), 2:3] = pick(bg_)
-        out_ref[pl.ds(r0, 8), 3:4] = pick(bb)
-        out_ref[pl.ds(r0, 8), 4:5] = pick(bu)
-        out_ref[pl.ds(r0, 8), 5:6] = pick(bv)
-        out_ref[pl.ds(r0, 8), 6:7] = pick(btex)
-        out_ref[pl.ds(r0, 8), 7:8] = pick(blin)
+        out_ref[pl.ds(r0, RS), 1:2] = pick(br)
+        out_ref[pl.ds(r0, RS), 2:3] = pick(bg_)
+        out_ref[pl.ds(r0, RS), 3:4] = pick(bb)
+        out_ref[pl.ds(r0, RS), 4:5] = pick(bu)
+        out_ref[pl.ds(r0, RS), 5:6] = pick(bv)
+        out_ref[pl.ds(r0, RS), 6:7] = pick(btex)
+        out_ref[pl.ds(r0, RS), 7:8] = pick(blin)
         return 0
 
-    jax.lax.fori_loop(0, rb_size // 8, ray_batch, 0)
+    jax.lax.fori_loop(0, rb_size // RS, ray_batch, 0)
 
 
 def _use_interpret() -> bool:
