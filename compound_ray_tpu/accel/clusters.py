@@ -109,10 +109,25 @@ def build_clusters(
 
     p1 = v0 + e1
     p2 = v0 + e2
-    centroids = (v0 + p1 + p2) / 3.0
 
     leaves: List[np.ndarray] = []
-    _median_split(centroids, np.arange(n), leaf_size, leaves)
+    try:  # native median-split (native/compoundray_native.cpp) when built
+        from compound_ray_tpu import native_ext
+
+        nat = native_ext.build_cluster_order(
+            np.concatenate([v0, e1, e2], axis=1), leaf_size
+        )
+    except Exception:
+        nat = None
+    if nat is not None:
+        order, sizes = nat
+        off = 0
+        for s in sizes:
+            leaves.append(order[off:off + s].astype(np.int64))
+            off += s
+    else:
+        centroids = (v0 + p1 + p2) / 3.0
+        _median_split(centroids, np.arange(n), leaf_size, leaves)
     c = len(leaves)
 
     pv0 = np.zeros((c, leaf_size, 3), np.float32)

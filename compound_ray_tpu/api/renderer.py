@@ -186,8 +186,11 @@ class EyeRenderer:
                 self._device_frame = frame
                 self._frame_buffer = None
 
-        for o in outputs:  # block so the returned time covers the render
-            o.block_until_ready()
+        if outputs:
+            # outputs are dependency-chained (frame consumes means), so one
+            # block on the last covers the frame — and costs a single tunnel
+            # round trip instead of one per output
+            outputs[-1].block_until_ready()
         ms = (time.perf_counter() - t0) * 1000.0
         self._log(f"Rendered frame in {ms}ms.")
         return ms
@@ -219,6 +222,14 @@ class EyeRenderer:
         """Write the display buffer as binary PPM; buffer row 0 is the bottom
         scanline, so rows are flipped like sutil::displayBufferFile."""
         frame = self.get_frame_pointer()
+        try:
+            from compound_ray_tpu import native_ext
+
+            if native_ext.write_ppm(path, frame):
+                self._log(f"Saved render as '{path}'")
+                return
+        except Exception:
+            pass
         h, w = frame.shape[:2]
         rgb = frame[::-1, :, :3]
         with open(path, "wb") as f:

@@ -57,7 +57,18 @@ def array_to_ommatidia(arr: np.ndarray) -> List[Ommatidium]:
 
 
 def read_eye_file(path: str) -> List[Ommatidium]:
-    """Parse a .eye CSV file into Ommatidium records."""
+    """Parse a .eye CSV file into Ommatidium records.
+
+    Uses the native parser (native/compoundray_native.cpp) when built, like
+    the reference's C++ loader; falls back to pure Python."""
+    try:
+        from compound_ray_tpu import native_ext
+
+        arr = native_ext.parse_eye_file(path)
+        if arr is not None:
+            return array_to_ommatidia(arr)
+    except Exception:
+        pass
     out: List[Ommatidium] = []
     with open(path) as f:
         for line in f:

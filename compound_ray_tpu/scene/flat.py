@@ -64,11 +64,22 @@ class HitboxMesh:
         """Ray-parity point-in-mesh test (hitscanprocessing.cpp:20-86).
 
         Casts a +x ray in object space from just outside the AABB and counts
-        triangle crossings at x <= point.x.
+        triangle crossings at x <= point.x.  Uses the native backend when
+        built; numpy fallback below.
         """
         inv = np.linalg.inv(self.transform)
         p = inv @ np.array([*world_point, 1.0])
         obj = p[:3]
+        try:
+            from compound_ray_tpu import native_ext
+
+            res = native_ext.point_in_mesh(
+                self.triangles, obj, float(self.object_aabb_min[0])
+            )
+            if res is not None:
+                return res
+        except Exception:
+            pass
         start = obj.copy()
         start[0] = self.object_aabb_min[0] - 1.0
         ray_dir = obj - start

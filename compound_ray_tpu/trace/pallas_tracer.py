@@ -167,9 +167,13 @@ def _tracer_kernel(
         mz = ox * dy - oy * dx
         def cluster_step(j, state):
             (bt, br, bg_, bb, bu, bv, btex, blin) = state
+            jc = jnp.minimum(j, kmax - 1)  # chunked loop may overshoot by 1
 
             def tc(c):
-                return tri_vmem[j, c, :].reshape(1, KERNEL_LEAF)
+                return tri_vmem[jc, c, :].reshape(1, KERNEL_LEAF)
+
+            # slots >= cnt hold stale payload from a previous group: mask them
+            in_range = (j < cnt).astype(jnp.float32)
 
             w0 = dx * tc(0) + dy * tc(1) + dz * tc(2) \
                 + mx * tc(3) + my * tc(4) + mz * tc(5)
@@ -189,7 +193,7 @@ def _tracer_kernel(
                 (pos_ok | neg_ok)
                 & (den != 0.0)
                 & (ws != 0.0)
-                & (tc(39) > 0.0)
+                & (tc(39) * in_range > 0.0)
                 & (t >= tmin_r)
                 & (t < bt)
             )
@@ -224,9 +228,32 @@ def _tracer_kernel(
             jnp.full((RS, KERNEL_LEAF), -1.0),
             z,
         )
-        (bt, br, bg_, bb, bu, bv, btex, blin) = jax.lax.fori_loop(
-            0, cnt, cluster_step, init
+
+        # Front-to-back early exit, checked once per CHUNK of clusters so the
+        # scalar reduction + branch cost amortises: stop as soon as every ray
+        # in the batch has a hit closer than the next cluster's lower
+        # distance bound (clusters arrive dmin-sorted).
+        CHUNK = 2
+        kp = dmin_smem.shape[0]
+
+        def chunk_cond(state):
+            ci = state[0]
+            bt = state[1]
+            j0 = ci * CHUNK
+            jd = jnp.minimum(j0, kp - 1)
+            return (j0 < cnt) & (jnp.max(bt) > dmin_smem[jd])
+
+        def chunk_body(state):
+            ci = state[0]
+            inner = state[1:]
+            for i in range(CHUNK):
+                inner = cluster_step(ci * CHUNK + i, inner)
+            return (ci + 1,) + inner
+
+        out_state = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0),) + init
         )
+        (bt, br, bg_, bb, bu, bv, btex, blin) = out_state[1:]
 
         # cross-lane winner per ray (first-occurrence argmin)
         tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS,1)
