@@ -18,6 +18,12 @@ import time
 
 import numpy as np
 
+import jax
+
+# persistent compile cache: kernel compiles survive across bench runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/cr_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_NATURAL = "/root/reference/data/natural-standin-sky.gltf"
 REFERENCE_EYE = "/root/reference/data/eyes/1000-equidistant.eye"
 

@@ -229,31 +229,14 @@ def _tracer_kernel(
             z,
         )
 
-        # Front-to-back early exit, checked once per CHUNK of clusters so the
-        # scalar reduction + branch cost amortises: stop as soon as every ray
-        # in the batch has a hit closer than the next cluster's lower
-        # distance bound (clusters arrive dmin-sorted).
-        CHUNK = 2
-        kp = dmin_smem.shape[0]
-
-        def chunk_cond(state):
-            ci = state[0]
-            bt = state[1]
-            j0 = ci * CHUNK
-            jd = jnp.minimum(j0, kp - 1)
-            return (j0 < cnt) & (jnp.max(bt) > dmin_smem[jd])
-
-        def chunk_body(state):
-            ci = state[0]
-            inner = state[1:]
-            for i in range(CHUNK):
-                inner = cluster_step(ci * CHUNK + i, inner)
-            return (ci + 1,) + inner
-
-        out_state = jax.lax.while_loop(
-            chunk_cond, chunk_body, (jnp.int32(0),) + init
+        # NOTE: a front-to-back early-exit variant (while_loop over cluster
+        # chunks gated on max(best_t) vs the next cluster's distance bound)
+        # traced correctly but hit a Mosaic compile hang with the RS=32
+        # carried state; plain fori until that is rearchitected around
+        # scratch-resident state.
+        (bt, br, bg_, bb, bu, bv, btex, blin) = jax.lax.fori_loop(
+            0, cnt, cluster_step, init
         )
-        (bt, br, bg_, bb, bu, bv, btex, blin) = out_state[1:]
 
         # cross-lane winner per ray (first-occurrence argmin)
         tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS,1)
