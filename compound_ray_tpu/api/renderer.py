@@ -197,9 +197,9 @@ class EyeRenderer:
 
     def _render_means(self, scene_dev, omms_np, pos, ls, key, samples, background, lights):
         """Dispatch: Pallas kernel > culled XLA sweep > brute-force XLA."""
-        import os
+        from compound_ray_tpu.config import get_config
 
-        backend = os.environ.get("CR_TPU_BACKEND", self._backend)
+        backend = get_config().backend if self._backend == "auto" else self._backend
         if backend in ("auto", "pallas") and not self.lighting:
             from compound_ray_tpu.eye.pipeline import render_means_pallas
 
@@ -371,6 +371,52 @@ class EyeRenderer:
             if name.startswith("__raygen__compound_projection_"):
                 name = name[len("__raygen__compound_projection_"):]
             self.current_camera().set_projection(name)
+
+    def render_batch_poses(self, poses) -> np.ndarray:
+        """Batched multi-pose compound render: (B, N, 3) means in ONE pipeline
+        pass (the BASELINE.json 'batched poses' config).
+
+        `poses` is a sequence of (position(3), rotation(3)) pairs with the
+        setCameraPose rotation semantics, or (position, local_space(3,3))
+        pairs.  Poses fold into the ommatidium axis — each pose's ommatidia
+        are pre-transformed to world space and concatenated, so culling,
+        the Pallas kernel, and sharding all apply unchanged.
+        """
+        assert self.is_compound_eye_active(), "compound eye required"
+        cam = self.current_camera()
+        base = cam.ommatidia  # (N,8)
+        n = base.shape[0]
+        from compound_ray_tpu.cameras.types import PerspectiveCamera
+
+        blocks = []
+        for pose in poses:
+            pos, rot = pose
+            probe = PerspectiveCamera("pose-probe")
+            if np.asarray(rot).shape == (3, 3):
+                probe.set_position(pos)
+                probe.local_space = np.asarray(rot, np.float64)
+            else:
+                probe.set_pose(*pos, *rot)
+            ls = probe.local_space
+            block = base.copy()
+            block[:, 0:3] = base[:, 0:3] @ ls + np.asarray(probe.position)[None, :]
+            block[:, 3:6] = base[:, 3:6] @ ls
+            blocks.append(block)
+        all_omms = np.concatenate(blocks, axis=0).astype(np.float32)
+
+        scene_dev = self._scene_dev()
+        background = miss_id(self.scene.background_shader)
+        key = jax.random.fold_in(jax.random.PRNGKey(_BASE_SEED), self._frame_number)
+        self._frame_number += 1
+        means = self._render_means(
+            scene_dev, all_omms,
+            jnp.zeros(3, jnp.float32), jnp.eye(3, dtype=jnp.float32),
+            key, cam.samples_per_ommatidium, background,
+            jnp.asarray(self._lights) if self.lighting else None,
+        )
+        out = np.array(jax.device_get(means), np.float32)
+        out[np.isnan(out[:, 0])] = 0.0
+        return out.reshape(len(blocks), n, 3)
 
     def get_camera_data(self) -> np.ndarray:
         """Per-ommatidium mean radiance (N,3) float32, NaN-guarded

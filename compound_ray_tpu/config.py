@@ -1,0 +1,80 @@
+"""Runtime configuration (replaces the reference's compile-time layer).
+
+The reference's configuration is split across CMake defines, constexpr debug
+flags, and BUFFER_TYPE macros (SURVEY.md §5 'Config / flag system' layers
+2-3).  Here everything is a runtime dataclass, overridable from the
+environment (CR_TPU_* variables) or a JSON file — no rebuilds.
+
+The glTF 'extras' schema (layer 1) is unchanged and documented in
+docs/scene-extras.md; .eye files (layer 2's data part) keep their format.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    # backend: "auto" (pallas on TPU, culled XLA elsewhere), "pallas", "xla",
+    # "naive"
+    backend: str = "auto"
+    # Gaussian truncation for cone culling, in standard deviations.
+    # P(outside 4 sigma) ~ 6.3e-5 — two orders under the 1% fidelity budget.
+    cull_sigmas: float = 4.0
+    # triangles per cluster for the XLA culled path
+    xla_leaf_size: int = 16
+    # scenes below this triangle count use the dense brute-force sweep
+    min_triangles_for_culling: int = 512
+    # XLA culled-path chunking
+    omm_chunk: int = 64
+    sample_chunk: int = 64
+    # base RNG seed (the reference's curand_init(42, ...), shaders.cu:689)
+    base_seed: int = 42
+    # verbosity of the [PyEye] log lines
+    verbose: bool = True
+
+    @classmethod
+    def from_env(cls, base: Optional["RenderConfig"] = None) -> "RenderConfig":
+        cfg = dataclasses.replace(base) if base else cls()
+        mapping = {
+            "CR_TPU_BACKEND": ("backend", str),
+            "CR_TPU_CULL_SIGMAS": ("cull_sigmas", float),
+            "CR_TPU_LEAF_SIZE": ("xla_leaf_size", int),
+            "CR_TPU_MIN_TRIS_CULL": ("min_triangles_for_culling", int),
+            "CR_TPU_OMM_CHUNK": ("omm_chunk", int),
+            "CR_TPU_SAMPLE_CHUNK": ("sample_chunk", int),
+            "CR_TPU_SEED": ("base_seed", int),
+        }
+        for env, (field, typ) in mapping.items():
+            if env in os.environ:
+                setattr(cfg, field, typ(os.environ[env]))
+        return cfg
+
+    @classmethod
+    def from_json(cls, path: str) -> "RenderConfig":
+        with open(path) as f:
+            data = json.load(f)
+        return cls(**data)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=1)
+
+
+_global_config: Optional[RenderConfig] = None
+
+
+def get_config() -> RenderConfig:
+    global _global_config
+    if _global_config is None:
+        _global_config = RenderConfig.from_env()
+    return _global_config
+
+
+def set_config(cfg: RenderConfig) -> None:
+    global _global_config
+    _global_config = cfg

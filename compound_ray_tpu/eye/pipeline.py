@@ -34,6 +34,7 @@ import numpy as np
 
 from compound_ray_tpu.accel.clusters import ClusterSet, build_clusters
 from compound_ray_tpu.accel.cull import eye_world_geometry
+from compound_ray_tpu.config import get_config
 from compound_ray_tpu.eye.sampling import (
     FWHM_SD_RATIO,
     cone_offset_directions,
@@ -326,9 +327,6 @@ def _render_frame(
     return jnp.mean(rgb, axis=1)  # (Np,3)
 
 
-CULL_SIGMAS = 4.0
-
-
 _kmax_cache: Dict[Tuple, int] = {}
 
 
@@ -362,7 +360,7 @@ def render_means_pallas(
     if kmax is None:
         _, counts, _ = _cull_groups(
             omms_p, position, local_space,
-            splan.sphere_center, splan.sphere_radius, CULL_SIGMAS, eplan.g,
+            splan.sphere_center, splan.sphere_radius, get_config().cull_sigmas, eplan.g,
         )
         k_needed = int(jax.device_get(jnp.max(counts)))
         kmax = min(
@@ -377,6 +375,6 @@ def render_means_pallas(
         omms_p, position, local_space, key,
         samples=samples, background=background,
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
-        kmax=kmax, textured=splan.textured, cull_sigmas=CULL_SIGMAS,
+        kmax=kmax, textured=splan.textured, cull_sigmas=get_config().cull_sigmas,
     )
     return means_p[jnp.asarray(eplan.inv_valid)]

@@ -27,14 +27,7 @@ from compound_ray_tpu.eye.render import render_compound_means
 from compound_ray_tpu.eye.sampling import sample_angles
 from compound_ray_tpu.trace.culled import render_means_culled_angles
 
-# below this triangle count the dense brute-force sweep is cheaper than
-# cull + gather (test-scene class)
-MIN_TRIANGLES_FOR_CULLING = 512
-
-DEFAULT_LEAF_SIZE = 16
-# 4 sigma truncation: P(|splay| > 4 sigma) ~ 6.3e-5 -- two orders of
-# magnitude under the <1% fidelity budget (BASELINE.md)
-CULL_SIGMAS = 4.0
+from compound_ray_tpu.config import get_config
 
 _K_CLASSES = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
@@ -64,18 +57,19 @@ def render_means_fast(
     omm_chunk: int = 64,
     sample_chunk: int = 64,
 ) -> jnp.ndarray:
-    if use_lighting or scene_flat.num_triangles < MIN_TRIANGLES_FOR_CULLING:
+    cfg = get_config()
+    if use_lighting or scene_flat.num_triangles < cfg.min_triangles_for_culling:
         return render_compound_means(
             scene_dev, ommatidia, position, local_space, key, samples, background,
             use_lighting, lights,
         )
 
     n = ommatidia.shape[0]
-    clusters = scene_clusters(scene_flat, DEFAULT_LEAF_SIZE)
+    clusters = scene_clusters(scene_flat, cfg.xla_leaf_size)
     cdev = clusters.device_arrays()
     cull = cone_cull_clusters(
         ommatidia, position, local_space,
-        cdev["sphere_center"], cdev["sphere_radius"], CULL_SIGMAS,
+        cdev["sphere_center"], cdev["sphere_radius"], cfg.cull_sigmas,
     )
     counts = np.asarray(jax.device_get(cull["count"]))  # host sync (per frame)
     splay, spin = sample_angles(key, n, samples, ommatidia[:, 6])

@@ -1,0 +1,91 @@
+"""Batched-pose rendering + viewer controller tests."""
+
+import numpy as np
+import pytest
+
+from compound_ray_tpu.api.renderer import EyeRenderer
+from compound_ray_tpu.cameras.types import CompoundEyeCamera
+from compound_ray_tpu.gui.viewer import FlyController, Viewer
+from compound_ray_tpu.testing import make_box_scene, make_sphere_eye
+
+
+@pytest.fixture()
+def renderer():
+    r = EyeRenderer(verbose=False)
+    r.scene = make_box_scene(background="white")
+    r.scene.cameras.append(
+        CompoundEyeCamera("eye", "single_dimension_fast",
+                          make_sphere_eye(24, acceptance_deg=1e-5))
+    )
+    from compound_ray_tpu.trace.lighting import default_lights
+
+    r._lights = default_lights(r.scene.aabb_min, r.scene.aabb_max)
+    return r
+
+
+def test_batched_poses_match_sequential(renderer):
+    poses = [
+        ((0.0, 100.0, 0.0), (0.0, 0.0, 0.0)),
+        ((5.0, 100.0, 5.0), (0.0, 1.0, 0.0)),
+        ((0.0, 0.9, 0.0), (0.2, 0.0, 0.0)),
+    ]
+    batched = renderer.render_batch_poses(poses)
+    assert batched.shape == (3, 24, 3)
+
+    # sequential reference (deterministic eye: jitter ~ 0)
+    seq = []
+    for pos, rot in poses:
+        renderer.set_camera_pose(*pos, *rot)
+        renderer.render_frame()
+        seq.append(renderer.get_camera_data().copy())
+    seq = np.stack(seq)
+    np.testing.assert_allclose(batched, seq, atol=2e-4)
+
+
+def test_batched_poses_with_matrix(renderer):
+    ls = np.eye(3)
+    batched = renderer.render_batch_poses([((0.0, 100.0, 0.0), ls)])
+    assert batched.shape == (1, 24, 3)
+    up = renderer.current_camera().ommatidia[:, 4] > 0.3
+    np.testing.assert_allclose(batched[0][up], 1.0, atol=1e-6)
+
+
+def test_fly_controller_movement(renderer):
+    v = Viewer(renderer, width=8, height=4)
+    p0 = np.array(renderer.current_camera().position)
+    v.controller.press("w")
+    v.tick()
+    p1 = np.array(renderer.current_camera().position)
+    assert not np.allclose(p0, p1)
+    # forward = local z
+    np.testing.assert_allclose(
+        p1 - p0, renderer.current_camera().local_space[2] * FlyController.MOVE_SPEED,
+        atol=1e-12,
+    )
+    v.controller.release("w")
+    v.controller.press("q")
+    v.tick()
+    assert v.dirty
+
+
+def test_viewer_keys(renderer, tmp_path, monkeypatch):
+    v = Viewer(renderer, width=8, height=4)
+    assert renderer.get_current_eye_samples_per_ommatidium() == 1
+    v.handle_key("pageup")
+    assert renderer.get_current_eye_samples_per_ommatidium() == 2
+    v.handle_key("pagedown")
+    assert renderer.get_current_eye_samples_per_ommatidium() == 1
+    v.handle_key("n")
+    v.handle_key("b")
+    assert renderer.get_current_camera_name() == "eye"
+    monkeypatch.chdir(tmp_path)
+    v.frame()
+    path = v.handle_key("c")
+    assert path and (tmp_path / path).exists()
+    assert v.handle_key("escape") == "quit"
+
+
+def test_viewer_frame_orientation(renderer):
+    v = Viewer(renderer, width=8, height=4)
+    img = v.frame()
+    assert img.shape == (4, 8, 3)
