@@ -125,9 +125,8 @@ class EyeRenderer:
             s = cam.samples_per_ommatidium
             need_raw = cam.projection == "raw_ommatidial_samples"
             if need_raw:
-                raw = render_compound_samples(
-                    scene_dev, omms, pos, ls, key, s, background,
-                    self.lighting, lights,
+                raw = self._render_raw_samples(
+                    scene_dev, omms_np, omms, pos, ls, key, s, background, lights
                 )
                 self._raw_samples = raw
                 self._device_means = jnp.mean(raw, axis=0)
@@ -170,17 +169,8 @@ class EyeRenderer:
                     kind, param = "orthographic", jnp.asarray(cam.scale, jnp.float32)
                 else:
                     kind, param = "pinhole", jnp.asarray([10.0, 10.0, 1.0], jnp.float32)
-                frame = render_camera_image(
-                    scene_dev,
-                    kind,
-                    jnp.asarray(cam.position, jnp.float32),
-                    jnp.asarray(cam.local_space, jnp.float32),
-                    param,
-                    self.width,
-                    self.height,
-                    background,
-                    self.lighting,
-                    lights,
+                frame = self._render_camera_frame(
+                    scene_dev, kind, cam, param, background, lights
                 )
                 outputs.append(frame)
                 self._device_frame = frame
@@ -194,6 +184,48 @@ class EyeRenderer:
         ms = (time.perf_counter() - t0) * 1000.0
         self._log(f"Rendered frame in {ms}ms.")
         return ms
+
+    def _render_camera_frame(self, scene_dev, kind, cam, param, background, lights):
+        """Real-camera image: Pallas tile-culled path for big scenes, else XLA."""
+        from compound_ray_tpu.config import get_config
+
+        cfg = get_config()
+        backend = cfg.backend if self._backend == "auto" else self._backend
+        if (
+            backend in ("auto", "pallas")
+            and not self.lighting
+            and self.scene.num_triangles >= cfg.min_triangles_for_culling
+        ):
+            from compound_ray_tpu.cameras.fast_image import render_camera_image_fast
+
+            return render_camera_image_fast(
+                self.scene, scene_dev, kind, cam.position, cam.local_space,
+                np.asarray(param), self.width, self.height, background,
+            )
+        return render_camera_image(
+            scene_dev, kind,
+            jnp.asarray(cam.position, jnp.float32),
+            jnp.asarray(cam.local_space, jnp.float32),
+            jnp.asarray(param),
+            self.width, self.height, background, self.lighting, lights,
+        )
+
+    def _render_raw_samples(self, scene_dev, omms_np, omms, pos, ls, key,
+                            samples, background, lights):
+        """Per-sample radiance (S, N, 3): Pallas pipeline when available."""
+        from compound_ray_tpu.config import get_config
+
+        backend = get_config().backend if self._backend == "auto" else self._backend
+        if backend in ("auto", "pallas") and not self.lighting:
+            from compound_ray_tpu.eye.pipeline import render_samples_pallas
+
+            return render_samples_pallas(
+                self.scene, scene_dev, omms_np, pos, ls, key, samples, background,
+            )
+        return render_compound_samples(
+            scene_dev, omms, pos, ls, key, samples, background,
+            self.lighting, lights,
+        )
 
     def _render_means(self, scene_dev, omms_np, pos, ls, key, samples, background, lights):
         """Dispatch: Pallas kernel > culled XLA sweep > brute-force XLA."""

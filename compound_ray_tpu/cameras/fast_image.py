@@ -1,0 +1,149 @@
+"""Accelerated real-camera image rendering via the Pallas tracer.
+
+The compound pipeline's cull-then-dense-sweep structure applies equally to
+camera images: a tile of adjacent pixels forms a coherent ray bundle whose
+bounding cone culls clusters exactly like an ommatidium's acceptance cone.
+Each 256-pixel tile becomes one kernel "group"; the per-group shortlist is
+derived from the tile's direction centroid + angular radius and origin
+spread, then the SAME fused kernel traces it.
+
+Replaces the brute-force sweep of cameras/raygen.py for large scenes (the
+noncompound optixLaunch of libEyeRenderer.cpp:228-237).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compound_ray_tpu.cameras.raygen import (
+    orthographic_rays,
+    panoramic_rays,
+    pinhole_rays,
+)
+from compound_ray_tpu.config import get_config
+from compound_ray_tpu.eye.pipeline import scene_plan, _ceil_to
+from compound_ray_tpu.trace.pallas_tracer import RAY_COMPS, run_tracer_kernel
+from compound_ray_tpu.trace.shade import make_color, miss_color, sample_texture
+
+TILE = 256  # pixels per kernel group
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "width", "height", "background", "kmax", "textured"),
+)
+def _image_fused(
+    payload, scene_dev, sphere_center, sphere_radius,
+    position, local_space, cam_param,
+    kind: str, width: int, height: int, background: int, kmax: int,
+    textured: bool,
+):
+    if kind == "pinhole":
+        origins, dirs, tmin = pinhole_rays(position, local_space, cam_param,
+                                           width, height)
+    elif kind == "panoramic":
+        origins, dirs, tmin = panoramic_rays(position, local_space,
+                                             cam_param[0], width, height)
+    else:
+        origins, dirs, tmin = orthographic_rays(position, local_space,
+                                                cam_param, width, height)
+
+    n = width * height
+    n_pad = _ceil_to(n, TILE)
+    dirs_n = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+                                1e-30)
+    # t is in |d| units in raygen; normalised dirs need tmin rescaled
+    dlen = jnp.linalg.norm(dirs, axis=-1)
+    tmin_w = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,)) * dlen
+
+    def pad(x, fill=0.0):
+        return jnp.full((n_pad,) + x.shape[1:], fill, x.dtype).at[:n].set(x)
+
+    dirs_p = pad(dirs_n)
+    orig_p = pad(jnp.broadcast_to(origins, (n, 3)))
+    tmin_p = pad(tmin_w)
+
+    ng = n_pad // TILE
+    td = dirs_p.reshape(ng, TILE, 3)
+    to = orig_p.reshape(ng, TILE, 3)
+
+    # per-tile bounding cone
+    centroid = jnp.sum(td, axis=1)
+    centroid = centroid / jnp.maximum(
+        jnp.linalg.norm(centroid, axis=-1, keepdims=True), 1e-30
+    )  # (ng,3)
+    cosmin = jnp.min(jnp.einsum("gtc,gc->gt", td, centroid), axis=1)
+    half = jnp.arccos(jnp.clip(cosmin, -1.0, 1.0))  # (ng,)
+    apex = jnp.mean(to, axis=1)  # (ng,3)
+    spread = jnp.max(jnp.linalg.norm(to - apex[:, None, :], axis=-1), axis=1)
+
+    # cone-vs-sphere cull (same conservative test as accel.cull)
+    to_c = sphere_center[None, :, :] - apex[:, None, :]  # (ng,C,3)
+    dist = jnp.linalg.norm(to_c, axis=-1)
+    radii_eff = sphere_radius[None, :] + spread[:, None]
+    inside = dist <= radii_eff
+    cos_a = jnp.einsum("gcd,gd->gc", to_c, centroid) / jnp.maximum(dist, 1e-30)
+    alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
+    beta = jnp.arcsin(jnp.clip(radii_eff / jnp.maximum(dist, 1e-30), 0.0, 1.0))
+    gmask = inside | (alpha <= half[:, None] + beta)
+    counts = jnp.minimum(jnp.sum(gmask, axis=-1), kmax).astype(jnp.int32)
+
+    dmin_all = jnp.maximum(dist - radii_eff, 0.0)
+    kp = _ceil_to(kmax, 128)
+    masked = jnp.where(gmask, dmin_all, jnp.inf)
+    c = masked.shape[1]
+    if kp > c:
+        masked = jnp.concatenate(
+            [masked, jnp.full((ng, kp - c), jnp.inf, masked.dtype)], axis=-1
+        )
+    order = jnp.argsort(masked, axis=-1)[:, :kp].astype(jnp.int32)
+    dmin_s = jnp.take_along_axis(masked, order.astype(jnp.int64), axis=-1)
+    dmin_s = jnp.where(jnp.isfinite(dmin_s), dmin_s, 3e38).astype(jnp.float32)
+    ids = jnp.where(order < c, order, 0)
+
+    rays = jnp.concatenate(
+        [dirs_p, orig_p, tmin_p[:, None],
+         jnp.zeros((n_pad, 1), jnp.float32)], axis=-1,
+    )
+    out = run_tracer_kernel(
+        counts, ids, dmin_s, payload, rays,
+        ng=ng, nrb=1, rb_size=TILE, kmax=kmax,
+    )[:n]
+
+    t = out[:, 0]
+    hit = t < 1e30
+    rgb = out[:, 1:4]
+    lin = out[:, 7:8] > 0.5
+    rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
+    if textured:
+        texid = out[:, 6].astype(jnp.int32)
+        tex_rgb = sample_texture(scene_dev, jnp.maximum(texid, 0),
+                                 out[:, 4:6])[:, :3]
+        rgb = jnp.where(((texid >= 0) & hit)[:, None], tex_rgb, rgb)
+    rgb = jnp.where(hit[:, None], rgb, miss_color(dirs_p[:n], background))
+    return make_color(rgb).reshape(height, width, 4)
+
+
+def render_camera_image_fast(
+    scene_flat, scene_dev, kind, position, local_space, cam_param,
+    width, height, background,
+):
+    """Camera image via the Pallas tracer; kmax measured then cached."""
+    splan = scene_plan(scene_flat)
+    # image tiles can legitimately see much of the scene (horizon tiles), so
+    # allow the full cluster list up to a VMEM-bounded cap; beyond that the
+    # nearest-first shortlist truncates the farthest clusters per tile
+    kmax = min(splan.num_clusters, 256)
+    return _image_fused(
+        splan.payload, scene_dev, splan.sphere_center, splan.sphere_radius,
+        jnp.asarray(position, jnp.float32),
+        jnp.asarray(local_space, jnp.float32),
+        jnp.asarray(cam_param, jnp.float32),
+        kind=kind, width=width, height=height, background=background,
+        kmax=kmax, textured=splan.textured,
+    )

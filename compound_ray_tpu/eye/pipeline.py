@@ -213,7 +213,7 @@ def _shortlist_sorted(gmask, dmin_all, kmax: int):
     jax.jit,
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "kmax",
-        "textured", "cull_sigmas",
+        "textured", "cull_sigmas", "want_samples",
     ),
 )
 def _frame_fused(
@@ -234,6 +234,7 @@ def _frame_fused(
     kmax: int,
     textured: bool,
     cull_sigmas: float,
+    want_samples: bool = False,
 ) -> jnp.ndarray:
     """One dispatch per frame: cull -> shortlist -> rays -> kernel -> shade."""
     gmask, counts, dmin_all = _cull_groups(
@@ -245,6 +246,7 @@ def _frame_fused(
     return _render_frame(
         payload, scene_dev, omms_p, position, local_space, key, counts, ids,
         dmin, samples, background, ng, g, nrb, rb_size, kmax, textured,
+        want_samples,
     )
 
 
@@ -266,6 +268,7 @@ def _render_frame(
     rb_size: int,
     kmax: int,
     textured: bool,
+    want_samples: bool = False,
 ) -> jnp.ndarray:
     n_pad = omms_p.shape[0]
     axis = omms_p[:, 3:6]
@@ -324,6 +327,8 @@ def _render_frame(
         n_pad, samples, 3
     )
     rgb = jnp.where(hit[..., None], rgb, missc)
+    if want_samples:
+        return rgb  # (Np, S, 3) raw per-sample radiance
     return jnp.mean(rgb, axis=1)  # (Np,3)
 
 
@@ -378,3 +383,43 @@ def render_means_pallas(
         kmax=kmax, textured=splan.textured, cull_sigmas=get_config().cull_sigmas,
     )
     return means_p[jnp.asarray(eplan.inv_valid)]
+
+
+def render_samples_pallas(
+    scene_flat,
+    scene_dev: Dict[str, Any],
+    ommatidia_np: np.ndarray,
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    key: jax.Array,
+    samples: int,
+    background: int,
+) -> jnp.ndarray:
+    """Raw per-sample radiance (S, N, 3) via the Pallas pipeline — the fast
+    backend for the raw_ommatidial_samples projection (the reference's
+    compound sample buffer layout: sample s of ommatidium o at row s)."""
+    splan = scene_plan(scene_flat)
+    eplan = eye_plan(ommatidia_np, samples)
+    omms_p = jnp.asarray(ommatidia_np[eplan.perm])
+
+    _, counts, _ = _cull_groups(
+        omms_p, position, local_space,
+        splan.sphere_center, splan.sphere_radius,
+        get_config().cull_sigmas, eplan.g,
+    )
+    k_needed = int(jax.device_get(jnp.max(counts)))
+    kmax = min(
+        splan.num_clusters,
+        max(eplan.kmax_hint, _ceil_to(max(k_needed, 1), 8)),
+    )
+    eplan.kmax_hint = kmax
+
+    raw_p = _frame_fused(
+        splan.payload, scene_dev, splan.sphere_center, splan.sphere_radius,
+        omms_p, position, local_space, key,
+        samples=samples, background=background,
+        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
+        kmax=kmax, textured=splan.textured,
+        cull_sigmas=get_config().cull_sigmas, want_samples=True,
+    )  # (Np, S, 3)
+    return jnp.transpose(raw_p[jnp.asarray(eplan.inv_valid)], (1, 0, 2))

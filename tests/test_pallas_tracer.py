@@ -72,8 +72,8 @@ def test_pallas_jittered_statistics():
 
 
 def test_pallas_occlusion_front_to_back():
-    # a red box directly in front of a distant blue pillar: early-exit must
-    # not skip the真 nearest hit. Ommatidium looks down +x.
+    # a red box directly in front of a distant blue pillar: ordering must
+    # keep the true nearest hit. Ommatidium looks down +x.
     from compound_ray_tpu.scene.eye_io import Ommatidium
     from compound_ray_tpu.scene.flat import build_scene_from_arrays
     from compound_ray_tpu.testing import box_mesh
@@ -130,3 +130,46 @@ def test_pallas_renderer_api_backend():
     r.render_frame()
     d_xla = r.get_camera_data()
     np.testing.assert_allclose(d_pallas, d_xla, atol=2e-4)
+
+
+def test_pallas_raw_samples():
+    from compound_ray_tpu.eye.pipeline import render_samples_pallas
+    from compound_ray_tpu.eye.render import render_compound_samples
+
+    scene = make_box_scene(background="simple_sky")
+    dev, omms_np, pos, ls = _setup(scene, n_omms=16)
+    key = jax.random.PRNGKey(3)
+    bg = miss_id(scene.background_shader)
+    got = np.asarray(
+        render_samples_pallas(scene, dev, omms_np, pos, ls, key, 4, bg)
+    )
+    assert got.shape == (4, 16, 3)
+    ref = np.asarray(
+        render_compound_samples(dev, jnp.asarray(omms_np), pos, ls, key, 4, bg)
+    )
+    # deterministic eye: per-sample values match across backends
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_renderer_raw_projection_uses_fast_path():
+    from compound_ray_tpu.api.renderer import EyeRenderer
+    from compound_ray_tpu.cameras.types import CompoundEyeCamera
+
+    r = EyeRenderer(verbose=False)
+    r.scene = make_box_scene(background="white")
+    r.scene.cameras.append(
+        CompoundEyeCamera("eye", "raw_ommatidial_samples",
+                          make_sphere_eye(16, acceptance_deg=1e-5))
+    )
+    from compound_ray_tpu.trace.lighting import default_lights
+
+    r._lights = default_lights(r.scene.aabb_min, r.scene.aabb_max)
+    r.current_camera().set_position((0.0, 100.0, 0.0))
+    r.set_current_eye_samples_per_ommatidium(3)
+    r.set_render_size(16, 3)
+    r.render_frame()
+    frame = r.get_frame_pointer()
+    assert frame.shape == (3, 16, 4)
+    up = r.current_camera().ommatidia[:, 4] > 0.3
+    # white miss -> 255 after gamma for sky-facing ommatidia, all samples
+    assert (frame[:, up, :3] == 255).all()
