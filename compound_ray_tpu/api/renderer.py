@@ -63,6 +63,10 @@ class EyeRenderer:
         self._raw_samples: Optional[jnp.ndarray] = None
         self._device_means: Optional[jnp.ndarray] = None
         self._backend: str = "auto"  # "auto" | "xla" | "pallas"
+        # observability (SURVEY.md §5): rolling per-frame timings + optional
+        # jax.profiler trace capture
+        self.frame_times_ms: List[float] = []
+        self._profile_dir: Optional[str] = None
 
     # ------------------------------------------------------------------ config
     def set_verbosity(self, v: bool) -> None:
@@ -182,8 +186,40 @@ class EyeRenderer:
             # round trip instead of one per output
             outputs[-1].block_until_ready()
         ms = (time.perf_counter() - t0) * 1000.0
+        self.frame_times_ms.append(ms)
+        if len(self.frame_times_ms) > 10000:
+            del self.frame_times_ms[:5000]
         self._log(f"Rendered frame in {ms}ms.")
         return ms
+
+    # ------------------------------------------------------------ observability
+    def start_profile(self, log_dir: str) -> None:
+        """Begin a jax.profiler trace (view with TensorBoard / xprof)."""
+        import jax.profiler
+
+        jax.profiler.start_trace(log_dir)
+        self._profile_dir = log_dir
+
+    def stop_profile(self) -> None:
+        import jax.profiler
+
+        jax.profiler.stop_trace()
+        self._log(f"Profile written to {self._profile_dir}")
+        self._profile_dir = None
+
+    def frame_time_stats(self) -> dict:
+        """Summary of renderFrame wall times (ms) since startup."""
+        if not self.frame_times_ms:
+            return {"count": 0}
+        a = np.asarray(self.frame_times_ms)
+        return {
+            "count": int(a.size),
+            "mean_ms": float(a.mean()),
+            "median_ms": float(np.median(a)),
+            "p95_ms": float(np.percentile(a, 95)),
+            "min_ms": float(a.min()),
+            "max_ms": float(a.max()),
+        }
 
     def _render_camera_frame(self, scene_dev, kind, cam, param, background, lights):
         """Real-camera image: Pallas tile-culled path for big scenes, else XLA."""
