@@ -39,6 +39,10 @@ class ClusterSet:
     # bounding sphere per cluster (for the angular cull test)
     sphere_center: np.ndarray  # (C, 3)
     sphere_radius: np.ndarray  # (C,)
+    # two half-spheres per cluster (split along the longest axis): tighter
+    # angular culling for elongated clusters (e.g. thin ground slabs)
+    half_center: np.ndarray = None  # (C, 2, 3)
+    half_radius: np.ndarray = None  # (C, 2)
 
     _device_cache: Optional[Dict[str, Any]] = field(default=None, repr=False)
 
@@ -105,6 +109,8 @@ def build_clusters(
             aabb_max=np.zeros((1, 3), np.float32),
             sphere_center=np.zeros((1, 3), np.float32),
             sphere_radius=np.zeros(1, np.float32),
+            half_center=np.zeros((1, 2, 3), np.float32),
+            half_radius=np.zeros((1, 2), np.float32),
         )
 
     p1 = v0 + e1
@@ -136,6 +142,10 @@ def build_clusters(
     tri_id = np.full((c, leaf_size), -1, np.int32)
     amin = np.zeros((c, 3), np.float32)
     amax = np.zeros((c, 3), np.float32)
+    half_center = np.zeros((c, 2, 3), np.float32)
+    half_radius = np.zeros((c, 2), np.float32)
+
+    centroids_all = (v0 + p1 + p2) / 3.0
     for i, leaf in enumerate(leaves):
         k = len(leaf)
         pv0[i, :k] = v0[leaf]
@@ -145,10 +155,25 @@ def build_clusters(
         pts = np.concatenate([v0[leaf], p1[leaf], p2[leaf]])
         amin[i] = pts.min(axis=0)
         amax[i] = pts.max(axis=0)
+        # half-spheres: split the leaf's triangles at the centroid median of
+        # the widest axis; each half's AABB -> bounding sphere
+        cen = centroids_all[leaf]
+        axis = int(np.argmax(cen.max(axis=0) - cen.min(axis=0))) if k > 1 else 0
+        order = np.argsort(cen[:, axis], kind="stable")
+        for hi, half in enumerate((order[: max(k // 2, 1)], order[k // 2:])):
+            if len(half) == 0:
+                half = order[:1]
+            sel = leaf[half]
+            hp = np.concatenate([v0[sel], p1[sel], p2[sel]])
+            hmin, hmax = hp.min(axis=0), hp.max(axis=0)
+            half_center[i, hi] = (hmin + hmax) / 2.0
+            half_radius[i, hi] = np.linalg.norm(hmax - half_center[i, hi])
 
     center = (amin + amax) / 2.0
     radius = np.linalg.norm(amax - center, axis=1)
     return ClusterSet(
+        half_center=half_center,
+        half_radius=half_radius,
         leaf_size=leaf_size,
         v0=pv0.reshape(-1, 3),
         e1=pe1.reshape(-1, 3),

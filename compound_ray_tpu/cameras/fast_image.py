@@ -28,7 +28,11 @@ from compound_ray_tpu.cameras.raygen import (
 from compound_ray_tpu.config import get_config
 from compound_ray_tpu.eye.pipeline import scene_plan, _ceil_to
 from compound_ray_tpu.trace.pallas_tracer import RAY_COMPS, run_tracer_kernel
-from compound_ray_tpu.trace.shade import make_color, miss_color, sample_texture
+from compound_ray_tpu.trace.shade import (
+    make_color,
+    miss_color,
+    sample_texture_quad,
+)
 
 TILE = 256  # pixels per kernel group
 
@@ -38,7 +42,7 @@ TILE = 256  # pixels per kernel group
     static_argnames=("kind", "width", "height", "background", "kmax", "textured"),
 )
 def _image_fused(
-    payload, scene_dev, sphere_center, sphere_radius,
+    payload, scene_dev, quad_table, sphere_center, sphere_radius,
     position, local_space, cam_param,
     kind: str, width: int, height: int, background: int, kmax: int,
     textured: bool,
@@ -122,8 +126,8 @@ def _image_fused(
     rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
     if textured:
         texid = out[:, 6].astype(jnp.int32)
-        tex_rgb = sample_texture(scene_dev, jnp.maximum(texid, 0),
-                                 out[:, 4:6])[:, :3]
+        tex_rgb = sample_texture_quad(scene_dev, quad_table,
+                                      jnp.maximum(texid, 0), out[:, 4:6])[:, :3]
         rgb = jnp.where(((texid >= 0) & hit)[:, None], tex_rgb, rgb)
     rgb = jnp.where(hit[:, None], rgb, miss_color(dirs_p[:n], background))
     return make_color(rgb).reshape(height, width, 4)
@@ -140,7 +144,8 @@ def render_camera_image_fast(
     # nearest-first shortlist truncates the farthest clusters per tile
     kmax = min(splan.num_clusters, 256)
     return _image_fused(
-        splan.payload, scene_dev, splan.sphere_center, splan.sphere_radius,
+        splan.payload, scene_dev, splan.quad_table,
+        splan.sphere_center, splan.sphere_radius,
         jnp.asarray(position, jnp.float32),
         jnp.asarray(local_space, jnp.float32),
         jnp.asarray(cam_param, jnp.float32),

@@ -46,7 +46,11 @@ from compound_ray_tpu.trace.pallas_tracer import (
     build_kernel_payload,
     run_tracer_kernel,
 )
-from compound_ray_tpu.trace.shade import miss_color, sample_texture
+from compound_ray_tpu.trace.shade import (
+    build_quad_table,
+    miss_color,
+    sample_texture_quad,
+)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -57,11 +61,14 @@ def _ceil_to(x: int, m: int) -> int:
 class ScenePlan:
     """Per-scene kernel payload (built once, like the reference's GAS)."""
 
-    payload: jnp.ndarray  # (C, 40, 128)
+    payload: jnp.ndarray  # (C, 44, 128)
     sphere_center: jnp.ndarray  # (C, 3)
     sphere_radius: jnp.ndarray  # (C,)
     num_clusters: int
     textured: bool
+    quad_table: jnp.ndarray  # (P, 16) texel 2x2 neighbourhoods (textured only)
+    half_center: jnp.ndarray = None  # (C, 2, 3)
+    half_radius: jnp.ndarray = None  # (C, 2)
 
 
 _scene_plans: Dict[int, ScenePlan] = {}
@@ -88,12 +95,20 @@ def scene_plan(scene_flat) -> ScenePlan:
             },
             cs,
         )
+        textured = scene_flat.has_any_texture
+        if textured:
+            quad = build_quad_table(scene_flat.device_triangles())
+        else:
+            quad = jnp.zeros((1, 16), jnp.float32)
         plan = ScenePlan(
             payload=jnp.asarray(payload),
             sphere_center=jnp.asarray(cs.sphere_center),
             sphere_radius=jnp.asarray(cs.sphere_radius),
             num_clusters=cs.num_clusters,
-            textured=scene_flat.has_any_texture,
+            textured=textured,
+            quad_table=quad,
+            half_center=jnp.asarray(cs.half_center),
+            half_radius=jnp.asarray(cs.half_radius),
         )
         _scene_plans[key] = plan
     return plan
@@ -167,13 +182,20 @@ def _cull_groups(
 ):
     apex, axis = eye_world_geometry(omms_p, position, local_space)
     half = jnp.minimum(omms_p[:, 6] / FWHM_SD_RATIO * cull_sigmas, jnp.pi)
-    to_c = centers[None, :, :] - apex[:, None, :]
-    dist = jnp.linalg.norm(to_c, axis=-1)
-    inside = dist <= radii[None, :]
-    cos_a = jnp.einsum("ncd,nd->nc", to_c, axis) / jnp.maximum(dist, 1e-30)
+    # centers: (C,2,3) half-spheres; a cluster survives if EITHER half's
+    # sphere intersects the cone — tighter than one loose sphere for
+    # elongated clusters
+    to_c = centers[None, :, :, :] - apex[:, None, None, :]  # (Np,C,2,3)
+    dist = jnp.linalg.norm(to_c, axis=-1)  # (Np,C,2)
+    inside = dist <= radii[None, :, :]
+    cos_a = jnp.einsum("nchd,nd->nch", to_c, axis) / jnp.maximum(dist, 1e-30)
     alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
-    beta = jnp.arcsin(jnp.clip(radii[None, :] / jnp.maximum(dist, 1e-30), 0.0, 1.0))
-    mask = inside | (alpha <= half[:, None] + beta)  # (Np,C)
+    beta = jnp.arcsin(
+        jnp.clip(radii[None, :, :] / jnp.maximum(dist, 1e-30), 0.0, 1.0)
+    )
+    mask = jnp.any(
+        inside | (alpha <= half[:, None, None] + beta), axis=-1
+    )  # (Np,C)
 
     ng = omms_p.shape[0] // g
     c = centers.shape[0]
@@ -185,8 +207,12 @@ def _cull_groups(
         jnp.linalg.norm(apex.reshape(ng, g, 3) - centroid[:, None, :], axis=-1),
         axis=1,
     )
-    gdist = jnp.linalg.norm(centers[None, :, :] - centroid[:, None, :], axis=-1)
-    dmin_all = jnp.maximum(gdist - radii[None, :] - spread[:, None], 0.0)
+    gdist = jnp.linalg.norm(
+        centers[None, :, :, :] - centroid[:, None, None, :], axis=-1
+    )
+    dmin_all = jnp.maximum(
+        jnp.min(gdist - radii[None, :, :], axis=-1) - spread[:, None], 0.0
+    )
     return gmask, counts, dmin_all
 
 
@@ -219,6 +245,7 @@ def _shortlist_sorted(gmask, dmin_all, kmax: int):
 def _frame_fused(
     payload: jnp.ndarray,
     scene_dev: Dict[str, Any],
+    quad_table: jnp.ndarray,
     sphere_center: jnp.ndarray,
     sphere_radius: jnp.ndarray,
     omms_p: jnp.ndarray,  # (Np,8)
@@ -244,15 +271,16 @@ def _frame_fused(
     ids, dmin = _shortlist_sorted(gmask, dmin_all, kmax)
     counts = jnp.minimum(counts, kmax)
     return _render_frame(
-        payload, scene_dev, omms_p, position, local_space, key, counts, ids,
-        dmin, samples, background, ng, g, nrb, rb_size, kmax, textured,
-        want_samples,
+        payload, scene_dev, quad_table, omms_p, position, local_space, key,
+        counts, ids, dmin, samples, background, ng, g, nrb, rb_size, kmax,
+        textured, want_samples,
     )
 
 
 def _render_frame(
     payload: jnp.ndarray,
     scene_dev: Dict[str, Any],
+    quad_table: jnp.ndarray,
     omms_p: jnp.ndarray,  # (Np,8)
     position: jnp.ndarray,
     local_space: jnp.ndarray,
@@ -318,8 +346,8 @@ def _render_frame(
     if textured:
         texid = out[..., 6].astype(jnp.int32)
         uv = out[..., 4:6].reshape(-1, 2)
-        tex_rgb = sample_texture(
-            scene_dev, jnp.maximum(texid, 0).reshape(-1), uv
+        tex_rgb = sample_texture_quad(
+            scene_dev, quad_table, jnp.maximum(texid, 0).reshape(-1), uv
         )[:, :3].reshape(n_pad, samples, 3)
         rgb = jnp.where(((texid >= 0) & hit)[..., None], tex_rgb, rgb)
 
@@ -365,7 +393,8 @@ def render_means_pallas(
     if kmax is None:
         _, counts, _ = _cull_groups(
             omms_p, position, local_space,
-            splan.sphere_center, splan.sphere_radius, get_config().cull_sigmas, eplan.g,
+            splan.half_center, splan.half_radius,
+            get_config().cull_sigmas, eplan.g,
         )
         k_needed = int(jax.device_get(jnp.max(counts)))
         kmax = min(
@@ -376,7 +405,8 @@ def render_means_pallas(
         _kmax_cache[ck] = kmax
 
     means_p = _frame_fused(
-        splan.payload, scene_dev, splan.sphere_center, splan.sphere_radius,
+        splan.payload, scene_dev, splan.quad_table,
+        splan.half_center, splan.half_radius,
         omms_p, position, local_space, key,
         samples=samples, background=background,
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
@@ -404,7 +434,7 @@ def render_samples_pallas(
 
     _, counts, _ = _cull_groups(
         omms_p, position, local_space,
-        splan.sphere_center, splan.sphere_radius,
+        splan.half_center, splan.half_radius,
         get_config().cull_sigmas, eplan.g,
     )
     k_needed = int(jax.device_get(jnp.max(counts)))
@@ -415,7 +445,8 @@ def render_samples_pallas(
     eplan.kmax_hint = kmax
 
     raw_p = _frame_fused(
-        splan.payload, scene_dev, splan.sphere_center, splan.sphere_radius,
+        splan.payload, scene_dev, splan.quad_table,
+        splan.half_center, splan.half_radius,
         omms_p, position, local_space, key,
         samples=samples, background=background,
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,

@@ -119,6 +119,87 @@ def sample_texture(scene: Dict[str, Any], tex_id: jnp.ndarray, uv: jnp.ndarray) 
     return jnp.where((filt == 1)[:, None], bilinear, nearest)
 
 
+def build_quad_table(scene: Dict[str, Any]) -> jnp.ndarray:
+    """Precompute each texel's 2x2 neighbourhood (wrap-resolved): (P, 16).
+
+    Bilinear sampling then needs ONE row gather per ray instead of four
+    (sample_texture_quad).  Works per texture in the flat atlas; wrap modes
+    are baked per texture.
+    """
+    import numpy as np
+
+    tex_data = np.asarray(scene["tex_data"])
+    offs = np.asarray(scene["tex_offset"])
+    ws = np.asarray(scene["tex_width"])
+    hs = np.asarray(scene["tex_height"])
+    wrap_s = np.asarray(scene["tex_wrap_s"])
+    wrap_t = np.asarray(scene["tex_wrap_t"])
+    out = np.zeros((tex_data.shape[0], 16), np.float32)
+
+    def wrap(i, n, mode):
+        if mode == 1:  # clamp
+            return np.clip(i, 0, n - 1)
+        if mode == 2:  # mirror
+            p = 2 * n
+            m = i % p
+            return np.where(m < n, m, p - 1 - m)
+        return i % n  # repeat
+
+    for t in range(len(offs)):
+        o, w, h = int(offs[t]), int(ws[t]), int(hs[t])
+        img = tex_data[o:o + w * h].reshape(h, w, 4)
+        xs = np.arange(w)
+        ys = np.arange(h)
+        x1 = wrap(xs + 1, w, int(wrap_s[t]))
+        y1 = wrap(ys + 1, h, int(wrap_t[t]))
+        q = np.concatenate(
+            [img, img[:, x1], img[y1][:, :], img[y1][:, x1]], axis=-1
+        )  # (h, w, 16): c00 c10 c01 c11
+        out[o:o + w * h] = q.reshape(-1, 16)
+    return jnp.asarray(out)
+
+
+def sample_texture_quad(
+    scene: Dict[str, Any], quad_table: jnp.ndarray,
+    tex_id: jnp.ndarray, uv: jnp.ndarray,
+) -> jnp.ndarray:
+    """Bilinear fetch using the quad table: one (P,16) row gather per ray."""
+    safe_tex = jnp.maximum(tex_id, 0)
+    off = scene["tex_offset"][safe_tex]
+    w = scene["tex_width"][safe_tex]
+    h = scene["tex_height"][safe_tex]
+    wrap_s = scene["tex_wrap_s"][safe_tex]
+    wrap_t = scene["tex_wrap_t"][safe_tex]
+    filt = scene["tex_filter"][safe_tex]
+
+    def addr(coord, n, mode):
+        nf = n.astype(jnp.float32)
+        wrapped = coord - jnp.floor(coord / nf) * nf
+        clamped = jnp.clip(coord, 0.0, nf - 1.0)
+        period = 2.0 * nf
+        m = coord - jnp.floor(coord / period) * period
+        mirrored = jnp.where(m < nf, m, period - 1.0 - m)
+        out = jnp.where(mode == 1, clamped, jnp.where(mode == 2, mirrored, wrapped))
+        return jnp.clip(out, 0.0, nf - 1.0).astype(jnp.int32)
+
+    x = uv[:, 0] * w.astype(jnp.float32) - 0.5
+    y = uv[:, 1] * h.astype(jnp.float32) - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[:, None]
+    fy = (y - y0f)[:, None]
+    # nearest-filter rounds; bilinear uses the floor cell
+    xi = addr(jnp.where(filt == 1, x0f, jnp.round(x)), w, wrap_s)
+    yi = addr(jnp.where(filt == 1, y0f, jnp.round(y)), h, wrap_t)
+    quad = quad_table[off + yi * w + xi]  # (R,16)
+    c00, c10 = quad[:, 0:4], quad[:, 4:8]
+    c01, c11 = quad[:, 8:12], quad[:, 12:16]
+    bilinear = (
+        c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
+        + c01 * (1 - fx) * fy + c11 * fx * fy
+    )
+    return jnp.where((filt == 1)[:, None], bilinear, c00)
+
+
 def shade_rays(
     scene: Dict[str, Any],
     dirs: jnp.ndarray,  # (R,3) ray directions (for miss shading)
