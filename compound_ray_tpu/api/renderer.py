@@ -124,8 +124,10 @@ class EyeRenderer:
             key = jax.random.fold_in(jax.random.PRNGKey(_BASE_SEED), self._frame_number)
             omms_np = cam.ommatidia
             omms = jnp.asarray(cam.ommatidia)
-            pos = jnp.asarray(cam.position, jnp.float32)
-            ls = jnp.asarray(cam.local_space, jnp.float32)
+            # pose stays host-side: the pipeline hashes it for plan caching
+            # (np.asarray on a device array would block on a transfer)
+            pos = np.asarray(cam.position, np.float32)
+            ls = np.asarray(cam.local_space, np.float32)
             s = cam.samples_per_ommatidium
             need_raw = cam.projection == "raw_ommatidial_samples"
             if need_raw:

@@ -384,9 +384,15 @@ def render_means_pallas(
     eplan = eye_plan(ommatidia_np, samples)
     omms_p = jnp.asarray(ommatidia_np[eplan.perm])
 
+    # keep the pose on the host for the cache key: np.asarray on a device
+    # array is a blocking transfer (~26 ms through the axon tunnel)
+    pos_np = position if isinstance(position, np.ndarray) else np.asarray(position)
+    ls_np = local_space if isinstance(local_space, np.ndarray) else np.asarray(local_space)
+    position = jnp.asarray(np.asarray(pos_np, np.float32))
+    local_space = jnp.asarray(np.asarray(ls_np, np.float32))
     pose_sig = (
-        np.asarray(position).tobytes(),
-        np.asarray(local_space).tobytes(),
+        np.asarray(pos_np, np.float32).tobytes(),
+        np.asarray(ls_np, np.float32).tobytes(),
     )
     ck = (id(scene_flat), eplan.perm.tobytes()[:64], samples, pose_sig)
     kmax = _kmax_cache.get(ck)
