@@ -1,0 +1,87 @@
+"""GGX direct-lighting path tests (shaders.cu:826-881 semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from compound_ray_tpu.scene.flat import build_scene_from_arrays
+from compound_ray_tpu.testing import box_mesh
+from compound_ray_tpu.trace.intersect import intersect_rays
+from compound_ray_tpu.trace.lighting import default_lights
+from compound_ray_tpu.trace.shade import shade_rays
+
+
+def _floor_scene():
+    v, f = box_mesh((0.0, -1.0, 0.0), (20.0, 0.2, 20.0))
+    return build_scene_from_arrays(v, f, base_color=(0.5, 0.5, 0.5),
+                                   background_shader="black")
+
+
+def test_default_lights_layout():
+    lights = default_lights(np.zeros(3), np.ones(3) * 10)
+    assert lights.shape == (4, 7)
+    # intensities 5, 3, 5, 0.5 (libEyeRenderer.cpp:130-148)
+    np.testing.assert_allclose(lights[:, 3], [5.0, 3.0, 5.0, 0.5])
+    # first light offset by maxExtent on every axis from the centre
+    np.testing.assert_allclose(lights[0, 4:7], [15.0, 15.0, 15.0])
+
+
+def test_lighting_adds_to_base_color():
+    scene = _floor_scene()
+    dev = scene.device_triangles()
+    o = jnp.asarray([[0.0, 5.0, 0.0]])
+    d = jnp.asarray([[0.0, -1.0, 0.0]])
+    hit = intersect_rays(o, d, dev["v0"], dev["e1"], dev["e2"], 0.0, 1e16)
+    assert bool(hit["hit"][0])
+    unlit = np.asarray(shade_rays(dev, d, hit, background=2))
+    lights = jnp.asarray(default_lights(scene.aabb_min, scene.aabb_max))
+    lit = np.asarray(
+        shade_rays(dev, d, hit, background=2,
+                   lighting={"lights": lights}, origins=o)
+    )
+    # result = base + sum(light contributions) -> strictly brighter
+    np.testing.assert_allclose(unlit[0], [0.5, 0.5, 0.5], atol=1e-6)
+    assert (lit[0] > unlit[0]).all()
+
+
+def test_lighting_shadowing():
+    # occluder between the floor point and all 4 lights dims the result
+    v1, f1 = box_mesh((0.0, -1.0, 0.0), (20.0, 0.2, 20.0))
+    v2, f2 = box_mesh((0.0, 3.0, 0.0), (40.0, 0.2, 40.0))  # big canopy
+    verts = np.concatenate([v1, v2])
+    faces = np.concatenate([f1, f2 + len(v1)])
+    scene = build_scene_from_arrays(verts, faces, base_color=(0.5, 0.5, 0.5),
+                                    background_shader="black")
+    dev = scene.device_triangles()
+    o = jnp.asarray([[0.0, 1.0, 0.0]])  # below the canopy
+    d = jnp.asarray([[0.0, -1.0, 0.0]])
+    hit = intersect_rays(o, d, dev["v0"], dev["e1"], dev["e2"], 0.0, 1e16)
+    lights = default_lights(scene.aabb_min, scene.aabb_max)
+    lights[:, 6] = np.abs(lights[:, 6]) + 30.0  # push lights above the canopy
+    lights[:, 5] = 20.0
+    lit = np.asarray(
+        shade_rays(dev, d, hit, background=2,
+                   lighting={"lights": jnp.asarray(lights)}, origins=o)
+    )
+    # all lights occluded by the canopy: only the base colour remains
+    np.testing.assert_allclose(lit[0], [0.5, 0.5, 0.5], atol=1e-5)
+
+
+def test_renderer_lighting_flag():
+    from compound_ray_tpu.api.renderer import EyeRenderer
+    from compound_ray_tpu.cameras.types import CompoundEyeCamera
+    from compound_ray_tpu.scene.eye_io import Ommatidium
+
+    r = EyeRenderer(verbose=False)
+    r.scene = _floor_scene()
+    omm = [Ommatidium(np.zeros(3), np.array([0.0, -1.0, 0.0]), 1e-6, 0.0)] * 4
+    r.scene.cameras.append(CompoundEyeCamera("e", "single_dimension_fast", omm))
+    r._lights = default_lights(r.scene.aabb_min, r.scene.aabb_max)
+    r.current_camera().set_position((0.0, 5.0, 0.0))
+    r.render_frame()
+    unlit = r.get_camera_data().copy()
+    r.set_lighting(True)
+    r._frame_number = 0
+    r._camera_data = None
+    r.render_frame()
+    lit = r.get_camera_data()
+    assert (lit > unlit).all()
