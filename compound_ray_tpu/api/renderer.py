@@ -183,10 +183,13 @@ class EyeRenderer:
                 self._frame_buffer = None
 
         if outputs:
-            # outputs are dependency-chained (frame consumes means), so one
-            # block on the last covers the frame — and costs a single tunnel
-            # round trip instead of one per output
-            outputs[-1].block_until_ready()
+            # outputs are dependency-chained (frame consumes means), so
+            # syncing on the last covers the frame.  A tiny device_get is
+            # used rather than block_until_ready because the latter does not
+            # reliably wait under tunneled transports — this is the analogue
+            # of the reference's CUDA_SYNC_CHECK after launch
+            # (libEyeRenderer.cpp:243).
+            jax.device_get(outputs[-1].ravel()[0])
         ms = (time.perf_counter() - t0) * 1000.0
         self.frame_times_ms.append(ms)
         if len(self.frame_times_ms) > 10000:

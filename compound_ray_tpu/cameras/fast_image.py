@@ -116,7 +116,7 @@ def _image_fused(
     )
     out = run_tracer_kernel(
         counts, ids, dmin_s, payload, rays,
-        ng=ng, nrb=1, rb_size=TILE, kmax=kmax,
+        ng=ng, nrb=1, rb_size=TILE, kmax=kmax, early_exit=True,
     )[:n]
 
     t = out[:, 0]

@@ -34,6 +34,14 @@ class RenderConfig:
     sample_chunk: int = 64
     # base RNG seed (the reference's curand_init(42, ...), shaders.cu:689)
     base_seed: int = 42
+    # far-field radiance cache: "auto" renders geometry beyond the
+    # parallax-safe distance once per frame into a shared equirect cache from
+    # the eye centre and lets per-sample rays trace only near clusters.
+    # Angular error is bounded by eye_extent / distance < farfield_tolerance
+    # * sigma (the cone jitter sd). "off" disables.
+    farfield: str = "auto"
+    farfield_tolerance: float = 0.25
+    farfield_cache_width: int = 1024  # equirect width; height = width // 2
     # verbosity of the [PyEye] log lines
     verbose: bool = True
 
@@ -48,6 +56,9 @@ class RenderConfig:
             "CR_TPU_OMM_CHUNK": ("omm_chunk", int),
             "CR_TPU_SAMPLE_CHUNK": ("sample_chunk", int),
             "CR_TPU_SEED": ("base_seed", int),
+            "CR_TPU_FARFIELD": ("farfield", str),
+            "CR_TPU_FARFIELD_TOL": ("farfield_tolerance", float),
+            "CR_TPU_FARFIELD_WIDTH": ("farfield_cache_width", int),
         }
         for env, (field, typ) in mapping.items():
             if env in os.environ:

@@ -69,6 +69,8 @@ class ScenePlan:
     quad_table: jnp.ndarray  # (P, 16) texel 2x2 neighbourhoods (textured only)
     half_center: jnp.ndarray = None  # (C, 2, 3)
     half_radius: jnp.ndarray = None  # (C, 2)
+    sphere_center_np: np.ndarray = None  # host copies for far-field split
+    sphere_radius_np: np.ndarray = None
 
 
 _scene_plans: Dict[int, ScenePlan] = {}
@@ -109,6 +111,8 @@ def scene_plan(scene_flat) -> ScenePlan:
             quad_table=quad,
             half_center=jnp.asarray(cs.half_center),
             half_radius=jnp.asarray(cs.half_radius),
+            sphere_center_np=np.asarray(cs.sphere_center),
+            sphere_radius_np=np.asarray(cs.sphere_radius),
         )
         _scene_plans[key] = plan
     return plan
@@ -239,7 +243,7 @@ def _shortlist_sorted(gmask, dmin_all, kmax: int):
     jax.jit,
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "kmax",
-        "textured", "cull_sigmas", "want_samples",
+        "textured", "cull_sigmas", "want_samples", "use_cache",
     ),
 )
 def _frame_fused(
@@ -262,18 +266,25 @@ def _frame_fused(
     textured: bool,
     cull_sigmas: float,
     want_samples: bool = False,
+    near_mask: Optional[jnp.ndarray] = None,  # (C,) bool: clusters to trace
+    cache: Optional[jnp.ndarray] = None,  # (Hc,Wc,3) far-field radiance
+    use_cache: bool = False,
 ) -> jnp.ndarray:
     """One dispatch per frame: cull -> shortlist -> rays -> kernel -> shade."""
     gmask, counts, dmin_all = _cull_groups(
         omms_p, position, local_space, sphere_center, sphere_radius,
         cull_sigmas, g,
     )
+    if use_cache:
+        # far clusters are served by the radiance cache; only near ones trace
+        gmask = gmask & near_mask[None, :]
+        counts = jnp.sum(gmask, axis=-1).astype(jnp.int32)
     ids, dmin = _shortlist_sorted(gmask, dmin_all, kmax)
     counts = jnp.minimum(counts, kmax)
     return _render_frame(
         payload, scene_dev, quad_table, omms_p, position, local_space, key,
         counts, ids, dmin, samples, background, ng, g, nrb, rb_size, kmax,
-        textured, want_samples,
+        textured, want_samples, cache=cache, use_cache=use_cache,
     )
 
 
@@ -297,6 +308,8 @@ def _render_frame(
     kmax: int,
     textured: bool,
     want_samples: bool = False,
+    cache: Optional[jnp.ndarray] = None,
+    use_cache: bool = False,
 ) -> jnp.ndarray:
     n_pad = omms_p.shape[0]
     axis = omms_p[:, 3:6]
@@ -333,7 +346,10 @@ def _render_frame(
     out = run_tracer_kernel(
         counts, ids, dmin, payload,
         rays_p.reshape(ng * rg_pad, RAY_COMPS),
-        ng=ng, nrb=nrb, rb_size=rb_size, kmax=kmax,
+        # per-ommatidium shortlists are short (mean ~4 clusters): the
+        # while_loop's per-iteration overhead outweighs front-to-back
+        # skipping here, so the plain fori variant wins
+        ng=ng, nrb=nrb, rb_size=rb_size, kmax=kmax, early_exit=False,
     )
     out = out.reshape(ng, rg_pad, RAY_COMPS)[:, :rg].reshape(n_pad, samples, 8)
 
@@ -351,9 +367,16 @@ def _render_frame(
         )[:, :3].reshape(n_pad, samples, 3)
         rgb = jnp.where(((texid >= 0) & hit)[..., None], tex_rgb, rgb)
 
-    missc = miss_color(dirs_n.reshape(-1, 3), background).reshape(
-        n_pad, samples, 3
-    )
+    if use_cache:
+        # the cache already encodes the miss shader for directions that hit
+        # nothing at all
+        missc = sample_equirect(cache, dirs_n.reshape(-1, 3)).reshape(
+            n_pad, samples, 3
+        )
+    else:
+        missc = miss_color(dirs_n.reshape(-1, 3), background).reshape(
+            n_pad, samples, 3
+        )
     rgb = jnp.where(hit[..., None], rgb, missc)
     if want_samples:
         return rgb  # (Np, S, 3) raw per-sample radiance
@@ -361,6 +384,7 @@ def _render_frame(
 
 
 _kmax_cache: Dict[Tuple, int] = {}
+_cache_store: Dict[Tuple, jnp.ndarray] = {}
 
 
 def render_means_pallas(
@@ -410,6 +434,50 @@ def render_means_pallas(
         eplan.kmax_hint = kmax  # high-water: nearby poses reuse the compile
         _kmax_cache[ck] = kmax
 
+    cfg = get_config()
+    use_cache = False
+    near_mask = None
+    cache = None
+    if cfg.farfield == "auto" and splan.num_clusters > 8:
+        cache_px = cfg.farfield_cache_width * (cfg.farfield_cache_width // 2)
+        if samples * eplan.n >= cache_px:
+            d_thresh = _farfield_threshold(ommatidia_np, cfg.farfield_tolerance)
+            # eye centre in world space (the cache viewpoint)
+            rel_c = ommatidia_np[:, 0:3].mean(axis=0)
+            center_np = np.asarray(pos_np, np.float64) + rel_c @ np.asarray(
+                ls_np, np.float64
+            )
+            cdist = np.linalg.norm(
+                splan.sphere_center_np - center_np[None, :], axis=1
+            )
+            far = (cdist - splan.sphere_radius_np) > d_thresh
+            if far.any():
+                use_cache = True
+                near_mask = jnp.asarray(~far)
+                # the cache depends only on (scene, eye centre, width,
+                # background) — NOT on samples or the RNG — so it is
+                # memoised and reused across frames at a fixed pose
+                cache_key = (
+                    id(scene_flat),
+                    np.asarray(center_np, np.float32).tobytes(),
+                    cfg.farfield_cache_width, background, d_thresh,
+                )
+                cache = _cache_store.get(cache_key)
+                if cache is None:
+                    cache = _render_cache(
+                        splan.payload, scene_dev, splan.quad_table,
+                        splan.half_center, splan.half_radius,
+                        jnp.asarray(np.asarray(center_np, np.float32)),
+                        jnp.asarray(far),
+                        width=cfg.farfield_cache_width, background=background,
+                        kmax=min(splan.num_clusters, 256),
+                        textured=splan.textured,
+                    )
+                    cache = build_equirect_quads(cache)  # (H, W, 12)
+                    if len(_cache_store) > 64:  # bound memory for pose sweeps
+                        _cache_store.clear()
+                    _cache_store[cache_key] = cache
+
     means_p = _frame_fused(
         splan.payload, scene_dev, splan.quad_table,
         splan.half_center, splan.half_radius,
@@ -417,6 +485,7 @@ def render_means_pallas(
         samples=samples, background=background,
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
         kmax=kmax, textured=splan.textured, cull_sigmas=get_config().cull_sigmas,
+        near_mask=near_mask, cache=cache, use_cache=use_cache,
     )
     return means_p[jnp.asarray(eplan.inv_valid)]
 
@@ -460,3 +529,160 @@ def render_samples_pallas(
         cull_sigmas=get_config().cull_sigmas, want_samples=True,
     )  # (Np, S, 3)
     return jnp.transpose(raw_p[jnp.asarray(eplan.inv_valid)], (1, 0, 2))
+
+
+# --------------------------------------------------------------- far field
+# Geometry beyond the parallax-safe distance D = eye_extent /
+# (tolerance * sigma_min) subtends an angular error below a configured
+# fraction of the cone-jitter sd when viewed from anywhere on the eye, so it
+# is rendered ONCE per frame into a shared equirect radiance cache from the
+# eye centre (0.5M coherent rays) and per-sample rays trace only the near
+# clusters, falling back to the cache on miss.  The reference's raison
+# d'être — near-field parallax across the eye (docs/README.md) — is exactly
+# what the near-field trace preserves.
+
+
+def _equirect_pixel_dirs(width: int, height: int) -> jnp.ndarray:
+    """(W*H, 3) unit directions at pixel centres (projection convention of
+    _pixel_sphere_dirs with half-pixel offsets)."""
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    gx, gy = jnp.meshgrid(2.0 * xs - 1.0, 2.0 * ys - 1.0)
+    ax = gx * (-jnp.pi) + jnp.pi / 2.0
+    ay = gy * (jnp.pi / 2.0)
+    cos_y = jnp.cos(ay)
+    return jnp.stack(
+        [jnp.cos(ax) * cos_y, jnp.sin(ay), jnp.sin(ax) * cos_y], axis=-1
+    ).reshape(-1, 3)
+
+
+def build_equirect_quads(cache: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 12) per-texel 2x2 neighbourhood (wrap x, clamp y) so the
+    bilinear lookup needs ONE row gather per ray."""
+    h = cache.shape[0]
+    x1 = jnp.roll(cache, -1, axis=1)
+    ydown = jnp.minimum(jnp.arange(h) + 1, h - 1)
+    y1 = cache[ydown]
+    y1x1 = jnp.roll(y1, -1, axis=1)
+    return jnp.concatenate([cache, x1, y1, y1x1], axis=-1)
+
+
+def sample_equirect(quads: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear equirect lookup over a (H, W, 12) quad cache: wrap in x,
+    clamp in y.  dirs unit (R,3)."""
+    h, w = quads.shape[0], quads.shape[1]
+    ax = jnp.arctan2(dirs[:, 2], dirs[:, 0])
+    ay = jnp.arcsin(jnp.clip(dirs[:, 1], -1.0, 1.0))
+    u = 0.5 + (jnp.pi / 2.0 - ax) / (2.0 * jnp.pi)
+    v = 0.5 + ay / jnp.pi
+    x = u * w - 0.5
+    y = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    xi0 = jnp.mod(x0.astype(jnp.int32), w)
+    yi0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    q = quads.reshape(-1, 12)[yi0 * w + xi0]
+    c00, c10, c01, c11 = q[:, 0:3], q[:, 3:6], q[:, 6:9], q[:, 9:12]
+    return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
+            + c01 * (1 - fx) * fy + c11 * fx * fy)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "background", "kmax", "textured"),
+)
+def _render_cache(
+    payload, scene_dev, quad_table, half_center, half_radius,
+    center: jnp.ndarray,  # (3,) eye centre (cache viewpoint)
+    far_mask: jnp.ndarray,  # (C,) bool
+    width: int, background: int, kmax: int, textured: bool,
+):
+    """Equirect far-field radiance cache: (H, W, 3) linear RGB."""
+    height = width // 2
+    dirs = _equirect_pixel_dirs(width, height)  # (n,3) row-major
+    n = dirs.shape[0]
+    tile = 256
+    # tile as 16x16 pixel BLOCKS (not scanline strips): a block subtends a
+    # small solid angle, so its bounding cone culls tightly
+    bs = 16
+    assert width % bs == 0 and height % bs == 0
+    blocked = (
+        dirs.reshape(height // bs, bs, width // bs, bs, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1, 3)
+    )
+    dirs_p = blocked
+    n_pad = n
+    ng = n_pad // tile
+    td = dirs_p.reshape(ng, tile, 3)
+
+    # per-tile bounding cone from the fixed viewpoint
+    centroid = jnp.sum(td, axis=1)
+    centroid = centroid / jnp.maximum(
+        jnp.linalg.norm(centroid, axis=-1, keepdims=True), 1e-30
+    )
+    cosmin = jnp.min(jnp.einsum("gtc,gc->gt", td, centroid), axis=1)
+    half_ang = jnp.arccos(jnp.clip(cosmin, -1.0, 1.0))
+
+    to_c = half_center[None, :, :, :] - center[None, None, None, :]  # (1,C,2,3)
+    dist = jnp.linalg.norm(to_c, axis=-1)  # (1,C,2)
+    inside = dist <= half_radius[None, :, :]
+    cos_a = jnp.einsum("chd,gd->gch", to_c[0], centroid) / jnp.maximum(dist, 1e-30)
+    alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
+    beta = jnp.arcsin(
+        jnp.clip(half_radius[None, :, :] / jnp.maximum(dist, 1e-30), 0.0, 1.0)
+    )
+    gmask = jnp.any(
+        inside | (alpha <= half_ang[:, None, None] + beta), axis=-1
+    )
+    gmask = gmask & far_mask[None, :]
+    counts = jnp.minimum(jnp.sum(gmask, axis=-1), kmax).astype(jnp.int32)
+    dmin_all = jnp.maximum(jnp.min(dist - half_radius[None], axis=-1), 0.0)
+    dmin_all = jnp.broadcast_to(dmin_all, gmask.shape)
+    ids, dmin = _shortlist_sorted(gmask, dmin_all, kmax)
+
+    rays = jnp.concatenate(
+        [
+            dirs_p,
+            jnp.broadcast_to(center[None, :], (n_pad, 3)),
+            jnp.zeros((n_pad, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+    out = run_tracer_kernel(
+        counts, ids, dmin, payload, rays,
+        ng=ng, nrb=1, rb_size=tile, kmax=kmax, early_exit=True,
+    )[:n]
+
+    t = out[:, 0]
+    hit = t < 1e30
+    rgb = out[:, 1:4]
+    lin = out[:, 7:8] > 0.5
+    rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
+    if textured:
+        texid = out[:, 6].astype(jnp.int32)
+        tex_rgb = sample_texture_quad(
+            scene_dev, quad_table, jnp.maximum(texid, 0), out[:, 4:6]
+        )[:, :3]
+        rgb = jnp.where(((texid >= 0) & hit)[:, None], tex_rgb, rgb)
+    rgb = jnp.where(hit[:, None], rgb, miss_color(dirs_p[:n], background))
+    # un-block back to row-major (H, W)
+    return (
+        rgb.reshape(height // bs, width // bs, bs, bs, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(height, width, 3)
+    )
+
+
+def _farfield_threshold(ommatidia_np: np.ndarray, tol: float) -> float:
+    """Parallax-safe distance D: eye extent / (tol * sigma_min)."""
+    extent = float(
+        np.max(np.linalg.norm(ommatidia_np[:, 0:3], axis=1)
+               + np.abs(ommatidia_np[:, 7]))
+    )
+    sigma_min = float(np.min(ommatidia_np[:, 6])) / FWHM_SD_RATIO
+    if sigma_min <= 0 or extent <= 0:
+        return 0.0
+    return extent / max(tol * sigma_min, 1e-9)

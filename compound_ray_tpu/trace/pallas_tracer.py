@@ -102,19 +102,45 @@ def build_kernel_payload(scene: Dict[str, Any], cluster_set) -> np.ndarray:
     )  # (C, 44, 128)
 
 
-def _tracer_kernel(
+def _make_tracer_kernel(early_exit: bool):
+    """Build the kernel body; `early_exit` adds a front-to-back while_loop
+    with the running winner in VMEM scratch (register-carried while state at
+    RS=32 provoked a Mosaic compile hang; scratch state compiles fine)."""
+
+    def kernel(*refs):
+        if early_exit:
+            (counts_ref, ids_hbm, dmin_hbm, tri_hbm, rays_ref, out_ref,
+             ids_smem, dmin_smem, tri_vmem, best_vmem,
+             sem_ids, sem_dmin, sem_tri) = refs
+        else:
+            (counts_ref, ids_hbm, dmin_hbm, tri_hbm, rays_ref, out_ref,
+             ids_smem, dmin_smem, tri_vmem,
+             sem_ids, sem_dmin, sem_tri) = refs
+            best_vmem = None
+        _tracer_kernel_body(
+            counts_ref, ids_hbm, dmin_hbm, tri_hbm, rays_ref, out_ref,
+            ids_smem, dmin_smem, tri_vmem, best_vmem,
+            sem_ids, sem_dmin, sem_tri, early_exit,
+        )
+
+    return kernel
+
+
+def _tracer_kernel_body(
     counts_ref,  # scalar prefetch (NG,) int32
-    ids_hbm,  # (NG, KP) int32 — KP = Kmax padded to a 128 multiple
-    dmin_hbm,  # (NG, KP) f32 front-to-back lower distance bounds
+    ids_hbm,  # (NG, 1, KP) int32 — KP = Kmax padded to a 128 multiple
+    dmin_hbm,  # (NG, 1, KP) f32 front-to-back lower distance bounds
     tri_hbm,  # (C, 40, 128) f32
     rays_ref,  # VMEM (RB, 8)
     out_ref,  # VMEM (RB, 8)
-    ids_smem,  # SMEM (KP,) int32
-    dmin_smem,  # SMEM (KP,) f32
+    ids_smem,  # SMEM (1, KP) int32
+    dmin_smem,  # SMEM (1, KP) f32
     tri_vmem,  # VMEM (Kmax, 44, 128)
+    best_vmem,  # VMEM (8, RS, 128) running winner (early-exit variant only)
     sem_ids,
     sem_dmin,
     sem_tri,  # (Kmax,) DMA sems
+    early_exit: bool,
 ):
     g = pl.program_id(0)
     rb = pl.program_id(1)
@@ -133,7 +159,7 @@ def _tracer_kernel(
 
         def dma_start(j, _):
             pltpu.make_async_copy(
-                tri_hbm.at[ids_smem[j]], tri_vmem.at[j], sem_tri.at[j]
+                tri_hbm.at[ids_smem[0, j]], tri_vmem.at[j], sem_tri.at[j]
             ).start()
             return 0
 
@@ -229,14 +255,36 @@ def _tracer_kernel(
             z,
         )
 
-        # NOTE: a front-to-back early-exit variant (while_loop over cluster
-        # chunks gated on max(best_t) vs the next cluster's distance bound)
-        # traced correctly but hit a Mosaic compile hang with the RS=32
-        # carried state; plain fori until that is rearchitected around
-        # scratch-resident state.
-        (bt, br, bg_, bb, bu, bv, btex, blin) = jax.lax.fori_loop(
-            0, cnt, cluster_step, init
-        )
+        if early_exit:
+            # front-to-back early exit with the running winner in scratch:
+            # stop once every ray's best hit is closer than the next
+            # cluster's lower distance bound (t is world distance here)
+            best_vmem[0] = init[0]
+            best_vmem[6] = init[6]
+            for i in (1, 2, 3, 4, 5, 7):
+                best_vmem[i] = z
+
+            def cluster_body(j):
+                state = tuple(best_vmem[i] for i in range(8))
+                new = cluster_step(j, state)
+                for i in range(8):
+                    best_vmem[i] = new[i]
+                return j + 1
+
+            kp = dmin_smem.shape[1]
+
+            def cluster_cond(j):
+                jd = jnp.minimum(j, kp - 1)
+                return (j < cnt) & (jnp.max(best_vmem[0]) > dmin_smem[0, jd])
+
+            jax.lax.while_loop(cluster_cond, cluster_body, jnp.int32(0))
+            (bt, br, bg_, bb, bu, bv, btex, blin) = tuple(
+                best_vmem[i] for i in range(8)
+            )
+        else:
+            (bt, br, bg_, bb, bu, bv, btex, blin) = jax.lax.fori_loop(
+                0, cnt, cluster_step, init
+            )
 
         # cross-lane winner per ray (first-occurrence argmin)
         tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS,1)
@@ -268,25 +316,34 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-@functools.partial(jax.jit, static_argnames=("ng", "nrb", "rb_size", "kmax"))
+@functools.partial(
+    jax.jit, static_argnames=("ng", "nrb", "rb_size", "kmax", "early_exit")
+)
 def run_tracer_kernel(
     counts: jnp.ndarray,  # (NG,) int32
-    ids: jnp.ndarray,  # (NG, Kmax) int32
-    dmin: jnp.ndarray,  # (NG, Kmax) f32
-    tri_payload: jnp.ndarray,  # (C, 40, 128) f32
+    ids: jnp.ndarray,  # (NG, KP) int32
+    dmin: jnp.ndarray,  # (NG, KP) f32
+    tri_payload: jnp.ndarray,  # (C, 44, 128) f32
     rays: jnp.ndarray,  # (NG*NRB*RB, 8) f32
     ng: int,
     nrb: int,
     rb_size: int,
     kmax: int,
+    early_exit: bool = False,
 ) -> jnp.ndarray:
+    # (NG, 1, KP): the tiled last-two dims stay whole; only the untiled
+    # leading group dim is sliced by the per-group DMA
+    ids = ids.reshape(ids.shape[0], 1, ids.shape[1])
+    dmin = dmin.reshape(dmin.shape[0], 1, dmin.shape[1])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ng, nrb),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # ids
-            pl.BlockSpec(memory_space=pl.ANY),  # dmin
-            pl.BlockSpec(memory_space=pl.ANY),  # tri payload
+            # keep the ragged tables + payload in HBM: the kernel DMAs rows
+            # itself, and a VMEM placement would break the row-slice tiling
+            pl.BlockSpec(memory_space=pltpu.HBM),  # ids
+            pl.BlockSpec(memory_space=pltpu.HBM),  # dmin
+            pl.BlockSpec(memory_space=pltpu.HBM),  # tri payload
             pl.BlockSpec(
                 (rb_size, RAY_COMPS),
                 lambda g, rb, counts: (g * nrb + rb, 0),
@@ -299,16 +356,19 @@ def run_tracer_kernel(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.SMEM((ids.shape[1],), jnp.int32),
-            pltpu.SMEM((ids.shape[1],), jnp.float32),
+            pltpu.SMEM((1, ids.shape[2]), jnp.int32),
+            pltpu.SMEM((1, ids.shape[2]), jnp.float32),
             pltpu.VMEM((kmax, PAYLOAD_COMPS, KERNEL_LEAF), jnp.float32),
+        ] + (
+            [pltpu.VMEM((8, 32, KERNEL_LEAF), jnp.float32)] if early_exit else []
+        ) + [
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((kmax,)),
         ],
     )
     return pl.pallas_call(
-        _tracer_kernel,
+        _make_tracer_kernel(early_exit),
         out_shape=jax.ShapeDtypeStruct((rays.shape[0], RAY_COMPS), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),

@@ -173,3 +173,46 @@ def test_renderer_raw_projection_uses_fast_path():
     up = r.current_camera().ommatidia[:, 4] > 0.3
     # white miss -> 255 after gamma for sky-facing ommatidia, all samples
     assert (frame[:, up, :3] == 255).all()
+
+
+def test_farfield_cache_fidelity():
+    """Hybrid far-field cache vs direct trace: bounded error on means."""
+    import dataclasses
+
+    from compound_ray_tpu import config as cr_config
+
+    scene = make_big_scene(n_boxes=60, seed=11)
+    dev = scene.device_triangles()
+    omms_np = ommatidia_to_array(make_sphere_eye(64, acceptance_deg=4.0))
+    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(5)
+    s = 64  # 64 omms x 64 samples = 4096 rays
+
+    base = cr_config.RenderConfig(farfield="off")
+    cr_config.set_config(base)
+    try:
+        direct = np.asarray(
+            render_means_pallas(scene, dev, omms_np, pos, ls, key, s, 3)
+        )
+        hybrid_cfg = dataclasses.replace(
+            base, farfield="auto", farfield_cache_width=128,
+        )
+        # force the gate: tiny cache so samples*n >= 2*cache_px
+        cr_config.set_config(hybrid_cfg)
+        from compound_ray_tpu.eye import pipeline as P
+
+        P._kmax_cache.clear()
+        hybrid = np.asarray(
+            render_means_pallas(scene, dev, omms_np, pos, ls, key, s, 3)
+        )
+    finally:
+        cr_config.set_config(cr_config.RenderConfig())
+        from compound_ray_tpu.eye import pipeline as P
+
+        P._kmax_cache.clear()
+    # same RNG stream -> same rays; differences come only from far-field
+    # cache resolution + parallax, bounded well under the 1% budget
+    err = np.abs(hybrid - direct).mean()
+    assert err < 0.02, err
+    assert np.isfinite(hybrid).all()
