@@ -120,7 +120,8 @@ def _image_fused(
     )[:n]
 
     t = out[:, 0]
-    hit = t < 1e30
+    tile_live = jnp.repeat(counts > 0, TILE)[:n]
+    hit = (t < 1e30) & tile_live
     rgb = out[:, 1:4]
     lin = out[:, 7:8] > 0.5
     rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)

@@ -71,6 +71,7 @@ class ScenePlan:
     half_radius: jnp.ndarray = None  # (C, 2)
     sphere_center_np: np.ndarray = None  # host copies for far-field split
     sphere_radius_np: np.ndarray = None
+    tex_only: bool = False  # every triangle textured, no vertex colours
 
 
 _scene_plans: Dict[int, ScenePlan] = {}
@@ -98,6 +99,12 @@ def scene_plan(scene_flat) -> ScenePlan:
             cs,
         )
         textured = scene_flat.has_any_texture
+        used_mats = np.maximum(np.asarray(scene_flat.mat_id), 0)
+        tex_only = bool(
+            textured
+            and not np.asarray(scene_flat.has_color).any()
+            and (np.asarray(scene_flat.mat_tex)[used_mats] >= 0).all()
+        )
         if textured:
             quad = build_quad_table(scene_flat.device_triangles())
         else:
@@ -113,6 +120,7 @@ def scene_plan(scene_flat) -> ScenePlan:
             half_radius=jnp.asarray(cs.half_radius),
             sphere_center_np=np.asarray(cs.sphere_center),
             sphere_radius_np=np.asarray(cs.sphere_radius),
+            tex_only=tex_only,
         )
         _scene_plans[key] = plan
     return plan
@@ -243,7 +251,7 @@ def _shortlist_sorted(gmask, dmin_all, kmax: int):
     jax.jit,
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "kmax",
-        "textured", "cull_sigmas", "want_samples", "use_cache",
+        "textured", "cull_sigmas", "want_samples", "use_cache", "tex_only",
     ),
 )
 def _frame_fused(
@@ -269,6 +277,7 @@ def _frame_fused(
     near_mask: Optional[jnp.ndarray] = None,  # (C,) bool: clusters to trace
     cache: Optional[jnp.ndarray] = None,  # (Hc,Wc,3) far-field radiance
     use_cache: bool = False,
+    tex_only: bool = False,
 ) -> jnp.ndarray:
     """One dispatch per frame: cull -> shortlist -> rays -> kernel -> shade."""
     gmask, counts, dmin_all = _cull_groups(
@@ -285,6 +294,7 @@ def _frame_fused(
         payload, scene_dev, quad_table, omms_p, position, local_space, key,
         counts, ids, dmin, samples, background, ng, g, nrb, rb_size, kmax,
         textured, want_samples, cache=cache, use_cache=use_cache,
+        tex_only=tex_only,
     )
 
 
@@ -310,6 +320,7 @@ def _render_frame(
     want_samples: bool = False,
     cache: Optional[jnp.ndarray] = None,
     use_cache: bool = False,
+    tex_only: bool = False,
 ) -> jnp.ndarray:
     n_pad = omms_p.shape[0]
     axis = omms_p[:, 3:6]
@@ -350,14 +361,21 @@ def _render_frame(
         # while_loop's per-iteration overhead outweighs front-to-back
         # skipping here, so the plain fori variant wins
         ng=ng, nrb=nrb, rb_size=rb_size, kmax=kmax, early_exit=False,
+        tex_only=tex_only,
     )
     out = out.reshape(ng, rg_pad, RAY_COMPS)[:, :rg].reshape(n_pad, samples, 8)
 
     t = out[..., 0]
-    hit = t < 1e30
-    rgb = out[..., 1:4]
-    lin = out[..., 7:8] > 0.5
-    rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
+    # groups with empty shortlists skip the kernel entirely; their rows are
+    # garbage and the whole group is a miss
+    group_live = jnp.repeat(counts > 0, g)[:, None]  # (n_pad, 1)
+    hit = (t < 1e30) & group_live
+    if tex_only:
+        rgb = jnp.zeros((n_pad, samples, 3), jnp.float32)
+    else:
+        rgb = out[..., 1:4]
+        lin = out[..., 7:8] > 0.5
+        rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
 
     if textured:
         texid = out[..., 6].astype(jnp.int32)
@@ -471,7 +489,7 @@ def render_means_pallas(
                         jnp.asarray(far),
                         width=cfg.farfield_cache_width, background=background,
                         kmax=min(splan.num_clusters, 256),
-                        textured=splan.textured,
+                        textured=splan.textured, tex_only=splan.tex_only,
                     )
                     cache = build_equirect_quads(cache)  # (H, W, 12)
                     if len(_cache_store) > 64:  # bound memory for pose sweeps
@@ -486,6 +504,7 @@ def render_means_pallas(
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
         kmax=kmax, textured=splan.textured, cull_sigmas=get_config().cull_sigmas,
         near_mask=near_mask, cache=cache, use_cache=use_cache,
+        tex_only=splan.tex_only,
     )
     return means_p[jnp.asarray(eplan.inv_valid)]
 
@@ -527,6 +546,7 @@ def render_samples_pallas(
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
         kmax=kmax, textured=splan.textured,
         cull_sigmas=get_config().cull_sigmas, want_samples=True,
+        tex_only=splan.tex_only,
     )  # (Np, S, 3)
     return jnp.transpose(raw_p[jnp.asarray(eplan.inv_valid)], (1, 0, 2))
 
@@ -591,13 +611,14 @@ def sample_equirect(quads: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "background", "kmax", "textured"),
+    static_argnames=("width", "background", "kmax", "textured", "tex_only"),
 )
 def _render_cache(
     payload, scene_dev, quad_table, half_center, half_radius,
     center: jnp.ndarray,  # (3,) eye centre (cache viewpoint)
     far_mask: jnp.ndarray,  # (C,) bool
     width: int, background: int, kmax: int, textured: bool,
+    tex_only: bool = False,
 ):
     """Equirect far-field radiance cache: (H, W, 3) linear RGB."""
     height = width // 2
@@ -654,13 +675,18 @@ def _render_cache(
     out = run_tracer_kernel(
         counts, ids, dmin, payload, rays,
         ng=ng, nrb=1, rb_size=tile, kmax=kmax, early_exit=True,
+        tex_only=tex_only,
     )[:n]
 
     t = out[:, 0]
-    hit = t < 1e30
-    rgb = out[:, 1:4]
-    lin = out[:, 7:8] > 0.5
-    rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
+    tile_live = jnp.repeat(counts > 0, tile)[:n]
+    hit = (t < 1e30) & tile_live
+    if tex_only:
+        rgb = jnp.zeros((n_pad, 3), jnp.float32)
+    else:
+        rgb = out[:, 1:4]
+        lin = out[:, 7:8] > 0.5
+        rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
     if textured:
         texid = out[:, 6].astype(jnp.int32)
         tex_rgb = sample_texture_quad(

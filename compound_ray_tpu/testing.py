@@ -117,3 +117,36 @@ def make_big_scene(n_boxes: int = 500, seed: int = 0,
         background_shader=background,
         name=f"big-scene-{n_boxes}",
     )
+
+
+def make_textured_quad_scene(tex_size: int = 8,
+                             background: str = "black") -> FlatScene:
+    """A textured floor quad (z-up plane at y=0, 20x20) with a checker
+    texture — exercises the texture atlas + tex-only kernel paths."""
+    verts = np.array(
+        [[-10, 0, -10], [10, 0, -10], [10, 0, 10], [-10, 0, 10]], np.float64
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    scene = build_scene_from_arrays(verts, faces, background_shader=background,
+                                    name="textured-quad")
+    # uv per corner: map the quad to the full texture
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    scene.uv0 = uvs[faces[:, 0]]
+    scene.uv1 = uvs[faces[:, 1]]
+    scene.uv2 = uvs[faces[:, 2]]
+    scene.has_uv = np.ones(2, bool)
+    # checker texture
+    yy, xx = np.mgrid[0:tex_size, 0:tex_size]
+    checker = ((xx + yy) % 2).astype(np.float32)
+    tex = np.stack([checker, 1.0 - checker, np.full_like(checker, 0.5),
+                    np.ones_like(checker)], axis=-1)
+    scene.tex_data = tex.reshape(-1, 4)
+    scene.tex_offset = np.array([0], np.int32)
+    scene.tex_width = np.array([tex_size], np.int32)
+    scene.tex_height = np.array([tex_size], np.int32)
+    scene.tex_wrap_s = np.array([0], np.int32)
+    scene.tex_wrap_t = np.array([0], np.int32)
+    scene.tex_filter = np.array([1], np.int32)
+    scene.mat_tex = np.array([0], np.int32)
+    scene._device_cache = None
+    return scene

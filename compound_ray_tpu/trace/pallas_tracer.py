@@ -102,7 +102,7 @@ def build_kernel_payload(scene: Dict[str, Any], cluster_set) -> np.ndarray:
     )  # (C, 44, 128)
 
 
-def _make_tracer_kernel(early_exit: bool):
+def _make_tracer_kernel(early_exit: bool, tex_only: bool = False):
     """Build the kernel body; `early_exit` adds a front-to-back while_loop
     with the running winner in VMEM scratch (register-carried while state at
     RS=32 provoked a Mosaic compile hang; scratch state compiles fine)."""
@@ -120,7 +120,7 @@ def _make_tracer_kernel(early_exit: bool):
         _tracer_kernel_body(
             counts_ref, ids_hbm, dmin_hbm, tri_hbm, rays_ref, out_ref,
             ids_smem, dmin_smem, tri_vmem, best_vmem,
-            sem_ids, sem_dmin, sem_tri, early_exit,
+            sem_ids, sem_dmin, sem_tri, early_exit, tex_only,
         )
 
     return kernel
@@ -141,6 +141,7 @@ def _tracer_kernel_body(
     sem_dmin,
     sem_tri,  # (Kmax,) DMA sems
     early_exit: bool,
+    tex_only: bool = False,  # fully-textured scene: carry only (t,u,v,tex)
 ):
     g = pl.program_id(0)
     rb = pl.program_id(1)
@@ -148,7 +149,9 @@ def _tracer_kernel_body(
     kmax = tri_vmem.shape[0]
     rb_size = rays_ref.shape[0]
 
-    @pl.when(rb == 0)
+    # groups with an empty shortlist produce no hits: skip ALL work (their
+    # output rows are garbage; the epilogue masks whole groups by count)
+    @pl.when((rb == 0) & (cnt > 0))
     def _load_group():
         cp_ids = pltpu.make_async_copy(ids_hbm.at[g], ids_smem, sem_ids)
         cp_dmin = pltpu.make_async_copy(dmin_hbm.at[g], dmin_smem, sem_dmin)
@@ -191,8 +194,13 @@ def _tracer_kernel_body(
         mx = oy * dz - oz * dy
         my = oz * dx - ox * dz
         mz = ox * dy - oy * dx
+        NB = 4 if tex_only else 8  # carried winner buffers
+
         def cluster_step(j, state):
-            (bt, br, bg_, bb, bu, bv, btex, blin) = state
+            if tex_only:
+                (bt, bu, bv, btex) = state
+            else:
+                (bt, br, bg_, bb, bu, bv, btex, blin) = state
             jc = jnp.minimum(j, kmax - 1)  # chunked loop may overshoot by 1
 
             def tc(c):
@@ -230,11 +238,18 @@ def _tracer_kernel_body(
             u = w1 * inv_ws
             v = w2 * inv_ws
             w0n = 1.0 - u - v
+            cu = w0n * tc(32) + u * tc(34) + v * tc(36)
+            cv = w0n * tc(33) + u * tc(35) + v * tc(37)
+            if tex_only:
+                return (
+                    jnp.where(better, t, bt),
+                    jnp.where(better, cu, bu),
+                    jnp.where(better, cv, bv),
+                    jnp.where(better, tc(38), btex),
+                )
             cr = w0n * tc(22) + u * tc(25) + v * tc(28)
             cg = w0n * tc(23) + u * tc(26) + v * tc(29)
             cb = w0n * tc(24) + u * tc(27) + v * tc(30)
-            cu = w0n * tc(32) + u * tc(34) + v * tc(36)
-            cv = w0n * tc(33) + u * tc(35) + v * tc(37)
 
             return (
                 jnp.where(better, t, bt),
@@ -248,26 +263,31 @@ def _tracer_kernel_body(
             )
 
         z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
-        init = (
-            jnp.full((RS, KERNEL_LEAF), big),
-            z, z, z, z, z,
-            jnp.full((RS, KERNEL_LEAF), -1.0),
-            z,
-        )
+        if tex_only:
+            init = (
+                jnp.full((RS, KERNEL_LEAF), big),
+                z, z,
+                jnp.full((RS, KERNEL_LEAF), -1.0),
+            )
+        else:
+            init = (
+                jnp.full((RS, KERNEL_LEAF), big),
+                z, z, z, z, z,
+                jnp.full((RS, KERNEL_LEAF), -1.0),
+                z,
+            )
 
         if early_exit:
             # front-to-back early exit with the running winner in scratch:
             # stop once every ray's best hit is closer than the next
             # cluster's lower distance bound (t is world distance here)
-            best_vmem[0] = init[0]
-            best_vmem[6] = init[6]
-            for i in (1, 2, 3, 4, 5, 7):
-                best_vmem[i] = z
+            for i in range(NB):
+                best_vmem[i] = init[i]
 
             def cluster_body(j):
-                state = tuple(best_vmem[i] for i in range(8))
+                state = tuple(best_vmem[i] for i in range(NB))
                 new = cluster_step(j, state)
-                for i in range(8):
+                for i in range(NB):
                     best_vmem[i] = new[i]
                 return j + 1
 
@@ -278,13 +298,14 @@ def _tracer_kernel_body(
                 return (j < cnt) & (jnp.max(best_vmem[0]) > dmin_smem[0, jd])
 
             jax.lax.while_loop(cluster_cond, cluster_body, jnp.int32(0))
-            (bt, br, bg_, bb, bu, bv, btex, blin) = tuple(
-                best_vmem[i] for i in range(8)
-            )
+            final = tuple(best_vmem[i] for i in range(NB))
         else:
-            (bt, br, bg_, bb, bu, bv, btex, blin) = jax.lax.fori_loop(
-                0, cnt, cluster_step, init
-            )
+            final = jax.lax.fori_loop(0, cnt, cluster_step, init)
+        if tex_only:
+            (bt, bu, bv, btex) = final
+            br = bg_ = bb = blin = None
+        else:
+            (bt, br, bg_, bb, bu, bv, btex, blin) = final
 
         # cross-lane winner per ray (first-occurrence argmin)
         tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS,1)
@@ -299,16 +320,19 @@ def _tracer_kernel_body(
         out_ref[pl.ds(r0, RS), 0:1] = jnp.where(
             jnp.isfinite(tmin_l), tmin_l, big
         )
-        out_ref[pl.ds(r0, RS), 1:2] = pick(br)
-        out_ref[pl.ds(r0, RS), 2:3] = pick(bg_)
-        out_ref[pl.ds(r0, RS), 3:4] = pick(bb)
         out_ref[pl.ds(r0, RS), 4:5] = pick(bu)
         out_ref[pl.ds(r0, RS), 5:6] = pick(bv)
         out_ref[pl.ds(r0, RS), 6:7] = pick(btex)
-        out_ref[pl.ds(r0, RS), 7:8] = pick(blin)
+        if not tex_only:
+            out_ref[pl.ds(r0, RS), 1:2] = pick(br)
+            out_ref[pl.ds(r0, RS), 2:3] = pick(bg_)
+            out_ref[pl.ds(r0, RS), 3:4] = pick(bb)
+            out_ref[pl.ds(r0, RS), 7:8] = pick(blin)
         return 0
 
-    jax.lax.fori_loop(0, rb_size // RS, ray_batch, 0)
+    @pl.when(cnt > 0)
+    def _run_batches():
+        jax.lax.fori_loop(0, rb_size // RS, ray_batch, 0)
 
 
 def _use_interpret() -> bool:
@@ -317,7 +341,8 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ng", "nrb", "rb_size", "kmax", "early_exit")
+    jax.jit,
+    static_argnames=("ng", "nrb", "rb_size", "kmax", "early_exit", "tex_only"),
 )
 def run_tracer_kernel(
     counts: jnp.ndarray,  # (NG,) int32
@@ -330,6 +355,7 @@ def run_tracer_kernel(
     rb_size: int,
     kmax: int,
     early_exit: bool = False,
+    tex_only: bool = False,
 ) -> jnp.ndarray:
     # (NG, 1, KP): the tiled last-two dims stay whole; only the untiled
     # leading group dim is sliced by the per-group DMA
@@ -360,7 +386,8 @@ def run_tracer_kernel(
             pltpu.SMEM((1, ids.shape[2]), jnp.float32),
             pltpu.VMEM((kmax, PAYLOAD_COMPS, KERNEL_LEAF), jnp.float32),
         ] + (
-            [pltpu.VMEM((8, 32, KERNEL_LEAF), jnp.float32)] if early_exit else []
+            [pltpu.VMEM((4 if tex_only else 8, 32, KERNEL_LEAF), jnp.float32)]
+            if early_exit else []
         ) + [
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -368,7 +395,7 @@ def run_tracer_kernel(
         ],
     )
     return pl.pallas_call(
-        _make_tracer_kernel(early_exit),
+        _make_tracer_kernel(early_exit, tex_only),
         out_shape=jax.ShapeDtypeStruct((rays.shape[0], RAY_COMPS), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),

@@ -216,3 +216,32 @@ def test_farfield_cache_fidelity():
     err = np.abs(hybrid - direct).mean()
     assert err < 0.02, err
     assert np.isfinite(hybrid).all()
+
+
+def test_tex_only_kernel_matches_oracle():
+    """Fully-textured scene uses the trimmed payload kernel; results must
+    match the brute-force textured oracle."""
+    from compound_ray_tpu.eye.pipeline import scene_plan
+    from compound_ray_tpu.scene.eye_io import Ommatidium
+    from compound_ray_tpu.testing import make_textured_quad_scene
+
+    scene = make_textured_quad_scene()
+    assert scene.has_any_texture
+    plan = scene_plan(scene)
+    assert plan.tex_only
+    dev = scene.device_triangles()
+    # deterministic downward-looking ommatidia above different checker cells
+    omms = []
+    for x in (-5.0, -2.0, 1.0, 4.0):
+        omms.append(Ommatidium(np.array([x / 10.0, 0.0, 0.02]),
+                               np.array([0.0, -1.0, 0.0]), 1e-6, 0.0))
+    omms_np = ommatidia_to_array(omms * 4)  # 16 omms
+    pos = jnp.asarray([0.0, 5.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    got = np.asarray(render_means_pallas(scene, dev, omms_np, pos, ls, key, 2, 2))
+    ref = np.asarray(
+        render_compound_means(dev, jnp.asarray(omms_np), pos, ls, key, 2, 2)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+    assert got.max() > 0.3  # actually sampled the checker
