@@ -26,12 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from compound_ray_tpu.eye.render import render_compound_samples
-from compound_ray_tpu.eye.sampling import (
-    cone_offset_directions,
-    sample_angles,
-)
-from compound_ray_tpu.trace.intersect import intersect_rays
-from compound_ray_tpu.trace.shade import shade_rays
+from compound_ray_tpu.eye.sampling import sample_angles
 
 
 def make_eye_mesh(
@@ -125,3 +120,84 @@ def render_means_sharded(
     return _sharded_impl(
         scene, omms_p, position, local_space, key, samples, background, mesh, n
     )
+
+
+def render_means_sharded_fast(
+    scene_flat,
+    scene_dev: Dict[str, Any],
+    ommatidia: jnp.ndarray,  # (N,8)
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    key: jax.Array,
+    samples: int,
+    background: int,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Production multi-chip path: the cone-culled sweep under shard_map.
+
+    Planning (cluster build, cone cull, shortlist width K) happens globally;
+    the ommatidium axis and the sample axis then shard across the mesh, each
+    device runs the culled Plücker sweep on its slice, and sample-axis
+    partial sums combine with a psum over ICI.  The jitter angles are drawn
+    ONCE globally, so results are identical across topologies (unlike the
+    naive per-shard streams of render_means_sharded).
+    """
+    from compound_ray_tpu.accel.clusters import scene_clusters
+    from compound_ray_tpu.accel.cull import cone_cull_clusters, shortlist_from_mask
+    from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.trace.culled import render_means_culled_angles
+
+    cfg = get_config()
+    n = ommatidia.shape[0]
+    omm_axis = mesh.shape["omm"]
+    sample_axis = mesh.shape["sample"]
+    assert samples % sample_axis == 0
+
+    clusters = scene_clusters(scene_flat, cfg.xla_leaf_size)
+    cdev = clusters.device_arrays()
+    cull = cone_cull_clusters(
+        ommatidia, position, local_space,
+        cdev["sphere_center"], cdev["sphere_radius"], cfg.cull_sigmas,
+    )
+    k = int(jax.device_get(jnp.max(cull["count"])))
+    k = max(1, min(clusters.num_clusters, -(-k // 8) * 8))
+    ids, valid = shortlist_from_mask(cull["mask"], k)
+
+    n_pad = -(-max(n, omm_axis) // omm_axis) * omm_axis
+    def pad_n(x, fill=0.0):
+        return jnp.full((n_pad,) + x.shape[1:], fill, x.dtype).at[:n].set(x)
+
+    omms_p = pad_n(ommatidia).at[n:, 5].set(1.0)
+    ids_p = pad_n(ids)
+    valid_p = pad_n(valid, fill=False)
+
+    splay, spin = sample_angles(key, n_pad, samples, omms_p[:, 6])  # (S,Np)
+
+    def shard_fn(scene_l, cl_l, omms_l, ids_l, valid_l, splay_l, spin_l,
+                 pos_l, ls_l):
+        partial = render_means_culled_angles(
+            scene_l, cl_l, omms_l, pos_l, ls_l, splay_l, spin_l,
+            ids_l, valid_l, background,
+            omm_chunk=get_config().omm_chunk,
+            sample_chunk=get_config().sample_chunk,
+        ) * (splay_l.shape[0] / samples)
+        return jax.lax.psum(partial, axis_name="sample")
+
+    from jax import shard_map
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),
+            P("omm", None), P("omm", None), P("omm", None),
+            P("sample", "omm"), P("sample", "omm"),
+            P(), P(),
+        ),
+        out_specs=P("omm", None),
+        check_vma=False,
+    )
+    means = fn(scene_dev, cdev, omms_p, ids_p, valid_p, splay, spin,
+               jnp.asarray(position, jnp.float32),
+               jnp.asarray(local_space, jnp.float32))
+    return means[:n]

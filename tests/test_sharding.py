@@ -75,3 +75,29 @@ def test_uneven_ommatidia_padding(setup):
     )
     assert out.shape == (37, 3)
     assert np.isfinite(out).all()
+
+
+def test_sharded_fast_matches_dense(setup):
+    """The production sharded path must match the single-device culled path
+    exactly (same globally drawn jitter)."""
+    from compound_ray_tpu.parallel.sharding import render_means_sharded_fast
+    from compound_ray_tpu.testing import make_big_scene
+
+    scene = make_big_scene(n_boxes=120, seed=6)
+    dev = scene.device_triangles()
+    omms = jnp.asarray(ommatidia_to_array(make_sphere_eye(48, acceptance_deg=5.0)))
+    pos = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(9)
+    bg = miss_id(scene.background_shader)
+
+    mesh = make_eye_mesh(8, sample_parallel=2)
+    sharded = np.asarray(render_means_sharded_fast(
+        scene, dev, omms, pos, ls, key, 8, bg, mesh,
+    ))
+
+    from compound_ray_tpu.eye.render import render_compound_means as dense_means
+
+    dense = np.asarray(dense_means(dev, omms, pos, ls, key, 8, bg))
+    # identical ray set (global draw) -> only float-order differences
+    np.testing.assert_allclose(sharded, dense, atol=1e-4)
