@@ -170,10 +170,11 @@ def eye_plan(ommatidia: np.ndarray, samples: int) -> EyePlan:
 
     ng = n_pad // g
     rg = g * samples
-    rg_pad = _ceil_to(rg, 128)
-    rb_size = min(1024, rg_pad)
-    rg_pad = _ceil_to(rg_pad, rb_size)
-    nrb = rg_pad // rb_size
+    # block sizing: minimise padding (rg=3200 into 1024-blocks wasted 28%);
+    # rb_size must be a multiple of the kernel's 32-ray batch
+    nrb = max(1, -(-rg // 1024))
+    rb_size = _ceil_to(-(-rg // nrb), 32)
+    rg_pad = nrb * rb_size
     plan = EyePlan(
         perm=perm, inv_valid=inv_valid, n=n, n_pad=n_pad, g=g, ng=ng,
         rg_pad=rg_pad, rb_size=rb_size, nrb=nrb,
