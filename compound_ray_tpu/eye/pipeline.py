@@ -49,7 +49,9 @@ from compound_ray_tpu.trace.pallas_tracer import (
 from compound_ray_tpu.trace.shade import (
     build_quad_table,
     miss_color,
+    quad_bilinear,
     sample_texture_quad,
+    texture_quad_coords,
 )
 
 
@@ -253,6 +255,7 @@ def _shortlist_sorted(gmask, dmin_all, kmax: int):
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "kmax",
         "textured", "cull_sigmas", "want_samples", "use_cache", "tex_only",
+        "cache_shape",
     ),
 )
 def _frame_fused(
@@ -279,6 +282,7 @@ def _frame_fused(
     cache: Optional[jnp.ndarray] = None,  # (Hc,Wc,3) far-field radiance
     use_cache: bool = False,
     tex_only: bool = False,
+    cache_shape: Tuple[int, int] = (0, 0),
 ) -> jnp.ndarray:
     """One dispatch per frame: cull -> shortlist -> rays -> kernel -> shade."""
     gmask, counts, dmin_all = _cull_groups(
@@ -295,7 +299,7 @@ def _frame_fused(
         payload, scene_dev, quad_table, omms_p, position, local_space, key,
         counts, ids, dmin, samples, background, ng, g, nrb, rb_size, kmax,
         textured, want_samples, cache=cache, use_cache=use_cache,
-        tex_only=tex_only,
+        tex_only=tex_only, cache_shape=cache_shape,
     )
 
 
@@ -322,6 +326,7 @@ def _render_frame(
     cache: Optional[jnp.ndarray] = None,
     use_cache: bool = False,
     tex_only: bool = False,
+    cache_shape: Tuple[int, int] = (0, 0),
 ) -> jnp.ndarray:
     n_pad = omms_p.shape[0]
     axis = omms_p[:, 3:6]
@@ -378,25 +383,48 @@ def _render_frame(
         lin = out[..., 7:8] > 0.5
         rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
 
-    if textured:
+    if textured and use_cache:
+        # unified single-gather epilogue: gathers are count-bound on TPU, so
+        # texture-quad rows and cache-quad rows live in ONE combined table
+        # (`cache` here) and each ray issues exactly one row gather
         texid = out[..., 6].astype(jnp.int32)
         uv = out[..., 4:6].reshape(-1, 2)
-        tex_rgb = sample_texture_quad(
-            scene_dev, quad_table, jnp.maximum(texid, 0).reshape(-1), uv
-        )[:, :3].reshape(n_pad, samples, 3)
-        rgb = jnp.where(((texid >= 0) & hit)[..., None], tex_rgb, rgb)
-
-    if use_cache:
-        # the cache already encodes the miss shader for directions that hit
-        # nothing at all
-        missc = sample_equirect(cache, dirs_n.reshape(-1, 3)).reshape(
+        hit_f = hit.reshape(-1)
+        texid_f = texid.reshape(-1)
+        tex_idx, tfx, tfy = texture_quad_coords(
+            scene_dev, jnp.maximum(texid_f, 0), uv
+        )
+        ch, cw = cache_shape
+        tex_rows = cache.shape[0] - ch * cw
+        c_idx, cfx, cfy = _equirect_coords(ch, cw, dirs_n.reshape(-1, 3))
+        sel_tex = hit_f & (texid_f >= 0)
+        idx = jnp.where(sel_tex, tex_idx, tex_rows + c_idx)
+        fx = jnp.where(sel_tex, tfx, cfx)
+        fy = jnp.where(sel_tex, tfy, cfy)
+        rgb4 = quad_bilinear(cache[idx], fx, fy)[:, :3].reshape(
             n_pad, samples, 3
         )
+        # hit rays on untextured triangles keep the kernel-carried colour
+        rgb = jnp.where((hit & (texid < 0))[..., None], rgb, rgb4)
     else:
-        missc = miss_color(dirs_n.reshape(-1, 3), background).reshape(
-            n_pad, samples, 3
-        )
-    rgb = jnp.where(hit[..., None], rgb, missc)
+        if textured:
+            texid = out[..., 6].astype(jnp.int32)
+            uv = out[..., 4:6].reshape(-1, 2)
+            tex_rgb = sample_texture_quad(
+                scene_dev, quad_table, jnp.maximum(texid, 0).reshape(-1), uv
+            )[:, :3].reshape(n_pad, samples, 3)
+            rgb = jnp.where(((texid >= 0) & hit)[..., None], tex_rgb, rgb)
+        if use_cache:
+            # the cache already encodes the miss shader for directions that
+            # hit nothing at all
+            missc = sample_equirect(cache, dirs_n.reshape(-1, 3)).reshape(
+                n_pad, samples, 3
+            )
+        else:
+            missc = miss_color(dirs_n.reshape(-1, 3), background).reshape(
+                n_pad, samples, 3
+            )
+        rgb = jnp.where(hit[..., None], rgb, missc)
     if want_samples:
         return rgb  # (Np, S, 3) raw per-sample radiance
     return jnp.mean(rgb, axis=1)  # (Np,3)
@@ -492,7 +520,14 @@ def render_means_pallas(
                         kmax=min(splan.num_clusters, 256),
                         textured=splan.textured, tex_only=splan.tex_only,
                     )
-                    cache = build_equirect_quads(cache)  # (H, W, 12)
+                    cache = build_equirect_quads(cache)  # (H, W, 16)
+                    if splan.textured:
+                        # combined (tex_quads | cache_quads) table for the
+                        # unified single-gather epilogue
+                        cache = jnp.concatenate(
+                            [splan.quad_table,
+                             cache.reshape(-1, 16)], axis=0
+                        )
                     if len(_cache_store) > 64:  # bound memory for pose sweeps
                         _cache_store.clear()
                     _cache_store[cache_key] = cache
@@ -506,6 +541,7 @@ def render_means_pallas(
         kmax=kmax, textured=splan.textured, cull_sigmas=get_config().cull_sigmas,
         near_mask=near_mask, cache=cache, use_cache=use_cache,
         tex_only=splan.tex_only,
+        cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
     )
     return means_p[jnp.asarray(eplan.inv_valid)]
 
@@ -578,20 +614,21 @@ def _equirect_pixel_dirs(width: int, height: int) -> jnp.ndarray:
 
 
 def build_equirect_quads(cache: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, 12) per-texel 2x2 neighbourhood (wrap x, clamp y) so the
-    bilinear lookup needs ONE row gather per ray."""
+    """(H, W, 16) per-texel 2x2 RGBA neighbourhood (wrap x, clamp y): one row
+    gather per bilinear lookup, and the SAME c00|c10|c01|c11 x RGBA layout as
+    the texture quad table so both can share a combined gather."""
     h = cache.shape[0]
-    x1 = jnp.roll(cache, -1, axis=1)
+    a = jnp.ones(cache.shape[:2] + (1,), cache.dtype)
+    c4 = jnp.concatenate([cache, a], axis=-1)
+    x1 = jnp.roll(c4, -1, axis=1)
     ydown = jnp.minimum(jnp.arange(h) + 1, h - 1)
-    y1 = cache[ydown]
+    y1 = c4[ydown]
     y1x1 = jnp.roll(y1, -1, axis=1)
-    return jnp.concatenate([cache, x1, y1, y1x1], axis=-1)
+    return jnp.concatenate([c4, x1, y1, y1x1], axis=-1)
 
 
-def sample_equirect(quads: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear equirect lookup over a (H, W, 12) quad cache: wrap in x,
-    clamp in y.  dirs unit (R,3)."""
-    h, w = quads.shape[0], quads.shape[1]
+def _equirect_coords(h, w, dirs):
+    """(index, fx, fy) into an equirect quad cache for unit dirs (R,3)."""
     ax = jnp.arctan2(dirs[:, 2], dirs[:, 0])
     ay = jnp.arcsin(jnp.clip(dirs[:, 1], -1.0, 1.0))
     u = 0.5 + (jnp.pi / 2.0 - ax) / (2.0 * jnp.pi)
@@ -600,14 +637,28 @@ def sample_equirect(quads: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     y = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[:, None]
-    fy = (y - y0)[:, None]
+    fx = x - x0
+    fy = y - y0
     xi0 = jnp.mod(x0.astype(jnp.int32), w)
     yi0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    q = quads.reshape(-1, 12)[yi0 * w + xi0]
-    c00, c10, c01, c11 = q[:, 0:3], q[:, 3:6], q[:, 6:9], q[:, 9:12]
+    return yi0 * w + xi0, fx, fy
+
+
+def _bilinear16(q, fx, fy):
+    fx = fx[:, None]
+    fy = fy[:, None]
+    c00, c10, c01, c11 = q[:, 0:4], q[:, 4:8], q[:, 8:12], q[:, 12:16]
     return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
             + c01 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def sample_equirect(quads: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear equirect lookup over a (H, W, 16) quad cache: wrap in x,
+    clamp in y.  dirs unit (R,3)."""
+    h, w = quads.shape[0], quads.shape[1]
+    idx, fx, fy = _equirect_coords(h, w, dirs)
+    q = quads.reshape(-1, 16)[idx]
+    return _bilinear16(q, fx, fy)[:, :3]
 
 
 @functools.partial(

@@ -159,11 +159,13 @@ def build_quad_table(scene: Dict[str, Any]) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
-def sample_texture_quad(
-    scene: Dict[str, Any], quad_table: jnp.ndarray,
-    tex_id: jnp.ndarray, uv: jnp.ndarray,
-) -> jnp.ndarray:
-    """Bilinear fetch using the quad table: one (P,16) row gather per ray."""
+def texture_quad_coords(
+    scene: Dict[str, Any], tex_id: jnp.ndarray, uv: jnp.ndarray,
+):
+    """(row_index, fx, fy) into the texture quad table for per-ray lookups.
+
+    Nearest-filter textures get fx=fy=0 with a rounded base index, so a
+    single bilinear evaluation covers both filter modes."""
     safe_tex = jnp.maximum(tex_id, 0)
     off = scene["tex_offset"][safe_tex]
     w = scene["tex_width"][safe_tex]
@@ -185,19 +187,33 @@ def sample_texture_quad(
     x = uv[:, 0] * w.astype(jnp.float32) - 0.5
     y = uv[:, 1] * h.astype(jnp.float32) - 0.5
     x0f, y0f = jnp.floor(x), jnp.floor(y)
-    fx = (x - x0f)[:, None]
-    fy = (y - y0f)[:, None]
+    linear = filt == 1
+    fx = jnp.where(linear, x - x0f, 0.0)
+    fy = jnp.where(linear, y - y0f, 0.0)
     # nearest-filter rounds; bilinear uses the floor cell
-    xi = addr(jnp.where(filt == 1, x0f, jnp.round(x)), w, wrap_s)
-    yi = addr(jnp.where(filt == 1, y0f, jnp.round(y)), h, wrap_t)
-    quad = quad_table[off + yi * w + xi]  # (R,16)
+    xi = addr(jnp.where(linear, x0f, jnp.round(x)), w, wrap_s)
+    yi = addr(jnp.where(linear, y0f, jnp.round(y)), h, wrap_t)
+    return off + yi * w + xi, fx, fy
+
+
+def quad_bilinear(quad: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
+    fx = fx[:, None]
+    fy = fy[:, None]
     c00, c10 = quad[:, 0:4], quad[:, 4:8]
     c01, c11 = quad[:, 8:12], quad[:, 12:16]
-    bilinear = (
+    return (
         c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
         + c01 * (1 - fx) * fy + c11 * fx * fy
     )
-    return jnp.where((filt == 1)[:, None], bilinear, c00)
+
+
+def sample_texture_quad(
+    scene: Dict[str, Any], quad_table: jnp.ndarray,
+    tex_id: jnp.ndarray, uv: jnp.ndarray,
+) -> jnp.ndarray:
+    """Bilinear fetch using the quad table: one (P,16) row gather per ray."""
+    idx, fx, fy = texture_quad_coords(scene, tex_id, uv)
+    return quad_bilinear(quad_table[idx], fx, fy)
 
 
 def shade_rays(
