@@ -336,11 +336,16 @@ def _render_frame(
     rel_origin = omms_p[:, 0:3] - axis_n * focal[:, None]
     origins = position[None, :] + rel_origin @ local_space  # (Np,3)
 
-    splay, spin = sample_angles(key, n_pad, samples, omms_p[:, 6])  # (S,Np)
+    # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
+    # three 38 MB tensors was a measurable fraction of the frame
+    k_splay, k_spin = jax.random.split(key)
+    sd = omms_p[:, 6] / FWHM_SD_RATIO
+    splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
+    spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
     rel_dir = cone_offset_directions(
-        jnp.broadcast_to(axis[None], (samples, n_pad, 3)), splay, spin
+        jnp.broadcast_to(axis[:, None, :], (n_pad, samples, 3)), splay, spin
     )
-    dirs = jnp.einsum("snc,cd->nsd", rel_dir, local_space)  # (Np,S,3)
+    dirs = jnp.einsum("nsc,cd->nsd", rel_dir, local_space)  # (Np,S,3)
     # normalise for the kernel: t becomes world distance, tmin scales by |axis|
     dirs_n = dirs / jnp.maximum(
         jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30
