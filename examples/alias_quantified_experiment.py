@@ -27,6 +27,11 @@ def run(scene_path, max_samples=16, spread_samples=200, out_dir="output"):
     cam = CompoundEyeCamera("alias-eye", "single_dimension_fast", icosphere_eye())
     r.scene.cameras.append(cam)
     r.goto_camera(len(r.scene.cameras) - 1)
+    # place the eye near (not inside) the scene geometry so ommatidia see
+    # edges and depth variation — the source of sampling variance
+    c = r.scene.aabb_center()
+    ext = r.scene.aabb_max_extent()
+    cam.set_position((c[0] + 0.25 * ext, c[1] + 0.15 * ext, c[2]))
     n = r.get_current_eye_ommatidial_count()
     r.set_render_size(n, 1)
 

@@ -1,0 +1,142 @@
+"""Loader robustness: GLB container, strided accessors, data URIs,
+normalized integer attributes."""
+
+import base64
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from compound_ray_tpu.scene.gltf import load_gltf
+from compound_ray_tpu.scene.flat import load_scene
+
+
+def _tri_gltf_json(buffer_uri=None, byte_stride=None):
+    """Single-triangle glTF with optional strided positions."""
+    if byte_stride:
+        # interleave position (12B) + padding to byte_stride
+        pad = byte_stride - 12
+        raw = b"".join(
+            struct.pack("<fff", *v) + b"\0" * pad
+            for v in [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+        )
+    else:
+        raw = struct.pack("<9f", 0, 0, 0, 1, 0, 0, 0, 1, 0)
+    idx = struct.pack("<3H", 0, 1, 2)
+    blob = raw + idx
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "name": "tri"}],
+        "meshes": [{
+            "name": "tri",
+            "primitives": [{
+                "attributes": {"POSITION": 0},
+                "indices": 1,
+            }],
+        }],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3", "min": [0, 0, 0], "max": [1, 1, 0]},
+            {"bufferView": 1, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(raw),
+             **({"byteStride": byte_stride} if byte_stride else {})},
+            {"buffer": 0, "byteOffset": len(raw), "byteLength": len(idx)},
+        ],
+        "buffers": [{"byteLength": len(blob),
+                     **({"uri": buffer_uri} if buffer_uri else {})}],
+    }
+    return doc, blob
+
+
+def test_data_uri_buffer(tmp_path):
+    doc, blob = _tri_gltf_json(
+        buffer_uri="data:application/octet-stream;base64,"
+        + base64.b64encode(blob_placeholder := b"").decode()
+    )
+    # re-encode with the real blob
+    doc, blob = _tri_gltf_json()
+    doc["buffers"][0]["uri"] = (
+        "data:application/octet-stream;base64,"
+        + base64.b64encode(blob).decode()
+    )
+    p = tmp_path / "t.gltf"
+    p.write_text(json.dumps(doc))
+    scene = load_scene(str(p))
+    assert scene.num_triangles == 1
+    np.testing.assert_allclose(scene.v0[0], [0, 0, 0])
+
+
+def test_external_bin_buffer(tmp_path):
+    doc, blob = _tri_gltf_json(buffer_uri="t.bin")
+    (tmp_path / "t.bin").write_bytes(blob)
+    p = tmp_path / "t.gltf"
+    p.write_text(json.dumps(doc))
+    scene = load_scene(str(p))
+    assert scene.num_triangles == 1
+
+
+def test_glb_container(tmp_path):
+    doc, blob = _tri_gltf_json()  # bufferless uri -> GLB BIN chunk
+    js = json.dumps(doc).encode()
+    js += b" " * ((-len(js)) % 4)
+    bin_chunk = blob + b"\0" * ((-len(blob)) % 4)
+    glb = (
+        struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(js) + 8 + len(bin_chunk))
+        + struct.pack("<II", len(js), 0x4E4F534A) + js
+        + struct.pack("<II", len(bin_chunk), 0x004E4942) + bin_chunk
+    )
+    p = tmp_path / "t.glb"
+    p.write_bytes(glb)
+    scene = load_scene(str(p))
+    assert scene.num_triangles == 1
+    np.testing.assert_allclose(scene.e1[0], [1, 0, 0])
+
+
+def test_strided_positions(tmp_path):
+    doc, blob = _tri_gltf_json(byte_stride=16)
+    doc["buffers"][0]["uri"] = (
+        "data:application/octet-stream;base64,"
+        + base64.b64encode(blob).decode()
+    )
+    p = tmp_path / "t.gltf"
+    p.write_text(json.dumps(doc))
+    scene = load_scene(str(p))
+    assert scene.num_triangles == 1
+    np.testing.assert_allclose(scene.e2[0], [0, 1, 0])
+
+
+def test_normalized_ubyte_colors(tmp_path):
+    doc, blob = _tri_gltf_json()
+    # append ubyte RGBA colors
+    colors = struct.pack("<12B", 255, 0, 0, 255, 0, 255, 0, 255, 0, 0, 255, 255)
+    full = blob + colors
+    doc["bufferViews"].append(
+        {"buffer": 0, "byteOffset": len(blob), "byteLength": len(colors)}
+    )
+    doc["accessors"].append(
+        {"bufferView": 2, "componentType": 5121, "count": 3, "type": "VEC4",
+         "normalized": True}
+    )
+    doc["meshes"][0]["primitives"][0]["attributes"]["COLOR_0"] = 2
+    doc["buffers"][0]["byteLength"] = len(full)
+    doc["buffers"][0]["uri"] = (
+        "data:application/octet-stream;base64,"
+        + base64.b64encode(full).decode()
+    )
+    p = tmp_path / "t.gltf"
+    p.write_text(json.dumps(doc))
+    scene = load_scene(str(p))
+    assert scene.has_color.all()
+    np.testing.assert_allclose(scene.c0[0], [1, 0, 0, 1])
+    np.testing.assert_allclose(scene.c1[0], [0, 1, 0, 1])
+
+
+def test_missing_file_raises():
+    with pytest.raises(FileNotFoundError):
+        load_gltf("/nonexistent/path.gltf")
