@@ -269,10 +269,28 @@ class EyeRenderer:
         )
 
     def _render_means(self, scene_dev, omms_np, pos, ls, key, samples, background, lights):
-        """Dispatch: Pallas kernel > culled XLA sweep > brute-force XLA."""
+        """Dispatch: sharded mesh > Pallas kernel > culled XLA > brute force."""
         from compound_ray_tpu.config import get_config
 
         backend = get_config().backend if self._backend == "auto" else self._backend
+        if (
+            len(jax.devices()) > 1
+            and not self.lighting
+            and backend in ("auto", "sharded")
+        ):
+            # multi-chip deployment: cone-culled sweep over the device mesh
+            from compound_ray_tpu.parallel.sharding import (
+                make_eye_mesh,
+                render_means_sharded_fast,
+            )
+
+            sp = 2 if len(jax.devices()) % 2 == 0 and samples % 2 == 0 else 1
+            mesh = make_eye_mesh(sample_parallel=sp)
+            return render_means_sharded_fast(
+                self.scene, scene_dev, jnp.asarray(omms_np),
+                jnp.asarray(pos), jnp.asarray(ls), key, samples, background,
+                mesh,
+            )
         if backend in ("auto", "pallas") and not self.lighting:
             from compound_ray_tpu.eye.pipeline import render_means_pallas
 
