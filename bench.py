@@ -31,10 +31,33 @@ REFERENCE_EYE = "/root/reference/data/eyes/1000-equidistant.eye"
 BASELINE_RAYS_PER_S = 1.83e9
 
 
+REFERENCE_OFSTAD = "/root/reference/data/blend-files/ofstad.blend"
+OFSTAD_TEXTURE = "/root/reference/data/ofstad-arena/ofstad_patterning.jpg"
+
+
+def _bench_eye():
+    from compound_ray_tpu.scene.eye_io import read_eye_file
+
+    if os.path.isfile(REFERENCE_EYE):
+        return read_eye_file(REFERENCE_EYE)
+    from compound_ray_tpu.testing import make_sphere_eye
+
+    return make_sphere_eye(1000, acceptance_deg=2.6)
+
+
+def _finish(r, cam):
+    from compound_ray_tpu.trace.lighting import default_lights
+
+    r.goto_camera(len(r.scene.cameras) - 1)
+    r._lights = default_lights(r.scene.aabb_min, r.scene.aabb_max)
+    center = r.scene.aabb_center()
+    cam.set_position((float(center[0]), float(center[1]) + 1.0, float(center[2])))
+    return r
+
+
 def build_renderer():
     from compound_ray_tpu.api.renderer import EyeRenderer
     from compound_ray_tpu.cameras.types import CompoundEyeCamera
-    from compound_ray_tpu.scene.eye_io import read_eye_file
 
     r = EyeRenderer(verbose=False)
     if os.path.isfile(REFERENCE_NATURAL):
@@ -46,23 +69,26 @@ def build_renderer():
         r.scene = make_big_scene(n_boxes=2000, seed=0)  # ~24k triangles
         scene_name = "procedural-24k"
 
-    if os.path.isfile(REFERENCE_EYE):
-        omms = read_eye_file(REFERENCE_EYE)
-    else:
-        from compound_ray_tpu.testing import make_sphere_eye
-
-        omms = make_sphere_eye(1000, acceptance_deg=2.6)
-
-    cam = CompoundEyeCamera("bench-eye", "single_dimension_fast", omms)
+    cam = CompoundEyeCamera("bench-eye", "single_dimension_fast", _bench_eye())
     r.scene.cameras.append(cam)
-    r.goto_camera(len(r.scene.cameras) - 1)
-    from compound_ray_tpu.trace.lighting import default_lights
+    return _finish(r, cam), scene_name
 
-    r._lights = default_lights(r.scene.aabb_min, r.scene.aabb_max)
-    # position the eye inside the scene volume
-    center = r.scene.aabb_center()
-    cam.set_position((float(center[0]), float(center[1]) + 1.0, float(center[2])))
-    return r, scene_name
+
+def build_ofstad_renderer():
+    """The eLife lab-arena benchmark scene, extracted from its .blend."""
+    from compound_ray_tpu.api.renderer import EyeRenderer
+    from compound_ray_tpu.cameras.types import CompoundEyeCamera
+    from compound_ray_tpu.scene.blend import load_blend_scene
+
+    if not (os.path.isfile(REFERENCE_OFSTAD) and os.path.isfile(OFSTAD_TEXTURE)):
+        return None
+    r = EyeRenderer(verbose=False)
+    r.scene = load_blend_scene(
+        REFERENCE_OFSTAD, textures={"Cylinder": OFSTAD_TEXTURE}
+    )
+    cam = CompoundEyeCamera("bench-eye", "single_dimension_fast", _bench_eye())
+    r.scene.cameras.append(cam)
+    return _finish(r, cam)
 
 
 def time_frames(r, samples: int, n_frames: int, warmup: int = 3):
@@ -98,6 +124,25 @@ def main():
               file=sys.stderr)
 
     headline = detail["sweep"]["3200"]["rays_per_s"]
+
+    # secondary config: the ofstad arena (2080 Ti: 1.633 ms @3200 = 1.96e9)
+    r2 = build_ofstad_renderer()
+    if r2 is not None:
+        r2.set_render_size(r2.get_current_eye_ommatidial_count(), 1)
+        detail["ofstad"] = {}
+        for s in (1, 1000, 3200):
+            mean_ms, std_ms = time_frames(r2, s, max(3, n_frames // 2))
+            detail["ofstad"][str(s)] = {
+                "frame_ms": mean_ms,
+                "rays_per_s": n_omms * s / (mean_ms / 1000.0),
+            }
+            print(f"# ofstad samples={s}: {mean_ms:.3f} ms/frame", file=sys.stderr)
+
+    detail["notes"] = (
+        "single v5e chip through the axon tunnel; fixed per-frame overhead "
+        "includes one ~26 ms tunnel round trip that a local PJRT deployment "
+        "would not pay"
+    )
     with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
 

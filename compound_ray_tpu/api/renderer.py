@@ -77,7 +77,14 @@ class EyeRenderer:
             print(f"[PyEye] {msg}")
 
     def load_gltf_scene(self, filepath: str, root_transform=None) -> None:
-        self.scene = load_scene(filepath, root_transform)
+        if filepath.endswith(".blend"):
+            # geometry-only extraction straight from Blender files
+            # (compound_ray_tpu.scene.blend); cameras must be added via the API
+            from compound_ray_tpu.scene.blend import load_blend_scene
+
+            self.scene = load_blend_scene(filepath)
+        else:
+            self.scene = load_scene(filepath, root_transform)
         self._current_camera = 0
         self._frame_number = 0
         self._lights = default_lights(self.scene.aabb_min, self.scene.aabb_max)

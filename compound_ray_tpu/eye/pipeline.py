@@ -255,7 +255,7 @@ def _shortlist_sorted(gmask, dmin_all, kmax: int):
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "kmax",
         "textured", "cull_sigmas", "want_samples", "use_cache", "tex_only",
-        "cache_shape",
+        "cache_shape", "early_exit",
     ),
 )
 def _frame_fused(
@@ -283,6 +283,7 @@ def _frame_fused(
     use_cache: bool = False,
     tex_only: bool = False,
     cache_shape: Tuple[int, int] = (0, 0),
+    early_exit: bool = False,
 ) -> jnp.ndarray:
     """One dispatch per frame: cull -> shortlist -> rays -> kernel -> shade."""
     gmask, counts, dmin_all = _cull_groups(
@@ -299,7 +300,7 @@ def _frame_fused(
         payload, scene_dev, quad_table, omms_p, position, local_space, key,
         counts, ids, dmin, samples, background, ng, g, nrb, rb_size, kmax,
         textured, want_samples, cache=cache, use_cache=use_cache,
-        tex_only=tex_only, cache_shape=cache_shape,
+        tex_only=tex_only, cache_shape=cache_shape, early_exit=early_exit,
     )
 
 
@@ -327,6 +328,7 @@ def _render_frame(
     use_cache: bool = False,
     tex_only: bool = False,
     cache_shape: Tuple[int, int] = (0, 0),
+    early_exit: bool = False,
 ) -> jnp.ndarray:
     n_pad = omms_p.shape[0]
     axis = omms_p[:, 3:6]
@@ -368,10 +370,11 @@ def _render_frame(
     out = run_tracer_kernel(
         counts, ids, dmin, payload,
         rays_p.reshape(ng * rg_pad, RAY_COMPS),
-        # per-ommatidium shortlists are short (mean ~4 clusters): the
-        # while_loop's per-iteration overhead outweighs front-to-back
-        # skipping here, so the plain fori variant wins
-        ng=ng, nrb=nrb, rb_size=rb_size, kmax=kmax, early_exit=False,
+        # early_exit is chosen per (scene, eye, pose): short shortlists
+        # (open scenes) run cheaper with the plain fori variant; wide ones
+        # (closed environments, most clusters in every cone) benefit from
+        # the front-to-back while_loop
+        ng=ng, nrb=nrb, rb_size=rb_size, kmax=kmax, early_exit=early_exit,
         tex_only=tex_only,
     )
     out = out.reshape(ng, rg_pad, RAY_COMPS)[:, :rg].reshape(n_pad, samples, 8)
@@ -471,20 +474,27 @@ def render_means_pallas(
         np.asarray(ls_np, np.float32).tobytes(),
     )
     ck = (id(scene_flat), eplan.perm.tobytes()[:64], samples, pose_sig)
-    kmax = _kmax_cache.get(ck)
-    if kmax is None:
+    cached = _kmax_cache.get(ck)
+    if cached is None:
         _, counts, _ = _cull_groups(
             omms_p, position, local_space,
             splan.half_center, splan.half_radius,
             get_config().cull_sigmas, eplan.g,
         )
-        k_needed = int(jax.device_get(jnp.max(counts)))
+        counts_h = np.asarray(jax.device_get(counts))
+        k_needed = int(counts_h.max())
         kmax = min(
             splan.num_clusters,
             max(eplan.kmax_hint, _ceil_to(max(k_needed, 1), 8)),
         )
+        # measured: the while_loop variant loses even at mean count ~9 (the
+        # ofstad arena) — per-iteration branch+scratch overhead exceeds the
+        # skipped work — so the fori kernel is used unconditionally here
+        early_exit = False
         eplan.kmax_hint = kmax  # high-water: nearby poses reuse the compile
-        _kmax_cache[ck] = kmax
+        cached = (kmax, early_exit)
+        _kmax_cache[ck] = cached
+    kmax, early_exit = cached
 
     cfg = get_config()
     use_cache = False
@@ -547,6 +557,7 @@ def render_means_pallas(
         near_mask=near_mask, cache=cache, use_cache=use_cache,
         tex_only=splan.tex_only,
         cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
+        early_exit=early_exit,
     )
     return means_p[jnp.asarray(eplan.inv_valid)]
 

@@ -1,0 +1,364 @@
+"""Minimal .blend mesh extractor (Blender 2.8x/2.9x, uncompressed).
+
+The reference ships its benchmark scenes (the ofstad arena, the test scene)
+only as .blend files plus a Blender-export workflow (data/blend-files/).
+This module reads the geometry straight out of the .blend so those scenes
+can be rendered and benchmarked without Blender: it walks the file-block
+list, parses the embedded SDNA (the file's own struct catalogue), and pulls
+`Object` world matrices + `Mesh` vertex/loop/polygon arrays, fan-
+triangulating polygons into the FlatScene soup.  Materials contribute their
+diffuse r/g/b as flat base colours.
+
+Scope: geometry + flat colours (enough for the unlit render path the
+benchmarks use).  Cameras/custom-properties still come from glTF exports.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class _Block:
+    code: str
+    sdna: int
+    count: int
+    data: bytes
+    old_ptr: int
+
+
+class BlendFile:
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            raw = f.read()
+        if raw[:2] == b"\x1f\x8b":  # gzip-compressed blend
+            import gzip
+
+            raw = gzip.decompress(raw)
+        if not raw.startswith(b"BLENDER"):
+            raise ValueError("not a .blend file")
+        self.ptr_size = 8 if raw[7:8] == b"-" else 4
+        self.little = raw[8:9] == b"v"
+        if not self.little or self.ptr_size != 8:
+            raise NotImplementedError("only 64-bit little-endian .blend files")
+        self.blocks: List[_Block] = []
+        self.by_ptr: Dict[int, _Block] = {}
+        off = 12
+        n = len(raw)
+        while off + 24 <= n:
+            code = raw[off:off + 4].rstrip(b"\0").decode("ascii", "replace")
+            size, = struct.unpack_from("<I", raw, off + 4)
+            old_ptr, = struct.unpack_from("<Q", raw, off + 8)
+            sdna, count = struct.unpack_from("<II", raw, off + 16)
+            data = raw[off + 24 : off + 24 + size]
+            b = _Block(code, sdna, count, data, old_ptr)
+            self.blocks.append(b)
+            self.by_ptr[old_ptr] = b
+            off += 24 + size
+            if code == "ENDB":
+                break
+        self._parse_dna()
+
+    # ---- SDNA ------------------------------------------------------------------
+    def _parse_dna(self) -> None:
+        dna = next(b for b in self.blocks if b.code == "DNA1").data
+        o = 0
+        assert dna[o:o + 4] == b"SDNA"
+        o += 4
+        assert dna[o:o + 4] == b"NAME"
+        o += 4
+        n_names, = struct.unpack_from("<I", dna, o)
+        o += 4
+        names = []
+        for _ in range(n_names):
+            end = dna.index(b"\0", o)
+            names.append(dna[o:end].decode())
+            o = end + 1
+        o = (o + 3) & ~3
+        assert dna[o:o + 4] == b"TYPE"
+        o += 4
+        n_types, = struct.unpack_from("<I", dna, o)
+        o += 4
+        types = []
+        for _ in range(n_types):
+            end = dna.index(b"\0", o)
+            types.append(dna[o:end].decode())
+            o = end + 1
+        o = (o + 3) & ~3
+        assert dna[o:o + 4] == b"TLEN"
+        o += 4
+        tlens = list(struct.unpack_from(f"<{n_types}H", dna, o))
+        o += 2 * n_types
+        o = (o + 3) & ~3
+        assert dna[o:o + 4] == b"STRC"
+        o += 4
+        n_structs, = struct.unpack_from("<I", dna, o)
+        o += 4
+        structs = []
+        for _ in range(n_structs):
+            t, nf = struct.unpack_from("<HH", dna, o)
+            o += 4
+            fields = []
+            for _ in range(nf):
+                ft, fn = struct.unpack_from("<HH", dna, o)
+                o += 4
+                fields.append((ft, fn))
+            structs.append((t, fields))
+        self.names = names
+        self.types = types
+        self.tlens = tlens
+        self.structs = structs
+        self.struct_by_type: Dict[str, int] = {
+            types[t]: i for i, (t, _) in enumerate(structs)
+        }
+
+    def _field_size(self, type_idx: int, name: str) -> int:
+        if name.startswith("*"):
+            base = self.ptr_size
+        elif name.startswith("("):  # function pointer
+            base = self.ptr_size
+        else:
+            base = self.tlens[type_idx]
+        mult = 1
+        while "[" in name:
+            i = name.index("[")
+            j = name.index("]", i)
+            mult *= int(name[i + 1 : j])
+            name = name[:i] + name[j + 1 :]
+        return base * mult
+
+    def layout(self, struct_name: str) -> Dict[str, Tuple[int, str, int]]:
+        """field bare-name -> (offset, type_name, byte_size)."""
+        idx = self.struct_by_type[struct_name]
+        t, fields = self.structs[idx]
+        out = {}
+        off = 0
+        for ft, fn in fields:
+            raw_name = self.names[fn]
+            size = self._field_size(ft, raw_name)
+            bare = raw_name.lstrip("*(").split("[")[0].rstrip(")")
+            out[bare] = (off, self.types[ft], size, raw_name)
+            off += size
+        return out
+
+    # ---- typed readers ---------------------------------------------------------
+    def read_ptr(self, data: bytes, off: int) -> int:
+        return struct.unpack_from("<Q", data, off)[0]
+
+    def iter_struct(self, block: _Block, struct_name: str):
+        size = self.tlens[self.struct_by_type[struct_name] and
+                          self.structs[self.struct_by_type[struct_name]][0]]
+        size = self.tlens[self.structs[self.struct_by_type[struct_name]][0]]
+        for i in range(block.count):
+            yield block.data[i * size : (i + 1) * size]
+
+
+def _object_name(fb: BlendFile, data: bytes, lay_ob, lay_id) -> str:
+    id_off = lay_ob["id"][0]
+    name_off, _, name_size, _ = lay_id["name"]
+    raw = data[id_off + name_off : id_off + name_off + name_size]
+    return raw.split(b"\0", 1)[0][2:].decode("utf-8", "replace")  # strip "OB"
+
+
+def load_blend_meshes(path: str):
+    """Extract (name, world_matrix(4,4), verts(V,3), faces(F,3), color(3),
+    face_uvs(F,3,2) or None) per mesh object."""
+    fb = BlendFile(path)
+    lay_ob = fb.layout("Object")
+    lay_id = fb.layout("ID")
+    lay_me = fb.layout("Mesh")
+    lay_mvert = fb.layout("MVert")
+    lay_mpoly = fb.layout("MPoly")
+    lay_mloop = fb.layout("MLoop")
+    lay_mat = fb.layout("Material") if "Material" in fb.struct_by_type else None
+    lay_mluv = (fb.layout("MLoopUV")
+                if "MLoopUV" in fb.struct_by_type else None)
+
+    mvert_size = fb.tlens[fb.structs[fb.struct_by_type["MVert"]][0]]
+    mpoly_size = fb.tlens[fb.structs[fb.struct_by_type["MPoly"]][0]]
+    mloop_size = fb.tlens[fb.structs[fb.struct_by_type["MLoop"]][0]]
+    mluv_size = (fb.tlens[fb.structs[fb.struct_by_type["MLoopUV"]][0]]
+                 if lay_mluv else 0)
+
+    out = []
+    for b in fb.blocks:
+        if b.code != "OB":
+            continue
+        ob_type = struct.unpack_from("<h", b.data, lay_ob["type"][0])[0]
+        if ob_type != 1:  # OB_MESH
+            continue
+        name = _object_name(fb, b.data, lay_ob, lay_id)
+        m_off = lay_ob["obmat"][0]
+        obmat = np.frombuffer(b.data, np.float32, 16, m_off).reshape(4, 4).T
+        data_ptr = fb.read_ptr(b.data, lay_ob["data"][0])
+        me = fb.by_ptr.get(data_ptr)
+        if me is None:
+            continue
+        md = me.data
+        totvert = struct.unpack_from("<i", md, lay_me["totvert"][0])[0]
+        totpoly = struct.unpack_from("<i", md, lay_me["totpoly"][0])[0]
+        totloop = struct.unpack_from("<i", md, lay_me["totloop"][0])[0]
+        if totvert == 0 or totpoly == 0:
+            continue
+        vb = fb.by_ptr.get(fb.read_ptr(md, lay_me["mvert"][0]))
+        pb = fb.by_ptr.get(fb.read_ptr(md, lay_me["mpoly"][0]))
+        lb = fb.by_ptr.get(fb.read_ptr(md, lay_me["mloop"][0]))
+        if not (vb and pb and lb):
+            continue
+
+        co_off = lay_mvert["co"][0]
+        verts = np.stack([
+            np.frombuffer(vb.data, np.float32, 3, i * mvert_size + co_off)
+            for i in range(totvert)
+        ])
+        loop_v_off = lay_mloop["v"][0]
+        loops = np.array([
+            struct.unpack_from("<i", lb.data, i * mloop_size + loop_v_off)[0]
+            for i in range(totloop)
+        ], np.int64)
+        # optional per-loop UVs
+        uvs = None
+        if lay_mluv and "mloopuv" in lay_me:
+            ub = fb.by_ptr.get(fb.read_ptr(md, lay_me["mloopuv"][0]))
+            if ub is not None:
+                uv_off = lay_mluv["uv"][0]
+                uvs = np.stack([
+                    np.frombuffer(ub.data, np.float32, 2,
+                                  i * mluv_size + uv_off)
+                    for i in range(totloop)
+                ])
+
+        ls_off = lay_mpoly["loopstart"][0]
+        tl_off = lay_mpoly["totloop"][0]
+        faces = []
+        face_uvs = [] if uvs is not None else None
+        for i in range(totpoly):
+            base = i * mpoly_size
+            lstart = struct.unpack_from("<i", pb.data, base + ls_off)[0]
+            ltot = struct.unpack_from("<i", pb.data, base + tl_off)[0]
+            poly = loops[lstart : lstart + ltot]
+            for k in range(1, ltot - 1):  # fan triangulation
+                faces.append((poly[0], poly[k], poly[k + 1]))
+                if face_uvs is not None:
+                    face_uvs.append((uvs[lstart], uvs[lstart + k],
+                                     uvs[lstart + k + 1]))
+        faces = np.array(faces, np.int64)
+        face_uvs = (np.asarray(face_uvs, np.float32)
+                    if face_uvs is not None else None)
+
+        color = np.array([0.8, 0.8, 0.8])
+        if lay_mat is not None and "mat" in lay_me:
+            matarr = fb.by_ptr.get(fb.read_ptr(md, lay_me["mat"][0]))
+            if matarr is not None and len(matarr.data) >= 8:
+                mat_block = fb.by_ptr.get(fb.read_ptr(matarr.data, 0))
+                if mat_block is not None and "r" in lay_mat:
+                    r = struct.unpack_from("<f", mat_block.data, lay_mat["r"][0])[0]
+                    g = struct.unpack_from("<f", mat_block.data, lay_mat["g"][0])[0]
+                    bl = struct.unpack_from("<f", mat_block.data, lay_mat["b"][0])[0]
+                    color = np.array([r, g, bl])
+        out.append((name, obmat, verts, faces, color, face_uvs))
+    return out
+
+
+def load_blend_scene(path: str, background: str = "simple_sky",
+                     y_up: bool = True,
+                     textures: Optional[Dict[str, str]] = None):
+    """FlatScene from a .blend (geometry + flat material colours).
+
+    `y_up` applies the glTF exporter's axis conversion (Blender Z-up ->
+    Y-up: (x, y, z) -> (x, z, -y)) so .blend extractions line up with the
+    reference's exported scenes.  `textures` maps mesh names to image paths;
+    meshes with extracted UVs get that image as their base-colour texture
+    (e.g. the ofstad arena's patterning jpg).
+    """
+    from compound_ray_tpu.scene.flat import build_scene_from_arrays
+
+    meshes = load_blend_meshes(path)
+    if not meshes:
+        raise ValueError(f"no mesh objects found in {path}")
+    all_v, all_f, all_c = [], [], []
+    off = 0
+    for name, obmat, verts, faces, color, _uvs in meshes:
+        world = verts @ obmat[:3, :3].T + obmat[:3, 3]
+        if y_up:
+            world = np.stack(
+                [world[:, 0], world[:, 2], -world[:, 1]], axis=1
+            )
+        all_v.append(world)
+        all_f.append(faces + off)
+        all_c.append(np.tile(np.append(color, 1.0).astype(np.float32),
+                             (len(world), 1)))
+        off += len(world)
+    scene = build_scene_from_arrays(
+        np.concatenate(all_v), np.concatenate(all_f),
+        vertex_colors=np.concatenate(all_c),
+        background_shader=background,
+        name=path.split("/")[-1],
+    )
+    scene.source_path = path
+
+    if textures:
+        _apply_textures(scene, meshes, textures)
+    return scene
+
+
+def _apply_textures(scene, meshes, textures: Dict[str, str]) -> None:
+    """Attach per-mesh base-colour textures using the extracted loop UVs."""
+    from PIL import Image
+
+    tri_uv0, tri_uv1, tri_uv2, tri_mat = [], [], [], []
+    datas, offs, ws, hs = [], [], [], []
+    mats_rgb = []
+    mat_tex = []
+    texel_off = 0
+    for name, _m, _v, faces, color, uvs in meshes:
+        n = len(faces)
+        mat_idx = len(mats_rgb)
+        mats_rgb.append(np.append(color, 1.0))
+        if name in textures and uvs is not None:
+            img = np.asarray(
+                Image.open(textures[name]).convert("RGBA"), np.uint8
+            ).astype(np.float32) / 255.0
+            h, w = img.shape[:2]
+            datas.append(img.reshape(-1, 4))
+            offs.append(texel_off)
+            ws.append(w)
+            hs.append(h)
+            texel_off += h * w
+            mat_tex.append(len(offs) - 1)
+            tri_uv0.append(uvs[:, 0])
+            tri_uv1.append(uvs[:, 1])
+            tri_uv2.append(uvs[:, 2])
+        else:
+            mat_tex.append(-1)
+            z = np.zeros((n, 2), np.float32)
+            tri_uv0.append(z)
+            tri_uv1.append(z)
+            tri_uv2.append(z)
+        tri_mat.append(np.full(n, mat_idx, np.int32))
+
+    scene.uv0 = np.concatenate(tri_uv0)
+    scene.uv1 = np.concatenate(tri_uv1)
+    scene.uv2 = np.concatenate(tri_uv2)
+    scene.has_uv = np.ones(scene.num_triangles, bool)
+    scene.mat_id = np.concatenate(tri_mat)
+    scene.mat_base_color = np.stack(mats_rgb).astype(np.float32)
+    scene.mat_metallic = np.zeros(len(mats_rgb), np.float32)
+    scene.mat_roughness = np.full(len(mats_rgb), 0.5, np.float32)
+    scene.mat_tex = np.asarray(mat_tex, np.int32)
+    # textured meshes should not use flat vertex colours
+    scene.has_color = np.asarray(scene.mat_tex[scene.mat_id] < 0)         & scene.has_color
+    if datas:
+        scene.tex_data = np.concatenate(datas)
+        scene.tex_offset = np.asarray(offs, np.int32)
+        scene.tex_width = np.asarray(ws, np.int32)
+        scene.tex_height = np.asarray(hs, np.int32)
+        scene.tex_wrap_s = np.zeros(len(offs), np.int32)
+        scene.tex_wrap_t = np.zeros(len(offs), np.int32)
+        scene.tex_filter = np.ones(len(offs), np.int32)
+    scene._device_cache = None
+    scene._accel_cache = None

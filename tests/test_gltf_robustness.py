@@ -140,3 +140,39 @@ def test_normalized_ubyte_colors(tmp_path):
 def test_missing_file_raises():
     with pytest.raises(FileNotFoundError):
         load_gltf("/nonexistent/path.gltf")
+
+
+def test_blend_extraction():
+    """.blend mesh extractor (compound_ray_tpu.scene.blend) against the
+    shipped Blender sources of the reference scenes."""
+    import os
+
+    path = "/root/reference/data/blend-files/test-scene.blend"
+    if not os.path.isfile(path):
+        pytest.skip("reference blend files unavailable")
+    from compound_ray_tpu.scene.blend import load_blend_meshes, load_blend_scene
+
+    meshes = load_blend_meshes(path)
+    names = sorted(m[0] for m in meshes)
+    assert names == ["Cube", "Suzanne"]
+    scene = load_blend_scene(path)
+    assert scene.num_triangles == 980  # matches the glTF export
+    # Y-up conversion keeps the ground plane at y >= -1 like the glTF
+    assert scene.aabb_min[1] >= -1.01
+
+
+def test_blend_ofstad_textured():
+    import os
+
+    path = "/root/reference/data/blend-files/ofstad.blend"
+    tex = "/root/reference/data/ofstad-arena/ofstad_patterning.jpg"
+    if not (os.path.isfile(path) and os.path.isfile(tex)):
+        pytest.skip("reference blend files unavailable")
+    from compound_ray_tpu.scene.blend import load_blend_scene
+
+    scene = load_blend_scene(path, textures={"Cylinder": tex})
+    assert scene.num_triangles == 1032
+    assert scene.has_any_texture
+    assert scene.has_uv.all()
+    # arena cylinder triangles reference the patterning texture
+    assert (scene.mat_tex[scene.mat_id] >= 0).sum() > 1000
