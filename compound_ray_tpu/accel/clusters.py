@@ -39,10 +39,12 @@ class ClusterSet:
     # bounding sphere per cluster (for the angular cull test)
     sphere_center: np.ndarray  # (C, 3)
     sphere_radius: np.ndarray  # (C,)
-    # two half-spheres per cluster (split along the longest axis): tighter
-    # angular culling for elongated clusters (e.g. thin ground slabs)
-    half_center: np.ndarray = None  # (C, 2, 3)
-    half_radius: np.ndarray = None  # (C, 2)
+    # sub-spheres per cluster (recursive median splits): tighter angular
+    # culling for elongated/curved clusters.  H=2 for large scenes (cull cost
+    # scales with C*H); H=8 for small-cluster-count scenes (closed arenas)
+    # where fine granularity is what makes culling work at all.
+    half_center: np.ndarray = None  # (C, H, 3)
+    half_radius: np.ndarray = None  # (C, H)
 
     _device_cache: Optional[Dict[str, Any]] = field(default=None, repr=False)
 
@@ -110,7 +112,7 @@ def build_clusters(
             sphere_center=np.zeros((1, 3), np.float32),
             sphere_radius=np.zeros(1, np.float32),
             half_center=np.zeros((1, 2, 3), np.float32),
-            half_radius=np.zeros((1, 2), np.float32),
+            half_radius=np.zeros((1, 2), np.float32),  # H=2 trivial case
         )
 
     p1 = v0 + e1
@@ -142,8 +144,10 @@ def build_clusters(
     tri_id = np.full((c, leaf_size), -1, np.int32)
     amin = np.zeros((c, 3), np.float32)
     amax = np.zeros((c, 3), np.float32)
-    half_center = np.zeros((c, 2, 3), np.float32)
-    half_radius = np.zeros((c, 2), np.float32)
+    # fine sub-spheres for small scenes; coarse for big ones (cull cost ~ C*H)
+    n_half = 8 if c <= 64 else 2
+    half_center = np.zeros((c, n_half, 3), np.float32)
+    half_radius = np.zeros((c, n_half), np.float32)
 
     centroids_all = (v0 + p1 + p2) / 3.0
     for i, leaf in enumerate(leaves):
@@ -155,15 +159,24 @@ def build_clusters(
         pts = np.concatenate([v0[leaf], p1[leaf], p2[leaf]])
         amin[i] = pts.min(axis=0)
         amax[i] = pts.max(axis=0)
-        # half-spheres: split the leaf's triangles at the centroid median of
-        # the widest axis; each half's AABB -> bounding sphere
+        # sub-spheres: recursive median splits along the locally widest
+        # centroid axis down to n_half parts
         cen = centroids_all[leaf]
-        axis = int(np.argmax(cen.max(axis=0) - cen.min(axis=0))) if k > 1 else 0
-        order = np.argsort(cen[:, axis], kind="stable")
-        for hi, half in enumerate((order[: max(k // 2, 1)], order[k // 2:])):
-            if len(half) == 0:
-                half = order[:1]
-            sel = leaf[half]
+
+        def split2(sel_idx):
+            if len(sel_idx) <= 1:
+                return [sel_idx, sel_idx]
+            cc = cen[sel_idx]
+            ax = int(np.argmax(cc.max(axis=0) - cc.min(axis=0)))
+            order = sel_idx[np.argsort(cc[:, ax], kind="stable")]
+            h = max(len(order) // 2, 1)
+            return [order[:h], order[h:] if len(order) > h else order[:1]]
+
+        parts = [np.arange(k)]
+        while len(parts) < n_half:
+            parts = [q for p_ in parts for q in split2(p_)]
+        for hi, part in enumerate(parts):
+            sel = leaf[part]
             hp = np.concatenate([v0[sel], p1[sel], p2[sel]])
             hmin, hmax = hp.min(axis=0), hp.max(axis=0)
             half_center[i, hi] = (hmin + hmax) / 2.0

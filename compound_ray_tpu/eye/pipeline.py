@@ -83,6 +83,11 @@ def scene_plan(scene_flat) -> ScenePlan:
     key = id(scene_flat)
     plan = _scene_plans.get(key)
     if plan is None:
+        # NOTE: subdividing oversized triangles (scene.flat.
+        # subdivide_large_triangles) was evaluated here for the closed-arena
+        # case: it tightens cluster bounds but does NOT reduce tests/ray —
+        # at close range every cluster is angularly large regardless, so the
+        # arena needs per-packet traversal (PLAN.md) rather than finer soup.
         cs = build_clusters(scene_flat.v0, scene_flat.e1, scene_flat.e2,
                             leaf_size=KERNEL_LEAF)
         payload = build_kernel_payload(

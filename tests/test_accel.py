@@ -126,3 +126,32 @@ def test_eye_world_geometry_focal_retraction():
     )
     np.testing.assert_allclose(np.asarray(apex)[0], [11.0, 0.0, -0.5], atol=1e-6)
     np.testing.assert_allclose(np.asarray(axis)[0], [0.0, 0.0, 1.0], atol=1e-6)
+
+
+def test_subdivide_large_triangles_preserves_shading():
+    """Subdivision must be render-exact: same hits, same interpolated
+    attributes (barycentric interpolation is affine)."""
+    import jax
+
+    from compound_ray_tpu.scene.flat import subdivide_large_triangles
+    from compound_ray_tpu.testing import make_box_scene
+    from compound_ray_tpu.trace.intersect import intersect_rays
+    from compound_ray_tpu.trace.shade import shade_rays
+
+    scene = make_box_scene()
+    sub = subdivide_large_triangles(scene, 3.0)
+    assert sub.num_triangles > scene.num_triangles
+    d1, d2 = scene.device_triangles(), sub.device_triangles()
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(-8, 8, (64, 3)), jnp.float32)
+    dr = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+    h1 = intersect_rays(o, dr, d1["v0"], d1["e1"], d1["e2"], 0.0, 1e16)
+    h2 = intersect_rays(o, dr, d2["v0"], d2["e1"], d2["e2"], 0.0, 1e16)
+    np.testing.assert_array_equal(np.asarray(h1["hit"]), np.asarray(h2["hit"]))
+    np.testing.assert_allclose(
+        np.asarray(h1["t"])[np.asarray(h1["hit"])],
+        np.asarray(h2["t"])[np.asarray(h2["hit"])], rtol=1e-4,
+    )
+    r1 = np.asarray(shade_rays(d1, dr, h1, background=2))
+    r2 = np.asarray(shade_rays(d2, dr, h2, background=2))
+    np.testing.assert_allclose(r1, r2, atol=1e-5)
