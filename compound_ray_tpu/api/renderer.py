@@ -114,12 +114,16 @@ class EyeRenderer:
 
     # ------------------------------------------------------------------ render
     def _scene_dev(self):
-        assert self.scene is not None, "no scene loaded"
+        if self.scene is None:
+            raise RuntimeError("no scene loaded (call loadGlTFscene first)")
         return self.scene.device_triangles()
 
     def render_frame(self) -> float:
         """Render; returns wall milliseconds (renderFrame, libEyeRenderer.cpp:279-293)."""
-        assert self.scene is not None, "no scene loaded"
+        if self.scene is None:
+            raise RuntimeError("renderFrame: no scene loaded (call loadGlTFscene)")
+        if not self.scene.cameras:
+            raise RuntimeError("renderFrame: the scene has no cameras")
         t0 = time.perf_counter()
         cam = self.current_camera()
         scene_dev = self._scene_dev()

@@ -219,6 +219,9 @@ class EyeRendererShim:
     def _impl_getCurrentEyeDataPath(self):
         return self._r.get_current_eye_data_path()
 
+    def _impl_getEyeDataPath(self):
+        return self._r.get_eye_data_path()
+
     def _impl_setCurrentEyeShaderName(self, name):
         self._r.set_current_eye_shader_name(_unwrap(name))
 

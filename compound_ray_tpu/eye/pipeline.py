@@ -147,6 +147,8 @@ class EyePlan:
     rb_size: int
     nrb: int
     kmax_hint: int = 8
+    omms_p_dev: Any = None  # cached device copy of the permuted eye
+    inv_valid_dev: Any = None
 
 
 _eye_plans: Dict[Tuple, EyePlan] = {}
@@ -466,7 +468,10 @@ def render_means_pallas(
     compiled kernel)."""
     splan = scene_plan(scene_flat)
     eplan = eye_plan(ommatidia_np, samples)
-    omms_p = jnp.asarray(ommatidia_np[eplan.perm])
+    if eplan.omms_p_dev is None:
+        eplan.omms_p_dev = jnp.asarray(ommatidia_np[eplan.perm])
+        eplan.inv_valid_dev = jnp.asarray(eplan.inv_valid)
+    omms_p = eplan.omms_p_dev
 
     # keep the pose on the host for the cache key: np.asarray on a device
     # array is a blocking transfer (~26 ms through the axon tunnel)
@@ -564,7 +569,7 @@ def render_means_pallas(
         cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
         early_exit=early_exit,
     )
-    return means_p[jnp.asarray(eplan.inv_valid)]
+    return means_p[eplan.inv_valid_dev]
 
 
 def render_samples_pallas(
@@ -582,7 +587,10 @@ def render_samples_pallas(
     compound sample buffer layout: sample s of ommatidium o at row s)."""
     splan = scene_plan(scene_flat)
     eplan = eye_plan(ommatidia_np, samples)
-    omms_p = jnp.asarray(ommatidia_np[eplan.perm])
+    if eplan.omms_p_dev is None:
+        eplan.omms_p_dev = jnp.asarray(ommatidia_np[eplan.perm])
+        eplan.inv_valid_dev = jnp.asarray(eplan.inv_valid)
+    omms_p = eplan.omms_p_dev
 
     _, counts, _ = _cull_groups(
         omms_p, position, local_space,
@@ -606,7 +614,7 @@ def render_samples_pallas(
         cull_sigmas=get_config().cull_sigmas, want_samples=True,
         tex_only=splan.tex_only,
     )  # (Np, S, 3)
-    return jnp.transpose(raw_p[jnp.asarray(eplan.inv_valid)], (1, 0, 2))
+    return jnp.transpose(raw_p[eplan.inv_valid_dev], (1, 0, 2))
 
 
 # --------------------------------------------------------------- far field

@@ -14,10 +14,13 @@ Layout (chosen for the VPU's (8, 128) registers):
   * per-group cluster shortlists are ragged: counts come in via scalar
     prefetch, cluster ids + conservative min-distances are DMA'd to SMEM,
     payloads are DMA'd to a VMEM scratch resident across the group's ray
-    blocks (re-loaded only when the grid moves to a new group).
-  * clusters arrive sorted front-to-back; a while_loop stops as soon as every
-    ray in the batch has a hit closer than the next cluster's lower distance
-    bound — the vectorised equivalent of BVH early-exit.
+    blocks (re-loaded only when the grid moves to a new group); groups with
+    empty shortlists skip all work (the epilogue masks them by count).
+  * clusters arrive sorted front-to-back; an optional early-exit variant
+    (scratch-resident winner state + while_loop) stops once every ray in a
+    batch has a hit closer than the next cluster's bound — measured useful
+    for wide shortlists (cache tiles, camera images), while short per-
+    ommatidium shortlists run cheaper on the plain fori variant.
 
 Intersection is the Plücker side-product form (trace.plucker).  The kernel
 carries the running winner's interpolated payload (rgb, uv, texid, lin) per
@@ -25,7 +28,7 @@ ray, so the XLA epilogue only has to: apply the vertex-colour linearisation,
 sample the texture atlas for textured winners, substitute the miss shader
 for t == inf, and reduce means.
 
-Triangle payload rows (40 components):
+Triangle payload rows (44 components):
    0-17  edge Plücker 6-vectors (e0, e1, e2), edge i opposite vertex i
   18-20  n = e1 x e2
   21     c0 = v0 . n
@@ -34,6 +37,10 @@ Triangle payload rows (40 components):
   32-37  corner UVs
   38     texture id (-1 = none)
   39     valid (0.0 = padding)
+  40-43  cluster bounding sphere (cx cy cz r), replicated across the row
+
+Fully-textured scenes use a trimmed variant carrying only (t, u, v, texid)
+through the winner reduction (tex_only).
 """
 
 from __future__ import annotations
@@ -53,7 +60,7 @@ RAY_COMPS = 8  # dx dy dz ox oy oz tmin pad
 
 
 def build_kernel_payload(scene: Dict[str, Any], cluster_set) -> np.ndarray:
-    """(C, 40, 128) float32 payload from a ClusterSet with leaf KERNEL_LEAF."""
+    """(C, 44, 128) float32 payload from a ClusterSet with leaf KERNEL_LEAF."""
     from compound_ray_tpu.trace.plucker import triangle_constants
 
     c, l = cluster_set.tri_id.shape
