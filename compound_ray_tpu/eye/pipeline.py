@@ -74,14 +74,14 @@ class ScenePlan:
     sphere_center_np: np.ndarray = None  # host copies for far-field split
     sphere_radius_np: np.ndarray = None
     tex_only: bool = False  # every triangle textured, no vertex colours
-
-
-_scene_plans: Dict[int, ScenePlan] = {}
+    # per-plan caches (kept on the plan, NOT keyed by id(scene): CPython
+    # recycles object ids after GC, which would alias stale plans)
+    kmax_cache: Dict = None
+    cache_store: Dict = None
 
 
 def scene_plan(scene_flat) -> ScenePlan:
-    key = id(scene_flat)
-    plan = _scene_plans.get(key)
+    plan = getattr(scene_flat, "_kernel_plan", None)
     if plan is None:
         # NOTE: subdividing oversized triangles (scene.flat.
         # subdivide_large_triangles) was evaluated here for the closed-arena
@@ -128,8 +128,10 @@ def scene_plan(scene_flat) -> ScenePlan:
             sphere_center_np=np.asarray(cs.sphere_center),
             sphere_radius_np=np.asarray(cs.sphere_radius),
             tex_only=tex_only,
+            kmax_cache={},
+            cache_store={},
         )
-        _scene_plans[key] = plan
+        scene_flat._kernel_plan = plan
     return plan
 
 
@@ -445,6 +447,9 @@ def _render_frame(
     return jnp.mean(rgb, axis=1)  # (Np,3)
 
 
+# NOTE: plan/kmax/cache stores live on the FlatScene/ScenePlan objects (see
+# scene_plan) to avoid id-recycling aliasing; these module dicts remain only
+# for tests that clear state between configurations.
 _kmax_cache: Dict[Tuple, int] = {}
 _cache_store: Dict[Tuple, jnp.ndarray] = {}
 
@@ -483,8 +488,8 @@ def render_means_pallas(
         np.asarray(pos_np, np.float32).tobytes(),
         np.asarray(ls_np, np.float32).tobytes(),
     )
-    ck = (id(scene_flat), eplan.perm.tobytes()[:64], samples, pose_sig)
-    cached = _kmax_cache.get(ck)
+    ck = (eplan.perm.tobytes()[:64], samples, pose_sig)
+    cached = splan.kmax_cache.get(ck)
     if cached is None:
         _, counts, _ = _cull_groups(
             omms_p, position, local_space,
@@ -503,7 +508,7 @@ def render_means_pallas(
         early_exit = False
         eplan.kmax_hint = kmax  # high-water: nearby poses reuse the compile
         cached = (kmax, early_exit)
-        _kmax_cache[ck] = cached
+        splan.kmax_cache[ck] = cached
     kmax, early_exit = cached
 
     cfg = get_config()
@@ -530,11 +535,10 @@ def render_means_pallas(
                 # background) — NOT on samples or the RNG — so it is
                 # memoised and reused across frames at a fixed pose
                 cache_key = (
-                    id(scene_flat),
                     np.asarray(center_np, np.float32).tobytes(),
                     cfg.farfield_cache_width, background, d_thresh,
                 )
-                cache = _cache_store.get(cache_key)
+                cache = splan.cache_store.get(cache_key)
                 if cache is None:
                     cache = _render_cache(
                         splan.payload, scene_dev, splan.quad_table,
@@ -553,9 +557,9 @@ def render_means_pallas(
                             [splan.quad_table,
                              cache.reshape(-1, 16)], axis=0
                         )
-                    if len(_cache_store) > 64:  # bound memory for pose sweeps
-                        _cache_store.clear()
-                    _cache_store[cache_key] = cache
+                    if len(splan.cache_store) > 64:  # bound for pose sweeps
+                        splan.cache_store.clear()
+                    splan.cache_store[cache_key] = cache
 
     means_p = _frame_fused(
         splan.payload, scene_dev, splan.quad_table,

@@ -150,3 +150,39 @@ def make_textured_quad_scene(tex_size: int = 8,
     scene.mat_tex = np.array([0], np.int32)
     scene._device_cache = None
     return scene
+
+
+def make_two_texture_scene(background: str = "black") -> FlatScene:
+    """Two floor quads side by side, each with its OWN texture (different
+    sizes) — exercises multi-texture atlas indexing in every backend."""
+    verts = np.array(
+        [[-20, 0, -10], [0, 0, -10], [0, 0, 10], [-20, 0, 10],   # left quad
+         [0, 0, -10], [20, 0, -10], [20, 0, 10], [0, 0, 10]],    # right quad
+        np.float64,
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int64)
+    scene = build_scene_from_arrays(verts, faces, background_shader=background,
+                                    name="two-tex")
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]] * 2, np.float32)
+    scene.uv0 = uvs[faces[:, 0]]
+    scene.uv1 = uvs[faces[:, 1]]
+    scene.uv2 = uvs[faces[:, 2]]
+    scene.has_uv = np.ones(4, bool)
+
+    # texture 0: solid red 4x4; texture 1: solid blue 8x8
+    t0 = np.tile(np.array([1, 0, 0, 1], np.float32), (16, 1))
+    t1 = np.tile(np.array([0, 0, 1, 1], np.float32), (64, 1))
+    scene.tex_data = np.concatenate([t0, t1])
+    scene.tex_offset = np.array([0, 16], np.int32)
+    scene.tex_width = np.array([4, 8], np.int32)
+    scene.tex_height = np.array([4, 8], np.int32)
+    scene.tex_wrap_s = np.zeros(2, np.int32)
+    scene.tex_wrap_t = np.zeros(2, np.int32)
+    scene.tex_filter = np.ones(2, np.int32)
+    scene.mat_base_color = np.array([[1, 1, 1, 1], [1, 1, 1, 1]], np.float32)
+    scene.mat_metallic = np.zeros(2, np.float32)
+    scene.mat_roughness = np.full(2, 0.5, np.float32)
+    scene.mat_tex = np.array([0, 1], np.int32)
+    scene.mat_id = np.array([0, 0, 1, 1], np.int32)
+    scene._device_cache = None
+    return scene

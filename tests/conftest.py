@@ -16,8 +16,14 @@ import jax  # noqa: E402
 # var — override back to CPU explicitly so tests run on the virtual 8-device
 # host mesh
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/cr_tpu_jax_cache")
+# platform-specific cache dir: sharing with TPU runs poisoned the CPU cache
+# with AOT artifacts built for different machine features (SIGILL/miscompute)
+jax.config.update("jax_compilation_cache_dir", "/tmp/cr_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# XLA-level AOT cache entries reload with mismatched machine-feature flags
+# on CPU ("prefer-no-gather" etc.) and MISCOMPILE gather-heavy code; keep
+# only the jaxpr-level cache
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -202,15 +202,17 @@ def test_farfield_cache_fidelity():
         cr_config.set_config(hybrid_cfg)
         from compound_ray_tpu.eye import pipeline as P
 
-        P._kmax_cache.clear()
+        if hasattr(scene, "_kernel_plan"):
+            scene._kernel_plan.kmax_cache.clear()
+            scene._kernel_plan.cache_store.clear()
         hybrid = np.asarray(
             render_means_pallas(scene, dev, omms_np, pos, ls, key, s, 3)
         )
     finally:
         cr_config.set_config(cr_config.RenderConfig())
-        from compound_ray_tpu.eye import pipeline as P
-
-        P._kmax_cache.clear()
+        if hasattr(scene, "_kernel_plan"):
+            scene._kernel_plan.kmax_cache.clear()
+            scene._kernel_plan.cache_store.clear()
     # same RNG stream -> same rays; differences come only from far-field
     # cache resolution + parallax, bounded well under the 1% budget
     err = np.abs(hybrid - direct).mean()
@@ -245,3 +247,55 @@ def test_tex_only_kernel_matches_oracle():
     )
     np.testing.assert_allclose(got, ref, atol=2e-4)
     assert got.max() > 0.3  # actually sampled the checker
+
+
+def test_multi_texture_atlas_all_backends():
+    """Per-ray texture ids select the right atlas rows in the naive path,
+    the Pallas epilogue, AND the unified texture+cache gather."""
+    import dataclasses
+
+    from compound_ray_tpu import config as cr_config
+    from compound_ray_tpu.scene.eye_io import Ommatidium
+    from compound_ray_tpu.testing import make_two_texture_scene
+
+    scene = make_two_texture_scene()
+    dev = scene.device_triangles()
+    omms = []
+    for x in (-10.0, 10.0):  # one omm over each quad
+        omms.append(Ommatidium(np.array([x / 100.0, 0.0, 0.0]),
+                               np.array([0.0, -1.0, 0.0]), 1e-6, 0.0))
+    omms_np = ommatidia_to_array(omms * 8)  # 16 omms alternating
+    pos = jnp.asarray([0.0, 5.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    ref = np.asarray(
+        render_compound_means(dev, jnp.asarray(omms_np), pos, ls, key, 2, 2)
+    )
+    got = np.asarray(render_means_pallas(scene, dev, omms_np, pos, ls, key, 2, 2))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+    left = omms_np[:, 0] < 0
+    red = np.broadcast_to([1.0, 0.0, 0.0], got[left].shape)
+    blue = np.broadcast_to([0.0, 0.0, 1.0], got[~left].shape)
+    np.testing.assert_allclose(got[left], red, atol=1e-4)    # red tex
+    np.testing.assert_allclose(got[~left], blue, atol=1e-4)  # blue tex
+
+    # force the unified texture+cache gather (tiny cache, low gate)
+    base = cr_config.RenderConfig(farfield="auto", farfield_cache_width=128,
+                                  farfield_tolerance=5.0)
+    cr_config.set_config(base)
+    try:
+        if hasattr(scene, "_kernel_plan"):
+            scene._kernel_plan.kmax_cache.clear()
+            scene._kernel_plan.cache_store.clear()
+        # need samples*n >= cache px (8192): 16 omms * 512 samples
+        got2 = np.asarray(
+            render_means_pallas(scene, dev, omms_np, pos, ls, key, 512, 2)
+        )
+    finally:
+        cr_config.set_config(cr_config.RenderConfig())
+        if hasattr(scene, "_kernel_plan"):
+            scene._kernel_plan.kmax_cache.clear()
+            scene._kernel_plan.cache_store.clear()
+    np.testing.assert_allclose(got2[left], red, atol=1e-3)
+    np.testing.assert_allclose(got2[~left], blue, atol=1e-3)
