@@ -78,6 +78,14 @@ def parse_eye_file(path: str) -> Optional[np.ndarray]:
     count = ctypes.c_int()
     rc = lib.cr_parse_eye_file(path.encode(), ctypes.byref(data),
                                ctypes.byref(count))
+    if rc == -4:
+        raise ValueError(
+            f"{path}: line {count.value} is not a valid .eye row "
+            "(expected 7 or 8 space-separated numbers: pos dir angle "
+            "[focal_offset])"
+        )
+    if rc == -2:
+        raise ValueError(f"{path}: no ommatidia found (empty .eye file)")
     if rc != 0:
         return None
     try:

@@ -59,28 +59,48 @@ def array_to_ommatidia(arr: np.ndarray) -> List[Ommatidium]:
 def read_eye_file(path: str) -> List[Ommatidium]:
     """Parse a .eye CSV file into Ommatidium records.
 
+    Accepts the 8-field format (eye-specification.txt) and the legacy 7-field
+    format the reference's eyeGenerator still writes (eyeGenerator/main.cpp:78,
+    data/eyes/old-eye-specification/) — a missing focal-point offset reads 0.
+    Raises ValueError with the offending line for anything else.
+
     Uses the native parser (native/compoundray_native.cpp) when built, like
-    the reference's C++ loader; falls back to pure Python."""
+    the reference's C++ loader; falls back to pure Python with identical
+    behaviour."""
     try:
         from compound_ray_tpu import native_ext
-
+    except Exception:
+        native_ext = None
+    if native_ext is not None:
         arr = native_ext.parse_eye_file(path)
         if arr is not None:
             return array_to_ommatidia(arr)
-    except Exception:
-        pass
     out: List[Ommatidium] = []
     with open(path) as f:
-        for line in f:
+        for line_no, line in enumerate(f, start=1):
             line = line.strip()
             if not line:
                 continue
-            vals = [float(x) for x in line.split()]
+            vals = []
+            for tok in line.split():
+                try:
+                    vals.append(float(tok))
+                except ValueError:
+                    break  # stop at the first non-numeric token, like strtof
+            if len(vals) < 7:
+                raise ValueError(
+                    f"{path}: line {line_no} is not a valid .eye row "
+                    "(expected 7 or 8 space-separated numbers: pos dir angle "
+                    "[focal_offset])"
+                )
+            focal = vals[7] if len(vals) >= 8 else 0.0
             out.append(
                 Ommatidium(
-                    np.array(vals[0:3]), np.array(vals[3:6]), vals[6], vals[7]
+                    np.array(vals[0:3]), np.array(vals[3:6]), vals[6], focal
                 )
             )
+    if not out:
+        raise ValueError(f"{path}: no ommatidia found (empty .eye file)")
     return out
 
 

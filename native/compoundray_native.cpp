@@ -34,6 +34,11 @@ void cr_free(void* p) { std::free(p); }
 
 // ---------------------------------------------------------------- eye files
 // Returns 0 on success; *out_data is malloc'd (n*8 floats), caller cr_free's.
+// Accepts both the current 8-field format and the legacy 7-field format the
+// reference's own eyeGenerator still writes (eyeGenerator/main.cpp:78,
+// data/eyes/old-eye-specification/): a missing focal-point offset reads 0.
+// A non-empty line with fewer than 7 numbers is malformed: returns -4 with
+// *out_count set to its 1-based line number.
 int cr_parse_eye_file(const char* path, float** out_data, int* out_count) {
     std::ifstream f(path);
     if (!f.is_open()) return -1;
@@ -41,18 +46,23 @@ int cr_parse_eye_file(const char* path, float** out_data, int* out_count) {
     rows.reserve(8192);
     std::string line;
     int count = 0;
+    int line_no = 0;
     while (std::getline(f, line)) {
-        if (line.empty()) continue;
+        ++line_no;
+        if (line.find_first_not_of(" \t\r\n") == std::string::npos) continue;
         const char* s = line.c_str();
         char* end = nullptr;
-        float vals[8];
+        float vals[8] = {0, 0, 0, 0, 0, 0, 0, 0};
         int got = 0;
         for (; got < 8; ++got) {
             vals[got] = std::strtof(s, &end);
             if (end == s) break;
             s = end;
         }
-        if (got < 8) continue;  // malformed line: skip (parser robustness)
+        if (got < 7) {  // garbage line: report it instead of silently skipping
+            *out_count = line_no;
+            return -4;
+        }
         rows.insert(rows.end(), vals, vals + 8);
         ++count;
     }

@@ -21,6 +21,75 @@ def test_parse_eye_file(tmp_path):
     np.testing.assert_allclose(arr[1], [-1, 0, 0, 0, 1, 0, 0.2, 0.0])
 
 
+def _legacy_eye_cases(tmp_path):
+    """Fixture files for the legacy 7-field format and garbage handling."""
+    legacy = tmp_path / "legacy.eye"
+    # the reference's own eyeGenerator still writes 7-field rows
+    # (eyeGenerator/main.cpp:78, data/eyes/old-eye-specification/)
+    legacy.write_text(
+        "0.1 0.2 0.3 0 0 1 0.045378561\n"
+        "\n"
+        "-0.1 0 0 0 1 0 0.045378561\n"
+    )
+    garbage = tmp_path / "garbage.eye"
+    garbage.write_text("0.1 0.2 0.3 0 0 1 0.5 0.0\nnot an eye row\n")
+    empty = tmp_path / "empty.eye"
+    empty.write_text("\n\n")
+    return str(legacy), str(garbage), str(empty)
+
+
+def test_legacy_eye_python_fallback(tmp_path, monkeypatch):
+    import compound_ray_tpu.scene.eye_io as eye_io
+
+    legacy, garbage, empty = _legacy_eye_cases(tmp_path)
+    # force the pure-Python path
+    monkeypatch.setattr(
+        "compound_ray_tpu.native_ext.parse_eye_file", lambda p: None
+    )
+    omms = eye_io.read_eye_file(legacy)
+    assert len(omms) == 2
+    assert omms[0].acceptance_angle == pytest.approx(0.045378561)
+    assert omms[0].focal_point_offset == 0.0
+    with pytest.raises(ValueError, match="line 2"):
+        eye_io.read_eye_file(garbage)
+    with pytest.raises(ValueError, match="no ommatidia"):
+        eye_io.read_eye_file(empty)
+
+
+@needs_native
+def test_legacy_eye_native_matches_python(tmp_path):
+    from compound_ray_tpu.scene.eye_io import ommatidia_to_array, read_eye_file
+
+    legacy, garbage, empty = _legacy_eye_cases(tmp_path)
+    arr = native_ext.parse_eye_file(legacy)
+    assert arr.shape == (2, 8)
+    np.testing.assert_allclose(
+        arr[0], [0.1, 0.2, 0.3, 0, 0, 1, 0.045378561, 0.0], atol=1e-7
+    )
+    # read_eye_file (native-first) agrees with the pure-Python rows
+    np.testing.assert_allclose(
+        ommatidia_to_array(read_eye_file(legacy)), arr, atol=1e-7
+    )
+    with pytest.raises(ValueError, match="line 2"):
+        native_ext.parse_eye_file(garbage)
+    with pytest.raises(ValueError, match="no ommatidia"):
+        native_ext.parse_eye_file(empty)
+
+
+@needs_native
+def test_reference_legacy_eye_files():
+    import os
+
+    path = "/root/reference/data/eyes/old-eye-specification/test100-avgRadius-0.1.eye"
+    if not os.path.isfile(path):
+        pytest.skip("reference legacy eye data not available")
+    from compound_ray_tpu.scene.eye_io import read_eye_file
+
+    omms = read_eye_file(path)
+    assert len(omms) == 100
+    assert all(o.focal_point_offset == 0.0 for o in omms)
+
+
 @needs_native
 def test_parse_eye_matches_python(tmp_path):
     from compound_ray_tpu.scene.eye_io import (
