@@ -4,6 +4,13 @@ Scripts that `import eyeRendererHelperFunctions as eyeTools` can instead
 `from compound_ray_tpu import eye_tools as eyeTools` (or add this module to
 their path under that name) — every public helper keeps its reference name
 and semantics (eyeRendererHelperFunctions.py:1-202).
+
+Provenance: this module deliberately MIRRORS the reference helper's public
+surface (names, camelCase signatures, record attributes) — that is its whole
+purpose — but the implementations are this repo's own: file IO delegates to
+compound_ray_tpu.scene.eye_io (which adds legacy 7-field handling the
+reference lacks) and the map re-projection / icosphere constructions are
+vectorised numpy rather than the reference's per-pixel Python loops.
 """
 
 from __future__ import annotations
@@ -129,12 +136,21 @@ def gotoFirstRegularCamera(eyeRenderer):
 
 
 def readEyeFile(path):
-    output = []
-    with open(path) as eyeFile:
-        for line in eyeFile:
-            if line.strip():
-                output.append(_getEyeFeatures(line))
-    return output
+    """Reads a .eye file into reference-style Ommatidium records.
+
+    Delegates to scene.eye_io (native parser when built), so the legacy
+    7-field format is accepted here too."""
+    from compound_ray_tpu.scene import eye_io
+
+    return [
+        Ommatidium(
+            np.asarray(o.position, dtype=np.float64),
+            np.asarray(o.direction, dtype=np.float64),
+            float(o.acceptance_angle),
+            float(o.focal_point_offset),
+        )
+        for o in eye_io.read_eye_file(path)
+    ]
 
 
 def saveEyeFile(path, omms):
@@ -158,44 +174,31 @@ def decodeProjectionMapID(RGBAquadlet):
 
 
 def getProjectionImageUsingMap(vector, idMap, pjWidth, pjHeight):
-    """Re-project a per-ommatidium vector through an _ids projection map."""
+    """Re-project a per-ommatidium vector through an _ids projection map.
+
+    idMap is the (H, W, 4) RGBA image produced by an `_ids` projection
+    shader; each pixel's quadlet base-256-decodes to an ommatidium index
+    (the bit layout asserted exactly in tests/test_projection.py).
+    Vectorised: one decode + one gather instead of a per-pixel loop."""
+    quad = np.asarray(idMap[:pjHeight, :pjWidth, :4], dtype=np.uint32)
+    ids = (quad[..., 0] << 24) | (quad[..., 1] << 16) | (quad[..., 2] << 8) \
+        | quad[..., 3]
     output = np.zeros((pjWidth, pjHeight), dtype=np.uint8)
-    for x in range(pjWidth):
-        for y in range(pjHeight):
-            pixelId = decodeProjectionMapID(idMap[y, x, :])
-            output[y, x] = int(vector[pixelId])
+    output[:pjHeight, :pjWidth] = np.asarray(vector)[ids].astype(np.uint8)
     return output
 
 
 def getIcoOmmatidia():
-    """12 equidistant ommatidia on an icosphere, 1 steradian each."""
-    icoPoints = [[0, 1, 0]]
-    angles = [0.4 * math.pi * i for i in range(5)]
-    offsetAngle = math.atan(0.5)
-    planarDistance = math.cos(offsetAngle)
-    verticalOffset = math.sin(offsetAngle)
-    icoPoints += [
-        [math.cos(a) * planarDistance, verticalOffset, math.sin(a) * planarDistance]
-        for a in angles
-    ]
-    angles = [a + 0.2 * math.pi for a in angles]
-    icoPoints += [
-        [math.cos(a) * planarDistance, -verticalOffset, math.sin(a) * planarDistance]
-        for a in angles
-    ]
-    icoPoints.append([0, -1, 0])
-    icoPoints = [np.asarray(p) for p in icoPoints]
-    oneSteradianAcceptanceAngle = math.acos(-(1 / (2 * math.pi) - 1)) * 2
+    """12 equidistant ommatidia on an icosphere, 1 steradian each.
+
+    Same point set as the reference helper; built by scene.eye_io's
+    vectorised icosahedron construction."""
+    from compound_ray_tpu.scene import eye_io
+
     return [
-        Ommatidium(np.zeros(3), p, oneSteradianAcceptanceAngle, 0.0)
-        for p in icoPoints
+        Ommatidium(
+            np.zeros(3), np.asarray(o.direction, dtype=np.float64),
+            float(o.acceptance_angle), 0.0,
+        )
+        for o in eye_io.icosphere_eye()
     ]
-
-
-def _getEyeFeatures(line):
-    data = [float(n) for n in line.split(" ")]
-    position = np.asarray(data[:3])
-    direction = np.asarray(data[3:6])
-    acceptanceAngle = data[6]
-    focalPointOffset = data[7]
-    return Ommatidium(position, direction, acceptanceAngle, focalPointOffset)

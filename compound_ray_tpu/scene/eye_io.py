@@ -129,18 +129,27 @@ def resolve_eye_path(eye_path: str, gltf_dir: str) -> Optional[str]:
 
 
 def icosphere_eye(acceptance_angle: Optional[float] = None) -> List[Ommatidium]:
-    """12-ommatidium icosphere eye (eyeRendererHelperFunctions.py:171-194).
+    """12-ommatidium icosahedral eye: the same point set the reference helper
+    produces (eyeRendererHelperFunctions.py:171-194) — poles plus two
+    5-point rings at latitude ±atan(1/2), the lower ring offset by 36°.
 
-    Default acceptance angle covers 1 steradian per ommatidium.
+    Default acceptance angle covers 1 steradian per ommatidium
+    (cos(a/2) = 1 - 1/(2π)).
     """
     if acceptance_angle is None:
-        acceptance_angle = math.acos(-(1.0 / (2 * math.pi) - 1.0)) * 2.0
-    pts = [np.array([0.0, 1.0, 0.0])]
-    angles = [0.4 * math.pi * i for i in range(5)]
-    off = math.atan(0.5)
-    planar, vert = math.cos(off), math.sin(off)
-    pts += [np.array([math.cos(a) * planar, vert, math.sin(a) * planar]) for a in angles]
-    angles = [a + 0.2 * math.pi for a in angles]
-    pts += [np.array([math.cos(a) * planar, -vert, math.sin(a) * planar]) for a in angles]
-    pts.append(np.array([0.0, -1.0, 0.0]))
-    return [Ommatidium(np.zeros(3), p, acceptance_angle, 0.0) for p in pts]
+        acceptance_angle = 2.0 * math.acos(1.0 - 1.0 / (2.0 * math.pi))
+    ring_lat = math.atan(0.5)
+    lon = np.arange(5) * (2.0 * math.pi / 5.0)
+    lat = np.concatenate(
+        [[math.pi / 2.0], np.full(5, ring_lat), np.full(5, -ring_lat),
+         [-math.pi / 2.0]]
+    )
+    lons = np.concatenate([[0.0], lon, lon + math.pi / 5.0, [0.0]])
+    dirs = np.stack(
+        [np.cos(lons) * np.cos(lat), np.sin(lat), np.sin(lons) * np.cos(lat)],
+        axis=1,
+    )
+    # poles exactly axial (cos(±π/2) is not exactly 0 in floating point)
+    dirs[0] = (0.0, 1.0, 0.0)
+    dirs[-1] = (0.0, -1.0, 0.0)
+    return [Ommatidium(np.zeros(3), d, acceptance_angle, 0.0) for d in dirs]
