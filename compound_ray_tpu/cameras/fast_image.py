@@ -26,12 +26,13 @@ from compound_ray_tpu.cameras.raygen import (
     pinhole_rays,
 )
 from compound_ray_tpu.config import get_config
-from compound_ray_tpu.eye.pipeline import scene_plan, _ceil_to
-from compound_ray_tpu.trace.pallas_tracer import RAY_COMPS, run_tracer_kernel
+from compound_ray_tpu.eye.pipeline import resolve_kernel_hits, scene_plan, _ceil_to
+from compound_ray_tpu.trace.pallas_tracer import pack_rays, run_tracer_kernel
 from compound_ray_tpu.trace.shade import (
     make_color,
-    miss_color,
-    sample_texture_quad,
+    miss_color_c,
+    quad_bilinear_c,
+    texture_quad_coords_c,
 )
 
 TILE = 256  # pixels per kernel group
@@ -39,13 +40,14 @@ TILE = 256  # pixels per kernel group
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "width", "height", "background", "kmax", "textured"),
+    static_argnames=("kind", "width", "height", "background", "kmax",
+                     "textured", "tex_only"),
 )
 def _image_fused(
-    payload, scene_dev, quad_table, sphere_center, sphere_radius,
+    payload, attr_table, scene_dev, quad_table, sphere_center, sphere_radius,
     position, local_space, cam_param,
     kind: str, width: int, height: int, background: int, kmax: int,
-    textured: bool,
+    textured: bool, tex_only: bool,
 ):
     if kind == "pinhole":
         origins, dirs, tmin = pinhole_rays(position, local_space, cam_param,
@@ -110,27 +112,36 @@ def _image_fused(
     dmin_s = jnp.where(jnp.isfinite(dmin_s), dmin_s, 3e38).astype(jnp.float32)
     ids = jnp.where(order < c, order, 0)
 
-    rays = jnp.concatenate(
-        [dirs_p, orig_p, tmin_p[:, None],
-         jnp.zeros((n_pad, 1), jnp.float32)], axis=-1,
-    )
+    rays = pack_rays(dirs_p, orig_p, tmin_p)
     out = run_tracer_kernel(
         counts, ids, dmin_s, payload, rays,
         ng=ng, nrb=1, rb_size=TILE, kmax=kmax, early_exit=True,
-    )[:n]
+    )
+    t, cu, cv, texid, rgb_pl = resolve_kernel_hits(out, attr_table, tex_only)
+    t, cu, cv, texid = t[:n], cu[:n], cv[:n], texid[:n]
+    if tex_only:
+        rr = gg = bb = jnp.zeros((n,), jnp.float32)
+    else:
+        rr, gg, bb = (c[:n] for c in rgb_pl)
 
-    t = out[:, 0]
     tile_live = jnp.repeat(counts > 0, TILE)[:n]
     hit = (t < 1e30) & tile_live
-    rgb = out[:, 1:4]
-    lin = out[:, 7:8] > 0.5
-    rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
     if textured:
-        texid = out[:, 6].astype(jnp.int32)
-        tex_rgb = sample_texture_quad(scene_dev, quad_table,
-                                      jnp.maximum(texid, 0), out[:, 4:6])[:, :3]
-        rgb = jnp.where(((texid >= 0) & hit)[:, None], tex_rgb, rgb)
-    rgb = jnp.where(hit[:, None], rgb, miss_color(dirs_p[:n], background))
+        tex_idx, tfx, tfy = texture_quad_coords_c(
+            scene_dev, jnp.maximum(texid, 0), cu, cv
+        )
+        qr, qg, qb = quad_bilinear_c(quad_table[tex_idx], tfx, tfy)
+        sel = (texid >= 0) & hit
+        rr = jnp.where(sel, qr, rr)
+        gg = jnp.where(sel, qg, gg)
+        bb = jnp.where(sel, qb, bb)
+    dpn = dirs_p[:n]
+    mr, mg, mb = miss_color_c(dpn[:, 0], dpn[:, 1], dpn[:, 2], background)
+    rgb = jnp.stack([
+        jnp.where(hit, rr, mr),
+        jnp.where(hit, gg, mg),
+        jnp.where(hit, bb, mb),
+    ], axis=-1)
     return make_color(rgb).reshape(height, width, 4)
 
 
@@ -145,11 +156,11 @@ def render_camera_image_fast(
     # nearest-first shortlist truncates the farthest clusters per tile
     kmax = min(splan.num_clusters, 256)
     return _image_fused(
-        splan.payload, scene_dev, splan.quad_table,
+        splan.payload, splan.attr_table, scene_dev, splan.quad_table,
         splan.sphere_center, splan.sphere_radius,
         jnp.asarray(position, jnp.float32),
         jnp.asarray(local_space, jnp.float32),
         jnp.asarray(cam_param, jnp.float32),
         kind=kind, width=width, height=height, background=background,
-        kmax=kmax, textured=splan.textured,
+        kmax=kmax, textured=splan.textured, tex_only=splan.tex_only,
     )

@@ -37,21 +37,28 @@ from compound_ray_tpu.accel.cull import eye_world_geometry
 from compound_ray_tpu.config import get_config
 from compound_ray_tpu.eye.sampling import (
     FWHM_SD_RATIO,
+    cone_offset_components,
     cone_offset_directions,
     sample_angles,
 )
 from compound_ray_tpu.trace.pallas_tracer import (
+    BATCH_RAYS,
     KERNEL_LEAF,
-    RAY_COMPS,
+    OUT_COMPS,
+    build_attr_table,
     build_kernel_payload,
+    pack_rays,
     run_tracer_kernel,
 )
 from compound_ray_tpu.trace.shade import (
     build_quad_table,
     miss_color,
+    miss_color_c,
     quad_bilinear,
+    quad_bilinear_c,
     sample_texture_quad,
     texture_quad_coords,
+    texture_quad_coords_c,
 )
 
 
@@ -63,12 +70,13 @@ def _ceil_to(x: int, m: int) -> int:
 class ScenePlan:
     """Per-scene kernel payload (built once, like the reference's GAS)."""
 
-    payload: jnp.ndarray  # (C, 44, 128)
-    sphere_center: jnp.ndarray  # (C, 3)
-    sphere_radius: jnp.ndarray  # (C,)
-    num_clusters: int
-    textured: bool
-    quad_table: jnp.ndarray  # (P, 16) texel 2x2 neighbourhoods (textured only)
+    payload: jnp.ndarray  # (C, 16, 128) intersection constants
+    attr_table: jnp.ndarray = None  # (C*128, A) deferred winner attributes
+    sphere_center: jnp.ndarray = None  # (C, 3)
+    sphere_radius: jnp.ndarray = None  # (C,)
+    num_clusters: int = 0
+    textured: bool = False
+    quad_table: jnp.ndarray = None  # (P, 16) texel 2x2 quads (textured only)
     half_center: jnp.ndarray = None  # (C, 2, 3)
     half_radius: jnp.ndarray = None  # (C, 2)
     sphere_center_np: np.ndarray = None  # host copies for far-field split
@@ -90,7 +98,15 @@ def scene_plan(scene_flat) -> ScenePlan:
         # arena needs per-packet traversal (PLAN.md) rather than finer soup.
         cs = build_clusters(scene_flat.v0, scene_flat.e1, scene_flat.e2,
                             leaf_size=KERNEL_LEAF)
-        payload = build_kernel_payload(
+        payload = build_kernel_payload(cs)
+        textured = scene_flat.has_any_texture
+        used_mats = np.maximum(np.asarray(scene_flat.mat_id), 0)
+        tex_only = bool(
+            textured
+            and not np.asarray(scene_flat.has_color).any()
+            and (np.asarray(scene_flat.mat_tex)[used_mats] >= 0).all()
+        )
+        attr = build_attr_table(
             {
                 "has_color": scene_flat.has_color,
                 "mat_id": scene_flat.mat_id,
@@ -104,13 +120,7 @@ def scene_plan(scene_flat) -> ScenePlan:
                 "uv2": scene_flat.uv2,
             },
             cs,
-        )
-        textured = scene_flat.has_any_texture
-        used_mats = np.maximum(np.asarray(scene_flat.mat_id), 0)
-        tex_only = bool(
-            textured
-            and not np.asarray(scene_flat.has_color).any()
-            and (np.asarray(scene_flat.mat_tex)[used_mats] >= 0).all()
+            tex_only,
         )
         if textured:
             quad = build_quad_table(scene_flat.device_triangles())
@@ -118,6 +128,7 @@ def scene_plan(scene_flat) -> ScenePlan:
             quad = jnp.zeros((1, 16), jnp.float32)
         plan = ScenePlan(
             payload=jnp.asarray(payload),
+            attr_table=jnp.asarray(attr),
             sphere_center=jnp.asarray(cs.sphere_center),
             sphere_radius=jnp.asarray(cs.sphere_radius),
             num_clusters=cs.num_clusters,
@@ -186,7 +197,7 @@ def eye_plan(ommatidia: np.ndarray, samples: int) -> EyePlan:
     # measured: 1024 vs 4096 ray-blocks is perf-neutral on the chip (the
     # grid-cell count is not an overhead source); 1024 keeps VMEM modest
     nrb = max(1, -(-rg // 1024))
-    rb_size = _ceil_to(-(-rg // nrb), 32)
+    rb_size = _ceil_to(-(-rg // nrb), BATCH_RAYS)
     rg_pad = nrb * rb_size
     plan = EyePlan(
         perm=perm, inv_valid=inv_valid, n=n, n_pad=n_pad, g=g, ng=ng,
@@ -261,6 +272,53 @@ def _shortlist_sorted(gmask, dmin_all, kmax: int):
     return order, dmin_s
 
 
+def resolve_kernel_hits(
+    out: jnp.ndarray,  # (R, 8) kernel rows [t, u, v, cluster-id, lane, ...]
+    attr_table: jnp.ndarray,  # (C*128, A) build_attr_table rows
+    tex_only: bool,
+):
+    """Deferred-attribute epilogue: resolve the winning triangle's shading
+    inputs with ONE row gather per ray.
+
+    The kernel reports the winner as (global cluster id, lane); the attr
+    row is id * 128 + lane.  Returns (t, cu, cv, texid, rgb) flattened over
+    rays — rgb is a planar (r, g, b) tuple of the linearised vertex/material
+    colour (None for tex_only scenes), cu/cv the interpolated texture
+    coordinates.  Everything is (R,)-shaped: keeping the ray axis on the
+    minor (lane) dim is what makes this run at full VPU width — (R, 1) and
+    (R, 3) shapes lower to 1-3 used lanes out of 128.  Rows for
+    missed/padded rays are clamped garbage; callers must mask with
+    (t < 1e30) & group-liveness."""
+    # one transpose to planar (8, R): column extracts from the (R, 8) AoS
+    # kernel output cost ~23 ms/frame at 3.2M rays; row reads are free
+    out_t = jnp.transpose(out, (1, 0))
+    t = out_t[0]
+    u = out_t[1]
+    v = out_t[2]
+    n_rows = attr_table.shape[0]
+    cluster = jnp.clip(out_t[3].astype(jnp.int32), 0,
+                       n_rows // KERNEL_LEAF - 1)
+    lane = jnp.clip(out_t[4].astype(jnp.int32), 0, KERNEL_LEAF - 1)
+    attr = attr_table[cluster * KERNEL_LEAF + lane]  # (R, A)
+    w0n = 1.0 - u - v
+    cu = w0n * attr[:, 0] + u * attr[:, 2] + v * attr[:, 4]
+    cv = w0n * attr[:, 1] + u * attr[:, 3] + v * attr[:, 5]
+    texid = attr[:, 6].astype(jnp.int32)
+    if tex_only:
+        rgb = None
+    else:
+        lin = attr[:, 7] > 0.5
+        rgb = tuple(
+            jnp.where(lin, jnp.power(jnp.maximum(ch, 0.0), 2.2), ch)
+            for ch in (
+                w0n * attr[:, 8] + u * attr[:, 11] + v * attr[:, 14],
+                w0n * attr[:, 9] + u * attr[:, 12] + v * attr[:, 15],
+                w0n * attr[:, 10] + u * attr[:, 13] + v * attr[:, 16],
+            )
+        )
+    return t, cu, cv, texid, rgb
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -271,6 +329,7 @@ def _shortlist_sorted(gmask, dmin_all, kmax: int):
 )
 def _frame_fused(
     payload: jnp.ndarray,
+    attr_table: jnp.ndarray,
     scene_dev: Dict[str, Any],
     quad_table: jnp.ndarray,
     sphere_center: jnp.ndarray,
@@ -308,7 +367,8 @@ def _frame_fused(
     ids, dmin = _shortlist_sorted(gmask, dmin_all, kmax)
     counts = jnp.minimum(counts, kmax)
     return _render_frame(
-        payload, scene_dev, quad_table, omms_p, position, local_space, key,
+        payload, attr_table, scene_dev, quad_table, omms_p, position,
+        local_space, key,
         counts, ids, dmin, samples, background, ng, g, nrb, rb_size, kmax,
         textured, want_samples, cache=cache, use_cache=use_cache,
         tex_only=tex_only, cache_shape=cache_shape, early_exit=early_exit,
@@ -317,6 +377,7 @@ def _frame_fused(
 
 def _render_frame(
     payload: jnp.ndarray,
+    attr_table: jnp.ndarray,
     scene_dev: Dict[str, Any],
     quad_table: jnp.ndarray,
     omms_p: jnp.ndarray,  # (Np,8)
@@ -341,13 +402,22 @@ def _render_frame(
     cache_shape: Tuple[int, int] = (0, 0),
     early_exit: bool = False,
 ) -> jnp.ndarray:
+    # Everything per-ray in this function is COMPONENT-PLANAR: (Np, S) or
+    # (R,) arrays per x/y/z channel, never (R, 3)/(R, 1).  Keeping the ray
+    # axis on the lane (minor) dim is worth ~70 ms/frame at 3.2M rays: AoS
+    # norms/crosses lower to per-element cross-lane shuffles.
     n_pad = omms_p.shape[0]
-    axis = omms_p[:, 3:6]
-    axis_len = jnp.linalg.norm(axis, axis=-1)
-    axis_n = axis / jnp.maximum(axis_len[:, None], 1e-30)
+    ax, ay, az = omms_p[:, 3], omms_p[:, 4], omms_p[:, 5]  # (Np,)
+    axis_len = jnp.sqrt(ax * ax + ay * ay + az * az)
+    inv_al = 1.0 / jnp.maximum(axis_len, 1e-30)
     focal = omms_p[:, 7]
-    rel_origin = omms_p[:, 0:3] - axis_n * focal[:, None]
-    origins = position[None, :] + rel_origin @ local_space  # (Np,3)
+    rx = omms_p[:, 0] - ax * inv_al * focal
+    ry = omms_p[:, 1] - ay * inv_al * focal
+    rz = omms_p[:, 2] - az * inv_al * focal
+    L = local_space  # rows are the eye's world x/y/z axes
+    ox = position[0] + rx * L[0, 0] + ry * L[1, 0] + rz * L[2, 0]  # (Np,)
+    oy = position[1] + rx * L[0, 1] + ry * L[1, 1] + rz * L[2, 1]
+    oz = position[2] + rx * L[0, 2] + ry * L[1, 2] + rz * L[2, 2]
 
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
@@ -355,98 +425,125 @@ def _render_frame(
     sd = omms_p[:, 6] / FWHM_SD_RATIO
     splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
     spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
-    rel_dir = cone_offset_directions(
-        jnp.broadcast_to(axis[:, None, :], (n_pad, samples, 3)), splay, spin
-    )
-    dirs = jnp.einsum("nsc,cd->nsd", rel_dir, local_space)  # (Np,S,3)
+    rdx, rdy, rdz = cone_offset_components(
+        ax[:, None], ay[:, None], az[:, None], splay, spin
+    )  # (Np, S)
+    wdx = rdx * L[0, 0] + rdy * L[1, 0] + rdz * L[2, 0]
+    wdy = rdx * L[0, 1] + rdy * L[1, 1] + rdz * L[2, 1]
+    wdz = rdx * L[0, 2] + rdy * L[1, 2] + rdz * L[2, 2]
     # normalise for the kernel: t becomes world distance, tmin scales by |axis|
-    dirs_n = dirs / jnp.maximum(
-        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30
+    inv_n = jax.lax.rsqrt(
+        jnp.maximum(wdx * wdx + wdy * wdy + wdz * wdz, 1e-60)
     )
-    tmin = (focal * axis_len)[:, None]  # (Np,1)
+    dx, dy, dz = wdx * inv_n, wdy * inv_n, wdz * inv_n  # (Np, S)
+    tmin = focal * axis_len  # (Np,)
 
-    rays = jnp.concatenate(
-        [
-            dirs_n,
-            jnp.broadcast_to(origins[:, None, :], dirs_n.shape),
-            jnp.broadcast_to(tmin[:, :, None], (n_pad, samples, 1)),
-            jnp.zeros((n_pad, samples, 1), jnp.float32),
-        ],
-        axis=-1,
-    )  # (Np,S,8)
+    # Plücker moment m = o x d (origin broadcast over samples)
+    oxb, oyb, ozb = ox[:, None], oy[:, None], oz[:, None]
+    mx = oyb * dz - ozb * dy
+    my = ozb * dx - oxb * dz
+    mz = oxb * dy - oyb * dx
+
     rg = g * samples
     rg_pad = nrb * rb_size
-    rays = rays.reshape(ng, rg, RAY_COMPS)
-    rays_p = jnp.zeros((ng, rg_pad, RAY_COMPS), jnp.float32).at[:, :rg].set(rays)
+    zeros = jnp.zeros((n_pad, samples), jnp.float32)
+    comps = [dx, dy, dz, mx, my, mz,
+             jnp.broadcast_to(oxb, (n_pad, samples)),
+             jnp.broadcast_to(oyb, (n_pad, samples)),
+             jnp.broadcast_to(ozb, (n_pad, samples)),
+             jnp.broadcast_to(tmin[:, None], (n_pad, samples))]
+    comps += [zeros] * (16 - len(comps))
+    rays_pl = jnp.stack([c.reshape(ng, rg) for c in comps])  # (16, ng, rg)
+    if rg_pad != rg:
+        rays_pl = jnp.pad(rays_pl, ((0, 0), (0, 0), (0, rg_pad - rg)))
+    # ONE transpose into the kernel's per-ray-row layout (a planar stack +
+    # transpose is ~7x cheaper than concatenating (R,3) pieces on lane dims)
+    rays = jnp.transpose(rays_pl.reshape(16, ng * rg_pad), (1, 0))
     out = run_tracer_kernel(
-        counts, ids, dmin, payload,
-        rays_p.reshape(ng * rg_pad, RAY_COMPS),
+        counts, ids, dmin, payload, rays,
         # early_exit is chosen per (scene, eye, pose): short shortlists
         # (open scenes) run cheaper with the plain fori variant; wide ones
         # (closed environments, most clusters in every cone) benefit from
         # the front-to-back while_loop
         ng=ng, nrb=nrb, rb_size=rb_size, kmax=kmax, early_exit=early_exit,
-        tex_only=tex_only,
     )
-    out = out.reshape(ng, rg_pad, RAY_COMPS)[:, :rg].reshape(n_pad, samples, 8)
+    t_f, cu_f, cv_f, texid_f, rgb_f = resolve_kernel_hits(
+        out, attr_table, tex_only
+    )
 
-    t = out[..., 0]
+    def unpad(x):
+        return x.reshape(ng, rg_pad)[:, :rg].reshape(n_pad, samples)
+
+    t = unpad(t_f)
     # groups with empty shortlists skip the kernel entirely; their rows are
     # garbage and the whole group is a miss
     group_live = jnp.repeat(counts > 0, g)[:, None]  # (n_pad, 1)
     hit = (t < 1e30) & group_live
     if tex_only:
-        rgb = jnp.zeros((n_pad, samples, 3), jnp.float32)
+        rr = gg = bb = zeros
     else:
-        rgb = out[..., 1:4]
-        lin = out[..., 7:8] > 0.5
-        rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
+        rr, gg, bb = (unpad(c) for c in rgb_f)
+    texid = unpad(texid_f)
+    cu = unpad(cu_f)
+    cv = unpad(cv_f)
+
+    def flat(x):
+        return x.reshape(-1)
 
     if textured and use_cache:
         # unified single-gather epilogue: gathers are count-bound on TPU, so
         # texture-quad rows and cache-quad rows live in ONE combined table
         # (`cache` here) and each ray issues exactly one row gather
-        texid = out[..., 6].astype(jnp.int32)
-        uv = out[..., 4:6].reshape(-1, 2)
-        hit_f = hit.reshape(-1)
-        texid_f = texid.reshape(-1)
-        tex_idx, tfx, tfy = texture_quad_coords(
-            scene_dev, jnp.maximum(texid_f, 0), uv
+        hit_f2 = flat(hit)
+        texid_f2 = flat(texid)
+        tex_idx, tfx, tfy = texture_quad_coords_c(
+            scene_dev, jnp.maximum(texid_f2, 0), flat(cu), flat(cv)
         )
         ch, cw = cache_shape
         tex_rows = cache.shape[0] - ch * cw
-        c_idx, cfx, cfy = _equirect_coords(ch, cw, dirs_n.reshape(-1, 3))
-        sel_tex = hit_f & (texid_f >= 0)
+        c_idx, cfx, cfy = _equirect_coords_c(
+            ch, cw, flat(dx), flat(dy), flat(dz)
+        )
+        sel_tex = hit_f2 & (texid_f2 >= 0)
         idx = jnp.where(sel_tex, tex_idx, tex_rows + c_idx)
         fx = jnp.where(sel_tex, tfx, cfx)
         fy = jnp.where(sel_tex, tfy, cfy)
-        rgb4 = quad_bilinear(cache[idx], fx, fy)[:, :3].reshape(
-            n_pad, samples, 3
-        )
-        # hit rays on untextured triangles keep the kernel-carried colour
-        rgb = jnp.where((hit & (texid < 0))[..., None], rgb, rgb4)
+        qr, qg, qb = quad_bilinear_c(cache[idx], fx, fy)
+        # hit rays on untextured triangles keep the interpolated colour
+        keep = hit & (texid < 0)
+        rr = jnp.where(keep, rr, qr.reshape(n_pad, samples))
+        gg = jnp.where(keep, gg, qg.reshape(n_pad, samples))
+        bb = jnp.where(keep, bb, qb.reshape(n_pad, samples))
     else:
         if textured:
-            texid = out[..., 6].astype(jnp.int32)
-            uv = out[..., 4:6].reshape(-1, 2)
-            tex_rgb = sample_texture_quad(
-                scene_dev, quad_table, jnp.maximum(texid, 0).reshape(-1), uv
-            )[:, :3].reshape(n_pad, samples, 3)
-            rgb = jnp.where(((texid >= 0) & hit)[..., None], tex_rgb, rgb)
+            tex_idx, tfx, tfy = texture_quad_coords_c(
+                scene_dev, jnp.maximum(flat(texid), 0), flat(cu), flat(cv)
+            )
+            qr, qg, qb = quad_bilinear_c(quad_table[tex_idx], tfx, tfy)
+            sel = (texid >= 0) & hit
+            rr = jnp.where(sel, qr.reshape(n_pad, samples), rr)
+            gg = jnp.where(sel, qg.reshape(n_pad, samples), gg)
+            bb = jnp.where(sel, qb.reshape(n_pad, samples), bb)
         if use_cache:
             # the cache already encodes the miss shader for directions that
             # hit nothing at all
-            missc = sample_equirect(cache, dirs_n.reshape(-1, 3)).reshape(
-                n_pad, samples, 3
+            c_idx, cfx, cfy = _equirect_coords_c(
+                cache.shape[0], cache.shape[1], flat(dx), flat(dy), flat(dz)
+            )
+            mr, mg, mb = quad_bilinear_c(
+                cache.reshape(-1, 16)[c_idx], cfx, cfy
             )
         else:
-            missc = miss_color(dirs_n.reshape(-1, 3), background).reshape(
-                n_pad, samples, 3
-            )
-        rgb = jnp.where(hit[..., None], rgb, missc)
+            mr, mg, mb = miss_color_c(flat(dx), flat(dy), flat(dz), background)
+        rr = jnp.where(hit, rr, mr.reshape(n_pad, samples))
+        gg = jnp.where(hit, gg, mg.reshape(n_pad, samples))
+        bb = jnp.where(hit, bb, mb.reshape(n_pad, samples))
     if want_samples:
-        return rgb  # (Np, S, 3) raw per-sample radiance
-    return jnp.mean(rgb, axis=1)  # (Np,3)
+        return jnp.stack([rr, gg, bb], axis=-1)  # (Np, S, 3)
+    return jnp.stack(
+        [jnp.mean(rr, axis=1), jnp.mean(gg, axis=1), jnp.mean(bb, axis=1)],
+        axis=-1,
+    )  # (Np, 3)
 
 
 # NOTE: plan/kmax/cache stores live on the FlatScene/ScenePlan objects (see
@@ -543,7 +640,8 @@ def render_means_pallas(
                 cache = splan.cache_store.get(cache_key)
                 if cache is None:
                     cache = _render_cache(
-                        splan.payload, scene_dev, splan.quad_table,
+                        splan.payload, splan.attr_table, scene_dev,
+                        splan.quad_table,
                         splan.half_center, splan.half_radius,
                         jnp.asarray(np.asarray(center_np, np.float32)),
                         jnp.asarray(far),
@@ -564,7 +662,7 @@ def render_means_pallas(
                     splan.cache_store[cache_key] = cache
 
     means_p = _frame_fused(
-        splan.payload, scene_dev, splan.quad_table,
+        splan.payload, splan.attr_table, scene_dev, splan.quad_table,
         splan.half_center, splan.half_radius,
         omms_p, position, local_space, key,
         samples=samples, background=background,
@@ -611,7 +709,7 @@ def render_samples_pallas(
     eplan.kmax_hint = kmax
 
     raw_p = _frame_fused(
-        splan.payload, scene_dev, splan.quad_table,
+        splan.payload, splan.attr_table, scene_dev, splan.quad_table,
         splan.half_center, splan.half_radius,
         omms_p, position, local_space, key,
         samples=samples, background=background,
@@ -664,8 +762,13 @@ def build_equirect_quads(cache: jnp.ndarray) -> jnp.ndarray:
 
 def _equirect_coords(h, w, dirs):
     """(index, fx, fy) into an equirect quad cache for unit dirs (R,3)."""
-    ax = jnp.arctan2(dirs[:, 2], dirs[:, 0])
-    ay = jnp.arcsin(jnp.clip(dirs[:, 1], -1.0, 1.0))
+    return _equirect_coords_c(h, w, dirs[:, 0], dirs[:, 1], dirs[:, 2])
+
+
+def _equirect_coords_c(h, w, dx, dy, dz):
+    """Component-planar _equirect_coords (unit direction components (R,))."""
+    ax = jnp.arctan2(dz, dx)
+    ay = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
     u = 0.5 + (jnp.pi / 2.0 - ax) / (2.0 * jnp.pi)
     v = 0.5 + ay / jnp.pi
     x = u * w - 0.5
@@ -701,7 +804,7 @@ def sample_equirect(quads: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     static_argnames=("width", "background", "kmax", "textured", "tex_only"),
 )
 def _render_cache(
-    payload, scene_dev, quad_table, half_center, half_radius,
+    payload, attr_table, scene_dev, quad_table, half_center, half_radius,
     center: jnp.ndarray,  # (3,) eye centre (cache viewpoint)
     far_mask: jnp.ndarray,  # (C,) bool
     width: int, background: int, kmax: int, textured: bool,
@@ -751,36 +854,40 @@ def _render_cache(
     dmin_all = jnp.broadcast_to(dmin_all, gmask.shape)
     ids, dmin = _shortlist_sorted(gmask, dmin_all, kmax)
 
-    rays = jnp.concatenate(
-        [
-            dirs_p,
-            jnp.broadcast_to(center[None, :], (n_pad, 3)),
-            jnp.zeros((n_pad, 2), jnp.float32),
-        ],
-        axis=-1,
+    rays = pack_rays(
+        dirs_p,
+        jnp.broadcast_to(center[None, :], (n_pad, 3)),
+        jnp.zeros((n_pad,), jnp.float32),
     )
     out = run_tracer_kernel(
         counts, ids, dmin, payload, rays,
         ng=ng, nrb=1, rb_size=tile, kmax=kmax, early_exit=True,
-        tex_only=tex_only,
-    )[:n]
+    )
+    t, cu, cv, texid, rgb_pl = resolve_kernel_hits(out, attr_table, tex_only)
+    t, cu, cv, texid = t[:n], cu[:n], cv[:n], texid[:n]
+    if tex_only:
+        rr = gg = bb = jnp.zeros((n,), jnp.float32)
+    else:
+        rr, gg, bb = (c[:n] for c in rgb_pl)
 
-    t = out[:, 0]
     tile_live = jnp.repeat(counts > 0, tile)[:n]
     hit = (t < 1e30) & tile_live
-    if tex_only:
-        rgb = jnp.zeros((n_pad, 3), jnp.float32)
-    else:
-        rgb = out[:, 1:4]
-        lin = out[:, 7:8] > 0.5
-        rgb = jnp.where(lin, jnp.power(jnp.maximum(rgb, 0.0), 2.2), rgb)
     if textured:
-        texid = out[:, 6].astype(jnp.int32)
-        tex_rgb = sample_texture_quad(
-            scene_dev, quad_table, jnp.maximum(texid, 0), out[:, 4:6]
-        )[:, :3]
-        rgb = jnp.where(((texid >= 0) & hit)[:, None], tex_rgb, rgb)
-    rgb = jnp.where(hit[:, None], rgb, miss_color(dirs_p[:n], background))
+        tex_idx, tfx, tfy = texture_quad_coords_c(
+            scene_dev, jnp.maximum(texid, 0), cu, cv
+        )
+        qr, qg, qb = quad_bilinear_c(quad_table[tex_idx], tfx, tfy)
+        sel = (texid >= 0) & hit
+        rr = jnp.where(sel, qr, rr)
+        gg = jnp.where(sel, qg, gg)
+        bb = jnp.where(sel, qb, bb)
+    dpn = dirs_p[:n]
+    mr, mg, mb = miss_color_c(dpn[:, 0], dpn[:, 1], dpn[:, 2], background)
+    rgb = jnp.stack([
+        jnp.where(hit, rr, mr),
+        jnp.where(hit, gg, mg),
+        jnp.where(hit, bb, mb),
+    ], axis=-1)
     # un-block back to row-major (H, W)
     return (
         rgb.reshape(height // bs, width // bs, bs, bs, 3)

@@ -71,6 +71,43 @@ def sample_angles(
     return splay, spin
 
 
+def rodrigues_c(px, py, pz, angle, ax, ay, az):
+    """Component-planar axis-angle rotation (same math as `rodrigues`).
+
+    TPU layout note: the AoS form keeps xyz on the minor (lane) dim, so every
+    cross/dot lowers to cross-lane shuffles at 1/128 lane utilisation — the
+    planar form is pure elementwise at full lanes.  All operands broadcast.
+    """
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    cx = ay * pz - az * py
+    cy = az * px - ax * pz
+    cz = ax * py - ay * px
+    d = (1.0 - c) * (ax * px + ay * py + az * pz)
+    return (c * px + s * cx + d * ax,
+            c * py + s * cy + d * ay,
+            c * pz + s * cz + d * az)
+
+
+def cone_offset_components(ax, ay, az, splay, spin):
+    """generateOffsetRay (shaders.cu:653-664) in component-planar form.
+
+    (ax, ay, az) are the ommatidial axis components (broadcastable against
+    the (N, S) splay/spin planes).  Returns unit-unnormalised direction
+    components like cone_offset_directions."""
+    # perp = cross(+y, axis) = (az, 0, -ax); reference degeneracy test is
+    # sum(perp) == 0 (shaders.cu:657), i.e. az - ax == 0 AND ... preserved
+    # exactly: perp components sum = az - ax with py ≡ 0
+    px, py, pz = az, jnp.zeros_like(az), -ax
+    degenerate = (px + py + pz) == 0.0
+    norm = jnp.maximum(jnp.sqrt(px * px + py * py + pz * pz), 1e-30)
+    px = jnp.where(degenerate, 0.0, px / norm)
+    py = jnp.where(degenerate, 0.0, py / norm)
+    pz = jnp.where(degenerate, 1.0, pz / norm)
+    sx, sy, sz = rodrigues_c(ax, ay, az, splay, px, py, pz)
+    return rodrigues_c(sx, sy, sz, spin, ax, ay, az)
+
+
 def ommatidial_rays(
     ommatidia: jnp.ndarray,  # (N, 8) [pos(3), dir(3), acceptance, focal_offset]
     position: jnp.ndarray,  # (3,) eye world position

@@ -4,11 +4,11 @@ The hot path of the framework: per ommatidium-group, trace all cone samples
 against the group's culled cluster shortlist entirely in VMEM.
 
 Layout (chosen for the VPU's (8, 128) registers):
-  * rays on LANES: a ray batch is 8 rays x 128-wide ops? No — rays are rows:
-    each (8, 128) op tests 8 rays (sublanes, component-broadcast from the ray
-    block) against 128 triangles (lanes, component rows of the cluster
-    payload).  One cluster = one (8, 128) candidate sweep per 8 rays.
-  * triangle payload: (C, 40, 128) — component-major, 128 triangles per
+  * rays are rows: each (RS, 128) op tests RS rays (sublanes, component-
+    broadcast from the ray block) against 128 triangles (lanes, component
+    rows of the cluster payload).  One cluster = one (RS, 128) candidate
+    sweep per RS rays.
+  * triangle payload: (C, 16, 128) — component-major, 128 triangles per
     cluster (accel leaf size for the kernel), so "component c of every
     triangle in the cluster" is a single (1, 128) VMEM row read.
   * per-group cluster shortlists are ragged: counts come in via scalar
@@ -22,25 +22,32 @@ Layout (chosen for the VPU's (8, 128) registers):
     for wide shortlists (cache tiles, camera images), while short per-
     ommatidium shortlists run cheaper on the plain fori variant.
 
-Intersection is the Plücker side-product form (trace.plucker).  The kernel
-carries the running winner's interpolated payload (rgb, uv, texid, lin) per
-ray, so the XLA epilogue only has to: apply the vertex-colour linearisation,
-sample the texture atlas for textured winners, substitute the miss shader
-for t == inf, and reduce means.
+Intersection is the Plücker side-product form (trace.plucker) minimised for
+the VPU: the identity  w0 + w1 + w2 = d·n  (the three edge products of a
+triangle sum to the direction-normal determinant) removes the w0 dot product
+entirely — the inside test becomes  u >= 0 & v >= 0 & u + v <= 1  with
+u = w1/den, v = w2/den, and t = (v0·n − o·n)/den.  Degenerate/padding
+triangles (all-zero rows) yield den = 0 → u, v, t = ±inf/NaN → every
+comparison fails, so no explicit validity row is needed.
 
-Triangle payload rows (44 components):
-   0-17  edge Plücker 6-vectors (e0, e1, e2), edge i opposite vertex i
-  18-20  n = e1 x e2
-  21     c0 = v0 . n
-  22-30  corner RGBs (vertex colours, or material colour in all corners)
-  31     lin flag (1.0 -> pow 2.2 after interpolation, i.e. vertex colours)
-  32-37  corner UVs
-  38     texture id (-1 = none)
-  39     valid (0.0 = padding)
-  40-43  cluster bounding sphere (cx cy cz r), replicated across the row
+Attribute interpolation is DEFERRED: the kernel carries only the winning
+(t, u, v, global cluster id) per ray and emits the winner's id + lane; the
+XLA epilogue resolves colours/uvs/texture for the single winning triangle
+per ray with one row gather (see eye/pipeline.resolve_kernel_hits).  This
+replaces the round-1 kernel that interpolated 8 attribute channels for
+every candidate cluster (measured ~56 vector ops per cluster step; this
+form is ~37) and shrinks the payload DMA 44 → 16 rows per cluster.
 
-Fully-textured scenes use a trimmed variant carrying only (t, u, v, texid)
-through the winner reduction (tex_only).
+Triangle payload rows (16 components):
+   0- 5  edge Plücker 6-vector of the edge opposite v1  (w1 → u)
+   6-11  edge Plücker 6-vector of the edge opposite v2  (w2 → v)
+  12-14  n = e1 x e2   (den = d·n; o·n for the plane term)
+  15     c0 = v0 · n   (t = (c0 − o·n)/den)
+
+Reference semantics reproduced: closest-hit over the acceptance-cone sample
+set of __raygen__ommatidium (shaders.cu:666-736) with both-sided triangle
+intersection (OptiX default) and t measured in world units (tmin equals the
+focal-point offset, shaders.cu:725).
 """
 
 from __future__ import annotations
@@ -55,61 +62,92 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 KERNEL_LEAF = 128  # triangles per cluster in the kernel payload
-PAYLOAD_COMPS = 44  # 40 per-triangle rows + cluster bounding sphere (40-43)
-RAY_COMPS = 8  # dx dy dz ox oy oz tmin pad
+PAYLOAD_COMPS = 16  # w1 edge6, w2 edge6, normal, c0
+RAY_COMPS = 16  # dx dy dz mx my mz ox oy oz tmin pad[6]
+OUT_COMPS = 8  # t u v slot lane pad[3]
 
 
-def build_kernel_payload(scene: Dict[str, Any], cluster_set) -> np.ndarray:
-    """(C, 44, 128) float32 payload from a ClusterSet with leaf KERNEL_LEAF."""
+def build_kernel_payload(cluster_set) -> np.ndarray:
+    """(C, 16, 128) float32 intersection payload from a ClusterSet with leaf
+    KERNEL_LEAF.  Geometry only — attributes live in the epilogue's table
+    (build_attr_table)."""
     from compound_ray_tpu.trace.plucker import triangle_constants
 
     c, l = cluster_set.tri_id.shape
     assert l == KERNEL_LEAF
     tri = triangle_constants(cluster_set.v0, cluster_set.e1, cluster_set.e2)
-    edge6 = np.asarray(tri["edge6"], np.float32).reshape(c * l, 18)
-    normal = np.asarray(tri["normal"], np.float32).reshape(c * l, 3)
-    c0 = np.asarray(tri["c0"], np.float32).reshape(c * l, 1)
+    edge6 = np.asarray(tri["edge6"], np.float32)  # (C*L, 3, 6)
+    normal = np.asarray(tri["normal"], np.float32)  # (C*L, 3)
+    c0 = np.asarray(tri["c0"], np.float32)[:, None]  # (C*L, 1)
 
+    payload = np.concatenate([edge6[:, 1], edge6[:, 2], normal, c0], axis=1)
+    assert payload.shape[1] == PAYLOAD_COMPS
+    return np.ascontiguousarray(
+        payload.reshape(c, l, PAYLOAD_COMPS).transpose(0, 2, 1)
+    )  # (C, 16, 128)
+
+
+ATTR_COMPS = 24  # uv0 uv1 uv2 (6), texid, lin, rgb0 rgb1 rgb2 (9), pad
+ATTR_COMPS_TEX = 8  # uv0 uv1 uv2 (6), texid, pad
+
+
+def build_attr_table(scene: Dict[str, Any], cluster_set,
+                     tex_only: bool) -> np.ndarray:
+    """(C*128, A) float32 winner-attribute rows, indexed by
+    cluster_id * 128 + lane.  Column layout (shared prefix so the epilogue
+    slices identically for both widths):
+      0-5   corner UVs (uv0.x uv0.y uv1.x uv1.y uv2.x uv2.y)
+      6     texture id (-1 = none)
+      7     lin flag (1.0 → vertex colours: pow 2.2 after interpolation)
+      8-16  corner RGBs (full table only)
+    """
     tid = cluster_set.tri_id.reshape(-1)
     safe = np.maximum(tid, 0)
-    has_color = np.asarray(scene["has_color"])[safe]
+    uv0 = np.asarray(scene["uv0"])[safe]
+    uv1 = np.asarray(scene["uv1"])[safe]
+    uv2 = np.asarray(scene["uv2"])[safe]
     mat_id = np.maximum(np.asarray(scene["mat_id"])[safe], 0)
+    texid = np.asarray(scene["mat_tex"])[mat_id].astype(np.float32)[:, None]
+    if tex_only:
+        pad = np.zeros((len(safe), 1), np.float32)
+        out = np.concatenate([uv0, uv1, uv2, texid, pad], axis=1)
+        assert out.shape[1] == ATTR_COMPS_TEX
+        return np.ascontiguousarray(out.astype(np.float32))
+
+    has_color = np.asarray(scene["has_color"])[safe]
     mat_rgb = np.asarray(scene["mat_base_color"])[mat_id][:, :3]
-    mat_tex = np.asarray(scene["mat_tex"])[mat_id].astype(np.float32)
 
     def corner_rgb(key):
         vc = np.asarray(scene[key])[safe][:, :3]
         return np.where(has_color[:, None], vc, mat_rgb).astype(np.float32)
 
-    rgb0 = corner_rgb("c0")
-    rgb1 = corner_rgb("c1")
-    rgb2 = corner_rgb("c2")
     lin = has_color.astype(np.float32)[:, None]
-    uv0 = np.asarray(scene["uv0"])[safe]
-    uv1 = np.asarray(scene["uv1"])[safe]
-    uv2 = np.asarray(scene["uv2"])[safe]
-    texid = mat_tex[:, None]
-    valid = (tid >= 0).astype(np.float32)[:, None]
-
-    # cluster bounding sphere, replicated across the cluster's triangle rows
-    # so the kernel's per-ray sphere pretest reads it like any other component
-    sphere = np.concatenate(
-        [cluster_set.sphere_center, cluster_set.sphere_radius[:, None]], axis=1
-    ).astype(np.float32)  # (C, 4)
-    sphere_rows = np.repeat(sphere, l, axis=0)  # (C*L, 4)
-
-    payload = np.concatenate(
-        [edge6, normal, c0, rgb0, rgb1, rgb2, lin, uv0, uv1, uv2, texid, valid,
-         sphere_rows],
+    pad = np.zeros((len(safe), ATTR_COMPS - 17), np.float32)
+    out = np.concatenate(
+        [uv0, uv1, uv2, texid, lin,
+         corner_rgb("c0"), corner_rgb("c1"), corner_rgb("c2"), pad],
         axis=1,
-    )  # (C*L, 44)
-    assert payload.shape[1] == PAYLOAD_COMPS
-    return np.ascontiguousarray(
-        payload.reshape(c, l, PAYLOAD_COMPS).transpose(0, 2, 1)
-    )  # (C, 44, 128)
+    )
+    assert out.shape[1] == ATTR_COMPS
+    return np.ascontiguousarray(out.astype(np.float32))
 
 
-def _make_tracer_kernel(early_exit: bool, tex_only: bool = False):
+def pack_rays(dirs: jnp.ndarray, origins: jnp.ndarray,
+              tmin: jnp.ndarray) -> jnp.ndarray:
+    """(R, 16) kernel ray rows [d, m = o x d, o, tmin, 0...] from (R,3)
+    directions/origins and (R,) tmin.  The Plücker moment is precomputed
+    here (ray generation is measured free; the kernel reads it as three
+    more columns)."""
+    m = jnp.cross(origins, dirs)
+    r = dirs.shape[0]
+    return jnp.concatenate(
+        [dirs, m, origins, tmin.reshape(r, 1),
+         jnp.zeros((r, RAY_COMPS - 10), jnp.float32)],
+        axis=-1,
+    )
+
+
+def _make_tracer_kernel(early_exit: bool):
     """Build the kernel body; `early_exit` adds a front-to-back while_loop
     with the running winner in VMEM scratch (register-carried while state at
     RS=32 provoked a Mosaic compile hang; scratch state compiles fine)."""
@@ -127,28 +165,31 @@ def _make_tracer_kernel(early_exit: bool, tex_only: bool = False):
         _tracer_kernel_body(
             counts_ref, ids_hbm, dmin_hbm, tri_hbm, rays_ref, out_ref,
             ids_smem, dmin_smem, tri_vmem, best_vmem,
-            sem_ids, sem_dmin, sem_tri, early_exit, tex_only,
+            sem_ids, sem_dmin, sem_tri, early_exit,
         )
 
     return kernel
+
+
+NB = 4  # carried winner buffers: t, u, v, slot
+BATCH_RAYS = 128  # rays per in-kernel batch; rb_size must be a multiple
 
 
 def _tracer_kernel_body(
     counts_ref,  # scalar prefetch (NG,) int32
     ids_hbm,  # (NG, 1, KP) int32 — KP = Kmax padded to a 128 multiple
     dmin_hbm,  # (NG, 1, KP) f32 front-to-back lower distance bounds
-    tri_hbm,  # (C, 40, 128) f32
-    rays_ref,  # VMEM (RB, 8)
+    tri_hbm,  # (C, 16, 128) f32
+    rays_ref,  # VMEM (RB, 16)
     out_ref,  # VMEM (RB, 8)
     ids_smem,  # SMEM (1, KP) int32
     dmin_smem,  # SMEM (1, KP) f32
-    tri_vmem,  # VMEM (Kmax, 44, 128)
-    best_vmem,  # VMEM (8, RS, 128) running winner (early-exit variant only)
+    tri_vmem,  # VMEM (Kmax, 16, 128)
+    best_vmem,  # VMEM (4, RS, 128) running winner (early-exit variant only)
     sem_ids,
     sem_dmin,
     sem_tri,  # (Kmax,) DMA sems
     early_exit: bool,
-    tex_only: bool = False,  # fully-textured scene: carry only (t,u,v,tex)
 ):
     g = pl.program_id(0)
     rb = pl.program_id(1)
@@ -184,7 +225,7 @@ def _tracer_kernel_body(
         jax.lax.fori_loop(0, cnt, dma_wait, 0)
 
     big = jnp.float32(jnp.inf)
-    RS = 32  # rays per batch: 4 vregs per op amortises loop + branch overhead
+    RS = BATCH_RAYS  # rays per batch (loop/winner overhead amortiser)
 
     def ray_batch(rbi, _):
         r0 = pl.multiple_of(rbi * RS, RS)
@@ -192,97 +233,51 @@ def _tracer_kernel_body(
         def rcomp(c):
             return rays_ref[pl.ds(r0, RS), c : c + 1]  # (RS,1)
 
-        # ray layout: [dx dy dz ox oy oz tmin pad]; the Plücker moment
-        # m = o x d is recomputed here (6 mul/sub) because o itself is needed
-        # for the plane term o.n
         dx, dy, dz = rcomp(0), rcomp(1), rcomp(2)
-        ox, oy, oz = rcomp(3), rcomp(4), rcomp(5)
-        tmin_r = rcomp(6)
-        mx = oy * dz - oz * dy
-        my = oz * dx - ox * dz
-        mz = ox * dy - oy * dx
-        NB = 4 if tex_only else 8  # carried winner buffers
+        mx, my, mz = rcomp(3), rcomp(4), rcomp(5)
+        ox, oy, oz = rcomp(6), rcomp(7), rcomp(8)
+        tmin_r = rcomp(9)
 
         def cluster_step(j, state):
-            if tex_only:
-                (bt, bu, bv, btex) = state
-            else:
-                (bt, br, bg_, bb, bu, bv, btex, blin) = state
-            jc = jnp.minimum(j, kmax - 1)  # chunked loop may overshoot by 1
+            (bt, bu, bv, bj) = state
+            jc = jnp.minimum(j, kmax - 1)  # guard if cnt ever exceeds kmax
+            # carry the GLOBAL cluster id (not the shortlist slot): a scalar
+            # SMEM read here is free, while mapping slot->cluster in the XLA
+            # epilogue measured ~27 ms per 3.2M rays (narrow int gathers
+            # lower to per-element descriptors on TPU)
+            cid = ids_smem[0, jc].astype(jnp.float32)
 
             def tc(c):
                 return tri_vmem[jc, c, :].reshape(1, KERNEL_LEAF)
 
-            # slots >= cnt hold stale payload from a previous group: mask them
-            in_range = (j < cnt).astype(jnp.float32)
-
-            w0 = dx * tc(0) + dy * tc(1) + dz * tc(2) \
+            w1 = dx * tc(0) + dy * tc(1) + dz * tc(2) \
                 + mx * tc(3) + my * tc(4) + mz * tc(5)
-            w1 = dx * tc(6) + dy * tc(7) + dz * tc(8) \
+            w2 = dx * tc(6) + dy * tc(7) + dz * tc(8) \
                 + mx * tc(9) + my * tc(10) + mz * tc(11)
-            w2 = dx * tc(12) + dy * tc(13) + dz * tc(14) \
-                + mx * tc(15) + my * tc(16) + mz * tc(17)
-            nx, ny, nz = tc(18), tc(19), tc(20)
+            nx, ny, nz = tc(12), tc(13), tc(14)
             den = dx * nx + dy * ny + dz * nz
             onum = ox * nx + oy * ny + oz * nz
-            t = (tc(21) - onum) / den
-
-            ws = w0 + w1 + w2
-            pos_ok = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
-            neg_ok = (w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0)
+            # den == 0 (parallel ray, or all-zero padding triangle) makes
+            # inv = ±inf and u/v/t = ±inf or NaN: every comparison below is
+            # then False, so no explicit validity mask is needed
+            inv = 1.0 / den
+            u = w1 * inv
+            v = w2 * inv
+            t = (tc(15) - onum) * inv
             ok = (
-                (pos_ok | neg_ok)
-                & (den != 0.0)
-                & (ws != 0.0)
-                & (tc(39) * in_range > 0.0)
-                & (t >= tmin_r)
-                & (t < bt)
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= tmin_r) & (t < bt)
             )
-            t = jnp.where(ok, t, big)
-            better = t < bt
-
-            inv_ws = 1.0 / jnp.where(ws == 0.0, 1.0, ws)
-            u = w1 * inv_ws
-            v = w2 * inv_ws
-            w0n = 1.0 - u - v
-            cu = w0n * tc(32) + u * tc(34) + v * tc(36)
-            cv = w0n * tc(33) + u * tc(35) + v * tc(37)
-            if tex_only:
-                return (
-                    jnp.where(better, t, bt),
-                    jnp.where(better, cu, bu),
-                    jnp.where(better, cv, bv),
-                    jnp.where(better, tc(38), btex),
-                )
-            cr = w0n * tc(22) + u * tc(25) + v * tc(28)
-            cg = w0n * tc(23) + u * tc(26) + v * tc(29)
-            cb = w0n * tc(24) + u * tc(27) + v * tc(30)
-
             return (
-                jnp.where(better, t, bt),
-                jnp.where(better, cr, br),
-                jnp.where(better, cg, bg_),
-                jnp.where(better, cb, bb),
-                jnp.where(better, cu, bu),
-                jnp.where(better, cv, bv),
-                jnp.where(better, tc(38), btex),
-                jnp.where(better, tc(31), blin),
+                jnp.where(ok, t, bt),
+                jnp.where(ok, u, bu),
+                jnp.where(ok, v, bv),
+                jnp.where(ok, cid, bj),
             )
 
         z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
-        if tex_only:
-            init = (
-                jnp.full((RS, KERNEL_LEAF), big),
-                z, z,
-                jnp.full((RS, KERNEL_LEAF), -1.0),
-            )
-        else:
-            init = (
-                jnp.full((RS, KERNEL_LEAF), big),
-                z, z, z, z, z,
-                jnp.full((RS, KERNEL_LEAF), -1.0),
-                z,
-            )
+        init = (jnp.full((RS, KERNEL_LEAF), big), z, z,
+                jnp.full((RS, KERNEL_LEAF), -1.0))
 
         if early_exit:
             # front-to-back early exit with the running winner in scratch:
@@ -308,11 +303,7 @@ def _tracer_kernel_body(
             final = tuple(best_vmem[i] for i in range(NB))
         else:
             final = jax.lax.fori_loop(0, cnt, cluster_step, init)
-        if tex_only:
-            (bt, bu, bv, btex) = final
-            br = bg_ = bb = blin = None
-        else:
-            (bt, br, bg_, bb, bu, bv, btex, blin) = final
+        (bt, bu, bv, bj) = final
 
         # cross-lane winner per ray (first-occurrence argmin)
         tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS,1)
@@ -327,14 +318,12 @@ def _tracer_kernel_body(
         out_ref[pl.ds(r0, RS), 0:1] = jnp.where(
             jnp.isfinite(tmin_l), tmin_l, big
         )
-        out_ref[pl.ds(r0, RS), 4:5] = pick(bu)
-        out_ref[pl.ds(r0, RS), 5:6] = pick(bv)
-        out_ref[pl.ds(r0, RS), 6:7] = pick(btex)
-        if not tex_only:
-            out_ref[pl.ds(r0, RS), 1:2] = pick(br)
-            out_ref[pl.ds(r0, RS), 2:3] = pick(bg_)
-            out_ref[pl.ds(r0, RS), 3:4] = pick(bb)
-            out_ref[pl.ds(r0, RS), 7:8] = pick(blin)
+        out_ref[pl.ds(r0, RS), 1:2] = pick(bu)
+        out_ref[pl.ds(r0, RS), 2:3] = pick(bv)
+        out_ref[pl.ds(r0, RS), 3:4] = pick(bj)
+        out_ref[pl.ds(r0, RS), 4:5] = jnp.where(
+            first < KERNEL_LEAF, first, 0
+        ).astype(jnp.float32)
         return 0
 
     @pl.when(cnt > 0)
@@ -349,21 +338,22 @@ def _use_interpret() -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ng", "nrb", "rb_size", "kmax", "early_exit", "tex_only"),
+    static_argnames=("ng", "nrb", "rb_size", "kmax", "early_exit"),
 )
 def run_tracer_kernel(
     counts: jnp.ndarray,  # (NG,) int32
     ids: jnp.ndarray,  # (NG, KP) int32
     dmin: jnp.ndarray,  # (NG, KP) f32
-    tri_payload: jnp.ndarray,  # (C, 44, 128) f32
-    rays: jnp.ndarray,  # (NG*NRB*RB, 8) f32
+    tri_payload: jnp.ndarray,  # (C, 16, 128) f32
+    rays: jnp.ndarray,  # (NG*NRB*RB, 16) f32 (pack_rays layout)
     ng: int,
     nrb: int,
     rb_size: int,
     kmax: int,
     early_exit: bool = False,
-    tex_only: bool = False,
 ) -> jnp.ndarray:
+    """Returns (R, 8) rows [t, u, v, cluster-id, lane, 0, 0, 0];
+    t = +inf on miss.  Resolve attributes with eye.pipeline's epilogue."""
     # (NG, 1, KP): the tiled last-two dims stay whole; only the untiled
     # leading group dim is sliced by the per-group DMA
     ids = ids.reshape(ids.shape[0], 1, ids.shape[1])
@@ -384,7 +374,7 @@ def run_tracer_kernel(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (rb_size, RAY_COMPS),
+            (rb_size, OUT_COMPS),
             lambda g, rb, counts: (g * nrb + rb, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -393,7 +383,7 @@ def run_tracer_kernel(
             pltpu.SMEM((1, ids.shape[2]), jnp.float32),
             pltpu.VMEM((kmax, PAYLOAD_COMPS, KERNEL_LEAF), jnp.float32),
         ] + (
-            [pltpu.VMEM((4 if tex_only else 8, 32, KERNEL_LEAF), jnp.float32)]
+            [pltpu.VMEM((NB, BATCH_RAYS, KERNEL_LEAF), jnp.float32)]
             if early_exit else []
         ) + [
             pltpu.SemaphoreType.DMA(()),
@@ -402,8 +392,8 @@ def run_tracer_kernel(
         ],
     )
     return pl.pallas_call(
-        _make_tracer_kernel(early_exit, tex_only),
-        out_shape=jax.ShapeDtypeStruct((rays.shape[0], RAY_COMPS), jnp.float32),
+        _make_tracer_kernel(early_exit),
+        out_shape=jax.ShapeDtypeStruct((rays.shape[0], OUT_COMPS), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(counts, ids, dmin, tri_payload, rays)

@@ -65,6 +65,33 @@ def miss_color(dirs: jnp.ndarray, which: int) -> jnp.ndarray:
     return stacked[which]
 
 
+def miss_color_c(dx, dy, dz, which: int):
+    """Component-planar miss_color: takes unit direction components (R,),
+    returns (r, g, b) components (R,).  Same programs as miss_color; planar
+    so the hot epilogue never touches (R, 3) minor-dim layouts."""
+    pi = jnp.pi
+    if which == 1:  # white
+        one = jnp.ones_like(dx)
+        return one, one, one
+    if which == 2:  # black
+        zero = jnp.zeros_like(dx)
+        return zero, zero, zero
+    if which == 3:  # simple_sky (shaders.cu:757-764)
+        mix = jnp.clip(jnp.arcsin(jnp.clip(dy, -1.0, 1.0)) * 2.0 / pi, 0.0, 1.0)
+        upper = (1.0 / 255.0, 31.0 / 255.0, 117.0 / 255.0)
+        lower = (143.0 / 255.0 * 0.8, 179.0 / 255.0 * 0.8, 203.0 / 255.0 * 0.8)
+        return tuple(lo * (1.0 - mix) + up * mix
+                     for lo, up in zip(lower, upper))
+    # default_background (shaders.cu:745-752)
+    u = (jnp.arctan2(dz, dx) + pi) / (2.0 * pi)
+    v = (jnp.arcsin(jnp.clip(dy, -1.0, 1.0)) + pi / 2.0) / pi
+    border = 0.01
+    on_axis = (jnp.abs(dx) < border) | (jnp.abs(dy) < border) \
+        | (jnp.abs(dz) < border)
+    zero = jnp.zeros_like(u)
+    return (jnp.where(on_axis, 0.0, u), jnp.where(on_axis, 0.0, v), zero)
+
+
 def sample_texture(scene: Dict[str, Any], tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear/nearest texture fetch from the flat atlas, per-ray.
 
@@ -166,6 +193,14 @@ def texture_quad_coords(
 
     Nearest-filter textures get fx=fy=0 with a rounded base index, so a
     single bilinear evaluation covers both filter modes."""
+    return texture_quad_coords_c(scene, tex_id, uv[:, 0], uv[:, 1])
+
+
+def texture_quad_coords_c(
+    scene: Dict[str, Any], tex_id: jnp.ndarray, cu: jnp.ndarray,
+    cv: jnp.ndarray,
+):
+    """Component-planar texture_quad_coords (cu, cv are (R,))."""
     safe_tex = jnp.maximum(tex_id, 0)
     off = scene["tex_offset"][safe_tex]
     w = scene["tex_width"][safe_tex]
@@ -184,8 +219,8 @@ def texture_quad_coords(
         out = jnp.where(mode == 1, clamped, jnp.where(mode == 2, mirrored, wrapped))
         return jnp.clip(out, 0.0, nf - 1.0).astype(jnp.int32)
 
-    x = uv[:, 0] * w.astype(jnp.float32) - 0.5
-    y = uv[:, 1] * h.astype(jnp.float32) - 0.5
+    x = cu * w.astype(jnp.float32) - 0.5
+    y = cv * h.astype(jnp.float32) - 0.5
     x0f, y0f = jnp.floor(x), jnp.floor(y)
     linear = filt == 1
     fx = jnp.where(linear, x - x0f, 0.0)
@@ -205,6 +240,23 @@ def quad_bilinear(quad: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
         c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
         + c01 * (1 - fx) * fy + c11 * fx * fy
     )
+
+
+def quad_bilinear_c(quad: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
+    """Component-planar quad_bilinear: returns (r, g, b) channels (R,).
+
+    quad rows are [c00 | c10 | c01 | c11] x RGBA; weights stay (R,)-shaped
+    so the blend runs at full lane width."""
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = fx * (1.0 - fy)
+    w01 = (1.0 - fx) * fy
+    w11 = fx * fy
+
+    def ch(c):
+        return (quad[:, c] * w00 + quad[:, c + 4] * w10
+                + quad[:, c + 8] * w01 + quad[:, c + 12] * w11)
+
+    return ch(0), ch(1), ch(2)
 
 
 def sample_texture_quad(
