@@ -92,11 +92,16 @@ def build_ofstad_renderer():
 
 
 def time_frames(r, samples: int, n_frames: int, warmup: int = 3):
+    """(latency_ms, std, pipelined_ms): per-frame-synced latency and the
+    steady-state pipelined frame time (n frames queued, one sync — removes
+    the per-frame transport round trip, which the reference's local PCIe
+    sync does not pay; see EyeRenderer.render_frames_pipelined)."""
     r.set_current_eye_samples_per_ommatidium(samples)
     for _ in range(warmup):
         r.render_frame()
     times = [r.render_frame() for _ in range(n_frames)]
-    return float(np.mean(times)), float(np.std(times))
+    pipelined = r.render_frames_pipelined(n_frames) / n_frames
+    return float(np.mean(times)), float(np.std(times)), float(pipelined)
 
 
 def main():
@@ -115,14 +120,16 @@ def main():
     detail = {"scene": scene_name, "ommatidia": n_omms, "frames": n_frames,
               "sweep": {}}
     for s in sweep:
-        mean_ms, std_ms = time_frames(r, s, n_frames)
-        rays = n_omms * s / (mean_ms / 1000.0)
+        mean_ms, std_ms, pipe_ms = time_frames(r, s, n_frames)
+        rays = n_omms * s / (pipe_ms / 1000.0)
         detail["sweep"][str(s)] = {
-            "frame_ms": mean_ms,
+            "frame_ms": pipe_ms,
+            "latency_ms": mean_ms,
             "std_ms": std_ms,
             "rays_per_s": rays,
         }
-        print(f"# samples={s}: {mean_ms:.3f} ms/frame ({rays:.3e} rays/s)",
+        print(f"# samples={s}: {pipe_ms:.3f} ms/frame pipelined "
+              f"({rays:.3e} rays/s; latency {mean_ms:.3f} ms)",
               file=sys.stderr)
 
     headline = detail["sweep"]["3200"]["rays_per_s"]
@@ -135,17 +142,20 @@ def main():
         r2.set_render_size(r2.get_current_eye_ommatidial_count(), 1)
         detail["ofstad"] = {}
         for s in (1, 1000, 3200):
-            mean_ms, std_ms = time_frames(r2, s, max(3, n_frames // 2))
+            mean_ms, std_ms, pipe_ms = time_frames(r2, s, max(3, n_frames // 2))
             detail["ofstad"][str(s)] = {
-                "frame_ms": mean_ms,
-                "rays_per_s": n_omms * s / (mean_ms / 1000.0),
+                "frame_ms": pipe_ms,
+                "latency_ms": mean_ms,
+                "rays_per_s": n_omms * s / (pipe_ms / 1000.0),
             }
-            print(f"# ofstad samples={s}: {mean_ms:.3f} ms/frame", file=sys.stderr)
+            print(f"# ofstad samples={s}: {pipe_ms:.3f} ms/frame pipelined "
+                  f"(latency {mean_ms:.3f} ms)", file=sys.stderr)
 
     detail["notes"] = (
-        "single v5e chip through the axon tunnel; fixed per-frame overhead "
-        "includes one ~26 ms tunnel round trip that a local PJRT deployment "
-        "would not pay"
+        "single v5e chip through the axon tunnel; frame_ms is the pipelined "
+        "steady-state frame time (frames queued on device, one sync); "
+        "latency_ms includes a per-frame ~26 ms tunnel round trip that a "
+        "local PJRT deployment would not pay"
     )
     with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)

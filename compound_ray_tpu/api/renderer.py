@@ -118,8 +118,17 @@ class EyeRenderer:
             raise RuntimeError("no scene loaded (call loadGlTFscene first)")
         return self.scene.device_triangles()
 
-    def render_frame(self) -> float:
-        """Render; returns wall milliseconds (renderFrame, libEyeRenderer.cpp:279-293)."""
+    def render_frame(self, sync: bool = True) -> float:
+        """Render; returns wall milliseconds (renderFrame, libEyeRenderer.cpp:279-293).
+
+        sync=False dispatches the frame without waiting for the device — the
+        building block of the pipelined (steady-state throughput) mode, where
+        consecutive frames queue on the device and a single sync covers the
+        batch.  The reference's per-frame cudaDeviceSynchronize costs ~0 over
+        local PCIe; here a per-frame sync pays a full transport round trip,
+        which is a measurement artifact rather than render cost.  Outputs
+        stay device-resident either way; get_camera_data/get_frame_pointer
+        block as needed."""
         if self.scene is None:
             raise RuntimeError("renderFrame: no scene loaded (call loadGlTFscene)")
         if not self.scene.cameras:
@@ -193,7 +202,7 @@ class EyeRenderer:
                 self._device_frame = frame
                 self._frame_buffer = None
 
-        if outputs:
+        if outputs and sync:
             # outputs are dependency-chained (frame consumes means), so
             # syncing on the last covers the frame.  A tiny device_get is
             # used rather than block_until_ready because the latter does not
@@ -201,12 +210,33 @@ class EyeRenderer:
             # of the reference's CUDA_SYNC_CHECK after launch
             # (libEyeRenderer.cpp:243).
             jax.device_get(outputs[-1].ravel()[0])
+        self._last_outputs = outputs
         ms = (time.perf_counter() - t0) * 1000.0
         self.frame_times_ms.append(ms)
         if len(self.frame_times_ms) > 10000:
             del self.frame_times_ms[:5000]
         self._log(f"Rendered frame in {ms}ms.")
         return ms
+
+    def sync(self) -> None:
+        """Block until every dispatched frame has completed on the device."""
+        outs = getattr(self, "_last_outputs", None)
+        if outs:
+            jax.device_get(outs[-1].ravel()[0])
+
+    def render_frames_pipelined(self, n: int) -> float:
+        """Render n consecutive frames without intermediate host syncs and
+        return the TOTAL wall milliseconds (one terminal sync).
+
+        Frames run sequentially on the device with fresh RNG streams, exactly
+        as n render_frame() calls would; only the per-frame host round trip
+        is removed.  This is the steady-state serving mode: a consumer reads
+        get_camera_data once per pose, not once per jittered sample frame."""
+        t0 = time.perf_counter()
+        for _ in range(n):
+            self.render_frame(sync=False)
+        self.sync()
+        return (time.perf_counter() - t0) * 1000.0
 
     # ------------------------------------------------------------ observability
     def start_profile(self, log_dir: str) -> None:

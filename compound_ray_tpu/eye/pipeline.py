@@ -50,6 +50,15 @@ from compound_ray_tpu.trace.pallas_tracer import (
     pack_rays,
     run_tracer_kernel,
 )
+from compound_ray_tpu.trace.mm_tracer import (
+    BATCH_RAYS as MM_BATCH_RAYS,
+    MM_BLOCKS,
+    MM_COLS,
+    MM_FEATS,
+    build_mm_features,
+    run_packed_tracer,
+    slot_spheres,
+)
 from compound_ray_tpu.trace.shade import (
     build_quad_table,
     miss_color,
@@ -82,10 +91,16 @@ class ScenePlan:
     sphere_center_np: np.ndarray = None  # host copies for far-field split
     sphere_radius_np: np.ndarray = None
     tex_only: bool = False  # every triangle textured, no vertex colours
+    # packed MXU tracer tables (trace/mm_tracer.py): per-slot matmul feature
+    # columns + per-slot triangle bounding spheres for the cone refine
+    mm_flat: jnp.ndarray = None  # (S+128, 64) flattened feature columns
+    slot_center_cl: jnp.ndarray = None  # (C, 128, 3)
+    slot_radius_cl: jnp.ndarray = None  # (C, 128); -1 on padding slots
     # per-plan caches (kept on the plan, NOT keyed by id(scene): CPython
     # recycles object ids after GC, which would alias stale plans)
     kmax_cache: Dict = None
     cache_store: Dict = None
+    packed_store: Dict = None  # pose -> (row_counts, packed_mm), bounded
 
 
 def scene_plan(scene_flat) -> ScenePlan:
@@ -126,7 +141,13 @@ def scene_plan(scene_flat) -> ScenePlan:
             quad = build_quad_table(scene_flat.device_triangles())
         else:
             quad = jnp.zeros((1, 16), jnp.float32)
+        mm_feats = build_mm_features(cs)  # (S+128, 4, 16)
+        tri_c, tri_r, _ = slot_spheres(cs)
+        c_cl = cs.tri_id.shape[0]
         plan = ScenePlan(
+            mm_flat=jnp.asarray(mm_feats.reshape(mm_feats.shape[0], -1)),
+            slot_center_cl=jnp.asarray(tri_c.reshape(c_cl, KERNEL_LEAF, 3)),
+            slot_radius_cl=jnp.asarray(tri_r.reshape(c_cl, KERNEL_LEAF)),
             payload=jnp.asarray(payload),
             attr_table=jnp.asarray(attr),
             sphere_center=jnp.asarray(cs.sphere_center),
@@ -141,6 +162,7 @@ def scene_plan(scene_flat) -> ScenePlan:
             tex_only=tex_only,
             kmax_cache={},
             cache_store={},
+            packed_store={},
         )
         scene_flat._kernel_plan = plan
     return plan
@@ -160,6 +182,7 @@ class EyePlan:
     rb_size: int
     nrb: int
     kmax_hint: int = 8
+    rmax_hint: int = 1  # packed payload rows per group (high-water)
     omms_p_dev: Any = None  # cached device copy of the permuted eye
     inv_valid_dev: Any = None
 
@@ -192,12 +215,12 @@ def eye_plan(ommatidia: np.ndarray, samples: int) -> EyePlan:
 
     ng = n_pad // g
     rg = g * samples
-    # block sizing: minimise padding (rg=3200 into 1024-blocks wasted 28%);
-    # rb_size must be a multiple of the kernel's 32-ray batch
-    # measured: 1024 vs 4096 ray-blocks is perf-neutral on the chip (the
-    # grid-cell count is not an overhead source); 1024 keeps VMEM modest
-    nrb = max(1, -(-rg // 1024))
-    rb_size = _ceil_to(-(-rg // nrb), BATCH_RAYS)
+    # one ray block per group, padded to the kernel batch: fewer grid cells
+    # and less padding than fixed 1024-ray blocks (rg=3200 into 896-blocks
+    # padded 12%; one 3328 block pads 4%).  VMEM stays modest (a 10k-sample
+    # block is ~650 KB of rays).
+    nrb = 1
+    rb_size = _ceil_to(rg, MM_BATCH_RAYS)
     rg_pad = nrb * rb_size
     plan = EyePlan(
         perm=perm, inv_valid=inv_valid, n=n, n_pad=n_pad, g=g, ng=ng,
@@ -219,36 +242,43 @@ def _cull_groups(
 ):
     apex, axis = eye_world_geometry(omms_p, position, local_space)
     half = jnp.minimum(omms_p[:, 6] / FWHM_SD_RATIO * cull_sigmas, jnp.pi)
-    # centers: (C,2,3) half-spheres; a cluster survives if EITHER half's
-    # sphere intersects the cone — tighter than one loose sphere for
-    # elongated clusters
-    to_c = centers[None, :, :, :] - apex[:, None, None, :]  # (Np,C,2,3)
-    dist = jnp.linalg.norm(to_c, axis=-1)  # (Np,C,2)
-    inside = dist <= radii[None, :, :]
-    cos_a = jnp.einsum("nchd,nd->nch", to_c, axis) / jnp.maximum(dist, 1e-30)
-    alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
-    beta = jnp.arcsin(
-        jnp.clip(radii[None, :, :] / jnp.maximum(dist, 1e-30), 0.0, 1.0)
-    )
-    mask = jnp.any(
-        inside | (alpha <= half[:, None, None] + beta), axis=-1
-    )  # (Np,C)
-
-    ng = omms_p.shape[0] // g
+    # COMPONENT-PLANAR and 2-D (Np, H*C): halves and clusters together on
+    # lanes, ommatidia on sublanes (see the layout note in _refine_mask)
     c = centers.shape[0]
+    h = centers.shape[1]
+    cx = centers[:, :, 0].reshape(1, c * h)
+    cy = centers[:, :, 1].reshape(1, c * h)
+    cz = centers[:, :, 2].reshape(1, c * h)
+    rad = radii.reshape(1, c * h)
+    tx = cx - apex[:, 0][:, None]
+    ty = cy - apex[:, 1][:, None]
+    tz = cz - apex[:, 2][:, None]  # (Np, C*H)
+    dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+    inv_d = 1.0 / jnp.maximum(dist, 1e-30)
+    inside = dist <= rad
+    # a cluster survives if EITHER half-sphere intersects the cone — tighter
+    # than one loose sphere for elongated clusters
+    cos_a = (
+        tx * axis[:, 0][:, None]
+        + ty * axis[:, 1][:, None]
+        + tz * axis[:, 2][:, None]
+    ) * inv_d
+    alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
+    beta = jnp.arcsin(jnp.clip(rad * inv_d, 0.0, 1.0))
+    hit = inside | (alpha <= half[:, None] + beta)  # (Np, C*H)
+    np_ = omms_p.shape[0]
+    mask = hit.reshape(np_, c, h).any(axis=2)  # (Np, C)
+
+    ng = np_ // g
     gmask = mask.reshape(ng, g, c).any(axis=1)
     counts = jnp.sum(gmask, axis=-1).astype(jnp.int32)
 
-    centroid = jnp.mean(apex.reshape(ng, g, 3), axis=1)
-    spread = jnp.max(
-        jnp.linalg.norm(apex.reshape(ng, g, 3) - centroid[:, None, :], axis=-1),
-        axis=1,
-    )
-    gdist = jnp.linalg.norm(
-        centers[None, :, :, :] - centroid[:, None, None, :], axis=-1
-    )
+    # front-to-back bound: min over the group's members and halves of the
+    # apex-to-sphere-surface distance (exact per member — tighter than the
+    # round-1 centroid-minus-spread bound)
+    surf = dist - rad  # (Np, C*H)
     dmin_all = jnp.maximum(
-        jnp.min(gdist - radii[None, :, :], axis=-1) - spread[:, None], 0.0
+        jnp.min(surf.reshape(ng, g, c, h), axis=(1, 3)), 0.0
     )
     return gmask, counts, dmin_all
 
@@ -272,10 +302,134 @@ def _shortlist_sorted(gmask, dmin_all, kmax: int):
     return order, dmin_s
 
 
+def _refine_mask(
+    omms_p: jnp.ndarray,  # (Np, 8)
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    ids: jnp.ndarray,  # (NG, kcand) shortlisted cluster ids
+    cl_counts: jnp.ndarray,  # (NG,) surviving clusters per group
+    center_cl: jnp.ndarray,  # (C, 128, 3) per-slot triangle spheres
+    radius_cl: jnp.ndarray,  # (C, 128); -1 on padding slots
+    g: int,
+    cull_sigmas: float,
+):
+    """Level-2 cull: cone-vs-triangle-sphere over the shortlisted clusters'
+    individual triangles (see trace/mm_tracer.py docstring).  Returns
+    (mask (NG, kcand*128) bool, dmin (NG, kcand*128) group min distance,
+    slots (NG, kcand*128) global slot ids)."""
+    apex, axis = eye_world_geometry(omms_p, position, local_space)
+    half = jnp.minimum(omms_p[:, 6] / FWHM_SD_RATIO * cull_sigmas, jnp.pi)
+    kcand = ids.shape[1]
+    np_ = omms_p.shape[0]
+    ng = np_ // g
+    kc = kcand * KERNEL_LEAF
+    # COMPONENT-PLANAR and strictly 2-D (Np, kc): the candidate axis on
+    # lanes, ommatidia on sublanes.  Both the AoS form ((NG, g, kc, 3) with
+    # norms over the trailing 3) and a 3-D (NG, 1, kc) form measured 10s of
+    # ms/frame at NG=1000 — trailing dims of 1-3 waste 125/128 lanes, and a
+    # second-minor dim of 1 wastes 7/8 sublanes.
+    cx = center_cl[:, :, 0][ids].reshape(ng, kc)  # contiguous row gathers
+    cy = center_cl[:, :, 1][ids].reshape(ng, kc)
+    cz = center_cl[:, :, 2][ids].reshape(ng, kc)
+    r = radius_cl[ids].reshape(ng, kc)
+
+    def po(x):  # (Np,) -> (Np, 1)
+        return x[:, None]
+
+    def pc(x):  # per-group (NG, kc) -> (Np, kc) member view
+        if g == 1:
+            return x
+        return jnp.broadcast_to(x[:, None, :], (ng, g, kc)).reshape(np_, kc)
+
+    tx = pc(cx) - po(apex[:, 0])
+    ty = pc(cy) - po(apex[:, 1])
+    tz = pc(cz) - po(apex[:, 2])  # (Np, kc)
+    dist = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+    inv_d = 1.0 / jnp.maximum(dist, 1e-30)
+    rb = pc(r)
+    inside = dist <= rb
+    cos_a = (tx * po(axis[:, 0]) + ty * po(axis[:, 1])
+             + tz * po(axis[:, 2])) * inv_d
+    alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
+    beta = jnp.arcsin(jnp.clip(rb * inv_d, 0.0, 1.0))
+    m = inside | (alpha <= half[:, None] + beta)  # (Np, kc)
+    if g > 1:
+        m = m.reshape(ng, g, kc).any(axis=1)
+        dist = dist.reshape(ng, g, kc).min(axis=1)
+    cand_valid = jnp.broadcast_to(
+        (jnp.arange(kcand)[None, :] < cl_counts[:, None])[:, :, None],
+        (ng, kcand, KERNEL_LEAF),
+    ).reshape(ng, kc)
+    # r < 0 marks padding slots: their zero centroid could otherwise pass
+    # the angular test whenever the cone looks at the origin
+    mask = m & cand_valid & (r >= 0.0)
+    slots = (
+        ids[:, :, None] * KERNEL_LEAF
+        + jnp.arange(KERNEL_LEAF, dtype=ids.dtype)[None, None, :]
+    ).reshape(ng, kc)
+    return mask, dist, slots
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "kcand", "cull_sigmas")
+)
+def _refine_counts(
+    omms_p, position, local_space, half_center, half_radius,
+    center_cl, radius_cl, g: int, kcand: int, cull_sigmas: float,
+):
+    """Planning dispatch: packed payload rows per group at this pose."""
+    gmask, counts, dmin_all = _cull_groups(
+        omms_p, position, local_space, half_center, half_radius,
+        cull_sigmas, g,
+    )
+    ids, _ = _shortlist_sorted(gmask, dmin_all, kcand)
+    cl_counts = jnp.minimum(counts, kcand)
+    mask, _, _ = _refine_mask(
+        omms_p, position, local_space, ids[:, :kcand], cl_counts,
+        center_cl, radius_cl, g, cull_sigmas,
+    )
+    refined = jnp.sum(mask, axis=-1)
+    return ((refined + KERNEL_LEAF - 1) // KERNEL_LEAF).astype(jnp.int32)
+
+
+def _refine_pack(
+    omms_p, position, local_space, ids, cl_counts,
+    center_cl, radius_cl, mm_flat,
+    g: int, kcand: int, rmax: int, cull_sigmas: float,
+):
+    """Refine + compact: gather the surviving triangles' matmul feature
+    columns into per-group (rmax, 16, 512) payload blocks, near-to-far.
+    Returns (row_counts (NG,) int32, packed_mm (NG, rmax, 16, 512))."""
+    mask, dmin_g, slots = _refine_mask(
+        omms_p, position, local_space, ids, cl_counts,
+        center_cl, radius_cl, g, cull_sigmas,
+    )
+    ng = mask.shape[0]
+    refined = jnp.sum(mask, axis=-1)
+    row_counts = ((refined + KERNEL_LEAF - 1) // KERNEL_LEAF).astype(jnp.int32)
+    # one co-sort of (key, slot) — cheaper than argsort + take_along_axis
+    key = jnp.where(mask, dmin_g, jnp.inf)
+    sk, ss = jax.lax.sort((key, slots), dimension=-1, num_keys=1)
+    sk = sk[:, : rmax * KERNEL_LEAF]
+    ss = ss[:, : rmax * KERNEL_LEAF]
+    # compaction padding points at the all-zero PAD rows appended to the
+    # feature table (den = 0 -> self-masking in the kernel)
+    pad_slot = mm_flat.shape[0] - 1
+    packed_slot = jnp.where(jnp.isfinite(sk), ss, pad_slot)
+    gathered = mm_flat[packed_slot]  # (NG, rmax*128, 64)
+    packed_mm = (
+        gathered.reshape(ng, rmax, KERNEL_LEAF, MM_BLOCKS, MM_FEATS)
+        .transpose(0, 1, 4, 3, 2)
+        .reshape(ng, rmax, MM_FEATS, MM_COLS)
+    )
+    return row_counts, packed_mm
+
+
 def resolve_kernel_hits(
     out: jnp.ndarray,  # (R, 8) kernel rows [t, u, v, cluster-id, lane, ...]
     attr_table: jnp.ndarray,  # (C*128, A) build_attr_table rows
     tex_only: bool,
+    packed: bool = False,  # True: out[:, 3] is already the global slot id
 ):
     """Deferred-attribute epilogue: resolve the winning triangle's shading
     inputs with ONE row gather per ray.
@@ -296,10 +450,14 @@ def resolve_kernel_hits(
     u = out_t[1]
     v = out_t[2]
     n_rows = attr_table.shape[0]
-    cluster = jnp.clip(out_t[3].astype(jnp.int32), 0,
-                       n_rows // KERNEL_LEAF - 1)
-    lane = jnp.clip(out_t[4].astype(jnp.int32), 0, KERNEL_LEAF - 1)
-    attr = attr_table[cluster * KERNEL_LEAF + lane]  # (R, A)
+    if packed:
+        row = jnp.clip(out_t[3].astype(jnp.int32), 0, n_rows - 1)
+    else:
+        cluster = jnp.clip(out_t[3].astype(jnp.int32), 0,
+                           n_rows // KERNEL_LEAF - 1)
+        lane = jnp.clip(out_t[4].astype(jnp.int32), 0, KERNEL_LEAF - 1)
+        row = cluster * KERNEL_LEAF + lane
+    attr = attr_table[row]  # (R, A)
     w0n = 1.0 - u - v
     cu = w0n * attr[:, 0] + u * attr[:, 2] + v * attr[:, 4]
     cv = w0n * attr[:, 1] + u * attr[:, 3] + v * attr[:, 5]
@@ -321,41 +479,27 @@ def resolve_kernel_hits(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "samples", "background", "ng", "g", "nrb", "rb_size", "kmax",
-        "textured", "cull_sigmas", "want_samples", "use_cache", "tex_only",
-        "cache_shape", "early_exit",
-    ),
+    static_argnames=("g", "kcand", "rmax", "cull_sigmas", "use_cache"),
 )
-def _frame_fused(
-    payload: jnp.ndarray,
-    attr_table: jnp.ndarray,
-    scene_dev: Dict[str, Any],
-    quad_table: jnp.ndarray,
+def _pack_fused(
+    mm_flat: jnp.ndarray,  # (S+128, 64) matmul feature columns
+    slot_center_cl: jnp.ndarray,  # (C, 128, 3)
+    slot_radius_cl: jnp.ndarray,  # (C, 128)
     sphere_center: jnp.ndarray,
     sphere_radius: jnp.ndarray,
     omms_p: jnp.ndarray,  # (Np,8)
     position: jnp.ndarray,
     local_space: jnp.ndarray,
-    key: jax.Array,
-    samples: int,
-    background: int,
-    ng: int,
     g: int,
-    nrb: int,
-    rb_size: int,
-    kmax: int,
-    textured: bool,
+    kcand: int,
+    rmax: int,
     cull_sigmas: float,
-    want_samples: bool = False,
     near_mask: Optional[jnp.ndarray] = None,  # (C,) bool: clusters to trace
-    cache: Optional[jnp.ndarray] = None,  # (Hc,Wc,3) far-field radiance
     use_cache: bool = False,
-    tex_only: bool = False,
-    cache_shape: Tuple[int, int] = (0, 0),
-    early_exit: bool = False,
-) -> jnp.ndarray:
-    """One dispatch per frame: cull -> shortlist -> rays -> kernel -> shade."""
+):
+    """Pose-dependent plan: cull -> shortlist -> triangle refine -> packed
+    per-group payload.  Depends only on (scene, eye, pose, widths) — NOT on
+    the RNG or samples count — so callers memoise it per pose."""
     gmask, counts, dmin_all = _cull_groups(
         omms_p, position, local_space, sphere_center, sphere_radius,
         cull_sigmas, g,
@@ -364,19 +508,25 @@ def _frame_fused(
         # far clusters are served by the radiance cache; only near ones trace
         gmask = gmask & near_mask[None, :]
         counts = jnp.sum(gmask, axis=-1).astype(jnp.int32)
-    ids, dmin = _shortlist_sorted(gmask, dmin_all, kmax)
-    counts = jnp.minimum(counts, kmax)
-    return _render_frame(
-        payload, attr_table, scene_dev, quad_table, omms_p, position,
-        local_space, key,
-        counts, ids, dmin, samples, background, ng, g, nrb, rb_size, kmax,
-        textured, want_samples, cache=cache, use_cache=use_cache,
-        tex_only=tex_only, cache_shape=cache_shape, early_exit=early_exit,
+    ids, _ = _shortlist_sorted(gmask, dmin_all, kcand)
+    cl_counts = jnp.minimum(counts, kcand)
+    return _refine_pack(
+        omms_p, position, local_space, ids[:, :kcand], cl_counts,
+        slot_center_cl, slot_radius_cl, mm_flat,
+        g, kcand, rmax, cull_sigmas,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
+        "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
+    ),
+)
 def _render_frame(
-    payload: jnp.ndarray,
+    packed_mm: jnp.ndarray,  # (NG, rmax, 16, 512)
+    row_counts: jnp.ndarray,  # (NG,) int32
     attr_table: jnp.ndarray,
     scene_dev: Dict[str, Any],
     quad_table: jnp.ndarray,
@@ -384,23 +534,19 @@ def _render_frame(
     position: jnp.ndarray,
     local_space: jnp.ndarray,
     key: jax.Array,
-    counts: jnp.ndarray,
-    ids: jnp.ndarray,
-    dmin: jnp.ndarray,
     samples: int,
     background: int,
     ng: int,
     g: int,
     nrb: int,
     rb_size: int,
-    kmax: int,
+    rmax: int,
     textured: bool,
     want_samples: bool = False,
     cache: Optional[jnp.ndarray] = None,
     use_cache: bool = False,
     tex_only: bool = False,
     cache_shape: Tuple[int, int] = (0, 0),
-    early_exit: bool = False,
 ) -> jnp.ndarray:
     # Everything per-ray in this function is COMPONENT-PLANAR: (Np, S) or
     # (R,) arrays per x/y/z channel, never (R, 3)/(R, 1).  Keeping the ray
@@ -447,37 +593,43 @@ def _render_frame(
     rg = g * samples
     rg_pad = nrb * rb_size
     zeros = jnp.zeros((n_pad, samples), jnp.float32)
+    ones = jnp.ones((n_pad, samples), jnp.float32)
+    # kernel ray features [d, m, -o, 1, 0 x 6] (trace/mm_tracer.py)
     comps = [dx, dy, dz, mx, my, mz,
-             jnp.broadcast_to(oxb, (n_pad, samples)),
-             jnp.broadcast_to(oyb, (n_pad, samples)),
-             jnp.broadcast_to(ozb, (n_pad, samples)),
-             jnp.broadcast_to(tmin[:, None], (n_pad, samples))]
+             jnp.broadcast_to(-oxb, (n_pad, samples)),
+             jnp.broadcast_to(-oyb, (n_pad, samples)),
+             jnp.broadcast_to(-ozb, (n_pad, samples)),
+             ones]
     comps += [zeros] * (16 - len(comps))
-    rays_pl = jnp.stack([c.reshape(ng, rg) for c in comps])  # (16, ng, rg)
-    if rg_pad != rg:
-        rays_pl = jnp.pad(rays_pl, ((0, 0), (0, 0), (0, rg_pad - rg)))
-    # ONE transpose into the kernel's per-ray-row layout (a planar stack +
-    # transpose is ~7x cheaper than concatenating (R,3) pieces on lane dims)
-    rays = jnp.transpose(rays_pl.reshape(16, ng * rg_pad), (1, 0))
-    out = run_tracer_kernel(
-        counts, ids, dmin, payload, rays,
-        # early_exit is chosen per (scene, eye, pose): short shortlists
-        # (open scenes) run cheaper with the plain fori variant; wide ones
-        # (closed environments, most clusters in every cone) benefit from
-        # the front-to-back while_loop
-        ng=ng, nrb=nrb, rb_size=rb_size, kmax=kmax, early_exit=early_exit,
+
+    def to_rows(planar):  # (K, Np*S) planar stack -> (R, K) kernel rows
+        k = len(planar)
+        pl_ = jnp.stack([c.reshape(ng, rg) for c in planar])
+        if rg_pad != rg:
+            pl_ = jnp.pad(pl_, ((0, 0), (0, 0), (0, rg_pad - rg)))
+        # ONE transpose into the kernel's per-ray-row layout (a planar stack
+        # + transpose is ~7x cheaper than concatenating (R,3) on lane dims)
+        return jnp.transpose(pl_.reshape(k, ng * rg_pad), (1, 0))
+
+    rays = to_rows(comps)
+    aux = to_rows(
+        [jnp.broadcast_to(tmin[:, None], (n_pad, samples))] + [zeros] * 7
+    )
+    out = run_packed_tracer(
+        row_counts, packed_mm, rays, aux,
+        ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax,
     )
     t_f, cu_f, cv_f, texid_f, rgb_f = resolve_kernel_hits(
-        out, attr_table, tex_only
+        out, attr_table, tex_only, packed=True
     )
 
     def unpad(x):
         return x.reshape(ng, rg_pad)[:, :rg].reshape(n_pad, samples)
 
     t = unpad(t_f)
-    # groups with empty shortlists skip the kernel entirely; their rows are
+    # groups with empty payloads skip the kernel entirely; their rows are
     # garbage and the whole group is a miss
-    group_live = jnp.repeat(counts > 0, g)[:, None]  # (n_pad, 1)
+    group_live = jnp.repeat(row_counts > 0, g)[:, None]  # (n_pad, 1)
     hit = (t < 1e30) & group_live
     if tex_only:
         rr = gg = bb = zeros
@@ -553,6 +705,67 @@ _kmax_cache: Dict[Tuple, int] = {}
 _cache_store: Dict[Tuple, jnp.ndarray] = {}
 
 
+def _plan_widths(splan, eplan, omms_p, position, local_space, cache_key):
+    """Static kernel widths for a (scene, eye, samples, pose) combination:
+    kcand (candidate clusters for the refine) and rmax (packed payload rows
+    per group).  Measured with two small planning dispatches + host syncs
+    only the first time a pose is seen; high-water rounding lets nearby
+    poses reuse the compiled frame."""
+    cached = splan.kmax_cache.get(cache_key)
+    if cached is not None:
+        return cached
+    sig = get_config().cull_sigmas
+    _, counts, _ = _cull_groups(
+        omms_p, position, local_space,
+        splan.half_center, splan.half_radius, sig, eplan.g,
+    )
+    k_needed = int(np.asarray(jax.device_get(jnp.max(counts))))
+    kcand = min(
+        splan.num_clusters,
+        max(eplan.kmax_hint, _ceil_to(max(k_needed, 1), 8)),
+    )
+    row_counts = _refine_counts(
+        omms_p, position, local_space,
+        splan.half_center, splan.half_radius,
+        splan.slot_center_cl, splan.slot_radius_cl,
+        eplan.g, kcand, sig,
+    )
+    r_needed = int(np.asarray(jax.device_get(jnp.max(row_counts))))
+    rmax = min(max(eplan.rmax_hint, _ceil_to(max(r_needed, 1), 2)), kcand)
+    eplan.kmax_hint = kcand  # high-water: nearby poses reuse the compile
+    eplan.rmax_hint = rmax
+    cached = (kcand, rmax)
+    splan.kmax_cache[cache_key] = cached
+    return cached
+
+
+def _packed_plan(
+    splan, eplan, omms_p, position, local_space, pose_sig, samples,
+    kcand, rmax, near_mask=None, use_cache=False, d_thresh=0.0,
+):
+    """Memoised _pack_fused: the packed payload depends only on
+    (scene, eye, pose, widths, far-field split) — not on the RNG — so
+    fixed-pose rendering (the speedTest protocol, GA pose loops) pays the
+    refine+pack once.  Bounded store: pose sweeps evict oldest."""
+    pk = (eplan.perm.tobytes()[:64], samples, pose_sig, kcand, rmax,
+          use_cache, d_thresh)
+    hit = splan.packed_store.get(pk)
+    if hit is not None:
+        return hit
+    out = _pack_fused(
+        splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+        splan.half_center, splan.half_radius,
+        omms_p, position, local_space,
+        g=eplan.g, kcand=kcand, rmax=rmax,
+        cull_sigmas=get_config().cull_sigmas,
+        near_mask=near_mask, use_cache=use_cache,
+    )
+    while len(splan.packed_store) >= 2:  # packed_mm can be 100s of MB
+        splan.packed_store.pop(next(iter(splan.packed_store)))
+    splan.packed_store[pk] = out
+    return out
+
+
 def render_means_pallas(
     scene_flat,
     scene_dev: Dict[str, Any],
@@ -587,28 +800,10 @@ def render_means_pallas(
         np.asarray(pos_np, np.float32).tobytes(),
         np.asarray(ls_np, np.float32).tobytes(),
     )
-    ck = (eplan.perm.tobytes()[:64], samples, pose_sig)
-    cached = splan.kmax_cache.get(ck)
-    if cached is None:
-        _, counts, _ = _cull_groups(
-            omms_p, position, local_space,
-            splan.half_center, splan.half_radius,
-            get_config().cull_sigmas, eplan.g,
-        )
-        counts_h = np.asarray(jax.device_get(counts))
-        k_needed = int(counts_h.max())
-        kmax = min(
-            splan.num_clusters,
-            max(eplan.kmax_hint, _ceil_to(max(k_needed, 1), 8)),
-        )
-        # measured: the while_loop variant loses even at mean count ~9 (the
-        # ofstad arena) — per-iteration branch+scratch overhead exceeds the
-        # skipped work — so the fori kernel is used unconditionally here
-        early_exit = False
-        eplan.kmax_hint = kmax  # high-water: nearby poses reuse the compile
-        cached = (kmax, early_exit)
-        splan.kmax_cache[ck] = cached
-    kmax, early_exit = cached
+    kcand, rmax = _plan_widths(
+        splan, eplan, omms_p, position, local_space,
+        (eplan.perm.tobytes()[:64], samples, pose_sig),
+    )
 
     cfg = get_config()
     use_cache = False
@@ -661,17 +856,24 @@ def render_means_pallas(
                         splan.cache_store.clear()
                     splan.cache_store[cache_key] = cache
 
-    means_p = _frame_fused(
-        splan.payload, splan.attr_table, scene_dev, splan.quad_table,
-        splan.half_center, splan.half_radius,
+    row_counts, packed_mm = _packed_plan(
+        splan, eplan, omms_p, position, local_space, pose_sig, samples,
+        kcand, rmax, near_mask=near_mask, use_cache=use_cache,
+        d_thresh=(
+            _farfield_threshold(ommatidia_np, cfg.farfield_tolerance)
+            if use_cache else 0.0
+        ),
+    )
+    means_p = _render_frame(
+        packed_mm, row_counts,
+        splan.attr_table, scene_dev, splan.quad_table,
         omms_p, position, local_space, key,
         samples=samples, background=background,
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
-        kmax=kmax, textured=splan.textured, cull_sigmas=get_config().cull_sigmas,
-        near_mask=near_mask, cache=cache, use_cache=use_cache,
+        rmax=rmax, textured=splan.textured,
+        cache=cache, use_cache=use_cache,
         tex_only=splan.tex_only,
         cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
-        early_exit=early_exit,
     )
     return means_p[eplan.inv_valid_dev]
 
@@ -696,26 +898,26 @@ def render_samples_pallas(
         eplan.inv_valid_dev = jnp.asarray(eplan.inv_valid)
     omms_p = eplan.omms_p_dev
 
-    _, counts, _ = _cull_groups(
-        omms_p, position, local_space,
-        splan.half_center, splan.half_radius,
-        get_config().cull_sigmas, eplan.g,
+    pos_np = np.asarray(jax.device_get(position), np.float32)
+    ls_np = np.asarray(jax.device_get(local_space), np.float32)
+    kcand, rmax = _plan_widths(
+        splan, eplan, omms_p, position, local_space,
+        (eplan.perm.tobytes()[:64], samples,
+         (pos_np.tobytes(), ls_np.tobytes())),
     )
-    k_needed = int(jax.device_get(jnp.max(counts)))
-    kmax = min(
-        splan.num_clusters,
-        max(eplan.kmax_hint, _ceil_to(max(k_needed, 1), 8)),
-    )
-    eplan.kmax_hint = kmax
 
-    raw_p = _frame_fused(
-        splan.payload, splan.attr_table, scene_dev, splan.quad_table,
-        splan.half_center, splan.half_radius,
+    pose_sig = (pos_np.tobytes(), ls_np.tobytes())
+    row_counts, packed_mm = _packed_plan(
+        splan, eplan, omms_p, position, local_space, pose_sig, samples,
+        kcand, rmax,
+    )
+    raw_p = _render_frame(
+        packed_mm, row_counts,
+        splan.attr_table, scene_dev, splan.quad_table,
         omms_p, position, local_space, key,
         samples=samples, background=background,
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
-        kmax=kmax, textured=splan.textured,
-        cull_sigmas=get_config().cull_sigmas, want_samples=True,
+        rmax=rmax, textured=splan.textured, want_samples=True,
         tex_only=splan.tex_only,
     )  # (Np, S, 3)
     return jnp.transpose(raw_p[eplan.inv_valid_dev], (1, 0, 2))

@@ -1,0 +1,264 @@
+"""Packed-payload MXU tracer: per-ommatidium triangle refine + matmul test.
+
+Round-1 evidence (docs/performance.md) showed the fused tracer kernel is
+VPU-compute-bound and that cluster-sphere culling had saturated: every ray
+swept ~512 (natural) to ~1937 (ofstad arena) triangle SLOTS because the
+shortlist granularity was a whole 128-triangle cluster.  This module is the
+round-2 hierarchy (VERDICT #1), shaped for the TPU rather than as a per-ray
+BVH walk (the reference's equivalent is the GAS/IAS traversal inside
+optixTrace, libEyeRenderer3/MulticamScene.cpp:1229-1596 + shaders.cu:149):
+
+  level 1  cone-vs-cluster cull (accel/cull.py, unchanged) -> per-group
+           cluster shortlists of ~4-16 clusters.
+  level 2  cone-vs-TRIANGLE refine (XLA, eye/pipeline._refine_pack): every
+           candidate triangle's bounding sphere is tested against the
+           ommatidium acceptance cone, and the survivors are COMPACTED into
+           per-group payload rows of 128 triangles.  Measured slot cut on
+           the bench scenes: natural 573 -> 117 slots/ray, ofstad arena
+           1937 -> 432.  The kernel then consumes a dense, group-local
+           (rmax, 16, 512) block via plain BlockSpec pipelining — no manual
+           DMA, no shortlist SMEM.
+
+The intersection test itself moves to the MXU.  Each triangle contributes
+four 16-feature COLUMNS (only rows 0-9 are live):
+
+    w1   [edge1_cross(3), edge1_diff(3), 0, 0, 0, 0]   (side product -> u)
+    w2   [edge2_cross(3), edge2_diff(3), 0, 0, 0, 0]   (side product -> v)
+    den  [n(3),           0, 0, 0,       0, 0, 0, 0]   (d . n)
+    tnum [0, 0, 0,        0, 0, 0,       n(3),  c0]    (c0 - o . n)
+
+and a ray is the feature 16-vector  F = [d(3), m(3), -o(3), 1, 0 x 6]  with
+m = o x d, so ONE  (128, 16) @ (16, 512)  f32 matmul per (ray-batch, row)
+step evaluates w1, w2, den and the t numerator for 128 rays x 128 triangles
+— the dot products that were ~2/3 of the round-1 kernel's VPU ops now ride
+the systolic array, leaving ~18 VPU ops per slot for the divide/compare/
+select epilogue (u = w1/den, v = w2/den, t = tnum/den, inside test, winner
+update).  Because ray feature columns 10-15 are zero, payload rows 10-15
+are free: row 10 of each w1-block lane carries the triangle's global SLOT
+id (exact in f32 below 2^24), which the kernel selects into the winner
+state so the XLA epilogue can resolve attributes with one row gather
+(pipeline.resolve_kernel_hits).
+
+Degenerate/padding triangles are all-zero columns: den = 0 makes u, v, t
+NaN/inf and every comparison False, so compaction padding self-masks.
+
+Reference semantics preserved: closest hit over the acceptance-cone sample
+set of __raygen__ommatidium (shaders.cu:666-736), both-sided intersection,
+t in world units, tmin = focal-point offset (shaders.cu:725).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from compound_ray_tpu.trace.pallas_tracer import KERNEL_LEAF, OUT_COMPS
+
+MM_FEATS = 16  # feature rows per column (0-9 live, 10 = slot id on w1)
+MM_BLOCKS = 4  # w1 | w2 | den | tnum
+MM_COLS = MM_BLOCKS * KERNEL_LEAF  # 512 columns per payload row
+RAY_FEATS = 16  # [d, m, -o, 1, 0 x 6]
+AUX_COMPS = 8  # [tmin, 0 x 7]
+# rays per in-kernel step.  The loop body is a short dependent chain
+# (matmul -> divide/compare -> select), so small steps are LATENCY-bound:
+# at 128 rays/step the natural scene ran ~23k steps x ~1.4 us = 32 ms for
+# ~8 ms of VPU work.  256 rays halves the step count; the carried winner
+# state (4 x (256, 128) f32 = 512 KB) still fits registers/VMEM.
+BATCH_RAYS = 256
+
+
+def build_mm_features(cluster_set) -> np.ndarray:
+    """(C*128 + 128, 4, 16) per-slot matmul feature columns.
+
+    Row index = global slot id (cluster * 128 + lane); the trailing 128
+    all-zero rows are the compaction PAD target (den = 0 -> never hits).
+    feats[s, b] is column block b's 16-feature vector for slot s; w1's
+    feature 10 carries float(s)."""
+    from compound_ray_tpu.trace.plucker import triangle_constants
+
+    c, l = cluster_set.tri_id.shape
+    assert l == KERNEL_LEAF
+    tri = triangle_constants(cluster_set.v0, cluster_set.e1, cluster_set.e2)
+    edge6 = np.asarray(tri["edge6"], np.float32)  # (S, 3, 6)
+    normal = np.asarray(tri["normal"], np.float32)  # (S, 3)
+    c0 = np.asarray(tri["c0"], np.float32)  # (S,)
+    s = c * l
+
+    feats = np.zeros((s + KERNEL_LEAF, MM_BLOCKS, MM_FEATS), np.float32)
+    feats[:s, 0, 0:6] = edge6[:, 1]  # w1 (edge opposite v1 -> u)
+    feats[:s, 0, 10] = np.arange(s, dtype=np.float32)  # slot id
+    feats[:s, 1, 0:6] = edge6[:, 2]  # w2 (edge opposite v2 -> v)
+    feats[:s, 2, 0:3] = normal  # den = d . n
+    feats[:s, 3, 6:9] = normal  # tnum = c0 - o . n  (ray carries -o)
+    feats[:s, 3, 9] = c0
+    return feats
+
+
+def slot_spheres(cluster_set):
+    """Per-slot triangle bounding spheres for the cone refine.
+
+    Returns (center (S, 3) f32, radius (S,) f32, valid (S,) bool); padding
+    slots get radius -1 so `dist <= radius` and the angular test both fail
+    even before the validity mask."""
+    v0 = cluster_set.v0
+    p1 = v0 + cluster_set.e1
+    p2 = v0 + cluster_set.e2
+    c = ((v0 + p1 + p2) / 3.0).astype(np.float32)
+    r = np.maximum.reduce([
+        np.linalg.norm(v0 - c, axis=1),
+        np.linalg.norm(p1 - c, axis=1),
+        np.linalg.norm(p2 - c, axis=1),
+    ]).astype(np.float32)
+    valid = cluster_set.tri_id.reshape(-1) >= 0
+    r = np.where(valid, r, -1.0).astype(np.float32)
+    return c, r, valid
+
+
+def pack_rays_mm(dirs, origins, tmin):
+    """((R, 16) features, (R, 8) aux) from (R,3) dirs/origins + (R,) tmin.
+
+    Feature layout matches the module docstring; aux col 0 is tmin."""
+    m = jnp.cross(origins, dirs)
+    r = dirs.shape[0]
+    one = jnp.ones((r, 1), jnp.float32)
+    feats = jnp.concatenate(
+        [dirs, m, -origins, one, jnp.zeros((r, RAY_FEATS - 10), jnp.float32)],
+        axis=-1,
+    )
+    aux = jnp.concatenate(
+        [tmin.reshape(r, 1), jnp.zeros((r, AUX_COMPS - 1), jnp.float32)],
+        axis=-1,
+    )
+    return feats, aux
+
+
+def _packed_kernel(counts_ref, tri_ref, rays_ref, aux_ref, out_ref):
+    g = pl.program_id(0)
+    cnt = counts_ref[g]
+    rb_size = rays_ref.shape[0]
+    big = jnp.float32(jnp.inf)
+    RS = BATCH_RAYS
+
+    def ray_batch(rbi, _):
+        r0 = pl.multiple_of(rbi * RS, RS)
+        F = rays_ref[pl.ds(r0, RS), :]  # (RS, 16)
+        tmin_r = aux_ref[pl.ds(r0, RS), 0:1]  # (RS, 1)
+
+        def row_step(j, state):
+            (bt, bu, bv, bid) = state
+            mm = tri_ref[0, j]  # (16, 512)
+            p = jax.lax.dot_general(
+                F, mm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (RS, 512)
+            w1 = p[:, 0:KERNEL_LEAF]
+            w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
+            den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
+            tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
+            # slot ids ride feature row 10 of the w1 block (rows 8:16 load is
+            # sublane-aligned; the [2] pick afterwards is a register slice)
+            ids = tri_ref[0, j, 8:16, 0:KERNEL_LEAF][2:3, :]  # (1, 128)
+            # den == 0 (parallel ray or all-zero padding column) -> inv inf
+            # -> u/v/t inf or NaN -> every comparison False: self-masking
+            inv = 1.0 / den
+            u = w1 * inv
+            v = w2 * inv
+            t = tnum * inv
+            ok = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= tmin_r) & (t < bt)
+            )
+            return (
+                jnp.where(ok, t, bt),
+                jnp.where(ok, u, bu),
+                jnp.where(ok, v, bv),
+                jnp.where(ok, ids, bid),
+            )
+
+        z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
+        init = (jnp.full((RS, KERNEL_LEAF), big), z, z,
+                jnp.full((RS, KERNEL_LEAF), -1.0))
+        (bt, bu, bv, bid) = jax.lax.fori_loop(0, cnt, row_step, init)
+
+        # cross-lane winner per ray (first-occurrence argmin)
+        tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RS, KERNEL_LEAF), 1)
+        cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
+        first = jnp.min(cand, axis=1, keepdims=True)
+        onehot = lane == first
+
+        def pick(buf):
+            return jnp.sum(jnp.where(onehot, buf, 0.0), axis=1, keepdims=True)
+
+        out_ref[pl.ds(r0, RS), 0:1] = jnp.where(
+            jnp.isfinite(tmin_l), tmin_l, big
+        )
+        out_ref[pl.ds(r0, RS), 1:2] = pick(bu)
+        out_ref[pl.ds(r0, RS), 2:3] = pick(bv)
+        out_ref[pl.ds(r0, RS), 3:4] = pick(bid)
+        return 0
+
+    @pl.when(cnt > 0)
+    def _run_batches():
+        jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ng", "nrb", "rb_size", "rmax")
+)
+def run_packed_tracer(
+    row_counts: jnp.ndarray,  # (NG,) int32 payload rows per group
+    packed_mm: jnp.ndarray,  # (NG, rmax, 16, 512) f32
+    rays: jnp.ndarray,  # (NG*NRB*RB, 16) f32 (pack_rays_mm features)
+    rays_aux: jnp.ndarray,  # (NG*NRB*RB, 8) f32 (tmin in col 0)
+    ng: int,
+    nrb: int,
+    rb_size: int,
+    rmax: int,
+) -> jnp.ndarray:
+    """Returns (R, 8) rows [t, u, v, slot-id, 0...]; t = +inf on miss.
+
+    Groups with row_counts == 0 skip all work and emit garbage rows — the
+    epilogue must mask whole groups by count (same contract as
+    run_tracer_kernel)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng, nrb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rmax, MM_FEATS, MM_COLS),
+                lambda g, rb, counts: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rb_size, RAY_FEATS),
+                lambda g, rb, counts: (g * nrb + rb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rb_size, AUX_COMPS),
+                lambda g, rb, counts: (g * nrb + rb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (rb_size, OUT_COMPS),
+            lambda g, rb, counts: (g * nrb + rb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _packed_kernel,
+        out_shape=jax.ShapeDtypeStruct((rays.shape[0], OUT_COMPS), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(row_counts, packed_mm, rays, rays_aux)
