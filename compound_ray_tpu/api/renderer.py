@@ -319,16 +319,17 @@ class EyeRenderer:
             and not self.lighting
             and backend in ("auto", "sharded")
         ):
-            # multi-chip deployment: cone-culled sweep over the device mesh
+            # multi-chip deployment: the packed MXU tracer pipeline sharded
+            # over an (omm, sample) mesh with a psum over ICI
             from compound_ray_tpu.parallel.sharding import (
                 make_eye_mesh,
-                render_means_sharded_fast,
+                render_means_sharded_packed,
             )
 
             sp = 2 if len(jax.devices()) % 2 == 0 and samples % 2 == 0 else 1
             mesh = make_eye_mesh(sample_parallel=sp)
-            return render_means_sharded_fast(
-                self.scene, scene_dev, jnp.asarray(omms_np),
+            return render_means_sharded_packed(
+                self.scene, scene_dev, omms_np,
                 jnp.asarray(pos), jnp.asarray(ls), key, samples, background,
                 mesh,
             )

@@ -190,10 +190,14 @@ class EyePlan:
 _eye_plans: Dict[Tuple, EyePlan] = {}
 
 
-def eye_plan(ommatidia: np.ndarray, samples: int) -> EyePlan:
+def eye_plan(ommatidia: np.ndarray, samples: int,
+             ng_multiple: int = 1) -> EyePlan:
+    """Static layout for an (eye, samples) pair.  ng_multiple pads the
+    GROUP count (with empty groups — row_counts 0, near-zero kernel cost)
+    so the group axis shards evenly over a device mesh."""
     h = hashlib.blake2b(np.ascontiguousarray(ommatidia).tobytes(),
                         digest_size=12).hexdigest()
-    key = (h, samples)
+    key = (h, samples, ng_multiple)
     plan = _eye_plans.get(key)
     if plan is not None:
         return plan
@@ -208,7 +212,9 @@ def eye_plan(ommatidia: np.ndarray, samples: int) -> EyePlan:
     phi = np.arctan2(dn[:, 2], dn[:, 0])
     band = np.floor(theta / 0.35).astype(np.int64)
     order = np.lexsort((phi, band))
-    n_pad = _ceil_to(n, g)
+    n_pad = _ceil_to(n, g) if ng_multiple == 1 else _ceil_to(
+        n, g * ng_multiple
+    )
     perm = np.concatenate([order, np.full(n_pad - n, order[-1])])
     inv_valid = np.empty(n, np.int64)
     inv_valid[order] = np.arange(n)
@@ -443,9 +449,12 @@ def resolve_kernel_hits(
     (R, 3) shapes lower to 1-3 used lanes out of 128.  Rows for
     missed/padded rays are clamped garbage; callers must mask with
     (t < 1e30) & group-liveness."""
-    # one transpose to planar (8, R): column extracts from the (R, 8) AoS
-    # kernel output cost ~23 ms/frame at 3.2M rays; row reads are free
-    out_t = jnp.transpose(out, (1, 0))
+    if packed:
+        out_t = out  # the packed tracer already emits planar (8, R)
+    else:
+        # one transpose to planar (8, R): column extracts from the (R, 8)
+        # AoS kernel output cost ~23 ms/frame at 3.2M rays
+        out_t = jnp.transpose(out, (1, 0))
     t = out_t[0]
     u = out_t[1]
     v = out_t[2]
@@ -548,10 +557,56 @@ def _render_frame(
     tex_only: bool = False,
     cache_shape: Tuple[int, int] = (0, 0),
 ) -> jnp.ndarray:
-    # Everything per-ray in this function is COMPONENT-PLANAR: (Np, S) or
-    # (R,) arrays per x/y/z channel, never (R, 3)/(R, 1).  Keeping the ray
-    # axis on the lane (minor) dim is worth ~70 ms/frame at 3.2M rays: AoS
-    # norms/crosses lower to per-element cross-lane shuffles.
+    # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
+    # three 38 MB tensors was a measurable fraction of the frame
+    n_pad = omms_p.shape[0]
+    k_splay, k_spin = jax.random.split(key)
+    sd = omms_p[:, 6] / FWHM_SD_RATIO
+    splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
+    spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
+    return _trace_shade_angles(
+        packed_mm, row_counts, attr_table, scene_dev, quad_table, omms_p,
+        position, local_space, splay, spin,
+        samples=samples, background=background, ng=ng, g=g, nrb=nrb,
+        rb_size=rb_size, rmax=rmax, textured=textured,
+        want_samples=want_samples, cache=cache, use_cache=use_cache,
+        tex_only=tex_only, cache_shape=cache_shape,
+    )
+
+
+def _trace_shade_angles(
+    packed_mm: jnp.ndarray,  # (NG, rmax, 16, 512)
+    row_counts: jnp.ndarray,  # (NG,) int32
+    attr_table: jnp.ndarray,
+    scene_dev: Dict[str, Any],
+    quad_table: jnp.ndarray,
+    omms_p: jnp.ndarray,  # (Np,8)
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    splay: jnp.ndarray,  # (Np, S) pre-drawn Gaussian splay angles
+    spin: jnp.ndarray,  # (Np, S) pre-drawn half-turn spin angles
+    samples: int,
+    background: int,
+    ng: int,
+    g: int,
+    nrb: int,
+    rb_size: int,
+    rmax: int,
+    textured: bool,
+    want_samples: bool = False,
+    cache: Optional[jnp.ndarray] = None,
+    use_cache: bool = False,
+    tex_only: bool = False,
+    cache_shape: Tuple[int, int] = (0, 0),
+) -> jnp.ndarray:
+    """Angle-parameterised frame core (trace + shade + reduce): the sharded
+    path draws angles GLOBALLY and feeds per-device slices here, so results
+    are identical across mesh topologies.
+
+    Everything per-ray is COMPONENT-PLANAR: (Np, S) or (R,) arrays per
+    x/y/z channel, never (R, 3)/(R, 1).  Keeping the ray axis on the lane
+    (minor) dim is worth ~70 ms/frame at 3.2M rays: AoS norms/crosses lower
+    to per-element cross-lane shuffles."""
     n_pad = omms_p.shape[0]
     ax, ay, az = omms_p[:, 3], omms_p[:, 4], omms_p[:, 5]  # (Np,)
     axis_len = jnp.sqrt(ax * ax + ay * ay + az * az)
@@ -565,12 +620,6 @@ def _render_frame(
     oy = position[1] + rx * L[0, 1] + ry * L[1, 1] + rz * L[2, 1]
     oz = position[2] + rx * L[0, 2] + ry * L[1, 2] + rz * L[2, 2]
 
-    # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
-    # three 38 MB tensors was a measurable fraction of the frame
-    k_splay, k_spin = jax.random.split(key)
-    sd = omms_p[:, 6] / FWHM_SD_RATIO
-    splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
-    spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
     rdx, rdy, rdz = cone_offset_components(
         ax[:, None], ay[:, None], az[:, None], splay, spin
     )  # (Np, S)
@@ -582,7 +631,7 @@ def _render_frame(
         jnp.maximum(wdx * wdx + wdy * wdy + wdz * wdz, 1e-60)
     )
     dx, dy, dz = wdx * inv_n, wdy * inv_n, wdz * inv_n  # (Np, S)
-    tmin = focal * axis_len  # (Np,)
+    tmin = (focal * axis_len)[:, None]  # (Np, 1) world units
 
     # Plücker moment m = o x d (origin broadcast over samples)
     oxb, oyb, ozb = ox[:, None], oy[:, None], oz[:, None]
@@ -594,29 +643,22 @@ def _render_frame(
     rg_pad = nrb * rb_size
     zeros = jnp.zeros((n_pad, samples), jnp.float32)
     ones = jnp.ones((n_pad, samples), jnp.float32)
-    # kernel ray features [d, m, -o, 1, 0 x 6] (trace/mm_tracer.py)
+    # kernel ray features [d, m, -o', 1, 0 x 6] with tmin folded into the
+    # origin (o' = o + tmin d; the moment is tmin-invariant) — see
+    # trace/mm_tracer.pack_rays_mm
     comps = [dx, dy, dz, mx, my, mz,
-             jnp.broadcast_to(-oxb, (n_pad, samples)),
-             jnp.broadcast_to(-oyb, (n_pad, samples)),
-             jnp.broadcast_to(-ozb, (n_pad, samples)),
+             -(oxb + tmin * dx), -(oyb + tmin * dy), -(ozb + tmin * dz),
              ones]
     comps += [zeros] * (16 - len(comps))
 
-    def to_rows(planar):  # (K, Np*S) planar stack -> (R, K) kernel rows
-        k = len(planar)
-        pl_ = jnp.stack([c.reshape(ng, rg) for c in planar])
-        if rg_pad != rg:
-            pl_ = jnp.pad(pl_, ((0, 0), (0, 0), (0, rg_pad - rg)))
-        # ONE transpose into the kernel's per-ray-row layout (a planar stack
-        # + transpose is ~7x cheaper than concatenating (R,3) on lane dims)
-        return jnp.transpose(pl_.reshape(k, ng * rg_pad), (1, 0))
-
-    rays = to_rows(comps)
-    aux = to_rows(
-        [jnp.broadcast_to(tmin[:, None], (n_pad, samples))] + [zeros] * 7
-    )
+    # planar stack straight into the kernel's feature-major layout: NO
+    # (R, 16) transpose (it measured 10s of ms at 3.3M rays)
+    rays_pl = jnp.stack([c.reshape(ng, rg) for c in comps])
+    if rg_pad != rg:
+        rays_pl = jnp.pad(rays_pl, ((0, 0), (0, 0), (0, rg_pad - rg)))
+    rays = rays_pl.reshape(16, ng * rg_pad)
     out = run_packed_tracer(
-        row_counts, packed_mm, rays, aux,
+        row_counts, packed_mm, rays,
         ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax,
     )
     t_f, cu_f, cv_f, texid_f, rgb_f = resolve_kernel_hits(

@@ -122,6 +122,146 @@ def render_means_sharded(
     )
 
 
+def _draw_angles(key: jax.Array, omms_p: jnp.ndarray, samples: int):
+    """Global (Np, S) cone-jitter draw — identical to the dense frame's, so
+    sharded results can be validated exactly against the dense kernel path
+    (the same angles sliced over the mesh)."""
+    from compound_ray_tpu.eye.sampling import FWHM_SD_RATIO
+
+    n_pad = omms_p.shape[0]
+    k_splay, k_spin = jax.random.split(key)
+    sd = omms_p[:, 6] / FWHM_SD_RATIO
+    splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
+    spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
+    return splay, spin
+
+
+def render_means_sharded_packed(
+    scene_flat,
+    scene_dev: Dict[str, Any],
+    ommatidia: np.ndarray,  # (N,8) host
+    position,
+    local_space,
+    key: jax.Array,
+    samples: int,
+    background: int,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Production multi-chip path on the PACKED MXU tracer (the same kernel
+    pipeline as single-chip rendering — VERDICT round 2 #3).
+
+    Planning (cluster build, cone cull, triangle refine, payload pack)
+    happens globally, memoised per pose; the GROUP axis of the packed
+    payload then shards over "omm" (pure data parallelism, scene tables
+    replicated) and the sample axis over "sample" with a psum combining the
+    per-ommatidium partial means over ICI.  Angles are drawn globally, so
+    the result equals the dense kernel path on the same angle set exactly
+    (up to f32 summation order)."""
+    from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.eye.pipeline import (
+        _ceil_to as ceil_to,
+        _packed_plan,
+        _plan_widths,
+        _trace_shade_angles,
+        eye_plan,
+        scene_plan,
+    )
+    from compound_ray_tpu.trace.mm_tracer import BATCH_RAYS
+
+    omm_axis = mesh.shape["omm"]
+    sample_axis = mesh.shape["sample"]
+    assert samples % sample_axis == 0, "samples must divide the sample axis"
+    omms_np = np.asarray(ommatidia)
+
+    splan = scene_plan(scene_flat)
+    eplan = eye_plan(omms_np, samples, ng_multiple=omm_axis)
+    if eplan.omms_p_dev is None:
+        eplan.omms_p_dev = jnp.asarray(omms_np[eplan.perm])
+        eplan.inv_valid_dev = jnp.asarray(eplan.inv_valid)
+    omms_p = eplan.omms_p_dev
+
+    pos_np = np.asarray(jax.device_get(position), np.float32)
+    ls_np = np.asarray(jax.device_get(local_space), np.float32)
+    position = jnp.asarray(pos_np)
+    local_space = jnp.asarray(ls_np)
+    pose_sig = (pos_np.tobytes(), ls_np.tobytes())
+    kcand, rmax = _plan_widths(
+        splan, eplan, omms_p, position, local_space,
+        (eplan.perm.tobytes()[:64], samples, pose_sig, "mesh"),
+    )
+    row_counts, packed_mm = _packed_plan(
+        splan, eplan, omms_p, position, local_space, pose_sig, samples,
+        kcand, rmax,
+    )
+    splay, spin = _draw_angles(key, omms_p, samples)
+
+    s_local = samples // sample_axis
+    ng_local = eplan.ng // omm_axis
+    rb_local = ceil_to(eplan.g * s_local, BATCH_RAYS)
+    means_p = _sharded_packed_impl(
+        splan.attr_table, scene_dev, splan.quad_table, packed_mm,
+        row_counts, omms_p, splay, spin, position, local_space,
+        samples=samples, s_local=s_local, background=background,
+        ng_local=ng_local, g=eplan.g, rb_local=rb_local, rmax=rmax,
+        textured=splan.textured, tex_only=splan.tex_only, mesh=mesh,
+    )
+    return means_p[eplan.inv_valid_dev]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "samples", "s_local", "background", "ng_local", "g", "rb_local",
+        "rmax", "textured", "tex_only", "mesh",
+    ),
+)
+def _sharded_packed_impl(
+    attr_table, scene_dev, quad_table, packed_mm, row_counts, omms_p,
+    splay, spin, position, local_space,
+    samples: int, s_local: int, background: int, ng_local: int, g: int,
+    rb_local: int, rmax: int, textured: bool, tex_only: bool, mesh: Mesh,
+):
+    """jit-of-shard_map: ONE compiled executable per (widths, mesh) combo.
+    An eager shard_map runs its body primitive-by-primitive through the
+    impl path (~500 separate pjit dispatches per frame — measured 40 s on
+    the 8-device CPU mesh); under jit it lowers to a single SPMD program."""
+
+    def shard_fn(attr_l, sdev_l, quad_l, pmm_l, rc_l, omms_l, splay_l,
+                 spin_l, pos_l, ls_l):
+        from compound_ray_tpu.eye.pipeline import _trace_shade_angles
+
+        partial = _trace_shade_angles(
+            pmm_l, rc_l, attr_l, sdev_l, quad_l, omms_l, pos_l, ls_l,
+            splay_l, spin_l,
+            samples=s_local, background=background, ng=ng_local, g=g,
+            nrb=1, rb_size=rb_local, rmax=rmax, textured=textured,
+            tex_only=tex_only,
+        )  # (Np_local, 3) mean over the LOCAL sample slice
+        # combine sample-axis partial means over ICI (the collective
+        # replacement for summing_kernel.cu's warp shuffles)
+        return jax.lax.psum(partial * (s_local / samples), axis_name="sample")
+
+    from jax import shard_map
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),
+            P("omm", None, None, None), P("omm"),
+            P("omm", None),
+            P("omm", "sample"), P("omm", "sample"),
+            P(), P(),
+        ),
+        out_specs=P("omm", None),
+        check_vma=False,
+    )
+    return fn(
+        attr_table, scene_dev, quad_table, packed_mm,
+        row_counts, omms_p, splay, spin, position, local_space,
+    )
+
+
 def render_means_sharded_fast(
     scene_flat,
     scene_dev: Dict[str, Any],

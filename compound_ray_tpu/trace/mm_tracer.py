@@ -120,41 +120,50 @@ def slot_spheres(cluster_set):
 
 
 def pack_rays_mm(dirs, origins, tmin):
-    """((R, 16) features, (R, 8) aux) from (R,3) dirs/origins + (R,) tmin.
+    """(16, R) PLANAR ray features from (R,3) dirs/origins + (R,) tmin.
 
-    Feature layout matches the module docstring; aux col 0 is tmin."""
+    tmin is folded into the origin: o' = o + tmin * d shifts the ray start
+    to the tmin sphere, so the kernel's inside test is simply t' >= 0 and
+    no aux input exists.  The Plücker moment is tmin-invariant
+    (o' x d = o x d + tmin * (d x d) = o x d), preserving the reference's
+    focal-offset semantics (shaders.cu:705,725) exactly."""
+    o2 = origins + tmin[:, None] * dirs
     m = jnp.cross(origins, dirs)
     r = dirs.shape[0]
-    one = jnp.ones((r, 1), jnp.float32)
     feats = jnp.concatenate(
-        [dirs, m, -origins, one, jnp.zeros((r, RAY_FEATS - 10), jnp.float32)],
+        [dirs, m, -o2, jnp.ones((r, 1), jnp.float32),
+         jnp.zeros((r, RAY_FEATS - 10), jnp.float32)],
         axis=-1,
     )
-    aux = jnp.concatenate(
-        [tmin.reshape(r, 1), jnp.zeros((r, AUX_COMPS - 1), jnp.float32)],
-        axis=-1,
-    )
-    return feats, aux
+    return jnp.transpose(feats, (1, 0))
 
 
-def _packed_kernel(counts_ref, tri_ref, rays_ref, aux_ref, out_ref):
+def _packed_kernel(counts_ref, tri_ref, rays_ref, out_ref):
     g = pl.program_id(0)
     cnt = counts_ref[g]
-    rb_size = rays_ref.shape[0]
+    rb_size = rays_ref.shape[1]
     big = jnp.float32(jnp.inf)
     RS = BATCH_RAYS
 
     def ray_batch(rbi, _):
         r0 = pl.multiple_of(rbi * RS, RS)
-        F = rays_ref[pl.ds(r0, RS), :]  # (RS, 16)
-        tmin_r = aux_ref[pl.ds(r0, RS), 0:1]  # (RS, 1)
+        ft = rays_ref[:, pl.ds(r0, RS)]  # (16, RS) feature-major
 
         def row_step(j, state):
             (bt, bu, bv, bid) = state
             mm = tri_ref[0, j]  # (16, 512)
+            # contract the shared 16-feature axis: K is already on sublanes
+            # for BOTH operands — the MXU-native layout.  Precision must be
+            # explicit: the TPU DEFAULT is one bf16 pass, which measured
+            # median 2e-3 relative t error and hit/miss flips on the bench
+            # scene; HIGHEST (f32-equivalent multi-pass) restores the
+            # f32 contract the rest of the pipeline assumes.  (Mosaic only
+            # lowers DEFAULT and HIGHEST — Precision.HIGH raises
+            # NotImplementedError in _dot_general_lowering_rule.)
             p = jax.lax.dot_general(
-                F, mm, (((1,), (0,)), ((), ())),
+                ft, mm, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (RS, 512)
             w1 = p[:, 0:KERNEL_LEAF]
             w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
@@ -171,7 +180,7 @@ def _packed_kernel(counts_ref, tri_ref, rays_ref, aux_ref, out_ref):
             t = tnum * inv
             ok = (
                 (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t >= tmin_r) & (t < bt)
+                & (t >= 0.0) & (t < bt)
             )
             return (
                 jnp.where(ok, t, bt),
@@ -195,12 +204,13 @@ def _packed_kernel(counts_ref, tri_ref, rays_ref, aux_ref, out_ref):
         def pick(buf):
             return jnp.sum(jnp.where(onehot, buf, 0.0), axis=1, keepdims=True)
 
-        out_ref[pl.ds(r0, RS), 0:1] = jnp.where(
-            jnp.isfinite(tmin_l), tmin_l, big
-        )
-        out_ref[pl.ds(r0, RS), 1:2] = pick(bu)
-        out_ref[pl.ds(r0, RS), 2:3] = pick(bv)
-        out_ref[pl.ds(r0, RS), 3:4] = pick(bid)
+        def store(row, val):  # (RS, 1) winner column -> planar out row
+            out_ref[row:row + 1, pl.ds(r0, RS)] = val.reshape(1, RS)
+
+        store(0, jnp.where(jnp.isfinite(tmin_l), tmin_l, big))
+        store(1, pick(bu))
+        store(2, pick(bv))
+        store(3, pick(bid))
         return 0
 
     @pl.when(cnt > 0)
@@ -218,14 +228,17 @@ def _use_interpret() -> bool:
 def run_packed_tracer(
     row_counts: jnp.ndarray,  # (NG,) int32 payload rows per group
     packed_mm: jnp.ndarray,  # (NG, rmax, 16, 512) f32
-    rays: jnp.ndarray,  # (NG*NRB*RB, 16) f32 (pack_rays_mm features)
-    rays_aux: jnp.ndarray,  # (NG*NRB*RB, 8) f32 (tmin in col 0)
+    rays: jnp.ndarray,  # (16, NG*NRB*RB) f32 PLANAR (pack_rays_mm features)
     ng: int,
     nrb: int,
     rb_size: int,
     rmax: int,
 ) -> jnp.ndarray:
-    """Returns (R, 8) rows [t, u, v, slot-id, 0...]; t = +inf on miss.
+    """Returns PLANAR (8, R) rows [t, u, v, slot-id, 0...]; t = +inf on miss.
+
+    Ray features arrive and results leave feature-major: both sides of the
+    kernel then connect to the pipeline's component-planar math with plain
+    reshapes — no (R, 16)/(R, 8) transposes anywhere on the frame path.
 
     Groups with row_counts == 0 skip all work and emit garbage rows — the
     epilogue must mask whole groups by count (same contract as
@@ -240,25 +253,20 @@ def run_packed_tracer(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (rb_size, RAY_FEATS),
-                lambda g, rb, counts: (g * nrb + rb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (rb_size, AUX_COMPS),
-                lambda g, rb, counts: (g * nrb + rb, 0),
+                (RAY_FEATS, rb_size),
+                lambda g, rb, counts: (0, g * nrb + rb),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (rb_size, OUT_COMPS),
-            lambda g, rb, counts: (g * nrb + rb, 0),
+            (OUT_COMPS, rb_size),
+            lambda g, rb, counts: (0, g * nrb + rb),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
         _packed_kernel,
-        out_shape=jax.ShapeDtypeStruct((rays.shape[0], OUT_COMPS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((OUT_COMPS, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(row_counts, packed_mm, rays, rays_aux)
+    )(row_counts, packed_mm, rays)

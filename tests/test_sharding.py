@@ -101,3 +101,76 @@ def test_sharded_fast_matches_dense(setup):
     dense = np.asarray(dense_means(dev, omms, pos, ls, key, 8, bg))
     # identical ray set (global draw) -> only float-order differences
     np.testing.assert_allclose(sharded, dense, atol=1e-4)
+
+
+def test_sharded_packed_matches_dense_kernel(setup):
+    """The packed-MXU sharded path (the production multi-chip path) must
+    equal the dense packed-kernel pipeline on the same globally drawn
+    angles — only float summation order may differ."""
+    from compound_ray_tpu.eye.pipeline import (
+        _ceil_to, _packed_plan, _plan_widths, _trace_shade_angles,
+        eye_plan, scene_plan,
+    )
+    from compound_ray_tpu.parallel.sharding import (
+        _draw_angles, render_means_sharded_packed,
+    )
+    from compound_ray_tpu.testing import make_big_scene
+
+    scene = make_big_scene(n_boxes=120, seed=6)
+    dev = scene.device_triangles()
+    omms_np = ommatidia_to_array(make_sphere_eye(48, acceptance_deg=5.0))
+    pos = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(9)
+    bg = miss_id(scene.background_shader)
+    samples = 8
+
+    mesh = make_eye_mesh(8, sample_parallel=2)
+    sharded = np.asarray(render_means_sharded_packed(
+        scene, dev, omms_np, pos, ls, key, samples, bg, mesh,
+    ))
+
+    # dense replay of the same prelude on one device: same eye plan
+    # (ng_multiple=8), same pose plan, same angle draw
+    splan = scene_plan(scene)
+    eplan = eye_plan(omms_np, samples, ng_multiple=mesh.shape["omm"])
+    omms_p = eplan.omms_p_dev
+    pose_sig = (np.asarray(pos).tobytes(), np.asarray(ls).tobytes())
+    kcand, rmax = _plan_widths(
+        splan, eplan, omms_p, pos, ls,
+        (eplan.perm.tobytes()[:64], samples, pose_sig, "mesh"),
+    )
+    row_counts, packed_mm = _packed_plan(
+        splan, eplan, omms_p, pos, ls, pose_sig, samples, kcand, rmax,
+    )
+    splay, spin = _draw_angles(key, omms_p, samples)
+    dense = _trace_shade_angles(
+        packed_mm, row_counts, splan.attr_table, dev, splan.quad_table,
+        omms_p, pos, ls, splay, spin,
+        samples=samples, background=bg, ng=eplan.ng, g=eplan.g, nrb=1,
+        rb_size=eplan.rb_size, rmax=rmax, textured=splan.textured,
+        tex_only=splan.tex_only,
+    )
+    dense = np.asarray(dense[eplan.inv_valid_dev])
+    np.testing.assert_allclose(sharded, dense, atol=2e-6)
+
+
+def test_sharded_packed_statistical_agreement(setup):
+    """Sanity: the sharded packed means agree with the single-device Pallas
+    pipeline statistically (different angle realisation, same estimator)."""
+    from compound_ray_tpu.eye.pipeline import render_means_pallas
+    from compound_ray_tpu.parallel.sharding import render_means_sharded_packed
+
+    scene, dev, omms, pos, ls = setup
+    omms_np = np.asarray(omms)
+    bg = miss_id(scene.background_shader)
+    mesh = make_eye_mesh(8, sample_parallel=2)
+    sharded = np.asarray(render_means_sharded_packed(
+        scene, dev, omms_np, pos, ls, jax.random.PRNGKey(1), 64, bg, mesh,
+    ))
+    dense = np.asarray(render_means_pallas(
+        scene, dev, omms_np, pos, ls, jax.random.PRNGKey(2), 64, bg,
+    ))
+    assert sharded.shape == dense.shape == (40, 3)
+    assert np.isfinite(sharded).all()
+    np.testing.assert_allclose(sharded.mean(), dense.mean(), atol=0.05)
