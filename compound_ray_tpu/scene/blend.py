@@ -323,6 +323,8 @@ def _apply_textures(scene, meshes, textures: Dict[str, str]) -> None:
             img = np.asarray(
                 Image.open(textures[name]).convert("RGBA"), np.uint8
             ).astype(np.float32) / 255.0
+            # sRGB -> linear, same contract as FlatScene._build_textures
+            img[..., :3] = np.power(img[..., :3], 2.2)
             h, w = img.shape[:2]
             datas.append(img.reshape(-1, 4))
             offs.append(texel_off)

@@ -281,7 +281,17 @@ class _Builder:
         for tex in textures:
             img = self.doc.image(tex["source"])
             h, w = img.data.shape[:2]
-            datas.append((img.data.astype(np.float32) / 255.0).reshape(-1, 4))
+            rgba = img.data.astype(np.float32) / 255.0
+            # glTF base-color texels are sRGB-encoded: linearize (gamma 2.2)
+            # at load so shading happens in linear radiance, symmetric with
+            # the vertex-colour path (shade.py linearize).  This matches the
+            # reference's committed golden renders; its CURRENT shaders.cu
+            # samples raw (MulticamScene.cpp:996 "TODO: glTF assumes sRGB
+            # for base_color -- handle in shader" + shaders.cu:805-809),
+            # which double-brightens textures — conformance vs the goldens
+            # (tools/conformance_report.py) pins the linearized behaviour.
+            rgba[..., :3] = np.power(rgba[..., :3], 2.2)
+            datas.append(rgba.reshape(-1, 4))
             offs.append(offset)
             ws.append(w)
             hs.append(h)
