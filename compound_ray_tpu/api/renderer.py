@@ -333,11 +333,16 @@ class EyeRenderer:
                 jnp.asarray(pos), jnp.asarray(ls), key, samples, background,
                 mesh,
             )
-        if backend in ("auto", "pallas") and not self.lighting:
+        if backend in ("auto", "pallas"):
             from compound_ray_tpu.eye.pipeline import render_means_pallas
 
+            # lighting routes through the same packed pipeline: GGX direct
+            # light with shadow rays traced by the occlusion variant of the
+            # kernel (per-(group, light) payloads, eye/pipeline._shadow_plan)
             return render_means_pallas(
-                self.scene, scene_dev, omms_np, pos, ls, key, samples, background,
+                self.scene, scene_dev, omms_np, pos, ls, key, samples,
+                background,
+                lights=(np.asarray(lights) if self.lighting else None),
             )
         if backend in ("auto", "xla"):
             from compound_ray_tpu.trace.dispatch import render_means_fast

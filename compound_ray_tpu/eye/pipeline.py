@@ -96,11 +96,13 @@ class ScenePlan:
     mm_flat: jnp.ndarray = None  # (S+128, 64) flattened feature columns
     slot_center_cl: jnp.ndarray = None  # (C, 128, 3)
     slot_radius_cl: jnp.ndarray = None  # (C, 128); -1 on padding slots
+    slot_tri: jnp.ndarray = None  # (S,) int32 global slot -> triangle id
     # per-plan caches (kept on the plan, NOT keyed by id(scene): CPython
     # recycles object ids after GC, which would alias stale plans)
     kmax_cache: Dict = None
     cache_store: Dict = None
     packed_store: Dict = None  # pose -> (row_counts, packed_mm), bounded
+    shadow_store: Dict = None  # (pose, lights) -> per-light shadow payloads
 
 
 def scene_plan(scene_flat) -> ScenePlan:
@@ -160,9 +162,13 @@ def scene_plan(scene_flat) -> ScenePlan:
             sphere_center_np=np.asarray(cs.sphere_center),
             sphere_radius_np=np.asarray(cs.sphere_radius),
             tex_only=tex_only,
+            slot_tri=jnp.asarray(
+                cs.tri_id.reshape(-1).astype(np.int32)
+            ),
             kmax_cache={},
             cache_store={},
             packed_store={},
+            shadow_store={},
         )
         scene_flat._kernel_plan = plan
     return plan
@@ -185,6 +191,7 @@ class EyePlan:
     rmax_hint: int = 1  # packed payload rows per group (high-water)
     omms_p_dev: Any = None  # cached device copy of the permuted eye
     inv_valid_dev: Any = None
+    sig: bytes = b""  # unique plan signature for pose/payload cache keys
 
 
 _eye_plans: Dict[Tuple, EyePlan] = {}
@@ -231,6 +238,11 @@ def eye_plan(ommatidia: np.ndarray, samples: int,
     plan = EyePlan(
         perm=perm, inv_valid=inv_valid, n=n, n_pad=n_pad, g=g, ng=ng,
         rg_pad=rg_pad, rb_size=rb_size, nrb=nrb,
+        # NOT a perm.tobytes() prefix: plans that share an ommatidium order
+        # but pad differently (e.g. sharded ng_multiple padding) must get
+        # distinct pose-cache keys, or one plan's packed payload would be
+        # served to the other's frame shapes
+        sig=repr(key).encode() + np.int64(n_pad).tobytes(),
     )
     _eye_plans[key] = plan
     return plan
@@ -318,6 +330,7 @@ def _refine_mask(
     radius_cl: jnp.ndarray,  # (C, 128); -1 on padding slots
     g: int,
     cull_sigmas: float,
+    dmax: Optional[jnp.ndarray] = None,  # (Np,) apex-distance bound
 ):
     """Level-2 cull: cone-vs-triangle-sphere over the shortlisted clusters'
     individual triangles (see trace/mm_tracer.py docstring).  Returns
@@ -359,6 +372,10 @@ def _refine_mask(
     alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
     beta = jnp.arcsin(jnp.clip(rb * inv_d, 0.0, 1.0))
     m = inside | (alpha <= half[:, None] + beta)  # (Np, kc)
+    if dmax is not None:
+        # shadow refine: occluders past the target bound sphere cannot
+        # block any light->hit segment — drop the cone's far tail
+        m = m & (dist - rb <= dmax[:, None])
     if g > 1:
         m = m.reshape(ng, g, kc).any(axis=1)
         dist = dist.reshape(ng, g, kc).min(axis=1)
@@ -382,6 +399,7 @@ def _refine_mask(
 def _refine_counts(
     omms_p, position, local_space, half_center, half_radius,
     center_cl, radius_cl, g: int, kcand: int, cull_sigmas: float,
+    dmax: Optional[jnp.ndarray] = None,
 ):
     """Planning dispatch: packed payload rows per group at this pose."""
     gmask, counts, dmin_all = _cull_groups(
@@ -392,7 +410,7 @@ def _refine_counts(
     cl_counts = jnp.minimum(counts, kcand)
     mask, _, _ = _refine_mask(
         omms_p, position, local_space, ids[:, :kcand], cl_counts,
-        center_cl, radius_cl, g, cull_sigmas,
+        center_cl, radius_cl, g, cull_sigmas, dmax=dmax,
     )
     refined = jnp.sum(mask, axis=-1)
     return ((refined + KERNEL_LEAF - 1) // KERNEL_LEAF).astype(jnp.int32)
@@ -402,13 +420,14 @@ def _refine_pack(
     omms_p, position, local_space, ids, cl_counts,
     center_cl, radius_cl, mm_flat,
     g: int, kcand: int, rmax: int, cull_sigmas: float,
+    dmax: Optional[jnp.ndarray] = None,
 ):
     """Refine + compact: gather the surviving triangles' matmul feature
     columns into per-group (rmax, 16, 512) payload blocks, near-to-far.
     Returns (row_counts (NG,) int32, packed_mm (NG, rmax, 16, 512))."""
     mask, dmin_g, slots = _refine_mask(
         omms_p, position, local_space, ids, cl_counts,
-        center_cl, radius_cl, g, cull_sigmas,
+        center_cl, radius_cl, g, cull_sigmas, dmax=dmax,
     )
     ng = mask.shape[0]
     refined = jnp.sum(mask, axis=-1)
@@ -505,6 +524,7 @@ def _pack_fused(
     cull_sigmas: float,
     near_mask: Optional[jnp.ndarray] = None,  # (C,) bool: clusters to trace
     use_cache: bool = False,
+    dmax: Optional[jnp.ndarray] = None,  # (Np,) refine distance bound
 ):
     """Pose-dependent plan: cull -> shortlist -> triangle refine -> packed
     per-group payload.  Depends only on (scene, eye, pose, widths) — NOT on
@@ -522,7 +542,7 @@ def _pack_fused(
     return _refine_pack(
         omms_p, position, local_space, ids[:, :kcand], cl_counts,
         slot_center_cl, slot_radius_cl, mm_flat,
-        g, kcand, rmax, cull_sigmas,
+        g, kcand, rmax, cull_sigmas, dmax=dmax,
     )
 
 
@@ -531,6 +551,7 @@ def _pack_fused(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
+        "shadow_rmax", "shadow_sg",
     ),
 )
 def _render_frame(
@@ -556,6 +577,11 @@ def _render_frame(
     use_cache: bool = False,
     tex_only: bool = False,
     cache_shape: Tuple[int, int] = (0, 0),
+    lights: Optional[jnp.ndarray] = None,
+    slot_tri: Optional[jnp.ndarray] = None,
+    shadow_plans=None,
+    shadow_rmax: int = 0,
+    shadow_sg: int = 1,
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
@@ -571,6 +597,8 @@ def _render_frame(
         rb_size=rb_size, rmax=rmax, textured=textured,
         want_samples=want_samples, cache=cache, use_cache=use_cache,
         tex_only=tex_only, cache_shape=cache_shape,
+        lights=lights, slot_tri=slot_tri, shadow_plans=shadow_plans,
+        shadow_rmax=shadow_rmax, shadow_sg=shadow_sg,
     )
 
 
@@ -598,6 +626,11 @@ def _trace_shade_angles(
     use_cache: bool = False,
     tex_only: bool = False,
     cache_shape: Tuple[int, int] = (0, 0),
+    lights: Optional[jnp.ndarray] = None,  # (L,7) enables GGX direct light
+    slot_tri: Optional[jnp.ndarray] = None,  # (S,) slot -> triangle id
+    shadow_plans=None,  # tuple of per-light (row_counts, packed_mm)
+    shadow_rmax: int = 0,
+    shadow_sg: int = 1,  # primary groups pooled per shadow payload group
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
     path draws angles GLOBALLY and feeds per-device slices here, so results
@@ -718,6 +751,95 @@ def _trace_shade_angles(
             rr = jnp.where(sel, qr.reshape(n_pad, samples), rr)
             gg = jnp.where(sel, qg.reshape(n_pad, samples), gg)
             bb = jnp.where(sel, qb.reshape(n_pad, samples), bb)
+        if lights is not None:
+            # GGX direct lighting (__closesthit__radiance, shaders.cu:
+            # 826-881): hit colour becomes base + sum of per-light
+            # contributions; occlusion comes from the packed shadow kernel
+            # over per-(group, light) payloads (_shadow_plan)
+            from compound_ray_tpu.trace.lighting import (
+                ggx_light_contrib,
+                shading_basis,
+            )
+
+            def repad(x):  # (Np, S) -> (R,) flat in kernel ray order
+                x2 = x.reshape(ng, rg)
+                if rg_pad != rg:
+                    x2 = jnp.pad(x2, ((0, 0), (0, rg_pad - rg)))
+                return x2.reshape(-1)
+
+            eps = jnp.float32(1e-3)  # traceOcclusion tmin (shaders.cu:875)
+            hit_f2 = repad(hit)
+            dxf, dyf, dzf = repad(dx), repad(dy), repad(dz)
+            # hit point p = o' + t d (o' is the tmin-shifted origin the ray
+            # features carry negated in rows 6-8)
+            pxf = -repad(jnp.broadcast_to(comps[6], (n_pad, samples))) + t_f * dxf
+            pyf = -repad(jnp.broadcast_to(comps[7], (n_pad, samples))) + t_f * dyf
+            pzf = -repad(jnp.broadcast_to(comps[8], (n_pad, samples))) + t_f * dzf
+            u_b = out[1]
+            v_b = out[2]
+            row_s = jnp.clip(out[3].astype(jnp.int32), 0,
+                             slot_tri.shape[0] - 1)
+            tid = jnp.maximum(slot_tri[row_s], 0)
+            e1g, e2g, n0g, n1g, n2g, has_n, metallic, roughness = (
+                shading_basis(scene_dev, tid)
+            )
+            w_b = (1.0 - u_b - v_b)[:, None]
+            n_sm = w_b * n0g + u_b[:, None] * n1g + v_b[:, None] * n2g
+            n_vec = jnp.where(has_n[:, None], n_sm, jnp.cross(e1g, e2g))
+            n_vec = n_vec / jnp.maximum(
+                jnp.linalg.norm(n_vec, axis=-1, keepdims=True), 1e-20
+            )
+            view = -jnp.stack([dxf, dyf, dzf], axis=-1)
+            base = jnp.stack([repad(rr), repad(gg), repad(bb)], axis=-1)
+            result = base
+            for li in range(lights.shape[0]):
+                lcol = lights[li, 0:3]
+                lint = lights[li, 3]
+                lpos = lights[li, 4:7]
+                tox = lpos[0] - pxf
+                toy = lpos[1] - pyf
+                toz = lpos[2] - pzf
+                ldist = jnp.sqrt(tox * tox + toy * toy + toz * toz)
+                inv_ld = 1.0 / jnp.maximum(ldist, 1e-20)
+                lx, ly, lz = tox * inv_ld, toy * inv_ld, toz * inv_ld
+                # shadow ray from p + eps*l toward the light, traced
+                # through this light's packed payload; occluded if anything
+                # lies closer than the light
+                oxs = pxf + eps * lx
+                oys = pyf + eps * ly
+                ozs = pzf + eps * lz
+                sm_x = oys * lz - ozs * ly
+                sm_y = ozs * lx - oxs * lz
+                sm_z = oxs * ly - oys * lx
+                one_f = jnp.ones_like(lx)
+                zero_f = jnp.zeros_like(lx)
+                rays_s = jnp.stack(
+                    [lx, ly, lz, sm_x, sm_y, sm_z, -oxs, -oys, -ozs,
+                     one_f, zero_f, zero_f, zero_f, zero_f, zero_f, zero_f]
+                )
+                rc_l, pmm_l = shadow_plans[li]
+                out_s = run_packed_tracer(
+                    rc_l, pmm_l, rays_s,
+                    ng=ng // shadow_sg, nrb=nrb * shadow_sg,
+                    rb_size=rb_size, rmax=shadow_rmax,
+                )
+                occ = (out_s[0] < ldist - 2.0 * eps) & jnp.repeat(
+                    rc_l > 0, shadow_sg * rg_pad
+                )
+                contrib, facing = ggx_light_contrib(
+                    n_vec, view,
+                    jnp.stack([lx, ly, lz], axis=-1),
+                    base, metallic, roughness, lcol, lint,
+                )
+                sel_l = facing & ~occ & hit_f2
+                result = result + jnp.where(sel_l[:, None], contrib, 0.0)
+
+            def unpad_f(x):  # (R,) -> (Np, S)
+                return x.reshape(ng, rg_pad)[:, :rg].reshape(n_pad, samples)
+
+            rr = unpad_f(result[:, 0])
+            gg = unpad_f(result[:, 1])
+            bb = unpad_f(result[:, 2])
         if use_cache:
             # the cache already encodes the miss shader for directions that
             # hit nothing at all
@@ -789,7 +911,7 @@ def _packed_plan(
     (scene, eye, pose, widths, far-field split) — not on the RNG — so
     fixed-pose rendering (the speedTest protocol, GA pose loops) pays the
     refine+pack once.  Bounded store: pose sweeps evict oldest."""
-    pk = (eplan.perm.tobytes()[:64], samples, pose_sig, kcand, rmax,
+    pk = (eplan.sig, samples, pose_sig, kcand, rmax,
           use_cache, d_thresh)
     hit = splan.packed_store.get(pk)
     if hit is not None:
@@ -808,6 +930,141 @@ def _packed_plan(
     return out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("g", "kcand", "cull_sigmas", "sg")
+)
+def _group_bound_spheres(
+    omms_p, position, local_space, half_center, half_radius,
+    sphere_center, sphere_radius, g: int, kcand: int, cull_sigmas: float,
+    sg: int,
+):
+    """Per-SUPERGROUP sphere enclosing every shortlisted cluster sphere of
+    its sg consecutive primary groups — every possible primary-hit point
+    lies inside it, so a cone from a light apex that covers this sphere
+    covers every shadow segment.  Returns (centers (NGS,3), radii (NGS,);
+    radius -1 = empty supergroup)."""
+    gmask, counts, dmin_all = _cull_groups(
+        omms_p, position, local_space, half_center, half_radius,
+        cull_sigmas, g,
+    )
+    ids, _ = _shortlist_sorted(gmask, dmin_all, kcand)
+    ids = ids[:, :kcand]
+    valid = (
+        jnp.arange(kcand)[None, :] < jnp.minimum(counts, kcand)[:, None]
+    )
+    ngs = ids.shape[0] // sg
+    ids = ids.reshape(ngs, sg * kcand)
+    valid = valid.reshape(ngs, sg * kcand)
+    c = sphere_center[ids]  # (NGS, sg*k, 3)
+    r = sphere_radius[ids]  # (NGS, sg*k)
+    nv = jnp.maximum(jnp.sum(valid, axis=1), 1)
+    cg = jnp.sum(jnp.where(valid[:, :, None], c, 0.0), axis=1) / nv[:, None]
+    cover = jnp.linalg.norm(c - cg[:, None, :], axis=-1) + r
+    rg = jnp.max(jnp.where(valid, cover, 0.0), axis=1)
+    any_v = jnp.sum(valid, axis=1) > 0
+    return cg, jnp.where(any_v, rg, -1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def _shadow_pseudo_omms(cg, rg, light_pos, ratio: float):
+    """(NGS, 8) pseudo-ommatidium rows whose culling cone has its apex at
+    the light and covers the supergroup bound sphere, plus the refine
+    distance bound dmax (occluders past the sphere's far side are
+    irrelevant).  ratio converts a half-angle into the omm[6] encoding
+    (_cull_groups derives half = omm6 / FWHM_SD_RATIO * sigmas)."""
+    d = cg - light_pos[None, :]
+    dist = jnp.linalg.norm(d, axis=-1)
+    axis = d / jnp.maximum(dist, 1e-30)[:, None]
+    sin_half = jnp.clip(rg / jnp.maximum(dist, 1e-30), 0.0, 1.0)
+    half = jnp.where(dist > jnp.maximum(rg, 0.0),
+                     jnp.arcsin(sin_half), jnp.pi)
+    half = jnp.where(rg < 0.0, 0.0, half)  # empty supergroup: cull all
+    n = cg.shape[0]
+    out = jnp.zeros((n, 8), jnp.float32)
+    out = out.at[:, 0:3].set(jnp.broadcast_to(light_pos, (n, 3)))
+    out = out.at[:, 3:6].set(axis)
+    out = out.at[:, 6].set(half * ratio)
+    dmax = jnp.where(rg < 0.0, -1.0, dist + rg)
+    return out, dmax
+
+
+def _shadow_supergroup(ng: int) -> int:
+    """Shadow payloads pool sg consecutive primary groups (the kernel's
+    nrb grid axis maps each group's ray block to its supergroup payload,
+    so rays need no re-layout).  Pooling bounds HBM: per-primary-group
+    payloads at NG=1000 x 4 lights measured RESOURCE_EXHAUSTED on v5e.
+    Largest divisor of ng that keeps >= ~64 supergroups."""
+    target = max(1, -(-ng // 64))
+    for sg in range(target, 0, -1):
+        if ng % sg == 0:
+            return sg
+    return 1
+
+
+def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
+                 lights_np: np.ndarray):
+    """Per-light occlusion payloads: for every (supergroup, light) pair,
+    the packed triangle rows a shadow ray from that supergroup toward the
+    light could hit.  The reference traces shadow rays through the same
+    BVH (shaders.cu traceOcclusion:135-163); here each light gets its own
+    cone-culled packed payload with the LIGHT as the cull apex — reusing
+    the primary plan machinery with g=1 pseudo-ommatidia.
+
+    Returns (plans, rmax_s, sg): plans is a tuple of (row_counts,
+    packed_mm) per light with NGS = NG/sg payload groups.  Memoised per
+    (pose, lights); independent of the RNG."""
+    sig = get_config().cull_sigmas
+    sk = (eplan.sig, pose_sig, lights_np.tobytes())
+    hit = splan.shadow_store.get(sk)
+    if hit is not None:
+        return hit
+    ratio = FWHM_SD_RATIO / sig
+    sg = _shadow_supergroup(eplan.ng)
+    cg, rg = _group_bound_spheres(
+        omms_p, position, local_space, splan.half_center, splan.half_radius,
+        splan.sphere_center, splan.sphere_radius,
+        eplan.g, min(splan.num_clusters, max(eplan.kmax_hint, 8)), sig, sg,
+    )
+    zero3 = jnp.zeros((3,), jnp.float32)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    pseudo = [
+        _shadow_pseudo_omms(cg, rg, jnp.asarray(lights_np[li, 4:7]), ratio)
+        for li in range(lights_np.shape[0])
+    ]
+    # widths: one cull + one refine count sweep over all lights (host sync
+    # at plan time only, like _plan_widths)
+    kc_need = 1
+    for ps, _dm in pseudo:
+        _, counts, _ = _cull_groups(
+            ps, zero3, eye3, splan.half_center, splan.half_radius, sig, 1,
+        )
+        kc_need = max(kc_need, int(np.asarray(jax.device_get(jnp.max(counts)))))
+    kcand_s = min(splan.num_clusters, _ceil_to(kc_need, 8))
+    rmax_s = 1
+    for ps, dm in pseudo:
+        rc = _refine_counts(
+            ps, zero3, eye3, splan.half_center, splan.half_radius,
+            splan.slot_center_cl, splan.slot_radius_cl, 1, kcand_s, sig,
+            dmax=dm,
+        )
+        rmax_s = max(rmax_s, int(np.asarray(jax.device_get(jnp.max(rc)))))
+    rmax_s = min(_ceil_to(rmax_s, 2), kcand_s)
+    plans = tuple(
+        _pack_fused(
+            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+            splan.half_center, splan.half_radius,
+            ps, zero3, eye3, g=1, kcand=kcand_s, rmax=rmax_s,
+            cull_sigmas=sig, dmax=dm,
+        )
+        for ps, dm in pseudo
+    )
+    out = (plans, rmax_s, sg)
+    while len(splan.shadow_store) >= 1:
+        splan.shadow_store.pop(next(iter(splan.shadow_store)))
+    splan.shadow_store[sk] = out
+    return out
+
+
 def render_means_pallas(
     scene_flat,
     scene_dev: Dict[str, Any],
@@ -817,6 +1074,7 @@ def render_means_pallas(
     key: jax.Array,
     samples: int,
     background: int,
+    lights: Optional[np.ndarray] = None,  # (L,7) host rows enable lighting
 ) -> jnp.ndarray:
     """Full Pallas frame; returns (N,3) means in original ommatidium order.
 
@@ -844,14 +1102,25 @@ def render_means_pallas(
     )
     kcand, rmax = _plan_widths(
         splan, eplan, omms_p, position, local_space,
-        (eplan.perm.tobytes()[:64], samples, pose_sig),
+        (eplan.sig, samples, pose_sig),
     )
 
     cfg = get_config()
     use_cache = False
     near_mask = None
     cache = None
-    if cfg.farfield == "auto" and splan.num_clusters > 8:
+    # lighting disables the far-field radiance cache: cached radiance is
+    # unlit, and the reference lights every hit (shaders.cu:826-881)
+    if lights is not None:
+        lights_np = np.asarray(lights, np.float32)
+        shadow_plans, shadow_rmax, shadow_sg = _shadow_plan(
+            splan, eplan, omms_p, position, local_space, pose_sig, lights_np,
+        )
+        lights_dev = jnp.asarray(lights_np)
+    else:
+        shadow_plans, shadow_rmax, shadow_sg, lights_dev = None, 0, 1, None
+    if (lights is None and cfg.farfield == "auto"
+            and splan.num_clusters > 8):
         cache_px = cfg.farfield_cache_width * (cfg.farfield_cache_width // 2)
         if samples * eplan.n >= cache_px:
             d_thresh = _farfield_threshold(ommatidia_np, cfg.farfield_tolerance)
@@ -916,6 +1185,9 @@ def render_means_pallas(
         cache=cache, use_cache=use_cache,
         tex_only=splan.tex_only,
         cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
+        lights=lights_dev, slot_tri=splan.slot_tri,
+        shadow_plans=shadow_plans, shadow_rmax=shadow_rmax,
+        shadow_sg=shadow_sg,
     )
     return means_p[eplan.inv_valid_dev]
 
@@ -944,7 +1216,7 @@ def render_samples_pallas(
     ls_np = np.asarray(jax.device_get(local_space), np.float32)
     kcand, rmax = _plan_widths(
         splan, eplan, omms_p, position, local_space,
-        (eplan.perm.tobytes()[:64], samples,
+        (eplan.sig, samples,
          (pos_np.tobytes(), ls_np.tobytes())),
     )
 

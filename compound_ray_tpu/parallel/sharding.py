@@ -187,7 +187,7 @@ def render_means_sharded_packed(
     pose_sig = (pos_np.tobytes(), ls_np.tobytes())
     kcand, rmax = _plan_widths(
         splan, eplan, omms_p, position, local_space,
-        (eplan.perm.tobytes()[:64], samples, pose_sig, "mesh"),
+        (eplan.sig, samples, pose_sig, "mesh"),
     )
     row_counts, packed_mm = _packed_plan(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,

@@ -34,6 +34,58 @@ def default_lights(aabb_min: np.ndarray, aabb_max: np.ndarray) -> np.ndarray:
     return out
 
 
+def shading_basis(scene: Dict[str, Any], tri: jnp.ndarray):
+    """Per-ray shading inputs for the deferred (packed-kernel) lighting
+    epilogue: gathers by triangle id and returns
+    (e1, e2, n_sm0..2, has_n, metallic, roughness) with (R,3)/(R,) shapes.
+    tri must already be clipped to valid range; masked rows are garbage the
+    caller discards via its hit mask."""
+    e1 = scene["e1"][tri]
+    e2 = scene["e2"][tri]
+    n0 = scene["n0"][tri]
+    n1 = scene["n1"][tri]
+    n2 = scene["n2"][tri]
+    has_n = scene["has_normals"][tri]
+    mat = jnp.maximum(scene["mat_id"][tri], 0)
+    metallic = scene["mat_metallic"][mat]
+    roughness = scene["mat_roughness"][mat]
+    return e1, e2, n0, n1, n2, has_n, metallic, roughness
+
+
+def ggx_light_contrib(
+    n: jnp.ndarray,  # (R,3) unit shading normal
+    view: jnp.ndarray,  # (R,3) unit direction hit->camera
+    l: jnp.ndarray,  # (R,3) unit direction hit->light
+    base: jnp.ndarray,  # (R,3) linear base colour
+    metallic: jnp.ndarray,  # (R,)
+    roughness: jnp.ndarray,  # (R,)
+    lcol: jnp.ndarray,  # (3,)
+    lint: jnp.ndarray,  # ()
+):
+    """One light's unoccluded GGX/Schlick contribution + facing mask —
+    identical maths to ggx_direct (shaders.cu:826-881) but shaped for the
+    deferred epilogue where occlusion comes from the packed shadow kernel.
+    Returns (contrib (R,3), facing (R,))."""
+    f0 = 0.04
+    diff_color = base * (1.0 - f0) * (1.0 - metallic[:, None])
+    spec_color = f0 * (1.0 - metallic[:, None]) + base * metallic[:, None]
+    alpha = roughness * roughness
+    h = l + view
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+    n_dot_l = jnp.einsum("rc,rc->r", n, l)
+    n_dot_v = jnp.einsum("rc,rc->r", n, view)
+    n_dot_h = jnp.einsum("rc,rc->r", n, h)
+    v_dot_h = jnp.einsum("rc,rc->r", view, h)
+    facing = (n_dot_l > 0.0) & (n_dot_v > 0.0)
+    f = _schlick(spec_color, v_dot_h)
+    g_vis = _vis(n_dot_l, n_dot_v, alpha)[:, None]
+    d = _ggx_normal(n_dot_h, alpha)[:, None]
+    diff = (1.0 - f) * diff_color / jnp.pi
+    spec = f * g_vis * d
+    contrib = lcol[None, :] * lint * n_dot_l[:, None] * (diff + spec)
+    return contrib, facing
+
+
 def _schlick(spec_color, v_dot_h):
     return spec_color + (1.0 - spec_color) * jnp.power(1.0 - v_dot_h, 5.0)[..., None]
 

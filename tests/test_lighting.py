@@ -66,6 +66,51 @@ def test_lighting_shadowing():
     np.testing.assert_allclose(lit[0], [0.5, 0.5, 0.5], atol=1e-5)
 
 
+def test_packed_lighting_matches_brute_oracle():
+    """GGX + shadow rays on the packed-kernel backend must reproduce the
+    brute-force oracle (deterministic eye: no RNG differences).  Scene has
+    mixed occlusion: a canopy shadows some lights, a wall others."""
+    import jax
+
+    from compound_ray_tpu.eye.pipeline import render_means_pallas
+    from compound_ray_tpu.eye.render import render_compound_means
+    from compound_ray_tpu.scene.eye_io import Ommatidium
+
+    v1, f1 = box_mesh((0.0, -1.0, 0.0), (20.0, 0.2, 20.0))  # floor
+    v2, f2 = box_mesh((3.0, 3.0, 0.0), (4.0, 0.2, 4.0))  # partial canopy
+    v3, f3 = box_mesh((-4.0, 1.0, 0.0), (0.2, 4.0, 6.0))  # side wall
+    verts = np.concatenate([v1, v2, v3])
+    faces = np.concatenate([f1, f2 + len(v1), f3 + len(v1) + len(v2)])
+    scene = build_scene_from_arrays(verts, faces, base_color=(0.4, 0.5, 0.6),
+                                    background_shader="black")
+    dev = scene.device_triangles()
+    lights = default_lights(scene.aabb_min, scene.aabb_max)
+
+    # deterministic fan of downward/sideways ommatidia over the floor
+    omms = []
+    for ix in range(6):
+        for iz in range(5):
+            p = np.array([ix - 2.5, 2.0, iz - 2.0])
+            d = np.array([0.15 * (ix - 2.5), -1.0, 0.1 * (iz - 2.0)])
+            omms.append(Ommatidium(p, d / np.linalg.norm(d), 1e-6, 0.0))
+    from compound_ray_tpu.scene.eye_io import ommatidia_to_array
+
+    omms_np = ommatidia_to_array(omms)
+    pos = jnp.zeros(3)
+    ls = jnp.eye(3)
+    key = jax.random.PRNGKey(3)
+    ref = np.asarray(render_compound_means(
+        dev, jnp.asarray(omms_np), pos, ls, key, 2, 2, True,
+        jnp.asarray(lights),
+    ))
+    got = np.asarray(render_means_pallas(
+        scene, dev, omms_np, pos, ls, key, 2, 2, lights=lights,
+    ))
+    # lighting must actually do something on this scene
+    assert ref.max() > 0.7
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
 def test_renderer_lighting_flag():
     from compound_ray_tpu.api.renderer import EyeRenderer
     from compound_ray_tpu.cameras.types import CompoundEyeCamera

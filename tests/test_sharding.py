@@ -138,7 +138,7 @@ def test_sharded_packed_matches_dense_kernel(setup):
     pose_sig = (np.asarray(pos).tobytes(), np.asarray(ls).tobytes())
     kcand, rmax = _plan_widths(
         splan, eplan, omms_p, pos, ls,
-        (eplan.perm.tobytes()[:64], samples, pose_sig, "mesh"),
+        (eplan.sig, samples, pose_sig, "mesh"),
     )
     row_counts, packed_mm = _packed_plan(
         splan, eplan, omms_p, pos, ls, pose_sig, samples, kcand, rmax,
