@@ -55,7 +55,9 @@ from compound_ray_tpu.trace.mm_tracer import (
     MM_BLOCKS,
     MM_COLS,
     MM_FEATS,
+    build_mm_cluster_table,
     build_mm_features,
+    run_cluster_occlusion,
     run_packed_tracer,
     slot_spheres,
 )
@@ -97,6 +99,7 @@ class ScenePlan:
     slot_center_cl: jnp.ndarray = None  # (C, 128, 3)
     slot_radius_cl: jnp.ndarray = None  # (C, 128); -1 on padding slots
     slot_tri: jnp.ndarray = None  # (S,) int32 global slot -> triangle id
+    mm_cluster: jnp.ndarray = None  # (C, 16, 512) global cluster payload
     # per-plan caches (kept on the plan, NOT keyed by id(scene): CPython
     # recycles object ids after GC, which would alias stale plans)
     kmax_cache: Dict = None
@@ -164,6 +167,9 @@ def scene_plan(scene_flat) -> ScenePlan:
             tex_only=tex_only,
             slot_tri=jnp.asarray(
                 cs.tri_id.reshape(-1).astype(np.int32)
+            ),
+            mm_cluster=jnp.asarray(
+                build_mm_cluster_table(mm_feats, cs.num_clusters)
             ),
             kmax_cache={},
             cache_store={},
@@ -551,7 +557,7 @@ def _pack_fused(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
-        "shadow_rmax", "shadow_sg",
+        "shadow_kmax",
     ),
 )
 def _render_frame(
@@ -579,9 +585,9 @@ def _render_frame(
     cache_shape: Tuple[int, int] = (0, 0),
     lights: Optional[jnp.ndarray] = None,
     slot_tri: Optional[jnp.ndarray] = None,
+    mm_cluster: Optional[jnp.ndarray] = None,
     shadow_plans=None,
-    shadow_rmax: int = 0,
-    shadow_sg: int = 1,
+    shadow_kmax: int = 0,
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
@@ -597,8 +603,8 @@ def _render_frame(
         rb_size=rb_size, rmax=rmax, textured=textured,
         want_samples=want_samples, cache=cache, use_cache=use_cache,
         tex_only=tex_only, cache_shape=cache_shape,
-        lights=lights, slot_tri=slot_tri, shadow_plans=shadow_plans,
-        shadow_rmax=shadow_rmax, shadow_sg=shadow_sg,
+        lights=lights, slot_tri=slot_tri, mm_cluster=mm_cluster,
+        shadow_plans=shadow_plans, shadow_kmax=shadow_kmax,
     )
 
 
@@ -628,9 +634,9 @@ def _trace_shade_angles(
     cache_shape: Tuple[int, int] = (0, 0),
     lights: Optional[jnp.ndarray] = None,  # (L,7) enables GGX direct light
     slot_tri: Optional[jnp.ndarray] = None,  # (S,) slot -> triangle id
-    shadow_plans=None,  # tuple of per-light (row_counts, packed_mm)
-    shadow_rmax: int = 0,
-    shadow_sg: int = 1,  # primary groups pooled per shadow payload group
+    mm_cluster: Optional[jnp.ndarray] = None,  # (C,16,512) cluster table
+    shadow_plans=None,  # tuple of per-light (counts, cluster-id shortlist)
+    shadow_kmax: int = 0,
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
     path draws angles GLOBALLY and feeds per-device slices here, so results
@@ -688,7 +694,10 @@ def _trace_shade_angles(
     # (R, 16) transpose (it measured 10s of ms at 3.3M rays)
     rays_pl = jnp.stack([c.reshape(ng, rg) for c in comps])
     if rg_pad != rg:
-        rays_pl = jnp.pad(rays_pl, ((0, 0), (0, 0), (0, rg_pad - rg)))
+        # edge-pad (replicate the last real ray) so padded rays stay
+        # finite; their kernel results are discarded by unpad
+        rays_pl = jnp.pad(rays_pl, ((0, 0), (0, 0), (0, rg_pad - rg)),
+                          mode="edge")
     rays = rays_pl.reshape(16, ng * rg_pad)
     out = run_packed_tracer(
         row_counts, packed_mm, rays,
@@ -770,11 +779,14 @@ def _trace_shade_angles(
             eps = jnp.float32(1e-3)  # traceOcclusion tmin (shaders.cu:875)
             hit_f2 = repad(hit)
             dxf, dyf, dzf = repad(dx), repad(dy), repad(dz)
-            # hit point p = o' + t d (o' is the tmin-shifted origin the ray
-            # features carry negated in rows 6-8)
-            pxf = -repad(jnp.broadcast_to(comps[6], (n_pad, samples))) + t_f * dxf
-            pyf = -repad(jnp.broadcast_to(comps[7], (n_pad, samples))) + t_f * dyf
-            pzf = -repad(jnp.broadcast_to(comps[8], (n_pad, samples))) + t_f * dzf
+            # hit point p = o' + t d (o' is the tmin-shifted origin the
+            # ray features carry negated in rows 6-8).  Missed rays
+            # (t = inf) clamp to t = 0 so every shadow-ray feature stays
+            # finite; their lighting result is discarded by the hit mask.
+            t_c = jnp.where(hit_f2, t_f, 0.0)
+            pxf = -repad(jnp.broadcast_to(comps[6], (n_pad, samples))) + t_c * dxf
+            pyf = -repad(jnp.broadcast_to(comps[7], (n_pad, samples))) + t_c * dyf
+            pzf = -repad(jnp.broadcast_to(comps[8], (n_pad, samples))) + t_c * dzf
             u_b = out[1]
             v_b = out[2]
             row_s = jnp.clip(out[3].astype(jnp.int32), 0,
@@ -817,15 +829,14 @@ def _trace_shade_angles(
                     [lx, ly, lz, sm_x, sm_y, sm_z, -oxs, -oys, -ozs,
                      one_f, zero_f, zero_f, zero_f, zero_f, zero_f, zero_f]
                 )
-                rc_l, pmm_l = shadow_plans[li]
-                out_s = run_packed_tracer(
-                    rc_l, pmm_l, rays_s,
-                    ng=ng // shadow_sg, nrb=nrb * shadow_sg,
-                    rb_size=rb_size, rmax=shadow_rmax,
+                cnt_l, ids_l = shadow_plans[li]
+                out_s = run_cluster_occlusion(
+                    cnt_l, ids_l, mm_cluster, rays_s,
+                    ng=ng, nrb=nrb, rb_size=rb_size, kmax=shadow_kmax,
                 )
-                occ = (out_s[0] < ldist - 2.0 * eps) & jnp.repeat(
-                    rc_l > 0, shadow_sg * rg_pad
-                )
+                # empty shortlists emit t = inf -> never occluded; no
+                # group-liveness masking needed
+                occ = out_s[0] < ldist - 2.0 * eps
                 contrib, facing = ggx_light_contrib(
                     n_vec, view,
                     jnp.stack([lx, ly, lz], axis=-1),
@@ -988,77 +999,72 @@ def _shadow_pseudo_omms(cg, rg, light_pos, ratio: float):
     return out, dmax
 
 
-def _shadow_supergroup(ng: int) -> int:
-    """Shadow payloads pool sg consecutive primary groups (the kernel's
-    nrb grid axis maps each group's ray block to its supergroup payload,
-    so rays need no re-layout).  Pooling bounds HBM: per-primary-group
-    payloads at NG=1000 x 4 lights measured RESOURCE_EXHAUSTED on v5e.
-    Largest divisor of ng that keeps >= ~64 supergroups."""
-    target = max(1, -(-ng // 64))
-    for sg in range(target, 0, -1):
-        if ng % sg == 0:
-            return sg
-    return 1
+@functools.partial(jax.jit, static_argnames=("kmax",))
+def _shadow_shortlist(ps, dm, half_center, half_radius, cull_sigmas,
+                      kmax: int):
+    """One light's per-group occluder shortlist: cone cull from the light
+    apex + distance bound, sorted near-to-far.  Returns
+    (counts (NG,) int32, ids (NG, kmax) int32)."""
+    zero3 = jnp.zeros((3,), jnp.float32)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    gmask, _, dmin_all = _cull_groups(
+        ps, zero3, eye3, half_center, half_radius, cull_sigmas, 1,
+    )
+    gmask = gmask & (dmin_all <= dm[:, None])
+    counts = jnp.sum(gmask, axis=-1).astype(jnp.int32)
+    ids, _ = _shortlist_sorted(gmask, dmin_all, kmax)
+    return counts, ids[:, :kmax]
 
 
 def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
                  lights_np: np.ndarray):
-    """Per-light occlusion payloads: for every (supergroup, light) pair,
-    the packed triangle rows a shadow ray from that supergroup toward the
-    light could hit.  The reference traces shadow rays through the same
-    BVH (shaders.cu traceOcclusion:135-163); here each light gets its own
-    cone-culled packed payload with the LIGHT as the cull apex — reusing
-    the primary plan machinery with g=1 pseudo-ommatidia.
+    """Per-(group, light) occluder SHORTLISTS into the global cluster
+    payload table (ScenePlan.mm_cluster) — the reference traces shadow
+    rays through its BVH (shaders.cu traceOcclusion:135-163); here each
+    primary group gets, per light, the near-to-far list of clusters a
+    shadow ray from that group toward that light could hit (cone from the
+    light apex covering the group's candidate bound sphere, distance
+    bounded at the sphere's far side).  No payload duplication: the
+    occlusion kernel's scalar-prefetch index map DMAs cluster rows by id.
 
-    Returns (plans, rmax_s, sg): plans is a tuple of (row_counts,
-    packed_mm) per light with NGS = NG/sg payload groups.  Memoised per
-    (pose, lights); independent of the RNG."""
+    Returns (plans, kmax_s): plans is a per-light tuple of
+    (counts (NG,), ids (NG, kmax_s)).  Memoised per (pose, lights);
+    independent of the RNG."""
     sig = get_config().cull_sigmas
     sk = (eplan.sig, pose_sig, lights_np.tobytes())
     hit = splan.shadow_store.get(sk)
     if hit is not None:
         return hit
     ratio = FWHM_SD_RATIO / sig
-    sg = _shadow_supergroup(eplan.ng)
     cg, rg = _group_bound_spheres(
         omms_p, position, local_space, splan.half_center, splan.half_radius,
         splan.sphere_center, splan.sphere_radius,
-        eplan.g, min(splan.num_clusters, max(eplan.kmax_hint, 8)), sig, sg,
+        eplan.g, min(splan.num_clusters, max(eplan.kmax_hint, 8)), sig, sg=1,
     )
-    zero3 = jnp.zeros((3,), jnp.float32)
-    eye3 = jnp.eye(3, dtype=jnp.float32)
     pseudo = [
         _shadow_pseudo_omms(cg, rg, jnp.asarray(lights_np[li, 4:7]), ratio)
         for li in range(lights_np.shape[0])
     ]
-    # widths: one cull + one refine count sweep over all lights (host sync
-    # at plan time only, like _plan_widths)
+    # width: one cull sweep over all lights (host sync at plan time only)
     kc_need = 1
-    for ps, _dm in pseudo:
-        _, counts, _ = _cull_groups(
+    wide = splan.num_clusters
+    zero3 = jnp.zeros((3,), jnp.float32)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    for ps, dm in pseudo:
+        gmask, _, dmin_all = _cull_groups(
             ps, zero3, eye3, splan.half_center, splan.half_radius, sig, 1,
         )
-        kc_need = max(kc_need, int(np.asarray(jax.device_get(jnp.max(counts)))))
-    kcand_s = min(splan.num_clusters, _ceil_to(kc_need, 8))
-    rmax_s = 1
-    for ps, dm in pseudo:
-        rc = _refine_counts(
-            ps, zero3, eye3, splan.half_center, splan.half_radius,
-            splan.slot_center_cl, splan.slot_radius_cl, 1, kcand_s, sig,
-            dmax=dm,
-        )
-        rmax_s = max(rmax_s, int(np.asarray(jax.device_get(jnp.max(rc)))))
-    rmax_s = min(_ceil_to(rmax_s, 2), kcand_s)
+        cnt = jnp.max(jnp.sum(
+            gmask & (dmin_all <= dm[:, None]), axis=-1
+        ))
+        kc_need = max(kc_need, int(np.asarray(jax.device_get(cnt))))
+    kmax_s = min(wide, _ceil_to(kc_need, 8))
     plans = tuple(
-        _pack_fused(
-            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
-            splan.half_center, splan.half_radius,
-            ps, zero3, eye3, g=1, kcand=kcand_s, rmax=rmax_s,
-            cull_sigmas=sig, dmax=dm,
-        )
+        _shadow_shortlist(ps, dm, splan.half_center, splan.half_radius,
+                          sig, kmax_s)
         for ps, dm in pseudo
     )
-    out = (plans, rmax_s, sg)
+    out = (plans, kmax_s)
     while len(splan.shadow_store) >= 1:
         splan.shadow_store.pop(next(iter(splan.shadow_store)))
     splan.shadow_store[sk] = out
@@ -1113,12 +1119,12 @@ def render_means_pallas(
     # unlit, and the reference lights every hit (shaders.cu:826-881)
     if lights is not None:
         lights_np = np.asarray(lights, np.float32)
-        shadow_plans, shadow_rmax, shadow_sg = _shadow_plan(
+        shadow_plans, shadow_kmax = _shadow_plan(
             splan, eplan, omms_p, position, local_space, pose_sig, lights_np,
         )
         lights_dev = jnp.asarray(lights_np)
     else:
-        shadow_plans, shadow_rmax, shadow_sg, lights_dev = None, 0, 1, None
+        shadow_plans, shadow_kmax, lights_dev = None, 0, None
     if (lights is None and cfg.farfield == "auto"
             and splan.num_clusters > 8):
         cache_px = cfg.farfield_cache_width * (cfg.farfield_cache_width // 2)
@@ -1186,8 +1192,8 @@ def render_means_pallas(
         tex_only=splan.tex_only,
         cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
         lights=lights_dev, slot_tri=splan.slot_tri,
-        shadow_plans=shadow_plans, shadow_rmax=shadow_rmax,
-        shadow_sg=shadow_sg,
+        mm_cluster=splan.mm_cluster,
+        shadow_plans=shadow_plans, shadow_kmax=shadow_kmax,
     )
     return means_p[eplan.inv_valid_dev]
 

@@ -216,8 +216,8 @@ def render_means_sharded_packed(
     ),
 )
 def _sharded_packed_impl(
-    attr_table, scene_dev, quad_table, packed_mm, row_counts, omms_p,
-    splay, spin, position, local_space,
+    attr_table, scene_dev, quad_table, packed_mm, row_counts,
+    omms_p, splay, spin, position, local_space,
     samples: int, s_local: int, background: int, ng_local: int, g: int,
     rb_local: int, rmax: int, textured: bool, tex_only: bool, mesh: Mesh,
 ):
@@ -226,8 +226,8 @@ def _sharded_packed_impl(
     impl path (~500 separate pjit dispatches per frame — measured 40 s on
     the 8-device CPU mesh); under jit it lowers to a single SPMD program."""
 
-    def shard_fn(attr_l, sdev_l, quad_l, pmm_l, rc_l, omms_l, splay_l,
-                 spin_l, pos_l, ls_l):
+    def shard_fn(attr_l, sdev_l, quad_l, pmm_l, rc_l, omms_l,
+                 splay_l, spin_l, pos_l, ls_l):
         from compound_ray_tpu.eye.pipeline import _trace_shade_angles
 
         partial = _trace_shade_angles(

@@ -145,7 +145,8 @@ def test_sharded_packed_matches_dense_kernel(setup):
     )
     splay, spin = _draw_angles(key, omms_p, samples)
     dense = _trace_shade_angles(
-        packed_mm, row_counts, splan.attr_table, dev, splan.quad_table,
+        packed_mm, row_counts, splan.attr_table, dev,
+        splan.quad_table,
         omms_p, pos, ls, splay, spin,
         samples=samples, background=bg, ng=eplan.ng, g=eplan.g, nrb=1,
         rb_size=eplan.rb_size, rmax=rmax, textured=splan.textured,
