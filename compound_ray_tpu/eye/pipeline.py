@@ -70,6 +70,7 @@ from compound_ray_tpu.trace.shade import (
     sample_texture_quad,
     texture_quad_coords,
     texture_quad_coords_c,
+    texture_quad_coords_single,
 )
 
 
@@ -100,6 +101,7 @@ class ScenePlan:
     slot_radius_cl: jnp.ndarray = None  # (C, 128); -1 on padding slots
     slot_tri: jnp.ndarray = None  # (S,) int32 global slot -> triangle id
     mm_cluster: jnp.ndarray = None  # (C, 16, 512) global cluster payload
+    tex_static: Tuple = None  # (off,w,h,ws,wt,filt) when exactly 1 texture
     # per-plan caches (kept on the plan, NOT keyed by id(scene): CPython
     # recycles object ids after GC, which would alias stale plans)
     kmax_cache: Dict = None
@@ -146,6 +148,19 @@ def scene_plan(scene_flat) -> ScenePlan:
             quad = build_quad_table(scene_flat.device_triangles())
         else:
             quad = jnp.zeros((1, 16), jnp.float32)
+        # single-texture scenes get STATIC sampler constants: the epilogue
+        # then skips six per-ray sampler-table gathers and the three-mode
+        # wrap select (texture_quad_coords_single)
+        tex_static = None
+        if textured and len(np.asarray(scene_flat.tex_width)) == 1:
+            tex_static = (
+                int(np.asarray(scene_flat.tex_offset)[0]),
+                int(np.asarray(scene_flat.tex_width)[0]),
+                int(np.asarray(scene_flat.tex_height)[0]),
+                int(np.asarray(scene_flat.tex_wrap_s)[0]),
+                int(np.asarray(scene_flat.tex_wrap_t)[0]),
+                int(np.asarray(scene_flat.tex_filter)[0]),
+            )
         mm_feats = build_mm_features(cs)  # (S+128, 4, 16)
         tri_c, tri_r, _ = slot_spheres(cs)
         c_cl = cs.tri_id.shape[0]
@@ -165,6 +180,7 @@ def scene_plan(scene_flat) -> ScenePlan:
             sphere_center_np=np.asarray(cs.sphere_center),
             sphere_radius_np=np.asarray(cs.sphere_radius),
             tex_only=tex_only,
+            tex_static=tex_static,
             slot_tri=jnp.asarray(
                 cs.tri_id.reshape(-1).astype(np.int32)
             ),
@@ -557,7 +573,7 @@ def _pack_fused(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
-        "shadow_kmax",
+        "shadow_kmax", "tex_static",
     ),
 )
 def _render_frame(
@@ -588,6 +604,7 @@ def _render_frame(
     mm_cluster: Optional[jnp.ndarray] = None,
     shadow_plans=None,
     shadow_kmax: int = 0,
+    tex_static: Optional[Tuple] = None,
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
@@ -605,6 +622,7 @@ def _render_frame(
         tex_only=tex_only, cache_shape=cache_shape,
         lights=lights, slot_tri=slot_tri, mm_cluster=mm_cluster,
         shadow_plans=shadow_plans, shadow_kmax=shadow_kmax,
+        tex_static=tex_static,
     )
 
 
@@ -637,6 +655,7 @@ def _trace_shade_angles(
     mm_cluster: Optional[jnp.ndarray] = None,  # (C,16,512) cluster table
     shadow_plans=None,  # tuple of per-light (counts, cluster-id shortlist)
     shadow_kmax: int = 0,
+    tex_static: Optional[Tuple] = None,  # static single-texture sampler
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
     path draws angles GLOBALLY and feeds per-device slices here, so results
@@ -732,9 +751,14 @@ def _trace_shade_angles(
         # (`cache` here) and each ray issues exactly one row gather
         hit_f2 = flat(hit)
         texid_f2 = flat(texid)
-        tex_idx, tfx, tfy = texture_quad_coords_c(
-            scene_dev, jnp.maximum(texid_f2, 0), flat(cu), flat(cv)
-        )
+        if tex_static is not None:
+            tex_idx, tfx, tfy = texture_quad_coords_single(
+                flat(cu), flat(cv), *tex_static
+            )
+        else:
+            tex_idx, tfx, tfy = texture_quad_coords_c(
+                scene_dev, jnp.maximum(texid_f2, 0), flat(cu), flat(cv)
+            )
         ch, cw = cache_shape
         tex_rows = cache.shape[0] - ch * cw
         c_idx, cfx, cfy = _equirect_coords_c(
@@ -752,9 +776,15 @@ def _trace_shade_angles(
         bb = jnp.where(keep, bb, qb.reshape(n_pad, samples))
     else:
         if textured:
-            tex_idx, tfx, tfy = texture_quad_coords_c(
-                scene_dev, jnp.maximum(flat(texid), 0), flat(cu), flat(cv)
-            )
+            if tex_static is not None:
+                tex_idx, tfx, tfy = texture_quad_coords_single(
+                    flat(cu), flat(cv), *tex_static
+                )
+            else:
+                tex_idx, tfx, tfy = texture_quad_coords_c(
+                    scene_dev, jnp.maximum(flat(texid), 0),
+                    flat(cu), flat(cv)
+                )
             qr, qg, qb = quad_bilinear_c(quad_table[tex_idx], tfx, tfy)
             sel = (texid >= 0) & hit
             rr = jnp.where(sel, qr.reshape(n_pad, samples), rr)
@@ -1194,6 +1224,7 @@ def render_means_pallas(
         lights=lights_dev, slot_tri=splan.slot_tri,
         mm_cluster=splan.mm_cluster,
         shadow_plans=shadow_plans, shadow_kmax=shadow_kmax,
+        tex_static=splan.tex_static,
     )
     return means_p[eplan.inv_valid_dev]
 
@@ -1238,7 +1269,7 @@ def render_samples_pallas(
         samples=samples, background=background,
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
         rmax=rmax, textured=splan.textured, want_samples=True,
-        tex_only=splan.tex_only,
+        tex_only=splan.tex_only, tex_static=splan.tex_static,
     )  # (Np, S, 3)
     return jnp.transpose(raw_p[eplan.inv_valid_dev], (1, 0, 2))
 

@@ -203,7 +203,8 @@ def render_means_sharded_packed(
         row_counts, omms_p, splay, spin, position, local_space,
         samples=samples, s_local=s_local, background=background,
         ng_local=ng_local, g=eplan.g, rb_local=rb_local, rmax=rmax,
-        textured=splan.textured, tex_only=splan.tex_only, mesh=mesh,
+        textured=splan.textured, tex_only=splan.tex_only,
+        tex_static=splan.tex_static, mesh=mesh,
     )
     return means_p[eplan.inv_valid_dev]
 
@@ -212,14 +213,15 @@ def render_means_sharded_packed(
     jax.jit,
     static_argnames=(
         "samples", "s_local", "background", "ng_local", "g", "rb_local",
-        "rmax", "textured", "tex_only", "mesh",
+        "rmax", "textured", "tex_only", "tex_static", "mesh",
     ),
 )
 def _sharded_packed_impl(
     attr_table, scene_dev, quad_table, packed_mm, row_counts,
     omms_p, splay, spin, position, local_space,
     samples: int, s_local: int, background: int, ng_local: int, g: int,
-    rb_local: int, rmax: int, textured: bool, tex_only: bool, mesh: Mesh,
+    rb_local: int, rmax: int, textured: bool, tex_only: bool,
+    tex_static, mesh: Mesh,
 ):
     """jit-of-shard_map: ONE compiled executable per (widths, mesh) combo.
     An eager shard_map runs its body primitive-by-primitive through the
@@ -235,7 +237,7 @@ def _sharded_packed_impl(
             splay_l, spin_l,
             samples=s_local, background=background, ng=ng_local, g=g,
             nrb=1, rb_size=rb_local, rmax=rmax, textured=textured,
-            tex_only=tex_only,
+            tex_only=tex_only, tex_static=tex_static,
         )  # (Np_local, 3) mean over the LOCAL sample slice
         # combine sample-axis partial means over ICI (the collective
         # replacement for summing_kernel.cu's warp shuffles)

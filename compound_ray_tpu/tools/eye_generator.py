@@ -144,6 +144,86 @@ def generate_equidistant_eye(
     return out
 
 
+def generate_grid_eye(
+    n: int,
+    acceptance_deg: float = 2.6,
+    separation: float = 1.0,
+    focal_offset: float = 0.0,
+) -> List[Ommatidium]:
+    """Planar size x size grid looking straight up — the reference's
+    SinesGenerator layout (eyeGenerator/SinesGenerator.cpp:15-24: positions
+    (i, o, 0) at unit separation, z-up there; y-up here to match the .eye
+    convention)."""
+    size = int(math.sqrt(n))
+    xs, zs = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    pos = np.stack([xs.ravel() * separation,
+                    np.zeros(size * size),
+                    zs.ravel() * separation], axis=-1)
+    up = np.array([0.0, 1.0, 0.0])
+    acc = math.radians(acceptance_deg)
+    return [Ommatidium(p, up.copy(), acc, focal_offset) for p in pos]
+
+
+def generate_sinewave_droplet_eye(
+    n: int,
+    acceptance_deg: float = 2.6,
+    wavelength: float = 1.0,
+    amplitude: float = 1.0,
+    time: float = 0.0,
+    scale: float = 1.0,
+    focal_offset: float = 0.0,
+    iterations: int = 800,
+    seed: int = 42,
+) -> List[Ommatidium]:
+    """Eye on a radial sinewave "droplet" surface, ommatidia relaxed to
+    even spacing on the base square and oriented along the exact surface
+    normal.
+
+    The reference's SinewaveDropletCoordinate
+    (eyeGenerator/SinewaveDropletCoordinate.cpp:33-60) maps relaxed 2-D
+    points p onto y = sin(w*|p| + t) and estimates the normal by finite
+    differencing a second nearby point ("horrible quick hack" per its own
+    comment); here the normal is analytic: for S(x,z) = (x, A sin(w r + t),
+    z) with r = |(x,z)|, n ∝ (-A w cos(w r + t) x/r, 1, -A w cos(w r + t)
+    z/r)."""
+    rng = np.random.default_rng(seed)
+    # stratified start (no coincident points) + radial rescale instead of a
+    # hard clamp at the bounds: corner-clamping can stack points exactly on
+    # top of each other, where the symmetric repulsion deadlocks at zero
+    side = int(math.ceil(math.sqrt(n)))
+    cells = np.stack(np.meshgrid(np.arange(side), np.arange(side),
+                                 indexing="ij"), -1).reshape(-1, 2)[:n]
+    p = (cells + rng.uniform(0.2, 0.8, size=(n, 2))) / side - 0.5
+    lr = 0.05 / n
+    max_step = 0.25 / math.sqrt(n)  # fraction of the mean point spacing
+    for _ in range(iterations):
+        d = p[:, None, :] - p[None, :, :]
+        r2 = np.maximum(np.sum(d * d, axis=-1), 1e-6) + np.eye(n)
+        f = d / (r2 ** 1.5)[..., None]
+        # CAP the step: near-coincident pairs otherwise produce forces that
+        # overshoot the whole domain and scatter points chaotically into
+        # the bound clamp.  Tiny thermal jitter breaks exact-coincidence
+        # deadlocks (coincident points repel each other with force zero).
+        step = np.clip(lr * np.sum(f, axis=1), -max_step, max_step)
+        p = p + step + rng.normal(scale=1e-4, size=p.shape)
+        p = np.clip(p, -0.5, 0.5)
+    xz = p * scale
+    r = np.maximum(np.linalg.norm(xz, axis=-1), 1e-9)
+    phase = wavelength * r + time
+    y = amplitude * np.sin(phase)
+    dydr = amplitude * wavelength * np.cos(phase)
+    nx = -dydr * xz[:, 0] / r
+    nz = -dydr * xz[:, 1] / r
+    normal = np.stack([nx, np.ones(n), nz], axis=-1)
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    acc = math.radians(acceptance_deg)
+    return [
+        Ommatidium(np.array([xz[i, 0], y[i], xz[i, 1]]), normal[i], acc,
+                   focal_offset)
+        for i in range(n)
+    ]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Generate a relaxed .eye file")
     ap.add_argument("output")
@@ -151,16 +231,31 @@ def main(argv=None):
     ap.add_argument("-a", "--acceptance-deg", type=float, default=2.6)
     ap.add_argument("-r", "--radius", type=float, default=0.1)
     ap.add_argument("-f", "--focal-offset", type=float, default=0.0)
-    ap.add_argument("-m", "--method", choices=("gradient", "random_move"),
+    ap.add_argument("-m", "--method",
+                    choices=("gradient", "random_move", "grid",
+                             "sinewave_droplet"),
                     default="gradient")
     ap.add_argument("-i", "--iterations", type=int, default=2000)
     ap.add_argument("--horizontally-acute", type=float, default=None)
+    ap.add_argument("--wavelength", type=float, default=1.0)
+    ap.add_argument("--amplitude", type=float, default=1.0)
+    ap.add_argument("--time", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
-    omms = generate_equidistant_eye(
-        args.count, args.acceptance_deg, args.radius, args.focal_offset,
-        args.method, args.iterations, args.seed, args.horizontally_acute,
-    )
+    if args.method == "grid":
+        omms = generate_grid_eye(args.count, args.acceptance_deg,
+                                 focal_offset=args.focal_offset)
+    elif args.method == "sinewave_droplet":
+        omms = generate_sinewave_droplet_eye(
+            args.count, args.acceptance_deg, args.wavelength,
+            args.amplitude, args.time, focal_offset=args.focal_offset,
+            seed=args.seed,
+        )
+    else:
+        omms = generate_equidistant_eye(
+            args.count, args.acceptance_deg, args.radius, args.focal_offset,
+            args.method, args.iterations, args.seed, args.horizontally_acute,
+        )
     write_eye_file(args.output, omms)
     print(f"Wrote {len(omms)} ommatidia to {args.output}")
 

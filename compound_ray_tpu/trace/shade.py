@@ -15,6 +15,7 @@ compound_ray_tpu.trace.lighting and enabled via RenderSettings.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -228,6 +229,46 @@ def texture_quad_coords_c(
     # nearest-filter rounds; bilinear uses the floor cell
     xi = addr(jnp.where(linear, x0f, jnp.round(x)), w, wrap_s)
     yi = addr(jnp.where(linear, y0f, jnp.round(y)), h, wrap_t)
+    return off + yi * w + xi, fx, fy
+
+
+def _addr_static(coord, n: int, mode: int):
+    """Wrap/clamp/mirror with a STATIC size and mode: only the selected
+    mode's arithmetic is emitted (texture_quad_coords_c computes all three
+    and selects, because its modes are per-ray data)."""
+    nf = jnp.float32(n)
+    if mode == 1:  # clamp
+        out = jnp.clip(coord, 0.0, nf - 1.0)
+    elif mode == 2:  # mirror
+        period = 2.0 * nf
+        m = coord - jnp.floor(coord * (1.0 / period)) * period
+        out = jnp.where(m < nf, m, period - 1.0 - m)
+    else:  # repeat
+        out = coord - jnp.floor(coord * (1.0 / nf)) * nf
+    return jnp.clip(out, 0.0, nf - 1.0).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("off", "w", "h", "wrap_s", "wrap_t", "filt")
+)
+def texture_quad_coords_single(
+    cu: jnp.ndarray, cv: jnp.ndarray,
+    off: int, w: int, h: int, wrap_s: int, wrap_t: int, filt: int,
+):
+    """Single-texture fast path: sampler constants are STATIC, so the six
+    per-ray sampler-table gathers and the three-mode wrap select of
+    texture_quad_coords_c disappear (measured: the texture stage was the
+    largest single epilogue item at 3.2M rays/frame)."""
+    x = cu * jnp.float32(w) - 0.5
+    y = cv * jnp.float32(h) - 0.5
+    if filt == 1:
+        x0f, y0f = jnp.floor(x), jnp.floor(y)
+        fx, fy = x - x0f, y - y0f
+    else:
+        x0f, y0f = jnp.round(x), jnp.round(y)
+        fx = fy = jnp.zeros_like(x)
+    xi = _addr_static(x0f, w, wrap_s)
+    yi = _addr_static(y0f, h, wrap_t)
     return off + yi * w + xi, fx, fy
 
 

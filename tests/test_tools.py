@@ -9,6 +9,8 @@ import pytest
 from compound_ray_tpu.scene.eye_io import read_eye_file
 from compound_ray_tpu.tools.eye_generator import (
     generate_equidistant_eye,
+    generate_grid_eye,
+    generate_sinewave_droplet_eye,
     riesz_energy,
 )
 from compound_ray_tpu.tools.eye_transforms import adjust_acceptance, rescale, split
@@ -57,6 +59,40 @@ def test_generator_horizontally_acute():
     ys = np.array([abs(o.direction[1]) for o in omms])
     # polar ommatidia get wider acceptance than equatorial ones
     assert accs[ys.argmax()] > accs[ys.argmin()]
+
+
+def test_generator_grid_eye():
+    omms = generate_grid_eye(16)
+    assert len(omms) == 16
+    pos = np.stack([o.position for o in omms])
+    # planar y=0 grid, unit separation (SinesGenerator.cpp:15-24)
+    assert np.all(pos[:, 1] == 0.0)
+    assert {tuple(p) for p in pos[:, [0, 2]]} == {
+        (float(i), float(o)) for i in range(4) for o in range(4)
+    }
+    for o in omms:
+        np.testing.assert_allclose(o.direction, [0.0, 1.0, 0.0])
+
+
+def test_generator_sinewave_droplet():
+    omms = generate_sinewave_droplet_eye(64, wavelength=3.0, iterations=100,
+                                         seed=1)
+    assert len(omms) == 64
+    pos = np.stack([o.position for o in omms])
+    dirs = np.stack([o.direction for o in omms])
+    # points lie ON the droplet surface y = sin(w r + t)
+    r = np.linalg.norm(pos[:, [0, 2]], axis=1)
+    np.testing.assert_allclose(pos[:, 1], np.sin(3.0 * r), atol=1e-6)
+    # unit normals with the analytic slope: n_xz ∝ -w cos(w r) p_xz / r
+    np.testing.assert_allclose(np.linalg.norm(dirs, axis=1), 1.0, atol=1e-6)
+    slope = -3.0 * np.cos(3.0 * r) / r
+    expect = np.stack([slope * pos[:, 0], np.ones(64), slope * pos[:, 2]],
+                      axis=-1)
+    expect /= np.linalg.norm(expect, axis=1, keepdims=True)
+    np.testing.assert_allclose(dirs, expect, atol=1e-5)
+    # relaxation spreads points: no two closer than a tenth of the mean gap
+    d2 = np.sum((pos[None] - pos[:, None]) ** 2, axis=-1) + np.eye(64)
+    assert np.sqrt(d2.min()) > 0.01
 
 
 def test_rescale():
