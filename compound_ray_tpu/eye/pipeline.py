@@ -42,6 +42,7 @@ from compound_ray_tpu.eye.sampling import (
     sample_angles,
 )
 from compound_ray_tpu.trace.pallas_tracer import (
+    ATTR_COMPS_FLAT,
     BATCH_RAYS,
     KERNEL_LEAF,
     OUT_COMPS,
@@ -69,6 +70,7 @@ from compound_ray_tpu.trace.shade import (
     quad_bilinear_c,
     sample_texture_quad,
     texture_quad_coords,
+    texture_bilinear4_single,
     texture_quad_coords_c,
     texture_quad_coords_single,
 )
@@ -514,6 +516,11 @@ def resolve_kernel_hits(
     texid = attr[:, 6].astype(jnp.int32)
     if tex_only:
         rgb = None
+    elif attr_table.shape[1] == ATTR_COMPS_FLAT:
+        # no vertex colours in the scene: the non-texture colour is the
+        # material base colour — a per-triangle CONSTANT used raw
+        # (shaders.cu:813-815) — so no interpolation and no linearize
+        rgb = (attr[:, 7], attr[:, 8], attr[:, 9])
     else:
         lin = attr[:, 7] > 0.5
         rgb = tuple(
@@ -776,16 +783,24 @@ def _trace_shade_angles(
         bb = jnp.where(keep, bb, qb.reshape(n_pad, samples))
     else:
         if textured:
-            if tex_static is not None:
+            # big single textures: the (P, 16) quad table falls out of
+            # on-chip residency past ~100 MB and its row gather slows ~10x
+            # — four gathers from the 4x-smaller texel table win there
+            if tex_static is not None and quad_table.nbytes > 100_000_000:
+                qr, qg, qb = texture_bilinear4_single(
+                    scene_dev["tex_data"], flat(cu), flat(cv), *tex_static
+                )
+            elif tex_static is not None:
                 tex_idx, tfx, tfy = texture_quad_coords_single(
                     flat(cu), flat(cv), *tex_static
                 )
+                qr, qg, qb = quad_bilinear_c(quad_table[tex_idx], tfx, tfy)
             else:
                 tex_idx, tfx, tfy = texture_quad_coords_c(
                     scene_dev, jnp.maximum(flat(texid), 0),
                     flat(cu), flat(cv)
                 )
-            qr, qg, qb = quad_bilinear_c(quad_table[tex_idx], tfx, tfy)
+                qr, qg, qb = quad_bilinear_c(quad_table[tex_idx], tfx, tfy)
             sel = (texid >= 0) & hit
             rr = jnp.where(sel, qr.reshape(n_pad, samples), rr)
             gg = jnp.where(sel, qg.reshape(n_pad, samples), gg)

@@ -89,17 +89,21 @@ def build_kernel_payload(cluster_set) -> np.ndarray:
 
 ATTR_COMPS = 24  # uv0 uv1 uv2 (6), texid, lin, rgb0 rgb1 rgb2 (9), pad
 ATTR_COMPS_TEX = 8  # uv0 uv1 uv2 (6), texid, pad
+ATTR_COMPS_FLAT = 10  # uv0 uv1 uv2 (6), texid, rgb (3)
 
 
 def build_attr_table(scene: Dict[str, Any], cluster_set,
                      tex_only: bool) -> np.ndarray:
     """(C*128, A) float32 winner-attribute rows, indexed by
-    cluster_id * 128 + lane.  Column layout (shared prefix so the epilogue
-    slices identically for both widths):
-      0-5   corner UVs (uv0.x uv0.y uv1.x uv1.y uv2.x uv2.y)
-      6     texture id (-1 = none)
-      7     lin flag (1.0 → vertex colours: pow 2.2 after interpolation)
-      8-16  corner RGBs (full table only)
+    cluster_id * 128 + lane.  Three widths, chosen by scene content and
+    told apart by shape in resolve_kernel_hits:
+      8  (tex_only)  uv0 uv1 uv2 (6), texid, pad — every triangle textured
+      10 (flat)      uv0 uv1 uv2 (6), texid, rgb (3) — no vertex colours:
+                     the non-texture colour is the MATERIAL base colour, a
+                     per-triangle constant (shaders.cu:813-815, used raw,
+                     never linearized), so no corner interpolation exists
+      24 (full)      uv0 uv1 uv2 (6), texid, lin flag, corner RGBs (9), pad
+                     — vertex colours interpolate then linearize (pow 2.2)
     """
     tid = cluster_set.tri_id.reshape(-1)
     safe = np.maximum(tid, 0)
@@ -116,6 +120,10 @@ def build_attr_table(scene: Dict[str, Any], cluster_set,
 
     has_color = np.asarray(scene["has_color"])[safe]
     mat_rgb = np.asarray(scene["mat_base_color"])[mat_id][:, :3]
+    if not has_color.any():
+        out = np.concatenate([uv0, uv1, uv2, texid, mat_rgb], axis=1)
+        assert out.shape[1] == ATTR_COMPS_FLAT
+        return np.ascontiguousarray(out.astype(np.float32))
 
     def corner_rgb(key):
         vc = np.asarray(scene[key])[safe][:, :3]

@@ -251,6 +251,50 @@ def _addr_static(coord, n: int, mode: int):
 @functools.partial(
     jax.jit, static_argnames=("off", "w", "h", "wrap_s", "wrap_t", "filt")
 )
+def texture_bilinear4_single(
+    tex_data: jnp.ndarray,  # (P, 4) f32 atlas texels
+    cu: jnp.ndarray, cv: jnp.ndarray,
+    off: int, w: int, h: int, wrap_s: int, wrap_t: int, filt: int,
+):
+    """Four texel-row gathers + bilinear blend, static single-texture
+    sampler — the big-texture path.  The (P, 16) quad table is 4x the
+    texel bytes; past ~100 MB it falls out of fast on-chip residency and
+    the one row gather per ray runs ~10x slower than four gathers from
+    the (P, 4) texel table (measured: ofstad's 3072x1024 texture, quad
+    gather 80 ms vs the natural scene's 1024^2 at a few ms for 3.3M
+    rays).  Returns planar (r, g, b)."""
+    x = cu * jnp.float32(w) - 0.5
+    y = cv * jnp.float32(h) - 0.5
+    if filt == 1:
+        x0f, y0f = jnp.floor(x), jnp.floor(y)
+        fx, fy = x - x0f, y - y0f
+    else:
+        x0f, y0f = jnp.round(x), jnp.round(y)
+        fx = fy = jnp.zeros_like(x)
+    # neighbours wrap from the RESOLVED base texel (exactly what
+    # build_quad_table bakes): addr(addr(x)+1), not addr(x+1) — the two
+    # differ for clamped/mirrored out-of-range coordinates
+    xi0 = _addr_static(x0f, w, wrap_s)
+    xi1 = _addr_static(xi0.astype(jnp.float32) + 1.0, w, wrap_s)
+    yi0 = _addr_static(y0f, h, wrap_t)
+    yi1 = _addr_static(yi0.astype(jnp.float32) + 1.0, h, wrap_t)
+    c00 = tex_data[off + yi0 * w + xi0]
+    c10 = tex_data[off + yi0 * w + xi1]
+    c01 = tex_data[off + yi1 * w + xi0]
+    c11 = tex_data[off + yi1 * w + xi1]
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = fx * (1.0 - fy)
+    w01 = (1.0 - fx) * fy
+    w11 = fx * fy
+    return tuple(
+        c00[:, c] * w00 + c10[:, c] * w10 + c01[:, c] * w01 + c11[:, c] * w11
+        for c in range(3)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("off", "w", "h", "wrap_s", "wrap_t", "filt")
+)
 def texture_quad_coords_single(
     cu: jnp.ndarray, cv: jnp.ndarray,
     off: int, w: int, h: int, wrap_s: int, wrap_t: int, filt: int,

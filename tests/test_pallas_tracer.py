@@ -249,6 +249,43 @@ def test_tex_only_kernel_matches_oracle():
     assert got.max() > 0.3  # actually sampled the checker
 
 
+def test_big_texture_4gather_matches_quad_path():
+    """The big-texture fallback (four texel gathers,
+    texture_bilinear4_single) must reproduce the quad-table path exactly —
+    same wrap, same filter, same texel weights."""
+    import jax
+
+    from compound_ray_tpu.trace.shade import (
+        build_quad_table,
+        quad_bilinear_c,
+        texture_bilinear4_single,
+        texture_quad_coords_single,
+    )
+
+    rng = np.random.default_rng(5)
+    w, h = 64, 32
+    tex = rng.random((h * w, 4)).astype(np.float32)
+    scene = {
+        "tex_data": jnp.asarray(tex),
+        "tex_offset": np.array([0], np.int32),
+        "tex_width": np.array([w], np.int32),
+        "tex_height": np.array([h], np.int32),
+        "tex_wrap_s": np.array([0], np.int32),
+        "tex_wrap_t": np.array([1], np.int32),
+    }
+    quads = build_quad_table(scene)
+    for filt in (0, 1):
+        ts = (0, w, h, 0, 1, filt)
+        cu = jnp.asarray(rng.uniform(-0.3, 1.3, 500), jnp.float32)
+        cv = jnp.asarray(rng.uniform(-0.3, 1.3, 500), jnp.float32)
+        idx, fx, fy = texture_quad_coords_single(cu, cv, *ts)
+        ref = quad_bilinear_c(quads[idx], fx, fy)
+        got = texture_bilinear4_single(scene["tex_data"], cu, cv, *ts)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
 def test_multi_texture_atlas_all_backends():
     """Per-ray texture ids select the right atlas rows in the naive path,
     the Pallas epilogue, AND the unified texture+cache gather."""
