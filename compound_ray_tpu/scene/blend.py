@@ -352,8 +352,13 @@ def _apply_textures(scene, meshes, textures: Dict[str, str]) -> None:
     scene.mat_metallic = np.zeros(len(mats_rgb), np.float32)
     scene.mat_roughness = np.full(len(mats_rgb), 0.5, np.float32)
     scene.mat_tex = np.asarray(mat_tex, np.int32)
-    # textured meshes should not use flat vertex colours
-    scene.has_color = np.asarray(scene.mat_tex[scene.mat_id] < 0)         & scene.has_color
+    # with per-mesh materials in place, untextured meshes take their colour
+    # from the MATERIAL (raw, like a glTF export's baseColorFactor —
+    # Blender stores material colours linear already), not from the baked
+    # vertex colours (which the shading path would pow-2.2 a second time).
+    # This also selects the flat 10-column attr layout instead of the full
+    # 24-column corner-interpolation one (trace/pallas_tracer.py).
+    scene.has_color = np.zeros_like(scene.has_color)
     if datas:
         scene.tex_data = np.concatenate(datas)
         scene.tex_offset = np.asarray(offs, np.int32)
