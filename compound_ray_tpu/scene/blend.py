@@ -166,7 +166,10 @@ def _object_name(fb: BlendFile, data: bytes, lay_ob, lay_id) -> str:
 
 def load_blend_meshes(path: str):
     """Extract (name, world_matrix(4,4), verts(V,3), faces(F,3), color(3),
-    face_uvs(F,3,2) or None) per mesh object."""
+    face_uvs(F,3,2) or None, image_name or None) per mesh object.
+    image_name is the Image datablock referenced by the material's node
+    tree (e.g. "ofstad_patterning") — the texture the glTF exporter would
+    bake into the material."""
     fb = BlendFile(path)
     lay_ob = fb.layout("Object")
     lay_id = fb.layout("ID")
@@ -250,7 +253,12 @@ def load_blend_meshes(path: str):
         face_uvs = (np.asarray(face_uvs, np.float32)
                     if face_uvs is not None else None)
 
-        color = np.array([0.8, 0.8, 0.8])
+        # meshes without a material export with the glTF DEFAULT material:
+        # baseColorFactor (1,1,1) white — not Blender's 0.8 viewport gray
+        # (the ofstad arena's floor/ceiling cube has no material and its
+        # reference renders are white)
+        color = np.array([1.0, 1.0, 1.0])
+        image_name = None
         if lay_mat is not None and "mat" in lay_me:
             matarr = fb.by_ptr.get(fb.read_ptr(md, lay_me["mat"][0]))
             if matarr is not None and len(matarr.data) >= 8:
@@ -260,8 +268,106 @@ def load_blend_meshes(path: str):
                     g = struct.unpack_from("<f", mat_block.data, lay_mat["g"][0])[0]
                     bl = struct.unpack_from("<f", mat_block.data, lay_mat["b"][0])[0]
                     color = np.array([r, g, bl])
-        out.append((name, obmat, verts, faces, color, face_uvs))
+                    node_c = _node_base_color(fb, mat_block, lay_mat)
+                    if node_c is not None:
+                        color = node_c
+                    image_name = _node_image_name(fb, mat_block, lay_mat)
+        out.append((name, obmat, verts, faces, color, face_uvs, image_name))
     return out
+
+
+def _walk_nodes(fb: BlendFile, mat_block, lay_mat):
+    if ("use_nodes" not in lay_mat or "nodetree" not in lay_mat
+            or not mat_block.data[lay_mat["use_nodes"][0]]):
+        return
+    tree = fb.by_ptr.get(fb.read_ptr(mat_block.data, lay_mat["nodetree"][0]))
+    if tree is None or "bNode" not in fb.struct_by_type:
+        return
+    lay_tree = fb.layout("bNodeTree")
+    lay_node = fb.layout("bNode")
+    node_ptr = fb.read_ptr(tree.data, lay_tree["nodes"][0])
+    while node_ptr:
+        node = fb.by_ptr.get(node_ptr)
+        if node is None:
+            return
+        idname = node.data[
+            lay_node["idname"][0]:lay_node["idname"][0] + 64
+        ].split(b"\0", 1)[0]
+        yield idname, node, lay_node
+        node_ptr = fb.read_ptr(node.data, lay_node["next"][0])
+
+
+def _node_image_name(fb: BlendFile, mat_block, lay_mat):
+    """Name of the Image datablock the material's TexImage node uses
+    (without Blender's 'IM' id prefix), or None."""
+    try:
+        for idname, node, lay_node in _walk_nodes(fb, mat_block, lay_mat):
+            if idname != b"ShaderNodeTexImage" or "id" not in lay_node:
+                continue
+            img = fb.by_ptr.get(fb.read_ptr(node.data, lay_node["id"][0]))
+            if img is None:
+                return None
+            lay_img = fb.layout("Image")
+            lay_idd = fb.layout("ID")
+            off = lay_img["id"][0] + lay_idd["name"][0]
+            raw = img.data[off:off + 66].split(b"\0", 1)[0]
+            return raw[2:].decode("utf-8", "replace")
+    except Exception:
+        return None
+    return None
+
+
+def _node_base_color(fb: BlendFile, mat_block, lay_mat):
+    """Principled-BSDF base colour from the material's node tree.
+
+    Blender >= 2.8 materials are node-based: the legacy Material.r/g/b
+    fields keep their untouched 0.8-gray default while the colour the
+    glTF exporter writes as baseColorFactor lives in the Principled node's
+    "Base Color" input socket (bNodeSocketValueRGBA).  Walks
+    Material.nodetree -> nodes listbase -> inputs listbase; returns None
+    when anything along the chain is absent."""
+    try:
+        if ("use_nodes" not in lay_mat or "nodetree" not in lay_mat
+                or not mat_block.data[lay_mat["use_nodes"][0]]):
+            return None
+        tree = fb.by_ptr.get(
+            fb.read_ptr(mat_block.data, lay_mat["nodetree"][0])
+        )
+        if tree is None or "bNode" not in fb.struct_by_type:
+            return None
+        lay_tree = fb.layout("bNodeTree")
+        lay_node = fb.layout("bNode")
+        lay_sock = fb.layout("bNodeSocket")
+        node_ptr = fb.read_ptr(tree.data, lay_tree["nodes"][0])  # first
+        while node_ptr:
+            node = fb.by_ptr.get(node_ptr)
+            if node is None:
+                return None
+            idname = node.data[
+                lay_node["idname"][0]:lay_node["idname"][0] + 64
+            ].split(b"\0", 1)[0]
+            if idname == b"ShaderNodeBsdfPrincipled":
+                sock_ptr = fb.read_ptr(node.data, lay_node["inputs"][0])
+                while sock_ptr:
+                    sock = fb.by_ptr.get(sock_ptr)
+                    if sock is None:
+                        return None
+                    sname = sock.data[
+                        lay_sock["name"][0]:lay_sock["name"][0] + 64
+                    ].split(b"\0", 1)[0]
+                    if sname == b"Base Color":
+                        val = fb.by_ptr.get(fb.read_ptr(
+                            sock.data, lay_sock["default_value"][0]
+                        ))
+                        if val is None or len(val.data) < 12:
+                            return None
+                        return np.frombuffer(val.data, np.float32, 3)
+                    sock_ptr = fb.read_ptr(sock.data, lay_sock["next"][0])
+                return None
+            node_ptr = fb.read_ptr(node.data, lay_node["next"][0])
+    except Exception:
+        return None
+    return None
 
 
 def load_blend_scene(path: str, background: str = "simple_sky",
@@ -271,7 +377,8 @@ def load_blend_scene(path: str, background: str = "simple_sky",
 
     `y_up` applies the glTF exporter's axis conversion (Blender Z-up ->
     Y-up: (x, y, z) -> (x, z, -y)) so .blend extractions line up with the
-    reference's exported scenes.  `textures` maps mesh names to image paths;
+    reference's exported scenes.  `textures` maps mesh names OR material
+    image-datablock names (e.g. "ofstad_patterning") to image paths;
     meshes with extracted UVs get that image as their base-colour texture
     (e.g. the ofstad arena's patterning jpg).
     """
@@ -282,7 +389,7 @@ def load_blend_scene(path: str, background: str = "simple_sky",
         raise ValueError(f"no mesh objects found in {path}")
     all_v, all_f, all_c = [], [], []
     off = 0
-    for name, obmat, verts, faces, color, _uvs in meshes:
+    for name, obmat, verts, faces, color, _uvs, _img in meshes:
         world = verts @ obmat[:3, :3].T + obmat[:3, 3]
         if y_up:
             world = np.stack(
@@ -315,13 +422,14 @@ def _apply_textures(scene, meshes, textures: Dict[str, str]) -> None:
     mats_rgb = []
     mat_tex = []
     texel_off = 0
-    for name, _m, _v, faces, color, uvs in meshes:
+    for name, _m, _v, faces, color, uvs, img_name in meshes:
         n = len(faces)
         mat_idx = len(mats_rgb)
         mats_rgb.append(np.append(color, 1.0))
-        if name in textures and uvs is not None:
+        tex_key = name if name in textures else img_name
+        if tex_key in textures and uvs is not None:
             img = np.asarray(
-                Image.open(textures[name]).convert("RGBA"), np.uint8
+                Image.open(textures[tex_key]).convert("RGBA"), np.uint8
             ).astype(np.float32) / 255.0
             # sRGB -> linear, same contract as FlatScene._build_textures
             img[..., :3] = np.power(img[..., :3], 2.2)
