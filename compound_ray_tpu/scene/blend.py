@@ -234,6 +234,10 @@ def load_blend_meshes(path: str):
                                   i * mluv_size + uv_off)
                     for i in range(totloop)
                 ])
+                # Blender UV origin is bottom-left; glTF's is top-left —
+                # exporters flip V, and the texture pipeline here follows
+                # the glTF convention (image row 0 at v=0)
+                uvs = np.stack([uvs[:, 0], 1.0 - uvs[:, 1]], axis=-1)
 
         ls_off = lay_mpoly["loopstart"][0]
         tl_off = lay_mpoly["totloop"][0]
