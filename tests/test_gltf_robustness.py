@@ -176,3 +176,35 @@ def test_blend_ofstad_textured():
     assert scene.has_uv.all()
     # arena cylinder triangles reference the patterning texture
     assert (scene.mat_tex[scene.mat_id] >= 0).sum() > 1000
+
+
+def test_blend_gltf_export_conventions():
+    """The .blend loader must reproduce what a glTF export would give —
+    the conventions the ofstad golden conformance pinned down:
+    image-name texture matching, glTF-default white for material-less
+    meshes, material (not baked-vertex) colours, and V flipped to the
+    glTF top-left UV origin."""
+    import os
+
+    path = "/root/reference/data/blend-files/ofstad.blend"
+    tex = "/root/reference/data/ofstad-arena/ofstad_patterning.jpg"
+    if not (os.path.isfile(path) and os.path.isfile(tex)):
+        pytest.skip("reference blend files unavailable")
+    from compound_ray_tpu.scene.blend import load_blend_meshes, load_blend_scene
+
+    meshes = {m[0]: m for m in load_blend_meshes(path)}
+    # the material's TexImage node names its Image datablock
+    assert meshes["Cylinder"][6] == "ofstad_patterning"
+    # the floor/ceiling cube has no material -> glTF default white
+    assert meshes["Cube"][6] is None
+    np.testing.assert_allclose(meshes["Cube"][4], [1.0, 1.0, 1.0])
+    # V flipped: Blender's bottom-left origin -> glTF top-left
+    uv = meshes["Cylinder"][5]
+    assert uv is not None and uv.min() >= -1e-5 and uv.max() <= 1 + 1e-5
+
+    # textures dict accepts the IMAGE name, applying it to every mesh whose
+    # material references that image
+    scene = load_blend_scene(path, textures={"ofstad_patterning": tex})
+    assert (scene.mat_tex[scene.mat_id] >= 0).sum() > 1000
+    # material colours, not baked vertex colours (flat attr path)
+    assert not np.asarray(scene.has_color).any()
