@@ -163,7 +163,17 @@ def scene_plan(scene_flat) -> ScenePlan:
                 int(np.asarray(scene_flat.tex_wrap_t)[0]),
                 int(np.asarray(scene_flat.tex_filter)[0]),
             )
-        mm_feats = build_mm_features(cs)  # (S+128, 4, 16)
+        tid_s = cs.tri_id.reshape(-1)
+        safe_s = np.maximum(tid_s, 0)
+        texid_slot = np.asarray(scene_flat.mat_tex)[
+            np.maximum(np.asarray(scene_flat.mat_id)[safe_s], 0)
+        ]
+        mm_feats = build_mm_features(
+            cs,
+            uv=(np.asarray(scene_flat.uv0), np.asarray(scene_flat.uv1),
+                np.asarray(scene_flat.uv2)),
+            texid=texid_slot,
+        )  # (S+128, 4, 16)
         tri_c, tri_r, _ = slot_spheres(cs)
         c_cl = cs.tri_id.shape[0]
         plan = ScenePlan(
@@ -479,6 +489,7 @@ def resolve_kernel_hits(
     attr_table: jnp.ndarray,  # (C*128, A) build_attr_table rows
     tex_only: bool,
     packed: bool = False,  # True: out[:, 3] is already the global slot id
+    emit_uv: bool = False,  # True: kernel already emitted (cu, cv, texid)
 ):
     """Deferred-attribute epilogue: resolve the winning triangle's shading
     inputs with ONE row gather per ray.
@@ -494,6 +505,12 @@ def resolve_kernel_hits(
     (t < 1e30) & group-liveness."""
     if packed:
         out_t = out  # the packed tracer already emits planar (8, R)
+        if emit_uv:
+            # the emit_uv kernel interpolated texture coordinates and the
+            # texture id in-register: no attribute gather at all (each
+            # 3.3M-row gather costs a flat ~25 ms — docs/performance.md)
+            return (out_t[0], out_t[1], out_t[2],
+                    out_t[3].astype(jnp.int32), None)
     else:
         # one transpose to planar (8, R): column extracts from the (R, 8)
         # AoS kernel output cost ~23 ms/frame at 3.2M rays
@@ -728,9 +745,11 @@ def _trace_shade_angles(
     out = run_packed_tracer(
         row_counts, packed_mm, rays,
         ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax,
+        emit_uv=tex_only and lights is None,
     )
     t_f, cu_f, cv_f, texid_f, rgb_f = resolve_kernel_hits(
-        out, attr_table, tex_only, packed=True
+        out, attr_table, tex_only, packed=True,
+        emit_uv=tex_only and lights is None,
     )
 
     def unpad(x):

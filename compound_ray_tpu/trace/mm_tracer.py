@@ -72,13 +72,21 @@ AUX_COMPS = 8  # [tmin, 0 x 7]
 BATCH_RAYS = 256
 
 
-def build_mm_features(cluster_set) -> np.ndarray:
+def build_mm_features(cluster_set, uv=None, texid=None) -> np.ndarray:
     """(C*128 + 128, 4, 16) per-slot matmul feature columns.
 
     Row index = global slot id (cluster * 128 + lane); the trailing 128
     all-zero rows are the compaction PAD target (den = 0 -> never hits).
     feats[s, b] is column block b's 16-feature vector for slot s; w1's
-    feature 10 carries float(s)."""
+    feature 10 carries float(s).
+
+    Ray feature rows 10-15 are zero, so payload rows 10-15 are free of the
+    matmul: besides the slot id they carry the per-slot texture-coordinate
+    affine constants and texture id (when `uv` (S_valid-indexable
+    (uv0, uv1, uv2) corner arrays) and `texid` are given) — the emit_uv
+    kernel variant interpolates cu/cv in-register and the epilogue skips
+    the winner-attribute gather entirely (each 3.3M-row gather costs a
+    flat ~25 ms regardless of table size — docs/performance.md)."""
     from compound_ray_tpu.trace.plucker import triangle_constants
 
     c, l = cluster_set.tri_id.shape
@@ -96,6 +104,19 @@ def build_mm_features(cluster_set) -> np.ndarray:
     feats[:s, 2, 0:3] = normal  # den = d . n
     feats[:s, 3, 6:9] = normal  # tnum = c0 - o . n  (ray carries -o)
     feats[:s, 3, 9] = c0
+    if uv is not None:
+        tid = cluster_set.tri_id.reshape(-1)
+        safe = np.maximum(tid, 0)
+        uv0 = np.asarray(uv[0], np.float32)[safe]
+        uv1 = np.asarray(uv[1], np.float32)[safe]
+        uv2 = np.asarray(uv[2], np.float32)[safe]
+        feats[:s, 0, 11] = uv0[:, 0]
+        feats[:s, 0, 12] = uv0[:, 1]
+        feats[:s, 0, 13] = uv1[:, 0] - uv0[:, 0]
+        feats[:s, 0, 14] = uv1[:, 1] - uv0[:, 1]
+        feats[:s, 0, 15] = uv2[:, 0] - uv0[:, 0]
+        feats[:s, 1, 10] = uv2[:, 1] - uv0[:, 1]
+        feats[:s, 1, 11] = np.asarray(texid, np.float32)
     return feats
 
 
@@ -222,6 +243,92 @@ def _packed_kernel(counts_ref, tri_ref, rays_ref, out_ref):
         jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
 
 
+def _packed_kernel_uv(counts_ref, tri_ref, rays_ref, out_ref):
+    """tex_only variant: interpolates the winner's TEXTURE COORDINATES and
+    texture id in-register from per-slot affine constants riding payload
+    rows 11-15/10-11 (build_mm_features), so the epilogue needs NO
+    winner-attribute gather — a flat ~25 ms/frame at 3.3M rays.  Output
+    rows: [t, cu, cv, texid, slot-id, 0...]."""
+    g = pl.program_id(0)
+    cnt = counts_ref[g]
+    rb_size = rays_ref.shape[1]
+    big = jnp.float32(jnp.inf)
+    RS = BATCH_RAYS
+
+    def ray_batch(rbi, _):
+        r0 = pl.multiple_of(rbi * RS, RS)
+        ft = rays_ref[:, pl.ds(r0, RS)]  # (16, RS) feature-major
+
+        def row_step(j, state):
+            (bt, bcu, bcv, btex, bid) = state
+            mm = tri_ref[0, j]  # (16, 512)
+            p = jax.lax.dot_general(
+                ft, mm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (RS, 512)
+            w1 = p[:, 0:KERNEL_LEAF]
+            w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
+            den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
+            tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
+            hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]  # w1 rows 8-15
+            hi2 = tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
+            ids = hi1[2:3, :]  # (1, 128) slot id (row 10)
+            uv0x = hi1[3:4, :]
+            uv0y = hi1[4:5, :]
+            du1x = hi1[5:6, :]
+            du1y = hi1[6:7, :]
+            du2x = hi1[7:8, :]
+            du2y = hi2[2:3, :]
+            tex = hi2[3:4, :]
+            inv = 1.0 / den
+            u = w1 * inv
+            v = w2 * inv
+            t = tnum * inv
+            cu = uv0x + u * du1x + v * du2x
+            cv = uv0y + u * du1y + v * du2y
+            ok = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= 0.0) & (t < bt)
+            )
+            return (
+                jnp.where(ok, t, bt),
+                jnp.where(ok, cu, bcu),
+                jnp.where(ok, cv, bcv),
+                jnp.where(ok, tex, btex),
+                jnp.where(ok, ids, bid),
+            )
+
+        z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
+        init = (jnp.full((RS, KERNEL_LEAF), big), z, z,
+                jnp.full((RS, KERNEL_LEAF), -1.0),
+                jnp.full((RS, KERNEL_LEAF), -1.0))
+        (bt, bcu, bcv, btex, bid) = jax.lax.fori_loop(0, cnt, row_step, init)
+
+        tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RS, KERNEL_LEAF), 1)
+        cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
+        first = jnp.min(cand, axis=1, keepdims=True)
+        onehot = lane == first
+
+        def pick(buf):
+            return jnp.sum(jnp.where(onehot, buf, 0.0), axis=1, keepdims=True)
+
+        def store(row, val):
+            out_ref[row:row + 1, pl.ds(r0, RS)] = val.reshape(1, RS)
+
+        store(0, jnp.where(jnp.isfinite(tmin_l), tmin_l, big))
+        store(1, pick(bcu))
+        store(2, pick(bcv))
+        store(3, pick(btex))
+        store(4, pick(bid))
+        return 0
+
+    @pl.when(cnt > 0)
+    def _run_batches():
+        jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
+
+
 def build_mm_cluster_table(mm_feats: np.ndarray, num_clusters: int) -> np.ndarray:
     """(C, 16, 512) per-CLUSTER matmul payload rows from build_mm_features
     output — the GLOBAL node table of the shadow traversal.  One row per
@@ -294,7 +401,7 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ng", "nrb", "rb_size", "rmax")
+    jax.jit, static_argnames=("ng", "nrb", "rb_size", "rmax", "emit_uv")
 )
 def run_packed_tracer(
     row_counts: jnp.ndarray,  # (NG,) int32 payload rows per group
@@ -304,8 +411,13 @@ def run_packed_tracer(
     nrb: int,
     rb_size: int,
     rmax: int,
+    emit_uv: bool = False,
 ) -> jnp.ndarray:
-    """Returns PLANAR (8, R) rows [t, u, v, slot-id, 0...]; t = +inf on miss.
+    """Returns PLANAR (8, R) rows; t = +inf on miss.  Row layout:
+    emit_uv=False: [t, u, v, slot-id, 0...] (barycentrics; the epilogue
+    resolves attributes with a row gather); emit_uv=True:
+    [t, cu, cv, texid, slot-id, 0...] (texture coordinates interpolated
+    in-kernel; no attribute gather needed — tex_only scenes).
 
     Ray features arrive and results leave feature-major: both sides of the
     kernel then connect to the pipeline's component-planar math with plain
@@ -336,7 +448,7 @@ def run_packed_tracer(
         ),
     )
     return pl.pallas_call(
-        _packed_kernel,
+        _packed_kernel_uv if emit_uv else _packed_kernel,
         out_shape=jax.ShapeDtypeStruct((OUT_COMPS, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
