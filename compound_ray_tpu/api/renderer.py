@@ -137,7 +137,10 @@ class EyeRenderer:
         cam = self.current_camera()
         scene_dev = self._scene_dev()
         background = miss_id(self.scene.background_shader)
-        lights = jnp.asarray(self._lights) if self.lighting else None
+        # lights stay HOST-side (numpy) through dispatch: converting the
+        # device copy back with np.asarray would block ~26 ms per lit frame
+        # and defeat sync=False pipelining; jit boundaries auto-convert
+        lights = self._lights if self.lighting else None
 
         outputs = []
         if isinstance(cam, CompoundEyeCamera):
@@ -342,7 +345,7 @@ class EyeRenderer:
             return render_means_pallas(
                 self.scene, scene_dev, omms_np, pos, ls, key, samples,
                 background,
-                lights=(np.asarray(lights) if self.lighting else None),
+                lights=(lights if self.lighting else None),
             )
         if backend in ("auto", "xla"):
             from compound_ray_tpu.trace.dispatch import render_means_fast
@@ -550,7 +553,7 @@ class EyeRenderer:
             scene_dev, all_omms,
             jnp.zeros(3, jnp.float32), jnp.eye(3, dtype=jnp.float32),
             key, cam.samples_per_ommatidium, background,
-            jnp.asarray(self._lights) if self.lighting else None,
+            self._lights if self.lighting else None,
         )
         out = np.array(jax.device_get(means), np.float32)
         out[np.isnan(out[:, 0])] = 0.0

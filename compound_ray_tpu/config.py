@@ -42,6 +42,14 @@ class RenderConfig:
     farfield: str = "auto"
     farfield_tolerance: float = 0.25
     farfield_cache_width: int = 1024  # equirect width; height = width // 2
+    # pose-keyed plan caches (ScenePlan.packed_store / shadow_store): entries
+    # kept before evicting oldest.  A GA loop alternating P poses needs
+    # >= P entries to avoid re-packing every frame (each re-pack is a full
+    # cull+refine+gather of 100s of MB); each packed entry is
+    # NG * rmax * 32 KB of HBM, so the default trades ~0.5 GB for thrash-free
+    # 4-pose sweeps.
+    packed_store_size: int = 4
+    shadow_store_size: int = 2
     # verbosity of the [PyEye] log lines
     verbose: bool = True
 
@@ -59,6 +67,8 @@ class RenderConfig:
             "CR_TPU_FARFIELD": ("farfield", str),
             "CR_TPU_FARFIELD_TOL": ("farfield_tolerance", float),
             "CR_TPU_FARFIELD_WIDTH": ("farfield_cache_width", int),
+            "CR_TPU_PACKED_STORE": ("packed_store_size", int),
+            "CR_TPU_SHADOW_STORE": ("shadow_store_size", int),
         }
         for env, (field, typ) in mapping.items():
             if env in os.environ:

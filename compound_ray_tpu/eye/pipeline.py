@@ -466,6 +466,11 @@ def _refine_pack(
     ng = mask.shape[0]
     refined = jnp.sum(mask, axis=-1)
     row_counts = ((refined + KERNEL_LEAF - 1) // KERNEL_LEAF).astype(jnp.int32)
+    # structural contract with the kernel: its fori_loop reads row_counts[g]
+    # rows of a (rmax, 16, 512) block, so the count must never exceed rmax
+    # even if _refine_counts (a separately-jitted program) rounded
+    # differently at a 128-multiple boundary
+    row_counts = jnp.minimum(row_counts, rmax)
     # one co-sort of (key, slot) — cheaper than argsort + take_along_axis
     key = jnp.where(mask, dmin_g, jnp.inf)
     sk, ss = jax.lax.sort((key, slots), dimension=-1, num_keys=1)
@@ -950,10 +955,11 @@ def _plan_widths(splan, eplan, omms_p, position, local_space, cache_key):
     per group).  Measured with two small planning dispatches + host syncs
     only the first time a pose is seen; high-water rounding lets nearby
     poses reuse the compiled frame."""
+    sig = get_config().cull_sigmas
+    cache_key = cache_key + (sig,)  # a cull-width change must not hit stale widths
     cached = splan.kmax_cache.get(cache_key)
     if cached is not None:
         return cached
-    sig = get_config().cull_sigmas
     _, counts, _ = _cull_groups(
         omms_p, position, local_space,
         splan.half_center, splan.half_radius, sig, eplan.g,
@@ -986,20 +992,24 @@ def _packed_plan(
     (scene, eye, pose, widths, far-field split) — not on the RNG — so
     fixed-pose rendering (the speedTest protocol, GA pose loops) pays the
     refine+pack once.  Bounded store: pose sweeps evict oldest."""
+    cfg = get_config()
     pk = (eplan.sig, samples, pose_sig, kcand, rmax,
-          use_cache, d_thresh)
+          use_cache, d_thresh, cfg.cull_sigmas)
     hit = splan.packed_store.get(pk)
     if hit is not None:
+        splan.packed_store[pk] = splan.packed_store.pop(pk)  # LRU refresh
         return hit
     out = _pack_fused(
         splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
         splan.half_center, splan.half_radius,
         omms_p, position, local_space,
         g=eplan.g, kcand=kcand, rmax=rmax,
-        cull_sigmas=get_config().cull_sigmas,
+        cull_sigmas=cfg.cull_sigmas,
         near_mask=near_mask, use_cache=use_cache,
     )
-    while len(splan.packed_store) >= 2:  # packed_mm can be 100s of MB
+    # bounded LRU (packed_mm can be 100s of MB); size >= the pose-alternation
+    # width of GA-style sweeps so steady-state frames never re-pack
+    while len(splan.packed_store) >= max(1, cfg.packed_store_size):
         splan.packed_store.pop(next(iter(splan.packed_store)))
     splan.packed_store[pk] = out
     return out
@@ -1095,9 +1105,10 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     (counts (NG,), ids (NG, kmax_s)).  Memoised per (pose, lights);
     independent of the RNG."""
     sig = get_config().cull_sigmas
-    sk = (eplan.sig, pose_sig, lights_np.tobytes())
+    sk = (eplan.sig, pose_sig, lights_np.tobytes(), sig)
     hit = splan.shadow_store.get(sk)
     if hit is not None:
+        splan.shadow_store[sk] = splan.shadow_store.pop(sk)  # LRU refresh
         return hit
     ratio = FWHM_SD_RATIO / sig
     cg, rg = _group_bound_spheres(
@@ -1129,7 +1140,7 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
         for ps, dm in pseudo
     )
     out = (plans, kmax_s)
-    while len(splan.shadow_store) >= 1:
+    while len(splan.shadow_store) >= max(1, get_config().shadow_store_size):
         splan.shadow_store.pop(next(iter(splan.shadow_store)))
     splan.shadow_store[sk] = out
     return out
