@@ -50,6 +50,10 @@ class RenderConfig:
     # 4-pose sweeps.
     packed_store_size: int = 4
     shadow_store_size: int = 2
+    # level-2 refine test: "exact" = spherical-projection cone-vs-triangle
+    # (tight for sliver-heavy closed arenas); "sphere" = triangle bounding
+    # spheres only (round-2 behaviour).  Plan-time only — memoised per pose.
+    refine_mode: str = "exact"
     # verbosity of the [PyEye] log lines
     verbose: bool = True
 
@@ -69,6 +73,7 @@ class RenderConfig:
             "CR_TPU_FARFIELD_WIDTH": ("farfield_cache_width", int),
             "CR_TPU_PACKED_STORE": ("packed_store_size", int),
             "CR_TPU_SHADOW_STORE": ("shadow_store_size", int),
+            "CR_TPU_REFINE": ("refine_mode", str),
         }
         for env, (field, typ) in mapping.items():
             if env in os.environ:

@@ -101,6 +101,7 @@ class ScenePlan:
     mm_flat: jnp.ndarray = None  # (S+128, 64) flattened feature columns
     slot_center_cl: jnp.ndarray = None  # (C, 128, 3)
     slot_radius_cl: jnp.ndarray = None  # (C, 128); -1 on padding slots
+    slot_tri_cl: jnp.ndarray = None  # (C, 128, 9) [v0|e1|e2] for exact refine
     slot_tri: jnp.ndarray = None  # (S,) int32 global slot -> triangle id
     mm_cluster: jnp.ndarray = None  # (C, 16, 512) global cluster payload
     tex_static: Tuple = None  # (off,w,h,ws,wt,filt) when exactly 1 texture
@@ -180,6 +181,11 @@ def scene_plan(scene_flat) -> ScenePlan:
             mm_flat=jnp.asarray(mm_feats.reshape(mm_feats.shape[0], -1)),
             slot_center_cl=jnp.asarray(tri_c.reshape(c_cl, KERNEL_LEAF, 3)),
             slot_radius_cl=jnp.asarray(tri_r.reshape(c_cl, KERNEL_LEAF)),
+            slot_tri_cl=jnp.asarray(
+                np.concatenate([cs.v0, cs.e1, cs.e2], axis=1)
+                .astype(np.float32)
+                .reshape(c_cl, KERNEL_LEAF, 9)
+            ),
             payload=jnp.asarray(payload),
             attr_table=jnp.asarray(attr),
             sphere_center=jnp.asarray(cs.sphere_center),
@@ -365,11 +371,26 @@ def _refine_mask(
     g: int,
     cull_sigmas: float,
     dmax: Optional[jnp.ndarray] = None,  # (Np,) apex-distance bound
+    tri_cl: Optional[jnp.ndarray] = None,  # (C, 128, 9) exact-test geometry
 ):
     """Level-2 cull: cone-vs-triangle-sphere over the shortlisted clusters'
-    individual triangles (see trace/mm_tracer.py docstring).  Returns
+    individual triangles (see trace/mm_tracer.py docstring), sharpened by an
+    EXACT cone-vs-triangle test when tri_cl is given.  Returns
     (mask (NG, kcand*128) bool, dmin (NG, kcand*128) group min distance,
-    slots (NG, kcand*128) global slot ids)."""
+    slots (NG, kcand*128) global slot ids).
+
+    The exact test works on the unit sphere around the cone apex: a triangle
+    intersects the cone iff its spherical projection (vertices u_i =
+    unit(v_i - apex), edges = minor great-circle arcs) meets the angular cap
+    of radius `half` around the axis — cap contains a vertex, OR an edge arc
+    passes within `half` of the axis, OR the axis ray pierces the triangle
+    interior.  This is what makes closed arenas tractable: the arena's
+    full-height wall slivers have bounding spheres as large as the arena
+    (docs/performance.md 'why sphere culling saturates'), so the sphere
+    refine keeps ~every nearby sliver while the exact test keeps only the
+    handful a cone actually grazes.  Conservative w.r.t. the sampling
+    contract: every triangle intersecting the cull_sigmas cone is kept
+    (plus a 1e-3 rad slack absorbing f32 sign noise at arcs/vertices)."""
     apex, axis = eye_world_geometry(omms_p, position, local_space)
     half = jnp.minimum(omms_p[:, 6] / FWHM_SD_RATIO * cull_sigmas, jnp.pi)
     kcand = ids.shape[1]
@@ -406,6 +427,89 @@ def _refine_mask(
     alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
     beta = jnp.arcsin(jnp.clip(rb * inv_d, 0.0, 1.0))
     m = inside | (alpha <= half[:, None] + beta)  # (Np, kc)
+    if tri_cl is not None:
+        slack = 1e-3  # rad; absorbs f32 sign noise at arc/vertex boundaries
+        hs = jnp.minimum(half + slack, jnp.pi)[:, None]  # (Np, 1)
+        cosh = jnp.cos(hs)
+        sinh = jnp.sin(jnp.minimum(hs, jnp.pi / 2.0))
+        wide = hs >= jnp.pi / 2.0
+
+        def gat(comp):  # slot component -> (NG, kc) candidate-major rows
+            return tri_cl[:, :, comp][ids].reshape(ng, kc)
+
+        wxp = po(axis[:, 0])
+        wyp = po(axis[:, 1])
+        wzp = po(axis[:, 2])
+        # spherical projections of the three vertices (member-broadcast)
+        d0x = pc(gat(0)) - po(apex[:, 0])
+        d0y = pc(gat(1)) - po(apex[:, 1])
+        d0z = pc(gat(2)) - po(apex[:, 2])
+        d1x, d1y, d1z = d0x + pc(gat(3)), d0y + pc(gat(4)), d0z + pc(gat(5))
+        d2x, d2y, d2z = d0x + pc(gat(6)), d0y + pc(gat(7)), d0z + pc(gat(8))
+
+        def unit3(x, y, z):
+            l2 = x * x + y * y + z * z
+            inv = jax.lax.rsqrt(jnp.maximum(l2, 1e-24))
+            return x * inv, y * inv, z * inv, l2
+
+        u0x, u0y, u0z, l0 = unit3(d0x, d0y, d0z)
+        u1x, u1y, u1z, l1 = unit3(d1x, d1y, d1z)
+        u2x, u2y, u2z, l2_ = unit3(d2x, d2y, d2z)
+        vert_in = (
+            (u0x * wxp + u0y * wyp + u0z * wzp >= cosh)
+            | (u1x * wxp + u1y * wyp + u1z * wzp >= cosh)
+            | (u2x * wxp + u2y * wyp + u2z * wzp >= cosh)
+        )
+
+        def edge_test(uix, uiy, uiz, ujx, ujy, ujz):
+            # minor arc u_i -> u_j: the projection of the edge segment.
+            # Distance from the axis to the arc's great circle is
+            # asin(|w . n|); the comparison |w . n| <= sin(half) is exact
+            # for half <= pi/2 and `wide` covers the rest.
+            cxx = uiy * ujz - uiz * ujy
+            cyy = uiz * ujx - uix * ujz
+            czz = uix * ujy - uiy * ujx
+            cl2 = cxx * cxx + cyy * cyy + czz * czz
+            invc = jax.lax.rsqrt(jnp.maximum(cl2, 1e-24))
+            nx, ny, nz = cxx * invc, cyy * invc, czz * invc
+            sind = wxp * nx + wyp * ny + wzp * nz
+            # closest great-circle point to the axis; in-arc = positive span
+            ccx = wxp - sind * nx
+            ccy = wyp - sind * ny
+            ccz = wzp - sind * nz
+            in1 = ((uiy * ccz - uiz * ccy) * nx + (uiz * ccx - uix * ccz) * ny
+                   + (uix * ccy - uiy * ccx) * nz) >= 0.0
+            in2 = ((ccy * ujz - ccz * ujy) * nx + (ccz * ujx - ccx * ujz) * ny
+                   + (ccx * ujy - ccy * ujx) * nz) >= 0.0
+            # u_i ~ -u_j: the apex lies ON the edge segment -> intersects
+            dotij = uix * ujx + uiy * ujy + uiz * ujz
+            deg = (cl2 < 1e-12) & (dotij < 0.0)
+            return (in1 & in2 & ((jnp.abs(sind) <= sinh) | wide)) | deg, (
+                cxx, cyy, czz)
+
+        e01, n01 = edge_test(u0x, u0y, u0z, u1x, u1y, u1z)
+        e12, n12 = edge_test(u1x, u1y, u1z, u2x, u2y, u2z)
+        e20, n20 = edge_test(u2x, u2y, u2z, u0x, u0y, u0z)
+
+        def same_side(n, px, py, pz):  # axis and opposite vertex agree on n
+            nx, ny, nz = n
+            return ((wxp * nx + wyp * ny + wzp * nz)
+                    * (px * nx + py * ny + pz * nz)) >= 0.0
+
+        axis_in = (
+            same_side(n01, u2x, u2y, u2z)
+            & same_side(n12, u0x, u0y, u0z)
+            & same_side(n20, u1x, u1y, u1z)
+        )
+        # apex within f32 range of a vertex: projection undefined -> keep.
+        # NOTE: the sphere-containment `inside` term must NOT join this OR —
+        # an arena apex sits inside most wall slivers' bounding spheres,
+        # which would void the exact test exactly where it matters.  Apex
+        # ON a triangle is covered by deg_len + the antipodal edge guard
+        # (the projection otherwise always fits an open hemisphere, so the
+        # minor-arc / sign tests are exact).
+        deg_len = (l0 < 1e-12) | (l1 < 1e-12) | (l2_ < 1e-12)
+        m = m & (vert_in | e01 | e12 | e20 | axis_in | deg_len)
     if dmax is not None:
         # shadow refine: occluders past the target bound sphere cannot
         # block any light->hit segment — drop the cone's far tail
@@ -434,6 +538,7 @@ def _refine_counts(
     omms_p, position, local_space, half_center, half_radius,
     center_cl, radius_cl, g: int, kcand: int, cull_sigmas: float,
     dmax: Optional[jnp.ndarray] = None,
+    tri_cl: Optional[jnp.ndarray] = None,
 ):
     """Planning dispatch: packed payload rows per group at this pose."""
     gmask, counts, dmin_all = _cull_groups(
@@ -444,7 +549,7 @@ def _refine_counts(
     cl_counts = jnp.minimum(counts, kcand)
     mask, _, _ = _refine_mask(
         omms_p, position, local_space, ids[:, :kcand], cl_counts,
-        center_cl, radius_cl, g, cull_sigmas, dmax=dmax,
+        center_cl, radius_cl, g, cull_sigmas, dmax=dmax, tri_cl=tri_cl,
     )
     refined = jnp.sum(mask, axis=-1)
     return ((refined + KERNEL_LEAF - 1) // KERNEL_LEAF).astype(jnp.int32)
@@ -455,13 +560,14 @@ def _refine_pack(
     center_cl, radius_cl, mm_flat,
     g: int, kcand: int, rmax: int, cull_sigmas: float,
     dmax: Optional[jnp.ndarray] = None,
+    tri_cl: Optional[jnp.ndarray] = None,
 ):
     """Refine + compact: gather the surviving triangles' matmul feature
     columns into per-group (rmax, 16, 512) payload blocks, near-to-far.
     Returns (row_counts (NG,) int32, packed_mm (NG, rmax, 16, 512))."""
     mask, dmin_g, slots = _refine_mask(
         omms_p, position, local_space, ids, cl_counts,
-        center_cl, radius_cl, g, cull_sigmas, dmax=dmax,
+        center_cl, radius_cl, g, cull_sigmas, dmax=dmax, tri_cl=tri_cl,
     )
     ng = mask.shape[0]
     refined = jnp.sum(mask, axis=-1)
@@ -576,6 +682,7 @@ def _pack_fused(
     near_mask: Optional[jnp.ndarray] = None,  # (C,) bool: clusters to trace
     use_cache: bool = False,
     dmax: Optional[jnp.ndarray] = None,  # (Np,) refine distance bound
+    tri_cl: Optional[jnp.ndarray] = None,  # (C, 128, 9) exact-refine geometry
 ):
     """Pose-dependent plan: cull -> shortlist -> triangle refine -> packed
     per-group payload.  Depends only on (scene, eye, pose, widths) — NOT on
@@ -593,7 +700,7 @@ def _pack_fused(
     return _refine_pack(
         omms_p, position, local_space, ids[:, :kcand], cl_counts,
         slot_center_cl, slot_radius_cl, mm_flat,
-        g, kcand, rmax, cull_sigmas, dmax=dmax,
+        g, kcand, rmax, cull_sigmas, dmax=dmax, tri_cl=tri_cl,
     )
 
 
@@ -955,8 +1062,11 @@ def _plan_widths(splan, eplan, omms_p, position, local_space, cache_key):
     per group).  Measured with two small planning dispatches + host syncs
     only the first time a pose is seen; high-water rounding lets nearby
     poses reuse the compiled frame."""
-    sig = get_config().cull_sigmas
-    cache_key = cache_key + (sig,)  # a cull-width change must not hit stale widths
+    cfg = get_config()
+    sig = cfg.cull_sigmas
+    # widths depend on the cull width AND the refine mode — neither may
+    # serve a stale cached value after a config change
+    cache_key = cache_key + (sig, cfg.refine_mode)
     cached = splan.kmax_cache.get(cache_key)
     if cached is not None:
         return cached
@@ -974,6 +1084,7 @@ def _plan_widths(splan, eplan, omms_p, position, local_space, cache_key):
         splan.half_center, splan.half_radius,
         splan.slot_center_cl, splan.slot_radius_cl,
         eplan.g, kcand, sig,
+        tri_cl=(splan.slot_tri_cl if cfg.refine_mode == "exact" else None),
     )
     r_needed = int(np.asarray(jax.device_get(jnp.max(row_counts))))
     rmax = min(max(eplan.rmax_hint, _ceil_to(max(r_needed, 1), 2)), kcand)
@@ -994,7 +1105,7 @@ def _packed_plan(
     refine+pack once.  Bounded store: pose sweeps evict oldest."""
     cfg = get_config()
     pk = (eplan.sig, samples, pose_sig, kcand, rmax,
-          use_cache, d_thresh, cfg.cull_sigmas)
+          use_cache, d_thresh, cfg.cull_sigmas, cfg.refine_mode)
     hit = splan.packed_store.get(pk)
     if hit is not None:
         splan.packed_store[pk] = splan.packed_store.pop(pk)  # LRU refresh
@@ -1006,6 +1117,7 @@ def _packed_plan(
         g=eplan.g, kcand=kcand, rmax=rmax,
         cull_sigmas=cfg.cull_sigmas,
         near_mask=near_mask, use_cache=use_cache,
+        tri_cl=(splan.slot_tri_cl if cfg.refine_mode == "exact" else None),
     )
     # bounded LRU (packed_mm can be 100s of MB); size >= the pose-alternation
     # width of GA-style sweeps so steady-state frames never re-pack
