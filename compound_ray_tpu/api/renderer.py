@@ -301,7 +301,20 @@ class EyeRenderer:
         from compound_ray_tpu.config import get_config
 
         backend = get_config().backend if self._backend == "auto" else self._backend
-        if backend in ("auto", "pallas") and not self.lighting:
+        if backend in ("auto", "pallas", "sharded") and not self.lighting:
+            if len(jax.devices()) > 1 and backend in ("auto", "sharded"):
+                from compound_ray_tpu.parallel.sharding import (
+                    make_eye_mesh,
+                    render_samples_sharded_packed,
+                )
+
+                sp = 2 if len(jax.devices()) % 2 == 0 and samples % 2 == 0 else 1
+                mesh = make_eye_mesh(sample_parallel=sp)
+                return render_samples_sharded_packed(
+                    self.scene, scene_dev, omms_np,
+                    jnp.asarray(pos), jnp.asarray(ls), key, samples,
+                    background, mesh,
+                )
             from compound_ray_tpu.eye.pipeline import render_samples_pallas
 
             return render_samples_pallas(
@@ -309,7 +322,7 @@ class EyeRenderer:
             )
         return render_compound_samples(
             scene_dev, omms, pos, ls, key, samples, background,
-            self.lighting, lights,
+            self.lighting, jnp.asarray(lights) if lights is not None else None,
         )
 
     def _render_means(self, scene_dev, omms_np, pos, ls, key, samples, background, lights):
@@ -317,13 +330,11 @@ class EyeRenderer:
         from compound_ray_tpu.config import get_config
 
         backend = get_config().backend if self._backend == "auto" else self._backend
-        if (
-            len(jax.devices()) > 1
-            and not self.lighting
-            and backend in ("auto", "sharded")
-        ):
+        if len(jax.devices()) > 1 and backend in ("auto", "sharded"):
             # multi-chip deployment: the packed MXU tracer pipeline sharded
-            # over an (omm, sample) mesh with a psum over ICI
+            # over an (omm, sample) mesh with a psum over ICI — lit frames
+            # included (the in-frame shadow pack is group-local, so every
+            # shard builds its own occluder payloads)
             from compound_ray_tpu.parallel.sharding import (
                 make_eye_mesh,
                 render_means_sharded_packed,
@@ -335,13 +346,15 @@ class EyeRenderer:
                 self.scene, scene_dev, omms_np,
                 jnp.asarray(pos), jnp.asarray(ls), key, samples, background,
                 mesh,
+                lights=(np.asarray(lights) if self.lighting else None),
             )
         if backend in ("auto", "pallas"):
             from compound_ray_tpu.eye.pipeline import render_means_pallas
 
             # lighting routes through the same packed pipeline: GGX direct
-            # light with shadow rays traced by the occlusion variant of the
-            # kernel (per-(group, light) payloads, eye/pipeline._shadow_plan)
+            # light with shadow rays traced through per-group occluder
+            # payloads packed in-frame from the actual hit points
+            # (eye/pipeline._shadow_occlusion)
             return render_means_pallas(
                 self.scene, scene_dev, omms_np, pos, ls, key, samples,
                 background,

@@ -56,9 +56,7 @@ from compound_ray_tpu.trace.mm_tracer import (
     MM_BLOCKS,
     MM_COLS,
     MM_FEATS,
-    build_mm_cluster_table,
     build_mm_features,
-    run_cluster_occlusion,
     run_packed_tracer,
     slot_spheres,
 )
@@ -103,7 +101,6 @@ class ScenePlan:
     slot_radius_cl: jnp.ndarray = None  # (C, 128); -1 on padding slots
     slot_tri_cl: jnp.ndarray = None  # (C, 128, 9) [v0|e1|e2] for exact refine
     slot_tri: jnp.ndarray = None  # (S,) int32 global slot -> triangle id
-    mm_cluster: jnp.ndarray = None  # (C, 16, 512) global cluster payload
     tex_static: Tuple = None  # (off,w,h,ws,wt,filt) when exactly 1 texture
     # per-plan caches (kept on the plan, NOT keyed by id(scene): CPython
     # recycles object ids after GC, which would alias stale plans)
@@ -201,9 +198,6 @@ def scene_plan(scene_flat) -> ScenePlan:
             tex_static=tex_static,
             slot_tri=jnp.asarray(
                 cs.tri_id.reshape(-1).astype(np.int32)
-            ),
-            mm_cluster=jnp.asarray(
-                build_mm_cluster_table(mm_feats, cs.num_clusters)
             ),
             kmax_cache={},
             cache_store={},
@@ -709,7 +703,7 @@ def _pack_fused(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
-        "shadow_kmax", "tex_static",
+        "shadow_kmax", "shadow_rmax", "cull_sigmas", "tex_static",
     ),
 )
 def _render_frame(
@@ -737,9 +731,11 @@ def _render_frame(
     cache_shape: Tuple[int, int] = (0, 0),
     lights: Optional[jnp.ndarray] = None,
     slot_tri: Optional[jnp.ndarray] = None,
-    mm_cluster: Optional[jnp.ndarray] = None,
-    shadow_plans=None,
+    shadow_tabs=None,  # (mm_flat, slot_center_cl, slot_radius_cl,
+                       #  half_center, half_radius, tri_cl) for lit frames
     shadow_kmax: int = 0,
+    shadow_rmax: int = 0,
+    cull_sigmas: float = 0.0,
     tex_static: Optional[Tuple] = None,
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
@@ -756,51 +752,30 @@ def _render_frame(
         rb_size=rb_size, rmax=rmax, textured=textured,
         want_samples=want_samples, cache=cache, use_cache=use_cache,
         tex_only=tex_only, cache_shape=cache_shape,
-        lights=lights, slot_tri=slot_tri, mm_cluster=mm_cluster,
-        shadow_plans=shadow_plans, shadow_kmax=shadow_kmax,
+        lights=lights, slot_tri=slot_tri, shadow_tabs=shadow_tabs,
+        shadow_kmax=shadow_kmax, shadow_rmax=shadow_rmax,
+        cull_sigmas=cull_sigmas,
         tex_static=tex_static,
     )
 
 
-def _trace_shade_angles(
-    packed_mm: jnp.ndarray,  # (NG, rmax, 16, 512)
-    row_counts: jnp.ndarray,  # (NG,) int32
-    attr_table: jnp.ndarray,
-    scene_dev: Dict[str, Any],
-    quad_table: jnp.ndarray,
-    omms_p: jnp.ndarray,  # (Np,8)
+def _gen_ray_features(
+    omms_p: jnp.ndarray,  # (Np, 8)
     position: jnp.ndarray,
     local_space: jnp.ndarray,
-    splay: jnp.ndarray,  # (Np, S) pre-drawn Gaussian splay angles
-    spin: jnp.ndarray,  # (Np, S) pre-drawn half-turn spin angles
+    splay: jnp.ndarray,  # (Np, S)
+    spin: jnp.ndarray,  # (Np, S)
     samples: int,
-    background: int,
     ng: int,
     g: int,
     nrb: int,
     rb_size: int,
-    rmax: int,
-    textured: bool,
-    want_samples: bool = False,
-    cache: Optional[jnp.ndarray] = None,
-    use_cache: bool = False,
-    tex_only: bool = False,
-    cache_shape: Tuple[int, int] = (0, 0),
-    lights: Optional[jnp.ndarray] = None,  # (L,7) enables GGX direct light
-    slot_tri: Optional[jnp.ndarray] = None,  # (S,) slot -> triangle id
-    mm_cluster: Optional[jnp.ndarray] = None,  # (C,16,512) cluster table
-    shadow_plans=None,  # tuple of per-light (counts, cluster-id shortlist)
-    shadow_kmax: int = 0,
-    tex_static: Optional[Tuple] = None,  # static single-texture sampler
-) -> jnp.ndarray:
-    """Angle-parameterised frame core (trace + shade + reduce): the sharded
-    path draws angles GLOBALLY and feeds per-device slices here, so results
-    are identical across mesh topologies.
+):
+    """Sample angles -> world rays -> kernel feature planes.
 
-    Everything per-ray is COMPONENT-PLANAR: (Np, S) or (R,) arrays per
-    x/y/z channel, never (R, 3)/(R, 1).  Keeping the ray axis on the lane
-    (minor) dim is worth ~70 ms/frame at 3.2M rays: AoS norms/crosses lower
-    to per-element cross-lane shuffles."""
+    Returns (rays (16, NG*rg_pad) feature-major, (dx, dy, dz) (Np, S) unit
+    world directions, neg_o 3-tuple of (Np, S) = -(o + tmin d), the
+    tmin-shifted origin the features carry negated in rows 6-8)."""
     n_pad = omms_p.shape[0]
     ax, ay, az = omms_p[:, 3], omms_p[:, 4], omms_p[:, 5]  # (Np,)
     axis_len = jnp.sqrt(ax * ax + ay * ay + az * az)
@@ -840,9 +815,8 @@ def _trace_shade_angles(
     # kernel ray features [d, m, -o', 1, 0 x 6] with tmin folded into the
     # origin (o' = o + tmin d; the moment is tmin-invariant) — see
     # trace/mm_tracer.pack_rays_mm
-    comps = [dx, dy, dz, mx, my, mz,
-             -(oxb + tmin * dx), -(oyb + tmin * dy), -(ozb + tmin * dz),
-             ones]
+    neg_o = (-(oxb + tmin * dx), -(oyb + tmin * dy), -(ozb + tmin * dz))
+    comps = [dx, dy, dz, mx, my, mz, neg_o[0], neg_o[1], neg_o[2], ones]
     comps += [zeros] * (16 - len(comps))
 
     # planar stack straight into the kernel's feature-major layout: NO
@@ -853,7 +827,57 @@ def _trace_shade_angles(
         # finite; their kernel results are discarded by unpad
         rays_pl = jnp.pad(rays_pl, ((0, 0), (0, 0), (0, rg_pad - rg)),
                           mode="edge")
-    rays = rays_pl.reshape(16, ng * rg_pad)
+    return rays_pl.reshape(16, ng * rg_pad), (dx, dy, dz), neg_o
+
+
+def _trace_shade_angles(
+    packed_mm: jnp.ndarray,  # (NG, rmax, 16, 512)
+    row_counts: jnp.ndarray,  # (NG,) int32
+    attr_table: jnp.ndarray,
+    scene_dev: Dict[str, Any],
+    quad_table: jnp.ndarray,
+    omms_p: jnp.ndarray,  # (Np,8)
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    splay: jnp.ndarray,  # (Np, S) pre-drawn Gaussian splay angles
+    spin: jnp.ndarray,  # (Np, S) pre-drawn half-turn spin angles
+    samples: int,
+    background: int,
+    ng: int,
+    g: int,
+    nrb: int,
+    rb_size: int,
+    rmax: int,
+    textured: bool,
+    want_samples: bool = False,
+    cache: Optional[jnp.ndarray] = None,
+    use_cache: bool = False,
+    tex_only: bool = False,
+    cache_shape: Tuple[int, int] = (0, 0),
+    lights: Optional[jnp.ndarray] = None,  # (L,7) enables GGX direct light
+    slot_tri: Optional[jnp.ndarray] = None,  # (S,) slot -> triangle id
+    shadow_tabs=None,  # scene tables for the in-frame shadow pack
+    shadow_kmax: int = 0,
+    shadow_rmax: int = 0,
+    cull_sigmas: float = 0.0,
+    tex_static: Optional[Tuple] = None,  # static single-texture sampler
+) -> jnp.ndarray:
+    """Angle-parameterised frame core (trace + shade + reduce): the sharded
+    path draws angles GLOBALLY and feeds per-device slices here, so results
+    are identical across mesh topologies.
+
+    Everything per-ray is COMPONENT-PLANAR: (Np, S) or (R,) arrays per
+    x/y/z channel, never (R, 3)/(R, 1).  Keeping the ray axis on the lane
+    (minor) dim is worth ~70 ms/frame at 3.2M rays: AoS norms/crosses lower
+    to per-element cross-lane shuffles."""
+    n_pad = omms_p.shape[0]
+    rg = g * samples
+    rg_pad = nrb * rb_size
+    zeros = jnp.zeros((n_pad, samples), jnp.float32)
+    rays, (dx, dy, dz), neg_o = _gen_ray_features(
+        omms_p, position, local_space, splay, spin,
+        samples=samples, ng=ng, g=g, nrb=nrb, rb_size=rb_size,
+    )
     out = run_packed_tracer(
         row_counts, packed_mm, rays,
         ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax,
@@ -938,9 +962,13 @@ def _trace_shade_angles(
             bb = jnp.where(sel, qb.reshape(n_pad, samples), bb)
         if lights is not None:
             # GGX direct lighting (__closesthit__radiance, shaders.cu:
-            # 826-881): hit colour becomes base + sum of per-light
-            # contributions; occlusion comes from the packed shadow kernel
-            # over per-(group, light) payloads (_shadow_plan)
+            # 826-881).  Shadow rays trace per-GROUP occluder payloads built
+            # IN-FRAME from the group's ACTUAL hit points: bound the hits,
+            # open a cone from each light covering that bound, exact-refine
+            # + pack the occluders, and run the SAME packed tracer on the
+            # shadow rays.  This replaces the candidate-strip shortlists
+            # (mean 30-46 clusters/ray: a grazing strip's bound spans
+            # 77-400 units) with bounds around where rays actually landed.
             from compound_ray_tpu.trace.lighting import (
                 ggx_light_contrib,
                 shading_basis,
@@ -960,9 +988,9 @@ def _trace_shade_angles(
             # (t = inf) clamp to t = 0 so every shadow-ray feature stays
             # finite; their lighting result is discarded by the hit mask.
             t_c = jnp.where(hit_f2, t_f, 0.0)
-            pxf = -repad(jnp.broadcast_to(comps[6], (n_pad, samples))) + t_c * dxf
-            pyf = -repad(jnp.broadcast_to(comps[7], (n_pad, samples))) + t_c * dyf
-            pzf = -repad(jnp.broadcast_to(comps[8], (n_pad, samples))) + t_c * dzf
+            pxf = -repad(jnp.broadcast_to(neg_o[0], (n_pad, samples))) + t_c * dxf
+            pyf = -repad(jnp.broadcast_to(neg_o[1], (n_pad, samples))) + t_c * dyf
+            pzf = -repad(jnp.broadcast_to(neg_o[2], (n_pad, samples))) + t_c * dzf
             u_b = out[1]
             v_b = out[2]
             row_s = jnp.clip(out[3].astype(jnp.int32), 0,
@@ -980,6 +1008,10 @@ def _trace_shade_angles(
             view = -jnp.stack([dxf, dyf, dzf], axis=-1)
             base = jnp.stack([repad(rr), repad(gg), repad(bb)], axis=-1)
             result = base
+            # per-group bounding sphere of the group's actual hit points —
+            # the shadow shaft apexes at each light and covers this sphere
+            cg_s, rg_s = _hit_bound_spheres(hit_f2, pxf, pyf, pzf, ng, rg_pad)
+            (mm_flat_s, sc_cl, sr_cl, hc_s, hr_s, tri_cl_s) = shadow_tabs
             for li in range(lights.shape[0]):
                 lcol = lights[li, 0:3]
                 lint = lights[li, 3]
@@ -1005,14 +1037,16 @@ def _trace_shade_angles(
                     [lx, ly, lz, sm_x, sm_y, sm_z, -oxs, -oys, -ozs,
                      one_f, zero_f, zero_f, zero_f, zero_f, zero_f, zero_f]
                 )
-                cnt_l, ids_l = shadow_plans[li]
-                out_s = run_cluster_occlusion(
-                    cnt_l, ids_l, mm_cluster, rays_s,
-                    ng=ng, nrb=nrb, rb_size=rb_size, kmax=shadow_kmax,
+                t_occ = _shadow_occlusion(
+                    cg_s, rg_s, lpos, rays_s,
+                    mm_flat_s, sc_cl, sr_cl, hc_s, hr_s, tri_cl_s,
+                    ng=ng, nrb=nrb, rb_size=rb_size,
+                    kcand_s=shadow_kmax, rmax_s=shadow_rmax,
+                    sig=cull_sigmas,
                 )
-                # empty shortlists emit t = inf -> never occluded; no
+                # empty payloads emit t = inf -> never occluded; no
                 # group-liveness masking needed
-                occ = out_s[0] < ldist - 2.0 * eps
+                occ = t_occ < ldist - 2.0 * eps
                 contrib, facing = ggx_light_contrib(
                     n_vec, view,
                     jnp.stack([lx, ly, lz], axis=-1),
@@ -1127,41 +1161,6 @@ def _packed_plan(
     return out
 
 
-@functools.partial(
-    jax.jit, static_argnames=("g", "kcand", "cull_sigmas", "sg")
-)
-def _group_bound_spheres(
-    omms_p, position, local_space, half_center, half_radius,
-    sphere_center, sphere_radius, g: int, kcand: int, cull_sigmas: float,
-    sg: int,
-):
-    """Per-SUPERGROUP sphere enclosing every shortlisted cluster sphere of
-    its sg consecutive primary groups — every possible primary-hit point
-    lies inside it, so a cone from a light apex that covers this sphere
-    covers every shadow segment.  Returns (centers (NGS,3), radii (NGS,);
-    radius -1 = empty supergroup)."""
-    gmask, counts, dmin_all = _cull_groups(
-        omms_p, position, local_space, half_center, half_radius,
-        cull_sigmas, g,
-    )
-    ids, _ = _shortlist_sorted(gmask, dmin_all, kcand)
-    ids = ids[:, :kcand]
-    valid = (
-        jnp.arange(kcand)[None, :] < jnp.minimum(counts, kcand)[:, None]
-    )
-    ngs = ids.shape[0] // sg
-    ids = ids.reshape(ngs, sg * kcand)
-    valid = valid.reshape(ngs, sg * kcand)
-    c = sphere_center[ids]  # (NGS, sg*k, 3)
-    r = sphere_radius[ids]  # (NGS, sg*k)
-    nv = jnp.maximum(jnp.sum(valid, axis=1), 1)
-    cg = jnp.sum(jnp.where(valid[:, :, None], c, 0.0), axis=1) / nv[:, None]
-    cover = jnp.linalg.norm(c - cg[:, None, :], axis=-1) + r
-    rg = jnp.max(jnp.where(valid, cover, 0.0), axis=1)
-    any_v = jnp.sum(valid, axis=1) > 0
-    return cg, jnp.where(any_v, rg, -1.0)
-
-
 @functools.partial(jax.jit, static_argnames=("ratio",))
 def _shadow_pseudo_omms(cg, rg, light_pos, ratio: float):
     """(NGS, 8) pseudo-ommatidium rows whose culling cone has its apex at
@@ -1185,74 +1184,174 @@ def _shadow_pseudo_omms(cg, rg, light_pos, ratio: float):
     return out, dmax
 
 
-@functools.partial(jax.jit, static_argnames=("kmax",))
-def _shadow_shortlist(ps, dm, half_center, half_radius, cull_sigmas,
-                      kmax: int):
-    """One light's per-group occluder shortlist: cone cull from the light
-    apex + distance bound, sorted near-to-far.  Returns
-    (counts (NG,) int32, ids (NG, kmax) int32)."""
+def _hit_bound_spheres(hit_f, px, py, pz, ng: int, rg_pad: int):
+    """Per-group bounding sphere of the group's ACTUAL hit points (planar
+    kernel-order inputs (R,)).  Returns (centers (NG, 3), radii (NG,);
+    radius -1 = the group hit nothing)."""
+    big = jnp.float32(3e38)
+    hm = hit_f.reshape(ng, rg_pad)
+
+    def mm(c):
+        c2 = c.reshape(ng, rg_pad)
+        return (jnp.min(jnp.where(hm, c2, big), axis=1),
+                jnp.max(jnp.where(hm, c2, -big), axis=1))
+
+    x0, x1 = mm(px)
+    y0, y1 = mm(py)
+    z0, z1 = mm(pz)
+    any_h = jnp.any(hm, axis=1)
+    cx = jnp.where(any_h, 0.5 * (x0 + x1), 0.0)
+    cy = jnp.where(any_h, 0.5 * (y0 + y1), 0.0)
+    cz = jnp.where(any_h, 0.5 * (z0 + z1), 0.0)
+    dx_, dy_, dz_ = x1 - x0, y1 - y0, z1 - z0
+    r = 0.5 * jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_) + 1e-3
+    return (jnp.stack([cx, cy, cz], axis=-1),
+            jnp.where(any_h, r, -1.0))
+
+
+def _shadow_occlusion(
+    cg, rg_sph, lpos, rays_s,
+    mm_flat, slot_center_cl, slot_radius_cl, half_center, half_radius,
+    tri_cl,
+    ng: int, nrb: int, rb_size: int, kcand_s: int, rmax_s: int, sig: float,
+):
+    """Closest occluder t along one light's shadow rays, (R,) planar;
+    +inf = unobstructed (traceOcclusion semantics, shaders.cu:135-163).
+
+    Per-group shadow payloads are packed IN-FRAME: a pseudo-cone apexed at
+    the light covers the group's hit bound sphere, clusters are culled
+    against it (distance-bounded at the sphere's far side), candidate
+    triangles exact-refined, and the survivors compacted into the same
+    (NG, rmax, 16, 512) payload format the primary tracer consumes."""
+    ratio = FWHM_SD_RATIO / sig
+    ps, dm = _shadow_pseudo_omms(cg, rg_sph, lpos, ratio)
     zero3 = jnp.zeros((3,), jnp.float32)
     eye3 = jnp.eye(3, dtype=jnp.float32)
     gmask, _, dmin_all = _cull_groups(
-        ps, zero3, eye3, half_center, half_radius, cull_sigmas, 1,
+        ps, zero3, eye3, half_center, half_radius, sig, 1,
     )
     gmask = gmask & (dmin_all <= dm[:, None])
     counts = jnp.sum(gmask, axis=-1).astype(jnp.int32)
-    ids, _ = _shortlist_sorted(gmask, dmin_all, kmax)
-    return counts, ids[:, :kmax]
+    ids, _ = _shortlist_sorted(gmask, dmin_all, kcand_s)
+    rc_s, packed_s = _refine_pack(
+        ps, zero3, eye3, ids[:, :kcand_s], jnp.minimum(counts, kcand_s),
+        slot_center_cl, slot_radius_cl, mm_flat,
+        1, kcand_s, rmax_s, sig, dmax=dm, tri_cl=tri_cl,
+    )
+    out_s = run_packed_tracer(
+        rc_s, packed_s, rays_s, ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax_s,
+    )
+    return out_s[0]
 
 
-def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
-                 lights_np: np.ndarray):
-    """Per-(group, light) occluder SHORTLISTS into the global cluster
-    payload table (ScenePlan.mm_cluster) — the reference traces shadow
-    rays through its BVH (shaders.cu traceOcclusion:135-163); here each
-    primary group gets, per light, the near-to-far list of clusters a
-    shadow ray from that group toward that light could hit (cone from the
-    light apex covering the group's candidate bound sphere, distance
-    bounded at the sphere's far side).  No payload duplication: the
-    occlusion kernel's scalar-prefetch index map DMAs cluster rows by id.
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "samples", "ng", "g", "nrb", "rb_size", "rmax", "cull_sigmas",
+        "kcand_probe",
+    ),
+)
+def _shadow_probe(
+    packed_mm, row_counts, omms_p, position, local_space, key, lights,
+    half_center, half_radius, slot_center_cl, slot_radius_cl, tri_cl,
+    samples: int, ng: int, g: int, nrb: int, rb_size: int, rmax: int,
+    cull_sigmas: float, kcand_probe: int,
+):
+    """Planning dispatch for the lit frame's shadow widths: trace the
+    primary rays once, bound each group's hit points, and measure per light
+    the shaft's cluster count and refined payload rows.  Returns
+    (kc_need (L,), rows_need (L,)) int32.  RNG-dependent only through the
+    hit clouds, which are stable at a fixed pose — callers memoise with a
+    rounding margin (_shadow_widths)."""
+    n_pad = omms_p.shape[0]
+    k_splay, k_spin = jax.random.split(key)
+    sd = omms_p[:, 6] / FWHM_SD_RATIO
+    splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
+    spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
+    rays, (dx, dy, dz), neg_o = _gen_ray_features(
+        omms_p, position, local_space, splay, spin,
+        samples=samples, ng=ng, g=g, nrb=nrb, rb_size=rb_size,
+    )
+    out = run_packed_tracer(
+        row_counts, packed_mm, rays,
+        ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax,
+    )
+    t_f = out[0]
+    rg = g * samples
+    rg_pad = nrb * rb_size
 
-    Returns (plans, kmax_s): plans is a per-light tuple of
-    (counts (NG,), ids (NG, kmax_s)).  Memoised per (pose, lights);
-    independent of the RNG."""
-    sig = get_config().cull_sigmas
-    sk = (eplan.sig, pose_sig, lights_np.tobytes(), sig)
+    def repad(x):  # (Np, S) -> (R,) kernel ray order
+        x2 = x.reshape(ng, rg)
+        if rg_pad != rg:
+            x2 = jnp.pad(x2, ((0, 0), (0, rg_pad - rg)))
+        return x2.reshape(-1)
+
+    live_f = jnp.repeat(row_counts > 0, rg_pad)
+    hit_f = (t_f < 1e30) & live_f
+    dxf, dyf, dzf = repad(dx), repad(dy), repad(dz)
+    t_c = jnp.where(hit_f, t_f, 0.0)
+    pxf = -repad(jnp.broadcast_to(neg_o[0], (n_pad, samples))) + t_c * dxf
+    pyf = -repad(jnp.broadcast_to(neg_o[1], (n_pad, samples))) + t_c * dyf
+    pzf = -repad(jnp.broadcast_to(neg_o[2], (n_pad, samples))) + t_c * dzf
+    cg, rg_sph = _hit_bound_spheres(hit_f, pxf, pyf, pzf, ng, rg_pad)
+
+    ratio = FWHM_SD_RATIO / cull_sigmas
+    zero3 = jnp.zeros((3,), jnp.float32)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    kc_list, row_list = [], []
+    for li in range(lights.shape[0]):
+        ps, dm = _shadow_pseudo_omms(cg, rg_sph, lights[li, 4:7], ratio)
+        gmask, _, dmin_all = _cull_groups(
+            ps, zero3, eye3, half_center, half_radius, cull_sigmas, 1,
+        )
+        gmask = gmask & (dmin_all <= dm[:, None])
+        counts = jnp.sum(gmask, axis=-1).astype(jnp.int32)
+        ids, _ = _shortlist_sorted(gmask, dmin_all, kcand_probe)
+        mask, _, _ = _refine_mask(
+            ps, zero3, eye3, ids[:, :kcand_probe],
+            jnp.minimum(counts, kcand_probe),
+            slot_center_cl, slot_radius_cl, 1, cull_sigmas,
+            dmax=dm, tri_cl=tri_cl,
+        )
+        rows = (jnp.sum(mask, axis=-1) + KERNEL_LEAF - 1) // KERNEL_LEAF
+        kc_list.append(jnp.max(counts))
+        row_list.append(jnp.max(rows))
+    return jnp.stack(kc_list), jnp.stack(row_list)
+
+
+def _shadow_widths(splan, eplan, omms_p, position, local_space, pose_sig,
+                   lights_np: np.ndarray, samples: int, key,
+                   packed_mm, row_counts, rmax: int):
+    """Static kernel widths (kcand_s, rmax_s) for the in-frame shadow pack,
+    memoised per (eye, pose, lights, samples).  One probe dispatch + host
+    sync the first time; rounded up with a 25% margin so later frames'
+    slightly different hit clouds stay within the compiled widths (rows
+    beyond rmax_s would silently drop the occluders farthest from the
+    light)."""
+    cfg = get_config()
+    sk = (eplan.sig, samples, pose_sig, lights_np.tobytes(),
+          cfg.cull_sigmas, cfg.refine_mode)
     hit = splan.shadow_store.get(sk)
     if hit is not None:
         splan.shadow_store[sk] = splan.shadow_store.pop(sk)  # LRU refresh
         return hit
-    ratio = FWHM_SD_RATIO / sig
-    cg, rg = _group_bound_spheres(
-        omms_p, position, local_space, splan.half_center, splan.half_radius,
-        splan.sphere_center, splan.sphere_radius,
-        eplan.g, min(splan.num_clusters, max(eplan.kmax_hint, 8)), sig, sg=1,
+    kcand_probe = min(splan.num_clusters, 128)
+    tri_cl = splan.slot_tri_cl if cfg.refine_mode == "exact" else None
+    kc_need, rows_need = _shadow_probe(
+        packed_mm, row_counts, omms_p, position, local_space, key,
+        jnp.asarray(lights_np), splan.half_center, splan.half_radius,
+        splan.slot_center_cl, splan.slot_radius_cl, tri_cl,
+        samples=samples, ng=eplan.ng, g=eplan.g, nrb=eplan.nrb,
+        rb_size=eplan.rb_size, rmax=rmax,
+        cull_sigmas=cfg.cull_sigmas, kcand_probe=kcand_probe,
     )
-    pseudo = [
-        _shadow_pseudo_omms(cg, rg, jnp.asarray(lights_np[li, 4:7]), ratio)
-        for li in range(lights_np.shape[0])
-    ]
-    # width: one cull sweep over all lights (host sync at plan time only)
-    kc_need = 1
-    wide = splan.num_clusters
-    zero3 = jnp.zeros((3,), jnp.float32)
-    eye3 = jnp.eye(3, dtype=jnp.float32)
-    for ps, dm in pseudo:
-        gmask, _, dmin_all = _cull_groups(
-            ps, zero3, eye3, splan.half_center, splan.half_radius, sig, 1,
-        )
-        cnt = jnp.max(jnp.sum(
-            gmask & (dmin_all <= dm[:, None]), axis=-1
-        ))
-        kc_need = max(kc_need, int(np.asarray(jax.device_get(cnt))))
-    kmax_s = min(wide, _ceil_to(kc_need, 8))
-    plans = tuple(
-        _shadow_shortlist(ps, dm, splan.half_center, splan.half_radius,
-                          sig, kmax_s)
-        for ps, dm in pseudo
-    )
-    out = (plans, kmax_s)
-    while len(splan.shadow_store) >= max(1, get_config().shadow_store_size):
+    kc = int(np.asarray(jax.device_get(jnp.max(kc_need))))
+    rw = int(np.asarray(jax.device_get(jnp.max(rows_need))))
+    shadow_kmax = min(splan.num_clusters, _ceil_to(max(kc, 1), 8))
+    shadow_rmax = min(shadow_kmax,
+                      _ceil_to(max(rw + max(1, rw // 4), 1), 2))
+    out = (shadow_kmax, shadow_rmax)
+    while len(splan.shadow_store) >= max(1, cfg.shadow_store_size):
         splan.shadow_store.pop(next(iter(splan.shadow_store)))
     splan.shadow_store[sk] = out
     return out
@@ -1302,16 +1401,6 @@ def render_means_pallas(
     use_cache = False
     near_mask = None
     cache = None
-    # lighting disables the far-field radiance cache: cached radiance is
-    # unlit, and the reference lights every hit (shaders.cu:826-881)
-    if lights is not None:
-        lights_np = np.asarray(lights, np.float32)
-        shadow_plans, shadow_kmax = _shadow_plan(
-            splan, eplan, omms_p, position, local_space, pose_sig, lights_np,
-        )
-        lights_dev = jnp.asarray(lights_np)
-    else:
-        shadow_plans, shadow_kmax, lights_dev = None, 0, None
     if (lights is None and cfg.farfield == "auto"
             and splan.num_clusters > 8):
         cache_px = cfg.farfield_cache_width * (cfg.farfield_cache_width // 2)
@@ -1368,6 +1457,24 @@ def render_means_pallas(
             if use_cache else 0.0
         ),
     )
+    # lighting disables the far-field radiance cache: cached radiance is
+    # unlit, and the reference lights every hit (shaders.cu:826-881).  The
+    # shadow widths probe the PRIMARY hit clouds, so the packed plan must
+    # exist first.
+    if lights is not None:
+        lights_np = np.asarray(lights, np.float32)
+        shadow_kmax, shadow_rmax = _shadow_widths(
+            splan, eplan, omms_p, position, local_space, pose_sig,
+            lights_np, samples, key, packed_mm, row_counts, rmax,
+        )
+        lights_dev = jnp.asarray(lights_np)
+        shadow_tabs = (
+            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+            splan.half_center, splan.half_radius,
+            splan.slot_tri_cl if cfg.refine_mode == "exact" else None,
+        )
+    else:
+        shadow_kmax, shadow_rmax, lights_dev, shadow_tabs = 0, 0, None, None
     means_p = _render_frame(
         packed_mm, row_counts,
         splan.attr_table, scene_dev, splan.quad_table,
@@ -1379,8 +1486,9 @@ def render_means_pallas(
         tex_only=splan.tex_only,
         cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
         lights=lights_dev, slot_tri=splan.slot_tri,
-        mm_cluster=splan.mm_cluster,
-        shadow_plans=shadow_plans, shadow_kmax=shadow_kmax,
+        shadow_tabs=shadow_tabs,
+        shadow_kmax=shadow_kmax, shadow_rmax=shadow_rmax,
+        cull_sigmas=cfg.cull_sigmas,
         tex_static=splan.tex_static,
     )
     return means_p[eplan.inv_valid_dev]

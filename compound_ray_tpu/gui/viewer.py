@@ -136,7 +136,13 @@ class Viewer:
             self.dirty = True
 
     # -- matplotlib main loop ----------------------------------------------------
-    def run(self) -> None:
+    def run(self, max_frames: Optional[int] = None, on_frame=None) -> None:
+        """Interactive loop.  `max_frames` bounds the loop and `on_frame`
+        (called as on_frame(frame_index, canvas) each iteration) lets tests
+        and scripted captures drive the REAL event path headlessly — e.g.
+        injecting matplotlib KeyEvents under the Agg backend where no window
+        exists (this environment has no display; see tests/test_batched_and_
+        gui.py::test_viewer_run_loop_headless)."""
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(8, 6))
@@ -160,7 +166,10 @@ class Viewer:
         fig.canvas.mpl_connect("key_release_event", on_release)
         plt.ion()
         plt.show()
+        frame_i = 0
         while not state["quit"] and plt.fignum_exists(fig.number):
+            if on_frame is not None:
+                on_frame(frame_i, fig.canvas)
             self.tick()
             if self.dirty or self.renderer.is_compound_eye_active():
                 im.set_data(self.frame())
@@ -172,7 +181,11 @@ class Viewer:
                 )
                 fig.canvas.draw_idle()
             fig.canvas.flush_events()
+            frame_i += 1
+            if max_frames is not None and frame_i >= max_frames:
+                break
             time.sleep(0.01)
+        plt.close(fig)
 
 
 def main(argv=None):

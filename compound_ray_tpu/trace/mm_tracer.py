@@ -329,73 +329,6 @@ def _packed_kernel_uv(counts_ref, tri_ref, rays_ref, out_ref):
         jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
 
 
-def build_mm_cluster_table(mm_feats: np.ndarray, num_clusters: int) -> np.ndarray:
-    """(C, 16, 512) per-CLUSTER matmul payload rows from build_mm_features
-    output — the GLOBAL node table of the shadow traversal.  One row per
-    cluster, stored once: per-(group, light) shortlists then address rows
-    through a scalar-prefetch index map instead of duplicating payload
-    (the pooled-payload shadow scheme stored each cluster once per
-    supergroup per light and still swept 30-190 rows/ray)."""
-    s = num_clusters * KERNEL_LEAF
-    return np.ascontiguousarray(
-        mm_feats[:s]
-        .reshape(num_clusters, KERNEL_LEAF, MM_BLOCKS, MM_FEATS)
-        .transpose(0, 3, 2, 1)
-        .reshape(num_clusters, MM_FEATS, MM_COLS)
-    )
-
-
-def _cluster_occlusion_kernel(ids_ref, counts_ref, tri_ref, rays_ref,
-                              out_ref, bt_s):
-    """Grid = (NG, NRB, KMAX): per (group, ray-block), step through the
-    group's cluster shortlist; the index map DMAs exactly the cluster row
-    the shortlist names (ids_ref), so per-group work equals the group's
-    own occluder count — the TPU analogue of a per-ray BVH walk for shadow
-    rays.  Closest-t accumulates in VMEM scratch across the row grid dim
-    (TPU grids iterate sequentially); the final step reduces to out."""
-    g = pl.program_id(0)
-    j = pl.program_id(2)
-    kmax = pl.num_programs(2)
-    cnt = counts_ref[g]
-    rb = rays_ref.shape[1]
-    big = jnp.float32(jnp.inf)
-
-    @pl.when(j == 0)
-    def _init():
-        bt_s[...] = jnp.full(bt_s.shape, big)
-
-    @pl.when(j < cnt)
-    def _test_row():
-        ft = rays_ref[...]  # (16, RB)
-        mm = tri_ref[0]  # (16, 512)
-        p = jax.lax.dot_general(
-            ft, mm, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (RB, 512)
-        w1 = p[:, 0:KERNEL_LEAF]
-        w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
-        den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
-        tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
-        inv = 1.0 / den
-        u = w1 * inv
-        v = w2 * inv
-        t = tnum * inv
-        bt = bt_s[...]
-        ok = (
-            (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (t >= 0.0) & (t < bt)
-        )
-        bt_s[...] = jnp.where(ok, t, bt)
-
-    @pl.when(j == kmax - 1)
-    def _emit():
-        tmin_l = jnp.min(bt_s[...], axis=1, keepdims=True)  # (RB, 1)
-        out_ref[...] = jnp.where(
-            jnp.isfinite(tmin_l), tmin_l, big
-        ).reshape(1, rb)
-
-
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
@@ -453,61 +386,3 @@ def run_packed_tracer(
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(row_counts, packed_mm, rays)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("ng", "nrb", "rb_size", "kmax")
-)
-def run_cluster_occlusion(
-    counts: jnp.ndarray,  # (NG,) int32 shortlist length per group
-    ids: jnp.ndarray,  # (NG, kmax) int32 cluster ids, near-to-far
-    mm_cluster: jnp.ndarray,  # (C, 16, 512) global cluster payload table
-    rays: jnp.ndarray,  # (16, NG*NRB*RB) f32 PLANAR shadow rays
-    ng: int,
-    nrb: int,
-    rb_size: int,
-    kmax: int,
-) -> jnp.ndarray:
-    """Closest-t along shadow rays, (1, R) planar; +inf = unobstructed.
-    The caller compares t against the ray-to-light distance to decide
-    occlusion (traceOcclusion semantics, shaders.cu:135-163).
-
-    Scalar-prefetch-driven traversal: the global cluster table lives once
-    in HBM and each grid step DMAs the single 128 KB cluster row the
-    group's shortlist names — no payload duplication, and per-group work
-    is the group's own occluder count (Pallas skips the fetch when the
-    index repeats, so shortlist padding clamped to the last entry is
-    near-free)."""
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(ng, nrb, kmax),
-        in_specs=[
-            pl.BlockSpec(
-                (1, MM_FEATS, MM_COLS),
-                lambda g, rb, j, ids, counts: (
-                    ids[g, jnp.minimum(j, jnp.maximum(counts[g] - 1, 0))],
-                    0, 0,
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (RAY_FEATS, rb_size),
-                lambda g, rb, j, ids, counts: (0, g * nrb + rb),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, rb_size),
-            lambda g, rb, j, ids, counts: (0, g * nrb + rb),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((rb_size, KERNEL_LEAF), jnp.float32),
-        ],
-    )
-    return pl.pallas_call(
-        _cluster_occlusion_kernel,
-        out_shape=jax.ShapeDtypeStruct((1, rays.shape[1]), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=_use_interpret(),
-    )(ids, counts, mm_cluster, rays)

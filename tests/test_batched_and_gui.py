@@ -89,3 +89,37 @@ def test_viewer_frame_orientation(renderer):
     v = Viewer(renderer, width=8, height=4)
     img = v.frame()
     assert img.shape == (4, 8, 3)
+
+
+def test_viewer_run_loop_headless(renderer, tmp_path, monkeypatch):
+    """Drive the REAL Viewer.run() loop under the Agg backend: open, render,
+    fly forward (held key -> release), save a PPM, quit via Esc — the
+    newGuiEyeRenderer validation loop (gui.cpp:191-275) without a display
+    (VERDICT r2 #9)."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from matplotlib.backend_bases import KeyEvent
+
+    monkeypatch.chdir(tmp_path)
+    v = Viewer(renderer, width=8, height=4)
+    p0 = np.array(renderer.current_camera().position)
+    script = {
+        0: ("key_press_event", "w"),
+        2: ("key_release_event", "w"),
+        3: ("key_press_event", "c"),
+        4: ("key_press_event", "escape"),
+    }
+
+    def on_frame(i, canvas):
+        if i in script:
+            name, key = script[i]
+            KeyEvent(name, canvas, key)._process()
+
+    v.run(max_frames=20, on_frame=on_frame)
+    p1 = np.array(renderer.current_camera().position)
+    assert not np.allclose(p0, p1), "held W must move the camera"
+    ppm = tmp_path / "gui-capture-0.ppm"
+    assert ppm.exists(), "C must save the frame as PPM"
+    with open(ppm, "rb") as f:
+        assert f.read(2) == b"P6"

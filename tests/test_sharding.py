@@ -1,14 +1,28 @@
-"""Sharding tests on the 8-device virtual CPU mesh (v5e-8 stand-in)."""
+"""Sharding tests on the 8-device virtual CPU mesh (v5e-8 stand-in).
+
+Round 3 consolidated the sharded entry points (VERDICT #8): the packed MXU
+tracer pipeline under jit-of-shard_map is the ONE production path, now
+covering unlit means, LIT means (in-frame shadow packs per shard), and raw
+per-sample output.  These tests pin exact agreement with the dense
+single-device pipeline on the same globally drawn angles.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from compound_ray_tpu.eye.render import render_compound_means
-from compound_ray_tpu.parallel.sharding import make_eye_mesh, render_means_sharded
+from compound_ray_tpu.parallel.sharding import (
+    make_eye_mesh,
+    render_means_sharded_packed,
+    render_samples_sharded_packed,
+)
 from compound_ray_tpu.scene.eye_io import ommatidia_to_array
-from compound_ray_tpu.testing import make_box_scene, make_sphere_eye
+from compound_ray_tpu.testing import (
+    make_big_scene,
+    make_box_scene,
+    make_sphere_eye,
+)
 from compound_ray_tpu.trace.shade import miss_id
 
 
@@ -31,76 +45,25 @@ def test_omm_sharded_means(setup):
     mesh = make_eye_mesh(8, sample_parallel=1)
     key = jax.random.PRNGKey(3)
     bg = miss_id(scene.background_shader)
-    out = np.asarray(render_means_sharded(dev, omms, pos, ls, key, 4, bg, mesh))
+    out = np.asarray(render_means_sharded_packed(
+        scene, dev, np.asarray(omms), pos, ls, key, 4, bg, mesh,
+    ))
     assert out.shape == (40, 3)
-    # statistical agreement with the single-device render: with a white
-    # background + unlit colours, values live in [0, 1.01]
     assert np.isfinite(out).all()
     assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-5
 
 
-def test_omm_sample_2d_mesh(setup):
-    scene, dev, omms, pos, ls = setup
-    mesh = make_eye_mesh(8, sample_parallel=2)
-    key = jax.random.PRNGKey(3)
-    bg = miss_id(scene.background_shader)
-    out = np.asarray(render_means_sharded(dev, omms, pos, ls, key, 8, bg, mesh))
-    assert out.shape == (40, 3)
-    assert np.isfinite(out).all()
-
-
-def test_sharded_agrees_with_dense_on_deterministic_eye(setup):
-    # with a tiny acceptance angle the jitter is negligible: every sample ray
-    # points down the ommatidial axis, so sharded and dense must agree closely
-    scene, dev, _, pos, ls = setup
-    omms = jnp.asarray(
-        ommatidia_to_array(make_sphere_eye(40, acceptance_deg=1e-5))
-    )
-    bg = miss_id(scene.background_shader)
-    key = jax.random.PRNGKey(0)
-    mesh = make_eye_mesh(8, sample_parallel=2)
-    sharded = np.asarray(render_means_sharded(dev, omms, pos, ls, key, 4, bg, mesh))
-    dense = np.asarray(render_compound_means(dev, omms, pos, ls, key, 4, bg))
-    np.testing.assert_allclose(sharded, dense, atol=1e-4)
-
-
 def test_uneven_ommatidia_padding(setup):
     scene, dev, _, pos, ls = setup
-    # 37 is not divisible by 8 -> padding path
-    omms = jnp.asarray(ommatidia_to_array(make_sphere_eye(37)))
+    # 37 is not divisible by 8 -> group padding path
+    omms_np = ommatidia_to_array(make_sphere_eye(37))
     mesh = make_eye_mesh(8)
     bg = miss_id(scene.background_shader)
-    out = np.asarray(
-        render_means_sharded(dev, omms, pos, ls, jax.random.PRNGKey(1), 2, bg, mesh)
-    )
+    out = np.asarray(render_means_sharded_packed(
+        scene, dev, omms_np, pos, ls, jax.random.PRNGKey(1), 2, bg, mesh,
+    ))
     assert out.shape == (37, 3)
     assert np.isfinite(out).all()
-
-
-def test_sharded_fast_matches_dense(setup):
-    """The production sharded path must match the single-device culled path
-    exactly (same globally drawn jitter)."""
-    from compound_ray_tpu.parallel.sharding import render_means_sharded_fast
-    from compound_ray_tpu.testing import make_big_scene
-
-    scene = make_big_scene(n_boxes=120, seed=6)
-    dev = scene.device_triangles()
-    omms = jnp.asarray(ommatidia_to_array(make_sphere_eye(48, acceptance_deg=5.0)))
-    pos = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
-    ls = jnp.eye(3, dtype=jnp.float32)
-    key = jax.random.PRNGKey(9)
-    bg = miss_id(scene.background_shader)
-
-    mesh = make_eye_mesh(8, sample_parallel=2)
-    sharded = np.asarray(render_means_sharded_fast(
-        scene, dev, omms, pos, ls, key, 8, bg, mesh,
-    ))
-
-    from compound_ray_tpu.eye.render import render_compound_means as dense_means
-
-    dense = np.asarray(dense_means(dev, omms, pos, ls, key, 8, bg))
-    # identical ray set (global draw) -> only float-order differences
-    np.testing.assert_allclose(sharded, dense, atol=1e-4)
 
 
 def test_sharded_packed_matches_dense_kernel(setup):
@@ -108,13 +71,10 @@ def test_sharded_packed_matches_dense_kernel(setup):
     equal the dense packed-kernel pipeline on the same globally drawn
     angles — only float summation order may differ."""
     from compound_ray_tpu.eye.pipeline import (
-        _ceil_to, _packed_plan, _plan_widths, _trace_shade_angles,
+        _packed_plan, _plan_widths, _trace_shade_angles,
         eye_plan, scene_plan,
     )
-    from compound_ray_tpu.parallel.sharding import (
-        _draw_angles, render_means_sharded_packed,
-    )
-    from compound_ray_tpu.testing import make_big_scene
+    from compound_ray_tpu.parallel.sharding import _draw_angles
 
     scene = make_big_scene(n_boxes=120, seed=6)
     dev = scene.device_triangles()
@@ -156,11 +116,76 @@ def test_sharded_packed_matches_dense_kernel(setup):
     np.testing.assert_allclose(sharded, dense, atol=2e-6)
 
 
+def test_sharded_lit_matches_dense(setup):
+    """LIT sharded frames (VERDICT r2 #4): the in-frame shadow pack is
+    group-local, so the sharded lit result must match the dense lit
+    pipeline on the same angles."""
+    from compound_ray_tpu.eye.pipeline import render_means_pallas
+    from compound_ray_tpu.scene.eye_io import Ommatidium
+    from compound_ray_tpu.testing import box_mesh
+    from compound_ray_tpu.scene.flat import build_scene_from_arrays
+    from compound_ray_tpu.trace.lighting import default_lights
+
+    v1, f1 = box_mesh((0.0, -1.0, 0.0), (20.0, 0.2, 20.0))  # floor
+    v2, f2 = box_mesh((3.0, 3.0, 0.0), (4.0, 0.2, 4.0))  # partial canopy
+    verts = np.concatenate([v1, v2])
+    faces = np.concatenate([f1, f2 + len(v1)])
+    scene = build_scene_from_arrays(verts, faces, base_color=(0.4, 0.5, 0.6),
+                                    background_shader="black")
+    dev = scene.device_triangles()
+    lights = default_lights(scene.aabb_min, scene.aabb_max)
+
+    omms = []
+    for ix in range(8):
+        for iz in range(4):
+            p = np.array([ix - 3.5, 2.0, iz - 1.5])
+            d = np.array([0.1 * (ix - 3.5), -1.0, 0.1 * (iz - 1.5)])
+            omms.append(Ommatidium(p, d / np.linalg.norm(d), 1e-6, 0.0))
+    omms_np = ommatidia_to_array(omms)
+    pos = jnp.zeros(3, jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(5)
+    mesh = make_eye_mesh(8, sample_parallel=2)
+    sharded = np.asarray(render_means_sharded_packed(
+        scene, dev, omms_np, pos, ls, key, 2, 2, mesh, lights=lights,
+    ))
+    dense = np.asarray(render_means_pallas(
+        scene, dev, omms_np, pos, ls, key, 2, 2, lights=lights,
+    ))
+    # deterministic eyes -> identical rays; lit shading must agree
+    assert dense.max() > 0.6, "lighting must actually contribute"
+    np.testing.assert_allclose(sharded, dense, atol=2e-5)
+
+
+def test_sharded_raw_samples_matches_dense(setup):
+    """Raw per-sample output over the mesh equals the dense raw pipeline
+    on the same globally drawn angles."""
+    from compound_ray_tpu.eye.pipeline import render_samples_pallas
+
+    scene = make_big_scene(n_boxes=60, seed=2)
+    dev = scene.device_triangles()
+    omms_np = ommatidia_to_array(make_sphere_eye(32, acceptance_deg=1e-5))
+    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(11)
+    bg = miss_id(scene.background_shader)
+    mesh = make_eye_mesh(8, sample_parallel=2)
+    sharded = np.asarray(render_samples_sharded_packed(
+        scene, dev, omms_np, pos, ls, key, 4, bg, mesh,
+    ))
+    dense = np.asarray(render_samples_pallas(
+        scene, dev, omms_np, pos, ls, key, 4, bg,
+    ))
+    assert sharded.shape == dense.shape == (4, 32, 3)
+    # deterministic eye: the per-sample values must agree per slot (the
+    # sample-axis order is preserved by the (omm, sample) layout)
+    np.testing.assert_allclose(sharded, dense, atol=2e-5)
+
+
 def test_sharded_packed_statistical_agreement(setup):
     """Sanity: the sharded packed means agree with the single-device Pallas
     pipeline statistically (different angle realisation, same estimator)."""
     from compound_ray_tpu.eye.pipeline import render_means_pallas
-    from compound_ray_tpu.parallel.sharding import render_means_sharded_packed
 
     scene, dev, omms, pos, ls = setup
     omms_np = np.asarray(omms)

@@ -1,0 +1,148 @@
+"""Frame anatomy: time raygen / kernel / epilogue as separate sub-jits.
+
+Differential protocol (CLAUDE.md "measure before optimising"): each stage is
+its own jit, run REPS times back-to-back with ONE terminal sync, so the
+~26 ms tunnel round trip amortises away.  The staged sum is slightly larger
+than the fused frame (no cross-stage fusion), which is fine for ranking.
+
+Usage:  python tools/frame_anatomy.py [natural|ofstad] [samples]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/cr_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "natural"
+    samples = int(sys.argv[2]) if len(sys.argv) > 2 else 3200
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    if which == "ofstad":
+        r = bench.build_ofstad_renderer()
+    else:
+        r, _ = bench.build_renderer()
+    r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+    r.set_current_eye_samples_per_ommatidium(samples)
+    for _ in range(2):
+        r.render_frame()
+
+    from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    cam = r.current_camera()
+    scene = r.scene
+    splan = P.scene_plan(scene)
+    eplan = P.eye_plan(cam.ommatidia, samples)
+    omms_p = eplan.omms_p_dev
+    pos = jnp.asarray(np.asarray(cam.position, np.float32))
+    ls = jnp.asarray(np.asarray(cam.local_space, np.float32))
+    (row_counts, packed_mm) = next(iter(splan.packed_store.values()))
+    rmax = packed_mm.shape[1]
+    print(f"{which}: ng={eplan.ng} g={eplan.g} rb={eplan.rb_size} rmax={rmax} "
+          f"rows mean={np.asarray(jax.device_get(row_counts)).mean():.2f}")
+
+    ng, g, nrb, rb_size = eplan.ng, eplan.g, eplan.nrb, eplan.rb_size
+    key = jax.random.PRNGKey(7)
+
+    from compound_ray_tpu.eye.sampling import FWHM_SD_RATIO, cone_offset_components
+
+    @jax.jit
+    def f_rays(omms_p, position, local_space, key):
+        n_pad = omms_p.shape[0]
+        k_splay, k_spin = jax.random.split(key)
+        sd = omms_p[:, 6] / FWHM_SD_RATIO
+        splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
+        spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
+        ax, ay, az = omms_p[:, 3], omms_p[:, 4], omms_p[:, 5]
+        axis_len = jnp.sqrt(ax * ax + ay * ay + az * az)
+        inv_al = 1.0 / jnp.maximum(axis_len, 1e-30)
+        focal = omms_p[:, 7]
+        rx = omms_p[:, 0] - ax * inv_al * focal
+        ry = omms_p[:, 1] - ay * inv_al * focal
+        rz = omms_p[:, 2] - az * inv_al * focal
+        L = local_space
+        ox = position[0] + rx * L[0, 0] + ry * L[1, 0] + rz * L[2, 0]
+        oy = position[1] + rx * L[0, 1] + ry * L[1, 1] + rz * L[2, 1]
+        oz = position[2] + rx * L[0, 2] + ry * L[1, 2] + rz * L[2, 2]
+        rdx, rdy, rdz = cone_offset_components(
+            ax[:, None], ay[:, None], az[:, None], splay, spin)
+        wdx = rdx * L[0, 0] + rdy * L[1, 0] + rdz * L[2, 0]
+        wdy = rdx * L[0, 1] + rdy * L[1, 1] + rdz * L[2, 1]
+        wdz = rdx * L[0, 2] + rdy * L[1, 2] + rdz * L[2, 2]
+        inv_n = jax.lax.rsqrt(jnp.maximum(wdx * wdx + wdy * wdy + wdz * wdz, 1e-60))
+        dx, dy, dz = wdx * inv_n, wdy * inv_n, wdz * inv_n
+        tmin = (focal * axis_len)[:, None]
+        oxb, oyb, ozb = ox[:, None], oy[:, None], oz[:, None]
+        mx = oyb * dz - ozb * dy
+        my = ozb * dx - oxb * dz
+        mz = oxb * dy - oyb * dx
+        rg = g * samples
+        rg_pad = nrb * rb_size
+        zeros = jnp.zeros((n_pad, samples), jnp.float32)
+        ones = jnp.ones((n_pad, samples), jnp.float32)
+        comps = [dx, dy, dz, mx, my, mz,
+                 -(oxb + tmin * dx), -(oyb + tmin * dy), -(ozb + tmin * dz),
+                 ones] + [zeros] * 6
+        rays_pl = jnp.stack([c.reshape(ng, rg) for c in comps])
+        if rg_pad != rg:
+            rays_pl = jnp.pad(rays_pl, ((0, 0), (0, 0), (0, rg_pad - rg)),
+                              mode="edge")
+        return rays_pl.reshape(16, ng * rg_pad)
+
+    rays = f_rays(omms_p, pos, ls, key)
+    jax.device_get(rays.ravel()[0])
+
+    emit_uv = splan.tex_only
+
+    @jax.jit
+    def f_kern(row_counts, packed_mm, rays):
+        out = run_packed_tracer(row_counts, packed_mm, rays, ng=ng, nrb=nrb,
+                                rb_size=rb_size, rmax=rmax, emit_uv=emit_uv)
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+    cfg = get_config()
+
+    def f_full():
+        return P._render_frame(
+            packed_mm, row_counts, splan.attr_table, scene.device_triangles(),
+            splan.quad_table, omms_p, pos, ls, key,
+            samples=samples, background=0, ng=ng, g=g, nrb=nrb,
+            rb_size=rb_size, rmax=rmax, textured=splan.textured,
+            tex_only=splan.tex_only, tex_static=splan.tex_static,
+            cache_shape=(cfg.farfield_cache_width // 2,
+                         cfg.farfield_cache_width),
+        )
+
+    def sync1(out):
+        # ONE element through the tunnel — never the whole array
+        jax.device_get(out.ravel()[0] if hasattr(out, "ravel") else out)
+
+    def timeit(label, fn, *args):
+        sync1(fn(*args))  # warm
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(reps)]
+        sync1(outs[-1])
+        ms = (time.perf_counter() - t0) * 1000.0 / reps
+        print(f"  {label:28s} {ms:8.2f} ms", flush=True)
+        return ms
+
+    t_rays = timeit("raygen+pack", f_rays, omms_p, pos, ls, key)
+    t_kern = timeit("raygen-free kernel", f_kern, row_counts, packed_mm, rays)
+    t_full = timeit("full frame (fused)", f_full)
+    print(f"  {'epilogue (full-kern-rays)':28s} {t_full - t_kern - t_rays:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
