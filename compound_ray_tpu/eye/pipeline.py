@@ -163,14 +163,16 @@ def scene_plan(scene_flat) -> ScenePlan:
             )
         tid_s = cs.tri_id.reshape(-1)
         safe_s = np.maximum(tid_s, 0)
-        texid_slot = np.asarray(scene_flat.mat_tex)[
-            np.maximum(np.asarray(scene_flat.mat_id)[safe_s], 0)
-        ]
+        mat_id_slot = np.maximum(np.asarray(scene_flat.mat_id)[safe_s], 0)
+        texid_slot = np.asarray(scene_flat.mat_tex)[mat_id_slot]
+        flat_attrs = attr.shape[1] == ATTR_COMPS_FLAT
         mm_feats = build_mm_features(
             cs,
             uv=(np.asarray(scene_flat.uv0), np.asarray(scene_flat.uv1),
                 np.asarray(scene_flat.uv2)),
             texid=texid_slot,
+            rgb=(np.asarray(scene_flat.mat_base_color)[mat_id_slot][:, :3]
+                 if flat_attrs else None),
         )  # (S+128, 4, 16)
         tri_c, tri_r, _ = slot_spheres(cs)
         c_cl = cs.tri_id.shape[0]
@@ -594,7 +596,7 @@ def resolve_kernel_hits(
     attr_table: jnp.ndarray,  # (C*128, A) build_attr_table rows
     tex_only: bool,
     packed: bool = False,  # True: out[:, 3] is already the global slot id
-    emit_uv: bool = False,  # True: kernel already emitted (cu, cv, texid)
+    emit: str = "bary",  # packed kernel output layout (run_packed_tracer)
 ):
     """Deferred-attribute epilogue: resolve the winning triangle's shading
     inputs with ONE row gather per ray.
@@ -610,12 +612,19 @@ def resolve_kernel_hits(
     (t < 1e30) & group-liveness."""
     if packed:
         out_t = out  # the packed tracer already emits planar (8, R)
-        if emit_uv:
+        if emit == "uv":
             # the emit_uv kernel interpolated texture coordinates and the
             # texture id in-register: no attribute gather at all (each
             # 3.3M-row gather costs a flat ~25 ms — docs/performance.md)
             return (out_t[0], out_t[1], out_t[2],
                     out_t[3].astype(jnp.int32), None)
+        if emit == "flat":
+            # polymorphic rows: (a0, a1) are (cu, cv) for textured winners
+            # and (r, g) for untextured — texid >= 0 disambiguates, and the
+            # texture stage overwrites rgb exactly where (cu, cv) is live
+            return (out_t[0], out_t[1], out_t[2],
+                    out_t[4].astype(jnp.int32),
+                    (out_t[1], out_t[2], out_t[3]))
     else:
         # one transpose to planar (8, R): column extracts from the (R, 8)
         # AoS kernel output cost ~23 ms/frame at 3.2M rays
@@ -878,14 +887,22 @@ def _trace_shade_angles(
         omms_p, position, local_space, splay, spin,
         samples=samples, ng=ng, g=g, nrb=nrb, rb_size=rb_size,
     )
+    # kernel output layout: lit frames need barycentrics for the shading
+    # basis; unlit tex_only scenes resolve texture coords in-register;
+    # unlit flat-attr scenes (constant material colours) resolve EVERYTHING
+    # in-register — no epilogue attribute gather in either case
+    flat_attrs = attr_table.shape[1] == ATTR_COMPS_FLAT
+    if lights is None:
+        emit = "uv" if tex_only else ("flat" if flat_attrs else "bary")
+    else:
+        emit = "bary"
     out = run_packed_tracer(
         row_counts, packed_mm, rays,
         ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax,
-        emit_uv=tex_only and lights is None,
+        emit=emit,
     )
     t_f, cu_f, cv_f, texid_f, rgb_f = resolve_kernel_hits(
-        out, attr_table, tex_only, packed=True,
-        emit_uv=tex_only and lights is None,
+        out, attr_table, tex_only, packed=True, emit=emit,
     )
 
     def unpad(x):

@@ -152,6 +152,56 @@ def make_textured_quad_scene(tex_size: int = 8,
     return scene
 
 
+def make_mixed_flat_scene(tex_size: int = 8,
+                          background: str = "black") -> FlatScene:
+    """A textured floor quad + an UNtextured coloured box (two materials,
+    no vertex colours) — the ofstad-shaped 'flat attrs' case that the
+    emit_flat kernel variant resolves entirely in-register."""
+    scene = make_textured_quad_scene(tex_size, background)
+    bv, bf = box_mesh((3.0, 1.0, 3.0), (2.0, 2.0, 2.0))
+    n0 = scene.v0.shape[0]
+    p0, p1, p2 = bv[bf[:, 0]], bv[bf[:, 1]], bv[bf[:, 2]]
+    nb = len(bf)
+    scene.v0 = np.concatenate([scene.v0, p0.astype(np.float32)])
+    scene.e1 = np.concatenate([scene.e1, (p1 - p0).astype(np.float32)])
+    scene.e2 = np.concatenate([scene.e2, (p2 - p0).astype(np.float32)])
+    z3 = np.zeros((nb, 3), np.float32)
+    z2 = np.zeros((nb, 2), np.float32)
+    z4 = np.zeros((nb, 4), np.float32)
+    scene.n0 = np.concatenate([scene.n0, z3])
+    scene.n1 = np.concatenate([scene.n1, z3])
+    scene.n2 = np.concatenate([scene.n2, z3])
+    scene.has_normals = np.concatenate([scene.has_normals, np.zeros(nb, bool)])
+    scene.uv0 = np.concatenate([scene.uv0, z2])
+    scene.uv1 = np.concatenate([scene.uv1, z2])
+    scene.uv2 = np.concatenate([scene.uv2, z2])
+    scene.has_uv = np.concatenate([scene.has_uv, np.zeros(nb, bool)])
+    scene.c0 = np.concatenate([scene.c0, z4])
+    scene.c1 = np.concatenate([scene.c1, z4])
+    scene.c2 = np.concatenate([scene.c2, z4])
+    scene.has_color = np.concatenate([scene.has_color, np.zeros(nb, bool)])
+    scene.mat_id = np.concatenate(
+        [scene.mat_id, np.full(nb, 1, np.int32)]
+    )
+    scene.mat_base_color = np.concatenate(
+        [scene.mat_base_color,
+         np.array([[0.2, 0.5, 0.8, 1.0]], np.float32)]
+    )
+    scene.mat_metallic = np.concatenate(
+        [scene.mat_metallic, np.array([0.0], np.float32)]
+    )
+    scene.mat_roughness = np.concatenate(
+        [scene.mat_roughness, np.array([0.5], np.float32)]
+    )
+    scene.mat_tex = np.concatenate(
+        [scene.mat_tex, np.array([-1], np.int32)]
+    )
+    scene.aabb_min = np.minimum(scene.aabb_min, bv.min(axis=0))
+    scene.aabb_max = np.maximum(scene.aabb_max, bv.max(axis=0))
+    scene._device_cache = None
+    return scene
+
+
 def make_two_texture_scene(background: str = "black") -> FlatScene:
     """Two floor quads side by side, each with its OWN texture (different
     sizes) — exercises multi-texture atlas indexing in every backend."""

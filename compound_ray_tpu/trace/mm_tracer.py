@@ -72,7 +72,7 @@ AUX_COMPS = 8  # [tmin, 0 x 7]
 BATCH_RAYS = 256
 
 
-def build_mm_features(cluster_set, uv=None, texid=None) -> np.ndarray:
+def build_mm_features(cluster_set, uv=None, texid=None, rgb=None) -> np.ndarray:
     """(C*128 + 128, 4, 16) per-slot matmul feature columns.
 
     Row index = global slot id (cluster * 128 + lane); the trailing 128
@@ -117,6 +117,15 @@ def build_mm_features(cluster_set, uv=None, texid=None) -> np.ndarray:
         feats[:s, 0, 15] = uv2[:, 0] - uv0[:, 0]
         feats[:s, 1, 10] = uv2[:, 1] - uv0[:, 1]
         feats[:s, 1, 11] = np.asarray(texid, np.float32)
+    if rgb is not None:
+        # flat-attr scenes (constant material colour, no vertex colours):
+        # w2 rows 12-14 carry the per-slot linear base colour so the
+        # emit_flat kernel variant can resolve UNtextured winners without
+        # any epilogue attribute gather (shaders.cu:813-815 uses the
+        # material constant raw)
+        feats[:s, 1, 12] = np.asarray(rgb, np.float32)[:, 0]
+        feats[:s, 1, 13] = np.asarray(rgb, np.float32)[:, 1]
+        feats[:s, 1, 14] = np.asarray(rgb, np.float32)[:, 2]
     return feats
 
 
@@ -329,12 +338,107 @@ def _packed_kernel_uv(counts_ref, tri_ref, rays_ref, out_ref):
         jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
 
 
+def _packed_kernel_flat(counts_ref, tri_ref, rays_ref, out_ref):
+    """flat-attr variant: the winner's shading inputs resolve ENTIRELY
+    in-register, polymorphically per slot — textured slots (payload tex id
+    >= 0) carry interpolated texture coordinates, untextured slots carry
+    the constant material colour from payload rows w2[12:15]
+    (build_mm_features).  No epilogue attribute gather at all.  Output
+    rows: [t, a0, a1, a2, texid, slot-id, 0, 0] where (a0, a1) = (cu, cv)
+    for textured winners and (a0, a1, a2) = (r, g, b) for untextured."""
+    g = pl.program_id(0)
+    cnt = counts_ref[g]
+    rb_size = rays_ref.shape[1]
+    big = jnp.float32(jnp.inf)
+    RS = BATCH_RAYS
+
+    def ray_batch(rbi, _):
+        r0 = pl.multiple_of(rbi * RS, RS)
+        ft = rays_ref[:, pl.ds(r0, RS)]  # (16, RS) feature-major
+
+        def row_step(j, state):
+            (bt, b0, b1, b2, btex, bid) = state
+            mm = tri_ref[0, j]  # (16, 512)
+            p = jax.lax.dot_general(
+                ft, mm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (RS, 512)
+            w1 = p[:, 0:KERNEL_LEAF]
+            w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
+            den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
+            tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
+            hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]  # w1 rows 8-15
+            hi2 = tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
+            ids = hi1[2:3, :]  # (1, 128) slot id (row 10)
+            uv0x = hi1[3:4, :]
+            uv0y = hi1[4:5, :]
+            du1x = hi1[5:6, :]
+            du1y = hi1[6:7, :]
+            du2x = hi1[7:8, :]
+            du2y = hi2[2:3, :]
+            tex = hi2[3:4, :]
+            rcol = hi2[4:5, :]
+            gcol = hi2[5:6, :]
+            bcol = hi2[6:7, :]
+            inv = 1.0 / den
+            u = w1 * inv
+            v = w2 * inv
+            t = tnum * inv
+            texd = tex >= 0.0  # (1, 128) broadcasts over rays
+            a0 = jnp.where(texd, uv0x + u * du1x + v * du2x, rcol)
+            a1 = jnp.where(texd, uv0y + u * du1y + v * du2y, gcol)
+            a2 = jnp.where(texd, 0.0, bcol)
+            ok = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= 0.0) & (t < bt)
+            )
+            return (
+                jnp.where(ok, t, bt),
+                jnp.where(ok, a0, b0),
+                jnp.where(ok, a1, b1),
+                jnp.where(ok, a2, b2),
+                jnp.where(ok, tex, btex),
+                jnp.where(ok, ids, bid),
+            )
+
+        z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
+        init = (jnp.full((RS, KERNEL_LEAF), big), z, z, z,
+                jnp.full((RS, KERNEL_LEAF), -1.0),
+                jnp.full((RS, KERNEL_LEAF), -1.0))
+        (bt, b0, b1, b2, btex, bid) = jax.lax.fori_loop(0, cnt, row_step, init)
+
+        tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RS, KERNEL_LEAF), 1)
+        cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
+        first = jnp.min(cand, axis=1, keepdims=True)
+        onehot = lane == first
+
+        def pick(buf):
+            return jnp.sum(jnp.where(onehot, buf, 0.0), axis=1, keepdims=True)
+
+        def store(row, val):
+            out_ref[row:row + 1, pl.ds(r0, RS)] = val.reshape(1, RS)
+
+        store(0, jnp.where(jnp.isfinite(tmin_l), tmin_l, big))
+        store(1, pick(b0))
+        store(2, pick(b1))
+        store(3, pick(b2))
+        store(4, pick(btex))
+        store(5, pick(bid))
+        return 0
+
+    @pl.when(cnt > 0)
+    def _run_batches():
+        jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ng", "nrb", "rb_size", "rmax", "emit_uv")
+    jax.jit, static_argnames=("ng", "nrb", "rb_size", "rmax", "emit")
 )
 def run_packed_tracer(
     row_counts: jnp.ndarray,  # (NG,) int32 payload rows per group
@@ -344,13 +448,15 @@ def run_packed_tracer(
     nrb: int,
     rb_size: int,
     rmax: int,
-    emit_uv: bool = False,
+    emit: str = "bary",
 ) -> jnp.ndarray:
-    """Returns PLANAR (8, R) rows; t = +inf on miss.  Row layout:
-    emit_uv=False: [t, u, v, slot-id, 0...] (barycentrics; the epilogue
-    resolves attributes with a row gather); emit_uv=True:
-    [t, cu, cv, texid, slot-id, 0...] (texture coordinates interpolated
-    in-kernel; no attribute gather needed — tex_only scenes).
+    """Returns PLANAR (8, R) rows; t = +inf on miss.  Row layout by emit:
+    "bary": [t, u, v, slot-id, 0...] (barycentrics; the epilogue resolves
+    attributes with a row gather); "uv": [t, cu, cv, texid, slot-id, 0...]
+    (texture coordinates interpolated in-kernel — tex_only scenes);
+    "flat": [t, a0, a1, a2, texid, slot-id, 0, 0] (polymorphic: (cu, cv)
+    for textured winners, the constant material (r, g, b) for untextured —
+    flat-attr scenes need no attribute gather either).
 
     Ray features arrive and results leave feature-major: both sides of the
     kernel then connect to the pipeline's component-planar math with plain
@@ -380,8 +486,10 @@ def run_packed_tracer(
             memory_space=pltpu.VMEM,
         ),
     )
+    kernel = {"bary": _packed_kernel, "uv": _packed_kernel_uv,
+              "flat": _packed_kernel_flat}[emit]
     return pl.pallas_call(
-        _packed_kernel_uv if emit_uv else _packed_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((OUT_COMPS, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),

@@ -104,12 +104,16 @@ def main():
     rays = f_rays(omms_p, pos, ls, key)
     jax.device_get(rays.ravel()[0])
 
-    emit_uv = splan.tex_only
+    from compound_ray_tpu.trace.pallas_tracer import ATTR_COMPS_FLAT
+
+    emit = ("uv" if splan.tex_only else
+            "flat" if splan.attr_table.shape[1] == ATTR_COMPS_FLAT
+            else "bary")
 
     @jax.jit
     def f_kern(row_counts, packed_mm, rays):
         out = run_packed_tracer(row_counts, packed_mm, rays, ng=ng, nrb=nrb,
-                                rb_size=rb_size, rmax=rmax, emit_uv=emit_uv)
+                                rb_size=rb_size, rmax=rmax, emit=emit)
         return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
 
     cfg = get_config()
