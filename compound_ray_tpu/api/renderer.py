@@ -43,6 +43,20 @@ from compound_ray_tpu.trace.shade import miss_id
 
 _BASE_SEED = 42  # curand_init(42, id, 0) in shaders.cu:689
 
+_base_key = None
+_fold_jit = None
+
+
+def _frame_key(frame_number: int):
+    """PRNG key for a frame: fold_in under jit.  The eager fold_in issued
+    ~8 per-primitive dispatches per frame — the dominant host cost of the
+    small-frame regime (samples=1 profile: ~105 of 113 ms on CPU)."""
+    global _base_key, _fold_jit
+    if _base_key is None:
+        _base_key = jax.random.PRNGKey(_BASE_SEED)
+        _fold_jit = jax.jit(jax.random.fold_in)
+    return _fold_jit(_base_key, np.uint32(frame_number))
+
 
 class EyeRenderer:
     """TPU-backed renderer with the reference's full API surface."""
@@ -144,9 +158,9 @@ class EyeRenderer:
 
         outputs = []
         if isinstance(cam, CompoundEyeCamera):
-            key = jax.random.fold_in(jax.random.PRNGKey(_BASE_SEED), self._frame_number)
+            key = _frame_key(self._frame_number)
             omms_np = cam.ommatidia
-            omms = jnp.asarray(cam.ommatidia)
+            omms, omm_pos, omm_dir = cam.device_ommatidia()
             # pose stays host-side: the pipeline hashes it for plan caching
             # (np.asarray on a device array would block on a transfer)
             pos = np.asarray(cam.position, np.float32)
@@ -178,8 +192,8 @@ class EyeRenderer:
                     cam.projection,
                     self._device_means,
                     raw_in,
-                    omms[:, 0:3],
-                    omms[:, 3:6],
+                    omm_pos,
+                    omm_dir,
                     self.width,
                     self.height,
                 )
@@ -560,7 +574,7 @@ class EyeRenderer:
 
         scene_dev = self._scene_dev()
         background = miss_id(self.scene.background_shader)
-        key = jax.random.fold_in(jax.random.PRNGKey(_BASE_SEED), self._frame_number)
+        key = _frame_key(self._frame_number)
         self._frame_number += 1
         means = self._render_means(
             scene_dev, all_omms,

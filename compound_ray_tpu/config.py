@@ -54,6 +54,11 @@ class RenderConfig:
     # (tight for sliver-heavy closed arenas); "sphere" = triangle bounding
     # spheres only (round-2 behaviour).  Plan-time only — memoised per pose.
     refine_mode: str = "exact"
+    # store the unified texture+cache quad table in bfloat16 when its f32
+    # form exceeds the measured ~64 MB per-ray-gather cliff
+    # (docs/performance.md): halves the bytes, adds <=0.4% relative texel
+    # error (inside the 1% fidelity budget).  0 disables.
+    big_table_bf16_bytes: int = 64_000_000
     # verbosity of the [PyEye] log lines
     verbose: bool = True
 
@@ -74,6 +79,7 @@ class RenderConfig:
             "CR_TPU_PACKED_STORE": ("packed_store_size", int),
             "CR_TPU_SHADOW_STORE": ("shadow_store_size", int),
             "CR_TPU_REFINE": ("refine_mode", str),
+            "CR_TPU_BF16_TABLE": ("big_table_bf16_bytes", int),
         }
         for env, (field, typ) in mapping.items():
             if env in os.environ:

@@ -1462,6 +1462,13 @@ def render_means_pallas(
                             [splan.quad_table,
                              cache.reshape(-1, 16)], axis=0
                         )
+                        bf16_at = cfg.big_table_bf16_bytes
+                        if bf16_at and cache.nbytes > bf16_at:
+                            # past the ~64 MB per-ray-gather cliff the cost
+                            # grows with table BYTES (docs/performance.md):
+                            # halve them; quad_bilinear_c promotes back to
+                            # f32 in the blend
+                            cache = cache.astype(jnp.bfloat16)
                     if len(splan.cache_store) > 64:  # bound for pose sweeps
                         splan.cache_store.clear()
                     splan.cache_store[cache_key] = cache
