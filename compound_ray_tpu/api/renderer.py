@@ -367,8 +367,8 @@ class EyeRenderer:
 
             # lighting routes through the same packed pipeline: GGX direct
             # light with shadow rays traced through per-group occluder
-            # payloads packed in-frame from the actual hit points
-            # (eye/pipeline._shadow_occlusion)
+            # payloads memoised per (pose, lights) from the probed hit
+            # points (eye/pipeline._shadow_plan)
             return render_means_pallas(
                 self.scene, scene_dev, omms_np, pos, ls, key, samples,
                 background,

@@ -78,6 +78,14 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Inflation applied to the per-group hit-bound spheres the shadow plan is
+# built from: the probe samples ONE frame's hit cloud, later frames jitter
+# within the same acceptance cones, so the memoised occluder payloads must
+# cover a neighbourhood of the probed bounds (a hit outside the shaft
+# would silently skip its occluders -> light leak).
+SHADOW_BOUND_INFLATE = 1.25
+
+
 @dataclass
 class ScenePlan:
     """Per-scene kernel payload (built once, like the reference's GAS)."""
@@ -712,7 +720,7 @@ def _pack_fused(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
-        "shadow_kmax", "shadow_rmax", "cull_sigmas", "tex_static",
+        "shadow_rmax", "tex_static",
     ),
 )
 def _render_frame(
@@ -740,11 +748,9 @@ def _render_frame(
     cache_shape: Tuple[int, int] = (0, 0),
     lights: Optional[jnp.ndarray] = None,
     slot_tri: Optional[jnp.ndarray] = None,
-    shadow_tabs=None,  # (mm_flat, slot_center_cl, slot_radius_cl,
-                       #  half_center, half_radius, tri_cl) for lit frames
-    shadow_kmax: int = 0,
+    shadow_rc=None,  # (L, NG) memoised occluder row counts (lit frames)
+    shadow_packed=None,  # (L, NG, shadow_rmax, 16, 512) from _shadow_plan
     shadow_rmax: int = 0,
-    cull_sigmas: float = 0.0,
     tex_static: Optional[Tuple] = None,
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
@@ -761,9 +767,9 @@ def _render_frame(
         rb_size=rb_size, rmax=rmax, textured=textured,
         want_samples=want_samples, cache=cache, use_cache=use_cache,
         tex_only=tex_only, cache_shape=cache_shape,
-        lights=lights, slot_tri=slot_tri, shadow_tabs=shadow_tabs,
-        shadow_kmax=shadow_kmax, shadow_rmax=shadow_rmax,
-        cull_sigmas=cull_sigmas,
+        lights=lights, slot_tri=slot_tri,
+        shadow_rc=shadow_rc, shadow_packed=shadow_packed,
+        shadow_rmax=shadow_rmax,
         tex_static=tex_static,
     )
 
@@ -865,10 +871,9 @@ def _trace_shade_angles(
     cache_shape: Tuple[int, int] = (0, 0),
     lights: Optional[jnp.ndarray] = None,  # (L,7) enables GGX direct light
     slot_tri: Optional[jnp.ndarray] = None,  # (S,) slot -> triangle id
-    shadow_tabs=None,  # scene tables for the in-frame shadow pack
-    shadow_kmax: int = 0,
+    shadow_rc=None,  # (L, NG) int32 memoised occluder payload row counts
+    shadow_packed=None,  # (L, NG, shadow_rmax, 16, 512) from _shadow_plan
     shadow_rmax: int = 0,
-    cull_sigmas: float = 0.0,
     tex_static: Optional[Tuple] = None,  # static single-texture sampler
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
@@ -979,13 +984,11 @@ def _trace_shade_angles(
             bb = jnp.where(sel, qb.reshape(n_pad, samples), bb)
         if lights is not None:
             # GGX direct lighting (__closesthit__radiance, shaders.cu:
-            # 826-881).  Shadow rays trace per-GROUP occluder payloads built
-            # IN-FRAME from the group's ACTUAL hit points: bound the hits,
-            # open a cone from each light covering that bound, exact-refine
-            # + pack the occluders, and run the SAME packed tracer on the
-            # shadow rays.  This replaces the candidate-strip shortlists
-            # (mean 30-46 clusters/ray: a grazing strip's bound spans
-            # 77-400 units) with bounds around where rays actually landed.
+            # 826-881).  Shadow rays trace per-GROUP occluder payloads that
+            # were packed ONCE per (pose, lights) by _shadow_plan from the
+            # groups' actual (probe-frame) hit points; the steady-state lit
+            # frame only builds the shadow rays and runs the packed tracer
+            # per light — no in-frame cull/refine/pack.
             from compound_ray_tpu.trace.lighting import (
                 ggx_light_contrib,
                 shading_basis,
@@ -1025,10 +1028,6 @@ def _trace_shade_angles(
             view = -jnp.stack([dxf, dyf, dzf], axis=-1)
             base = jnp.stack([repad(rr), repad(gg), repad(bb)], axis=-1)
             result = base
-            # per-group bounding sphere of the group's actual hit points —
-            # the shadow shaft apexes at each light and covers this sphere
-            cg_s, rg_s = _hit_bound_spheres(hit_f2, pxf, pyf, pzf, ng, rg_pad)
-            (mm_flat_s, sc_cl, sr_cl, hc_s, hr_s, tri_cl_s) = shadow_tabs
             for li in range(lights.shape[0]):
                 lcol = lights[li, 0:3]
                 lint = lights[li, 3]
@@ -1054,13 +1053,10 @@ def _trace_shade_angles(
                     [lx, ly, lz, sm_x, sm_y, sm_z, -oxs, -oys, -ozs,
                      one_f, zero_f, zero_f, zero_f, zero_f, zero_f, zero_f]
                 )
-                t_occ = _shadow_occlusion(
-                    cg_s, rg_s, lpos, rays_s,
-                    mm_flat_s, sc_cl, sr_cl, hc_s, hr_s, tri_cl_s,
-                    ng=ng, nrb=nrb, rb_size=rb_size,
-                    kcand_s=shadow_kmax, rmax_s=shadow_rmax,
-                    sig=cull_sigmas,
-                )
+                t_occ = run_packed_tracer(
+                    shadow_rc[li], shadow_packed[li], rays_s,
+                    ng=ng, nrb=nrb, rb_size=rb_size, rmax=shadow_rmax,
+                )[0]
                 # empty payloads emit t = inf -> never occluded; no
                 # group-liveness masking needed
                 occ = t_occ < ldist - 2.0 * eps
@@ -1226,39 +1222,46 @@ def _hit_bound_spheres(hit_f, px, py, pz, ng: int, rg_pad: int):
             jnp.where(any_h, r, -1.0))
 
 
-def _shadow_occlusion(
-    cg, rg_sph, lpos, rays_s,
+@functools.partial(
+    jax.jit,
+    static_argnames=("kcand_s", "rmax_s", "sig"),
+)
+def _shadow_pack_one(
+    cg, rg_sph, lpos,
     mm_flat, slot_center_cl, slot_radius_cl, half_center, half_radius,
     tri_cl,
-    ng: int, nrb: int, rb_size: int, kcand_s: int, rmax_s: int, sig: float,
+    kcand_s: int, rmax_s: int, sig: float,
 ):
-    """Closest occluder t along one light's shadow rays, (R,) planar;
-    +inf = unobstructed (traceOcclusion semantics, shaders.cu:135-163).
+    """One light's packed occluder payload for the lit frame, built ONCE
+    per (pose, lights) from the probe's inflated hit-bound spheres: a
+    pseudo-cone apexed at the light covers each group's sphere, clusters
+    are culled against it (distance-bounded at the sphere's far side),
+    candidate triangles exact-refined, and the survivors compacted into the
+    same (NG, rmax_s, 16, 512) payload format the primary tracer consumes.
+    Returns (rc_s (NG,) int32, packed_s (NG, rmax_s, 16, 512)).
 
-    Per-group shadow payloads are packed IN-FRAME: a pseudo-cone apexed at
-    the light covers the group's hit bound sphere, clusters are culled
-    against it (distance-bounded at the sphere's far side), candidate
-    triangles exact-refined, and the survivors compacted into the same
-    (NG, rmax, 16, 512) payload format the primary tracer consumes."""
+    One dispatch PER LIGHT (not one stacked jit for all lights): the
+    refine/pack intermediates are GB-scale at arena candidate widths, and
+    stacking L lights in one program multiplied the peak live set past HBM.
+
+    This replaces the round-2 design that re-ran cull+refine+pack inside
+    EVERY lit frame per light — the pack is pose-determined (through the
+    hit clouds), so paying it per frame made lit rendering 27x unlit."""
     ratio = FWHM_SD_RATIO / sig
-    ps, dm = _shadow_pseudo_omms(cg, rg_sph, lpos, ratio)
     zero3 = jnp.zeros((3,), jnp.float32)
     eye3 = jnp.eye(3, dtype=jnp.float32)
+    ps, dm = _shadow_pseudo_omms(cg, rg_sph, lpos, ratio)
     gmask, _, dmin_all = _cull_groups(
         ps, zero3, eye3, half_center, half_radius, sig, 1,
     )
     gmask = gmask & (dmin_all <= dm[:, None])
     counts = jnp.sum(gmask, axis=-1).astype(jnp.int32)
     ids, _ = _shortlist_sorted(gmask, dmin_all, kcand_s)
-    rc_s, packed_s = _refine_pack(
+    return _refine_pack(
         ps, zero3, eye3, ids[:, :kcand_s], jnp.minimum(counts, kcand_s),
         slot_center_cl, slot_radius_cl, mm_flat,
         1, kcand_s, rmax_s, sig, dmax=dm, tri_cl=tri_cl,
     )
-    out_s = run_packed_tracer(
-        rc_s, packed_s, rays_s, ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax_s,
-    )
-    return out_s[0]
 
 
 @functools.partial(
@@ -1274,12 +1277,13 @@ def _shadow_probe(
     samples: int, ng: int, g: int, nrb: int, rb_size: int, rmax: int,
     cull_sigmas: float, kcand_probe: int,
 ):
-    """Planning dispatch for the lit frame's shadow widths: trace the
-    primary rays once, bound each group's hit points, and measure per light
-    the shaft's cluster count and refined payload rows.  Returns
-    (kc_need (L,), rows_need (L,)) int32.  RNG-dependent only through the
-    hit clouds, which are stable at a fixed pose — callers memoise with a
-    rounding margin (_shadow_widths)."""
+    """Planning dispatch for the lit frame's shadow plan: trace the
+    primary rays once, bound each group's hit points (inflated by
+    SHADOW_BOUND_INFLATE so later frames' RNG-jittered hit clouds stay
+    covered), and measure per light the shaft's cluster count and refined
+    payload rows.  Returns (kc_need (L,), rows_need (L,), cg (NG,3),
+    rg_sph (NG,)); the spheres feed _shadow_pack_all so the widths are
+    measured on exactly the spheres that get packed."""
     n_pad = omms_p.shape[0]
     k_splay, k_spin = jax.random.split(key)
     sd = omms_p[:, 6] / FWHM_SD_RATIO
@@ -1311,6 +1315,11 @@ def _shadow_probe(
     pyf = -repad(jnp.broadcast_to(neg_o[1], (n_pad, samples))) + t_c * dyf
     pzf = -repad(jnp.broadcast_to(neg_o[2], (n_pad, samples))) + t_c * dzf
     cg, rg_sph = _hit_bound_spheres(hit_f, pxf, pyf, pzf, ng, rg_pad)
+    # inflate ONCE here: both the width measurement below and the pack in
+    # _shadow_pack_all consume these spheres, so the payload is guaranteed
+    # to fit the measured widths
+    rg_sph = jnp.where(rg_sph >= 0.0,
+                       rg_sph * SHADOW_BOUND_INFLATE + 1e-2, rg_sph)
 
     ratio = FWHM_SD_RATIO / cull_sigmas
     zero3 = jnp.zeros((3,), jnp.float32)
@@ -1333,18 +1342,18 @@ def _shadow_probe(
         rows = (jnp.sum(mask, axis=-1) + KERNEL_LEAF - 1) // KERNEL_LEAF
         kc_list.append(jnp.max(counts))
         row_list.append(jnp.max(rows))
-    return jnp.stack(kc_list), jnp.stack(row_list)
+    return jnp.stack(kc_list), jnp.stack(row_list), cg, rg_sph
 
 
-def _shadow_widths(splan, eplan, omms_p, position, local_space, pose_sig,
-                   lights_np: np.ndarray, samples: int, key,
-                   packed_mm, row_counts, rmax: int):
-    """Static kernel widths (kcand_s, rmax_s) for the in-frame shadow pack,
-    memoised per (eye, pose, lights, samples).  One probe dispatch + host
-    sync the first time; rounded up with a 25% margin so later frames'
-    slightly different hit clouds stay within the compiled widths (rows
-    beyond rmax_s would silently drop the occluders farthest from the
-    light)."""
+def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
+                 lights_np: np.ndarray, samples: int, key,
+                 packed_mm, row_counts, rmax: int):
+    """Memoised per-light shadow payloads (shadow_rmax, rc_all, packed_all)
+    for a (eye, pose, lights, samples) combination.  One probe dispatch +
+    host sync + pack dispatch the first time a pose is seen; steady-state
+    lit frames then only pay L packed-tracer runs + the GGX math.  The
+    probe inflates the hit-bound spheres (SHADOW_BOUND_INFLATE) so frames
+    with different RNG keys stay covered by the memoised payloads."""
     cfg = get_config()
     sk = (eplan.sig, samples, pose_sig, lights_np.tobytes(),
           cfg.cull_sigmas, cfg.refine_mode)
@@ -1354,7 +1363,7 @@ def _shadow_widths(splan, eplan, omms_p, position, local_space, pose_sig,
         return hit
     kcand_probe = min(splan.num_clusters, 128)
     tri_cl = splan.slot_tri_cl if cfg.refine_mode == "exact" else None
-    kc_need, rows_need = _shadow_probe(
+    kc_need, rows_need, cg, rg_sph = _shadow_probe(
         packed_mm, row_counts, omms_p, position, local_space, key,
         jnp.asarray(lights_np), splan.half_center, splan.half_radius,
         splan.slot_center_cl, splan.slot_radius_cl, tri_cl,
@@ -1364,10 +1373,21 @@ def _shadow_widths(splan, eplan, omms_p, position, local_space, pose_sig,
     )
     kc = int(np.asarray(jax.device_get(jnp.max(kc_need))))
     rw = int(np.asarray(jax.device_get(jnp.max(rows_need))))
+    # widths were measured on the SAME inflated spheres that get packed, so
+    # no extra margin is needed: the payload fits by construction
     shadow_kmax = min(splan.num_clusters, _ceil_to(max(kc, 1), 8))
-    shadow_rmax = min(shadow_kmax,
-                      _ceil_to(max(rw + max(1, rw // 4), 1), 2))
-    out = (shadow_kmax, shadow_rmax)
+    shadow_rmax = min(shadow_kmax, _ceil_to(max(rw, 1), 2))
+    rc_list, pk_list = [], []
+    for li in range(lights_np.shape[0]):
+        rc_s, packed_s = _shadow_pack_one(
+            cg, rg_sph, jnp.asarray(lights_np[li, 4:7]),
+            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+            splan.half_center, splan.half_radius, tri_cl,
+            kcand_s=shadow_kmax, rmax_s=shadow_rmax, sig=cfg.cull_sigmas,
+        )
+        rc_list.append(rc_s)
+        pk_list.append(packed_s)
+    out = (shadow_rmax, jnp.stack(rc_list), jnp.stack(pk_list))
     while len(splan.shadow_store) >= max(1, cfg.shadow_store_size):
         splan.shadow_store.pop(next(iter(splan.shadow_store)))
     splan.shadow_store[sk] = out
@@ -1483,22 +1503,17 @@ def render_means_pallas(
     )
     # lighting disables the far-field radiance cache: cached radiance is
     # unlit, and the reference lights every hit (shaders.cu:826-881).  The
-    # shadow widths probe the PRIMARY hit clouds, so the packed plan must
+    # shadow plan probes the PRIMARY hit clouds, so the packed plan must
     # exist first.
     if lights is not None:
         lights_np = np.asarray(lights, np.float32)
-        shadow_kmax, shadow_rmax = _shadow_widths(
+        shadow_rmax, shadow_rc, shadow_packed = _shadow_plan(
             splan, eplan, omms_p, position, local_space, pose_sig,
             lights_np, samples, key, packed_mm, row_counts, rmax,
         )
         lights_dev = jnp.asarray(lights_np)
-        shadow_tabs = (
-            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
-            splan.half_center, splan.half_radius,
-            splan.slot_tri_cl if cfg.refine_mode == "exact" else None,
-        )
     else:
-        shadow_kmax, shadow_rmax, lights_dev, shadow_tabs = 0, 0, None, None
+        shadow_rmax, shadow_rc, shadow_packed, lights_dev = 0, None, None, None
     means_p = _render_frame(
         packed_mm, row_counts,
         splan.attr_table, scene_dev, splan.quad_table,
@@ -1510,9 +1525,8 @@ def render_means_pallas(
         tex_only=splan.tex_only,
         cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
         lights=lights_dev, slot_tri=splan.slot_tri,
-        shadow_tabs=shadow_tabs,
-        shadow_kmax=shadow_kmax, shadow_rmax=shadow_rmax,
-        cull_sigmas=cfg.cull_sigmas,
+        shadow_rc=shadow_rc, shadow_packed=shadow_packed,
+        shadow_rmax=shadow_rmax,
         tex_static=splan.tex_static,
     )
     return means_p[eplan.inv_valid_dev]

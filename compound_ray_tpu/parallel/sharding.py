@@ -70,11 +70,10 @@ def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
     """Global planning for a sharded frame: eye layout padded to the mesh,
     pose-memoised packed payload, optional shadow widths.  Returns a dict of
     everything the sharded impl needs."""
-    from compound_ray_tpu.config import get_config
     from compound_ray_tpu.eye.pipeline import (
         _packed_plan,
         _plan_widths,
-        _shadow_widths,
+        _shadow_plan,
         eye_plan,
         scene_plan,
     )
@@ -105,7 +104,6 @@ def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
         kcand, rmax,
     )
-    cfg = get_config()
     out = dict(
         splan=splan, eplan=eplan, omms_p=omms_p,
         position=position, local_space=local_space,
@@ -113,22 +111,21 @@ def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
         s_local=samples // sample_axis,
         ng_local=eplan.ng // omm_axis,
         rb_local=_ceil_to(eplan.g * (samples // sample_axis), BATCH_RAYS),
-        shadow_kmax=0, shadow_rmax=0, lights_dev=None, shadow_tabs=None,
-        cull_sigmas=cfg.cull_sigmas,
+        shadow_rmax=0, lights_dev=None, shadow_rc=None, shadow_packed=None,
     )
     if lights_np is not None:
-        shadow_kmax, shadow_rmax = _shadow_widths(
+        # the shadow plan is computed GLOBALLY (probe over the full sample
+        # set), then its per-light payloads shard over the "omm" axis like
+        # the primary payload — each shard traces its groups' shadow rays
+        # against its slice of the memoised occluder tables
+        shadow_rmax, shadow_rc, shadow_packed = _shadow_plan(
             splan, eplan, omms_p, position, local_space, pose_sig,
             lights_np, samples, key, packed_mm, row_counts, rmax,
         )
         out.update(
-            shadow_kmax=shadow_kmax, shadow_rmax=shadow_rmax,
+            shadow_rmax=shadow_rmax, shadow_rc=shadow_rc,
+            shadow_packed=shadow_packed,
             lights_dev=jnp.asarray(lights_np),
-            shadow_tabs=(
-                splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
-                splan.half_center, splan.half_radius,
-                splan.slot_tri_cl if cfg.refine_mode == "exact" else None,
-            ),
         )
     return out
 
@@ -161,16 +158,15 @@ def render_means_sharded_packed(
         splan_args["packed_mm"], splan_args["row_counts"],
         splan_args["omms_p"], splay, spin,
         splan_args["position"], splan_args["local_space"],
-        splan_args["lights_dev"], splan.slot_tri, splan_args["shadow_tabs"],
+        splan_args["lights_dev"], splan.slot_tri,
+        splan_args["shadow_rc"], splan_args["shadow_packed"],
         samples=samples, s_local=splan_args["s_local"],
         background=background,
         ng_local=splan_args["ng_local"], g=eplan.g,
         rb_local=splan_args["rb_local"], rmax=splan_args["rmax"],
         textured=splan.textured, tex_only=splan.tex_only,
         tex_static=splan.tex_static, mesh=mesh,
-        shadow_kmax=splan_args["shadow_kmax"],
         shadow_rmax=splan_args["shadow_rmax"],
-        cull_sigmas=splan_args["cull_sigmas"],
     )
     return means_p[eplan.inv_valid_dev]
 
@@ -180,30 +176,29 @@ def render_means_sharded_packed(
     static_argnames=(
         "samples", "s_local", "background", "ng_local", "g", "rb_local",
         "rmax", "textured", "tex_only", "tex_static", "mesh",
-        "shadow_kmax", "shadow_rmax", "cull_sigmas",
+        "shadow_rmax",
     ),
 )
 def _sharded_packed_impl(
     attr_table, scene_dev, quad_table, packed_mm, row_counts,
     omms_p, splay, spin, position, local_space, lights, slot_tri,
-    shadow_tabs,
+    shadow_rc, shadow_packed,
     samples: int, s_local: int, background: int, ng_local: int, g: int,
     rb_local: int, rmax: int, textured: bool, tex_only: bool,
-    tex_static, mesh: Mesh, shadow_kmax: int, shadow_rmax: int,
-    cull_sigmas: float,
+    tex_static, mesh: Mesh, shadow_rmax: int,
 ):
     """jit-of-shard_map: ONE compiled executable per (widths, mesh) combo.
     An eager shard_map runs its body primitive-by-primitive through the
     impl path (~500 separate pjit dispatches per frame — measured 40 s on
     the 8-device CPU mesh); under jit it lowers to a single SPMD program.
 
-    The lit path shards cleanly because the in-frame shadow pack is
-    group-local: each shard bounds ITS groups' hit points over ITS sample
-    slice and packs its own occluder payloads — no cross-shard state."""
+    The lit path shards cleanly because the memoised occluder payloads are
+    group-indexed: (L, NG, rmax_s, 16, 512) shards over "omm" on the group
+    axis exactly like the primary payload — no cross-shard state."""
 
     def shard_fn(attr_l, sdev_l, quad_l, pmm_l, rc_l, omms_l,
                  splay_l, spin_l, pos_l, ls_l, lights_l, slot_tri_l,
-                 stabs_l):
+                 src_l, spk_l):
         from compound_ray_tpu.eye.pipeline import _trace_shade_angles
 
         partial = _trace_shade_angles(
@@ -212,9 +207,9 @@ def _sharded_packed_impl(
             samples=s_local, background=background, ng=ng_local, g=g,
             nrb=1, rb_size=rb_local, rmax=rmax, textured=textured,
             tex_only=tex_only, tex_static=tex_static,
-            lights=lights_l, slot_tri=slot_tri_l, shadow_tabs=stabs_l,
-            shadow_kmax=shadow_kmax, shadow_rmax=shadow_rmax,
-            cull_sigmas=cull_sigmas,
+            lights=lights_l, slot_tri=slot_tri_l,
+            shadow_rc=src_l, shadow_packed=spk_l,
+            shadow_rmax=shadow_rmax,
         )  # (Np_local, 3) mean over the LOCAL sample slice
         # combine sample-axis partial means over ICI (the collective
         # replacement for summing_kernel.cu's warp shuffles)
@@ -230,7 +225,8 @@ def _sharded_packed_impl(
             P("omm", None, None, None), P("omm"),
             P("omm", None),
             P("omm", "sample"), P("omm", "sample"),
-            P(), P(), P(), P(), P(),
+            P(), P(), P(), P(),
+            P(None, "omm"), P(None, "omm", None, None, None),
         ),
         out_specs=P("omm", None),
         check_vma=False,
@@ -238,7 +234,7 @@ def _sharded_packed_impl(
     return fn(
         attr_table, scene_dev, quad_table, packed_mm,
         row_counts, omms_p, splay, spin, position, local_space,
-        lights, slot_tri, shadow_tabs,
+        lights, slot_tri, shadow_rc, shadow_packed,
     )
 
 
