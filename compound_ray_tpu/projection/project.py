@@ -55,7 +55,13 @@ def _angles_to(ref_vectors: jnp.ndarray, sphere_dirs: jnp.ndarray) -> jnp.ndarra
     computed as acos(dot/(|a||b|)) like the reference."""
     norm_r = jnp.linalg.norm(ref_vectors, axis=-1)  # (N,)
     norm_p = jnp.linalg.norm(sphere_dirs, axis=-1)  # (H,W)
-    dots = jnp.einsum("hwc,nc->hwn", sphere_dirs, ref_vectors)
+    # HIGHEST: the TPU MXU default (one bf16 pass) gives ~4e-3 cosine error,
+    # which arccos amplifies to ~5 degrees near |cos|=1 — adjacent-cell
+    # Voronoi winners flip (measured 11.5/255 MAE vs CPU in high-contrast
+    # bands at 1000 omms / ~6 degree spacing).  This matmul is tiny
+    # (H*W*N*3 MACs), so full precision is free.
+    dots = jnp.einsum("hwc,nc->hwn", sphere_dirs, ref_vectors,
+                      precision=jax.lax.Precision.HIGHEST)
     cosang = dots / (norm_r[None, None, :] * norm_p[..., None])
     return jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
 

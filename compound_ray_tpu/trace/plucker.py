@@ -75,13 +75,16 @@ def plucker_closest_hit(
     T = tri["normal"].shape[0]
     r6 = ray6(o, d)  # (R,6)
     w = jnp.einsum(
-        "rk,tek->rte", r6, tri["edge6"], preferred_element_type=jnp.float32
+        "rk,tek->rte", r6, tri["edge6"], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )  # (R,T,3)
     den = jnp.einsum(
-        "rk,tk->rt", d, tri["normal"], preferred_element_type=jnp.float32
+        "rk,tk->rt", d, tri["normal"], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )
     onum = jnp.einsum(
-        "rk,tk->rt", o, tri["normal"], preferred_element_type=jnp.float32
+        "rk,tk->rt", o, tri["normal"], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     )
     t = (tri["c0"][None, :] - onum) / den  # inf/nan where den == 0
 
