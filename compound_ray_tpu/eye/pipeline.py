@@ -57,6 +57,7 @@ from compound_ray_tpu.trace.mm_tracer import (
     MM_COLS,
     MM_FEATS,
     build_mm_features,
+    run_flat_occlusion,
     run_packed_tracer,
     slot_spheres,
 )
@@ -720,7 +721,7 @@ def _pack_fused(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
-        "shadow_rmax", "tex_static",
+        "shadow_jmax", "tex_static",
     ),
 )
 def _render_frame(
@@ -748,9 +749,10 @@ def _render_frame(
     cache_shape: Tuple[int, int] = (0, 0),
     lights: Optional[jnp.ndarray] = None,
     slot_tri: Optional[jnp.ndarray] = None,
-    shadow_rc=None,  # (L, NG) memoised occluder row counts (lit frames)
-    shadow_packed=None,  # (L, NG, shadow_rmax, 16, 512) from _shadow_plan
-    shadow_rmax: int = 0,
+    shadow_counts=None,  # (L, NG) memoised occluder row counts (lit frames)
+    shadow_offs=None,  # (L, NG) group start rows in shadow_flat
+    shadow_flat=None,  # (T, 16, 512) shared ragged payload (_shadow_plan)
+    shadow_jmax: int = 0,
     tex_static: Optional[Tuple] = None,
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
@@ -768,8 +770,8 @@ def _render_frame(
         want_samples=want_samples, cache=cache, use_cache=use_cache,
         tex_only=tex_only, cache_shape=cache_shape,
         lights=lights, slot_tri=slot_tri,
-        shadow_rc=shadow_rc, shadow_packed=shadow_packed,
-        shadow_rmax=shadow_rmax,
+        shadow_counts=shadow_counts, shadow_offs=shadow_offs,
+        shadow_flat=shadow_flat, shadow_jmax=shadow_jmax,
         tex_static=tex_static,
     )
 
@@ -871,9 +873,10 @@ def _trace_shade_angles(
     cache_shape: Tuple[int, int] = (0, 0),
     lights: Optional[jnp.ndarray] = None,  # (L,7) enables GGX direct light
     slot_tri: Optional[jnp.ndarray] = None,  # (S,) slot -> triangle id
-    shadow_rc=None,  # (L, NG) int32 memoised occluder payload row counts
-    shadow_packed=None,  # (L, NG, shadow_rmax, 16, 512) from _shadow_plan
-    shadow_rmax: int = 0,
+    shadow_counts=None,  # (L, NG) int32 memoised occluder row counts
+    shadow_offs=None,  # (L, NG) int32 group start rows in shadow_flat
+    shadow_flat=None,  # (T, 16, 512) shared ragged payload (_shadow_plan)
+    shadow_jmax: int = 0,
     tex_static: Optional[Tuple] = None,  # static single-texture sampler
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
@@ -984,11 +987,13 @@ def _trace_shade_angles(
             bb = jnp.where(sel, qb.reshape(n_pad, samples), bb)
         if lights is not None:
             # GGX direct lighting (__closesthit__radiance, shaders.cu:
-            # 826-881).  Shadow rays trace per-GROUP occluder payloads that
-            # were packed ONCE per (pose, lights) by _shadow_plan from the
-            # groups' actual (probe-frame) hit points; the steady-state lit
-            # frame only builds the shadow rays and runs the packed tracer
-            # per light — no in-frame cull/refine/pack.
+            # 826-881).  Shadow rays traverse each group's OWN rows of a
+            # shared ragged occluder table memoised by _shadow_plan from
+            # the groups' actual (probe-frame) hit points, addressed via
+            # the kernel's scalar-prefetch offs/counts index map; the
+            # steady-state lit frame only builds the shadow rays and runs
+            # L occlusion kernels — no in-frame cull/refine/pack, and
+            # memory is the actual total occluder row count.
             from compound_ray_tpu.trace.lighting import (
                 ggx_light_contrib,
                 shading_basis,
@@ -1053,9 +1058,9 @@ def _trace_shade_angles(
                     [lx, ly, lz, sm_x, sm_y, sm_z, -oxs, -oys, -ozs,
                      one_f, zero_f, zero_f, zero_f, zero_f, zero_f, zero_f]
                 )
-                t_occ = run_packed_tracer(
-                    shadow_rc[li], shadow_packed[li], rays_s,
-                    ng=ng, nrb=nrb, rb_size=rb_size, rmax=shadow_rmax,
+                t_occ = run_flat_occlusion(
+                    shadow_counts[li], shadow_offs[li], shadow_flat, rays_s,
+                    ng=ng, nrb=nrb, rb_size=rb_size, jmax=shadow_jmax,
                 )[0]
                 # empty payloads emit t = inf -> never occluded; no
                 # group-liveness masking needed
@@ -1232,21 +1237,17 @@ def _shadow_pack_one(
     tri_cl,
     kcand_s: int, rmax_s: int, sig: float,
 ):
-    """One light's packed occluder payload for the lit frame, built ONCE
-    per (pose, lights) from the probe's inflated hit-bound spheres: a
-    pseudo-cone apexed at the light covers each group's sphere, clusters
-    are culled against it (distance-bounded at the sphere's far side),
-    candidate triangles exact-refined, and the survivors compacted into the
-    same (NG, rmax_s, 16, 512) payload format the primary tracer consumes.
-    Returns (rc_s (NG,) int32, packed_s (NG, rmax_s, 16, 512)).
+    """One light's packed occluder payload, built ONCE per (pose, lights)
+    from the probe's inflated hit-bound spheres: a pseudo-cone apexed at
+    the light covers each group's sphere, clusters are culled against it
+    (distance-bounded at the sphere's far side), candidate triangles
+    exact-refined, and the survivors compacted into (NG, rmax_s, 16, 512)
+    rows.  Returns (rc_s (NG,) int32, packed_s (NG, rmax_s, 16, 512)).
 
-    One dispatch PER LIGHT (not one stacked jit for all lights): the
-    refine/pack intermediates are GB-scale at arena candidate widths, and
-    stacking L lights in one program multiplied the peak live set past HBM.
-
-    This replaces the round-2 design that re-ran cull+refine+pack inside
-    EVERY lit frame per light — the pack is pose-determined (through the
-    hit clouds), so paying it per frame made lit rendering 27x unlit."""
+    The caller immediately flattens the LIVE rows into the shared ragged
+    table (_shadow_plan), so this dense intermediate is transient — one
+    light at a time, freed before the next pack (stacking L dense payloads
+    exhausted HBM on the 190-cluster natural scene)."""
     ratio = FWHM_SD_RATIO / sig
     zero3 = jnp.zeros((3,), jnp.float32)
     eye3 = jnp.eye(3, dtype=jnp.float32)
@@ -1281,8 +1282,8 @@ def _shadow_probe(
     primary rays once, bound each group's hit points (inflated by
     SHADOW_BOUND_INFLATE so later frames' RNG-jittered hit clouds stay
     covered), and measure per light the shaft's cluster count and refined
-    payload rows.  Returns (kc_need (L,), rows_need (L,), cg (NG,3),
-    rg_sph (NG,)); the spheres feed _shadow_pack_all so the widths are
+    payload rows.  Returns (kc_need (L,), rows_need (L,), cg (NG, 3),
+    rg_sph (NG,)); the spheres feed _shadow_pack_one so the widths are
     measured on exactly the spheres that get packed."""
     n_pad = omms_p.shape[0]
     k_splay, k_spin = jax.random.split(key)
@@ -1315,9 +1316,9 @@ def _shadow_probe(
     pyf = -repad(jnp.broadcast_to(neg_o[1], (n_pad, samples))) + t_c * dyf
     pzf = -repad(jnp.broadcast_to(neg_o[2], (n_pad, samples))) + t_c * dzf
     cg, rg_sph = _hit_bound_spheres(hit_f, pxf, pyf, pzf, ng, rg_pad)
-    # inflate ONCE here: both the width measurement below and the pack in
-    # _shadow_pack_all consume these spheres, so the payload is guaranteed
-    # to fit the measured widths
+    # inflate the probed bounds so later frames' RNG-jittered hit clouds
+    # stay inside the memoised shafts (a hit outside the shaft would skip
+    # its occluders -> light leak)
     rg_sph = jnp.where(rg_sph >= 0.0,
                        rg_sph * SHADOW_BOUND_INFLATE + 1e-2, rg_sph)
 
@@ -1348,12 +1349,23 @@ def _shadow_probe(
 def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
                  lights_np: np.ndarray, samples: int, key,
                  packed_mm, row_counts, rmax: int):
-    """Memoised per-light shadow payloads (shadow_rmax, rc_all, packed_all)
-    for a (eye, pose, lights, samples) combination.  One probe dispatch +
-    host sync + pack dispatch the first time a pose is seen; steady-state
-    lit frames then only pay L packed-tracer runs + the GGX math.  The
-    probe inflates the hit-bound spheres (SHADOW_BOUND_INFLATE) so frames
-    with different RNG keys stay covered by the memoised payloads."""
+    """Memoised RAGGED shadow payload
+    (shadow_jmax, counts (L, NG), offs (L, NG), flat_rows (T, 16, 512))
+    for a (eye, pose, lights, samples) combination.
+
+    Per light, the probe's hit-bound shafts are exact-refined and packed
+    (same triangle granularity as the primary payload — cluster-granular
+    shortlists measured 16x unlit because shafts keep 10-40x more
+    triangles than the refine), then the LIVE rows of the transient dense
+    (NG, rmax_s, 16, 512) pack are flattened into one shared table: memory
+    is the ACTUAL total row count (sum of counts), not L x NG x max — the
+    dense per-light stack exhausted HBM on the natural scene.  The
+    occlusion kernel (run_flat_occlusion) addresses flat_rows through the
+    scalar-prefetched offs/counts, so per-group work is the group's own
+    occluder rows.  Flatten indices are computed on the HOST at plan time
+    (one sync per light); steady-state lit frames pay only L occlusion
+    kernels + the GGX math.  shadow_jmax (the max rows of any group) is
+    the kernel's static grid width, rounded to 2 for compile reuse."""
     cfg = get_config()
     sk = (eplan.sig, samples, pose_sig, lights_np.tobytes(),
           cfg.cull_sigmas, cfg.refine_mode)
@@ -1372,22 +1384,50 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
         cull_sigmas=cfg.cull_sigmas, kcand_probe=kcand_probe,
     )
     kc = int(np.asarray(jax.device_get(jnp.max(kc_need))))
-    rw = int(np.asarray(jax.device_get(jnp.max(rows_need))))
-    # widths were measured on the SAME inflated spheres that get packed, so
-    # no extra margin is needed: the payload fits by construction
+    rw_all = np.asarray(jax.device_get(rows_need))
     shadow_kmax = min(splan.num_clusters, _ceil_to(max(kc, 1), 8))
-    shadow_rmax = min(shadow_kmax, _ceil_to(max(rw, 1), 2))
-    rc_list, pk_list = [], []
+    ng = eplan.ng
+    flat_parts, offs_np = [], np.zeros((lights_np.shape[0], ng), np.int64)
+    cnts_np = np.zeros((lights_np.shape[0], ng), np.int32)
+    base = 0
     for li in range(lights_np.shape[0]):
+        rmax_li = min(shadow_kmax, _ceil_to(max(int(rw_all[li]), 1), 2))
         rc_s, packed_s = _shadow_pack_one(
             cg, rg_sph, jnp.asarray(lights_np[li, 4:7]),
             splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
             splan.half_center, splan.half_radius, tri_cl,
-            kcand_s=shadow_kmax, rmax_s=shadow_rmax, sig=cfg.cull_sigmas,
+            kcand_s=shadow_kmax, rmax_s=rmax_li, sig=cfg.cull_sigmas,
         )
-        rc_list.append(rc_s)
-        pk_list.append(packed_s)
-    out = (shadow_rmax, jnp.stack(rc_list), jnp.stack(pk_list))
+        rc_np = np.asarray(jax.device_get(rc_s), np.int64)
+        rc_np = np.minimum(rc_np, rmax_li)
+        # host-side flatten plan: live-row gather indices into the dense
+        # transient, group-major so offs[g] + j walks group g's rows
+        src = np.concatenate(
+            [g0 * rmax_li + np.arange(rc_np[g0]) for g0 in range(ng)]
+        ) if rc_np.sum() else np.zeros((0,), np.int64)
+        flat_parts.append(jnp.take(
+            packed_s.reshape(ng * rmax_li, MM_FEATS, MM_COLS),
+            jnp.asarray(src, jnp.int32), axis=0,
+        ) if src.size else None)
+        row_offs = base + np.concatenate(([0], np.cumsum(rc_np)[:-1]))
+        # zero-count groups never read their row, but the index map still
+        # DMAs it — point them at row 0 so the fetch stays in bounds even
+        # when the group's natural offset is one past the table end
+        row_offs[rc_np == 0] = 0
+        offs_np[li] = row_offs
+        cnts_np[li] = rc_np
+        base += int(rc_np.sum())
+        del packed_s  # transient dense pack: freed before the next light
+    # pad the shared table to a 64-row bucket so nearby poses reuse the
+    # compiled kernel (the jit key includes flat_rows.shape[0])
+    t_pad = _ceil_to(max(base, 1), 64)
+    parts = [p for p in flat_parts if p is not None]
+    pad_rows = jnp.zeros((t_pad - base, MM_FEATS, MM_COLS), jnp.float32)
+    flat_rows = jnp.concatenate(parts + [pad_rows], axis=0) if parts else (
+        jnp.zeros((t_pad, MM_FEATS, MM_COLS), jnp.float32))
+    shadow_jmax = _ceil_to(max(int(cnts_np.max()), 1), 2)
+    out = (shadow_jmax, jnp.asarray(cnts_np),
+           jnp.asarray(offs_np.astype(np.int32)), flat_rows)
     while len(splan.shadow_store) >= max(1, cfg.shadow_store_size):
         splan.shadow_store.pop(next(iter(splan.shadow_store)))
     splan.shadow_store[sk] = out
@@ -1507,13 +1547,14 @@ def render_means_pallas(
     # exist first.
     if lights is not None:
         lights_np = np.asarray(lights, np.float32)
-        shadow_rmax, shadow_rc, shadow_packed = _shadow_plan(
+        shadow_jmax, shadow_counts, shadow_offs, shadow_flat = _shadow_plan(
             splan, eplan, omms_p, position, local_space, pose_sig,
             lights_np, samples, key, packed_mm, row_counts, rmax,
         )
         lights_dev = jnp.asarray(lights_np)
     else:
-        shadow_rmax, shadow_rc, shadow_packed, lights_dev = 0, None, None, None
+        shadow_jmax, shadow_counts, shadow_offs = 0, None, None
+        shadow_flat, lights_dev = None, None
     means_p = _render_frame(
         packed_mm, row_counts,
         splan.attr_table, scene_dev, splan.quad_table,
@@ -1525,8 +1566,8 @@ def render_means_pallas(
         tex_only=splan.tex_only,
         cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
         lights=lights_dev, slot_tri=splan.slot_tri,
-        shadow_rc=shadow_rc, shadow_packed=shadow_packed,
-        shadow_rmax=shadow_rmax,
+        shadow_counts=shadow_counts, shadow_offs=shadow_offs,
+        shadow_flat=shadow_flat, shadow_jmax=shadow_jmax,
         tex_static=splan.tex_static,
     )
     return means_p[eplan.inv_valid_dev]

@@ -433,8 +433,117 @@ def _packed_kernel_flat(counts_ref, tri_ref, rays_ref, out_ref):
         jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
 
 
+def _flat_occlusion_kernel(offs_ref, counts_ref, tri_ref, rays_ref,
+                           out_ref, bt_s):
+    """Grid = (NG, NRB, JMAX): per (group, ray-block), step through the
+    group's rows of the shared RAGGED payload table; the index map DMAs
+    exactly row offs[g] + j, so per-group work equals the group's own
+    occluder row count — the TPU analogue of a per-ray BVH walk for shadow
+    rays.  Closest-t accumulates in VMEM scratch across the row grid dim
+    (TPU grids iterate sequentially); the final step reduces to out."""
+    g = pl.program_id(0)
+    j = pl.program_id(2)
+    kmax = pl.num_programs(2)
+    cnt = counts_ref[g]
+    rb = rays_ref.shape[1]
+    big = jnp.float32(jnp.inf)
+
+    @pl.when(j == 0)
+    def _init():
+        bt_s[...] = jnp.full(bt_s.shape, big)
+
+    @pl.when(j < cnt)
+    def _test_row():
+        ft = rays_ref[...]  # (16, RB)
+        mm = tri_ref[0]  # (16, 512)
+        p = jax.lax.dot_general(
+            ft, mm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (RB, 512)
+        w1 = p[:, 0:KERNEL_LEAF]
+        w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
+        den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
+        tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
+        inv = 1.0 / den
+        u = w1 * inv
+        v = w2 * inv
+        t = tnum * inv
+        bt = bt_s[...]
+        ok = (
+            (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= 0.0) & (t < bt)
+        )
+        bt_s[...] = jnp.where(ok, t, bt)
+
+    @pl.when(j == kmax - 1)
+    def _emit():
+        tmin_l = jnp.min(bt_s[...], axis=1, keepdims=True)  # (RB, 1)
+        out_ref[...] = jnp.where(
+            jnp.isfinite(tmin_l), tmin_l, big
+        ).reshape(1, rb)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ng", "nrb", "rb_size", "jmax")
+)
+def run_flat_occlusion(
+    counts: jnp.ndarray,  # (NG,) int32 payload rows per group
+    offs: jnp.ndarray,  # (NG,) int32 first row of each group in flat_rows
+    flat_rows: jnp.ndarray,  # (T, 16, 512) shared ragged payload table
+    rays: jnp.ndarray,  # (16, NG*NRB*RB) f32 PLANAR shadow rays
+    ng: int,
+    nrb: int,
+    rb_size: int,
+    jmax: int,
+) -> jnp.ndarray:
+    """Closest-t along shadow rays, (1, R) planar; +inf = unobstructed.
+    The caller compares t against the ray-to-light distance to decide
+    occlusion (traceOcclusion semantics, shaders.cu:135-163).
+
+    Scalar-prefetch-driven RAGGED traversal: the payload table holds only
+    the rows that exist (sum of counts), each group's rows contiguous from
+    offs[g]; each grid step DMAs the single 32 KB row offs[g] + j — no
+    dense (NG, rmax) padding in memory, and per-group work is the group's
+    own occluder count (Pallas skips the fetch when the index repeats, so
+    steps past the count, clamped to the last row, are near-free)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ng, nrb, jmax),
+        in_specs=[
+            pl.BlockSpec(
+                (1, MM_FEATS, MM_COLS),
+                lambda g, rb, j, offs, counts: (
+                    offs[g] + jnp.minimum(j, jnp.maximum(counts[g] - 1, 0)),
+                    0, 0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (RAY_FEATS, rb_size),
+                lambda g, rb, j, offs, counts: (0, g * nrb + rb),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rb_size),
+            lambda g, rb, j, offs, counts: (0, g * nrb + rb),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rb_size, KERNEL_LEAF), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _flat_occlusion_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, rays.shape[1]), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(offs, counts, flat_rows, rays)
 
 
 @functools.partial(
