@@ -57,8 +57,8 @@ from compound_ray_tpu.trace.mm_tracer import (
     MM_COLS,
     MM_FEATS,
     build_mm_features,
-    run_flat_occlusion,
     run_packed_tracer,
+    run_rows_occlusion,
     slot_spheres,
 )
 from compound_ray_tpu.trace.shade import (
@@ -721,7 +721,7 @@ def _pack_fused(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
-        "shadow_jmax", "tex_static",
+        "tex_static",
     ),
 )
 def _render_frame(
@@ -750,9 +750,9 @@ def _render_frame(
     lights: Optional[jnp.ndarray] = None,
     slot_tri: Optional[jnp.ndarray] = None,
     shadow_counts=None,  # (L, NG) memoised occluder row counts (lit frames)
-    shadow_offs=None,  # (L, NG) group start rows in shadow_flat
+    shadow_r2v=None,  # (T,) row -> virtual group (light*NG + group)
+    shadow_flag=None,  # (T,) 2 first-of-group / 1 live / 0 padding
     shadow_flat=None,  # (T, 16, 512) shared ragged payload (_shadow_plan)
-    shadow_jmax: int = 0,
     tex_static: Optional[Tuple] = None,
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
@@ -770,8 +770,8 @@ def _render_frame(
         want_samples=want_samples, cache=cache, use_cache=use_cache,
         tex_only=tex_only, cache_shape=cache_shape,
         lights=lights, slot_tri=slot_tri,
-        shadow_counts=shadow_counts, shadow_offs=shadow_offs,
-        shadow_flat=shadow_flat, shadow_jmax=shadow_jmax,
+        shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
+        shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         tex_static=tex_static,
     )
 
@@ -874,9 +874,9 @@ def _trace_shade_angles(
     lights: Optional[jnp.ndarray] = None,  # (L,7) enables GGX direct light
     slot_tri: Optional[jnp.ndarray] = None,  # (S,) slot -> triangle id
     shadow_counts=None,  # (L, NG) int32 memoised occluder row counts
-    shadow_offs=None,  # (L, NG) int32 group start rows in shadow_flat
+    shadow_r2v=None,  # (T,) int32 row -> virtual group (light*NG + group)
+    shadow_flag=None,  # (T,) int32 2 first-of-group / 1 live / 0 padding
     shadow_flat=None,  # (T, 16, 512) shared ragged payload (_shadow_plan)
-    shadow_jmax: int = 0,
     tex_static: Optional[Tuple] = None,  # static single-texture sampler
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
@@ -987,13 +987,13 @@ def _trace_shade_angles(
             bb = jnp.where(sel, qb.reshape(n_pad, samples), bb)
         if lights is not None:
             # GGX direct lighting (__closesthit__radiance, shaders.cu:
-            # 826-881).  Shadow rays traverse each group's OWN rows of a
-            # shared ragged occluder table memoised by _shadow_plan from
-            # the groups' actual (probe-frame) hit points, addressed via
-            # the kernel's scalar-prefetch offs/counts index map; the
+            # 826-881).  Shadow rays traverse each (light, group)'s OWN
+            # rows of a shared ragged occluder table memoised by
+            # _shadow_plan from the groups' actual (probe-frame) hit
+            # points; the row-major kernel grid equals the table's actual
+            # row count and every light rides ONE dispatch — the
             # steady-state lit frame only builds the shadow rays and runs
-            # L occlusion kernels — no in-frame cull/refine/pack, and
-            # memory is the actual total occluder row count.
+            # one occlusion kernel + the GGX math.
             from compound_ray_tpu.trace.lighting import (
                 ggx_light_contrib,
                 shading_basis,
@@ -1033,9 +1033,10 @@ def _trace_shade_angles(
             view = -jnp.stack([dxf, dyf, dzf], axis=-1)
             base = jnp.stack([repad(rr), repad(gg), repad(bb)], axis=-1)
             result = base
-            for li in range(lights.shape[0]):
-                lcol = lights[li, 0:3]
-                lint = lights[li, 3]
+            n_lights = lights.shape[0]
+            r_per_light = ng * rg_pad
+            ray_parts, ldirs, ldists = [], [], []
+            for li in range(n_lights):
                 lpos = lights[li, 4:7]
                 tox = lpos[0] - pxf
                 toy = lpos[1] - pyf
@@ -1043,9 +1044,8 @@ def _trace_shade_angles(
                 ldist = jnp.sqrt(tox * tox + toy * toy + toz * toz)
                 inv_ld = 1.0 / jnp.maximum(ldist, 1e-20)
                 lx, ly, lz = tox * inv_ld, toy * inv_ld, toz * inv_ld
-                # shadow ray from p + eps*l toward the light, traced
-                # through this light's packed payload; occluded if anything
-                # lies closer than the light
+                # shadow ray from p + eps*l toward the light; occluded if
+                # anything lies closer than the light
                 oxs = pxf + eps * lx
                 oys = pyf + eps * ly
                 ozs = pzf + eps * lz
@@ -1054,16 +1054,33 @@ def _trace_shade_angles(
                 sm_z = oxs * ly - oys * lx
                 one_f = jnp.ones_like(lx)
                 zero_f = jnp.zeros_like(lx)
-                rays_s = jnp.stack(
+                ray_parts.append(jnp.stack(
                     [lx, ly, lz, sm_x, sm_y, sm_z, -oxs, -oys, -ozs,
                      one_f, zero_f, zero_f, zero_f, zero_f, zero_f, zero_f]
-                )
-                t_occ = run_flat_occlusion(
-                    shadow_counts[li], shadow_offs[li], shadow_flat, rays_s,
-                    ng=ng, nrb=nrb, rb_size=rb_size, jmax=shadow_jmax,
-                )[0]
-                # empty payloads emit t = inf -> never occluded; no
-                # group-liveness masking needed
+                ))
+                ldirs.append((lx, ly, lz))
+                ldists.append(ldist)
+            # ONE row-major occlusion dispatch covers every light: the ray
+            # vector stacks each light's group-major block so virtual group
+            # light*NG + g addresses its own rays (trace/mm_tracer.py
+            # run_rows_occlusion)
+            t_all = run_rows_occlusion(
+                shadow_r2v, shadow_flag, shadow_flat,
+                jnp.concatenate(ray_parts, axis=1),
+                nrb=nrb, rb_size=rb_size,
+            )[0]
+            for li in range(n_lights):
+                lcol = lights[li, 0:3]
+                lint = lights[li, 3]
+                lx, ly, lz = ldirs[li]
+                ldist = ldists[li]
+                t_occ = t_all[li * r_per_light:(li + 1) * r_per_light]
+                # zero-row virtual groups are never visited by the kernel:
+                # their lanes hold garbage — mask to +inf (unobstructed)
+                cnt_ray = jnp.broadcast_to(
+                    shadow_counts[li][:, None], (ng, rg_pad)
+                ).reshape(-1)
+                t_occ = jnp.where(cnt_ray > 0, t_occ, jnp.inf)
                 occ = t_occ < ldist - 2.0 * eps
                 contrib, facing = ggx_light_contrib(
                     n_vec, view,
@@ -1348,27 +1365,32 @@ def _shadow_probe(
 
 def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
                  lights_np: np.ndarray, samples: int, key,
-                 packed_mm, row_counts, rmax: int):
-    """Memoised RAGGED shadow payload
-    (shadow_jmax, counts (L, NG), offs (L, NG), flat_rows (T, 16, 512))
-    for a (eye, pose, lights, samples) combination.
+                 packed_mm, row_counts, rmax: int, shards: int = 1):
+    """Memoised ROW-MAJOR shadow payload
+    (counts (L, NG), r2v (T,), flag (T,), flat_rows (T, 16, 512))
+    for a (eye, pose, lights, samples, mesh-shards) combination.
 
     Per light, the probe's hit-bound shafts are exact-refined and packed
     (same triangle granularity as the primary payload — cluster-granular
     shortlists measured 16x unlit because shafts keep 10-40x more
     triangles than the refine), then the LIVE rows of the transient dense
-    (NG, rmax_s, 16, 512) pack are flattened into one shared table: memory
-    is the ACTUAL total row count (sum of counts), not L x NG x max — the
-    dense per-light stack exhausted HBM on the natural scene.  The
-    occlusion kernel (run_flat_occlusion) addresses flat_rows through the
-    scalar-prefetched offs/counts, so per-group work is the group's own
-    occluder rows.  Flatten indices are computed on the HOST at plan time
-    (one sync per light); steady-state lit frames pay only L occlusion
-    kernels + the GGX math.  shadow_jmax (the max rows of any group) is
-    the kernel's static grid width, rounded to 2 for compile reuse."""
+    (NG, rmax_s, 16, 512) pack are flattened into one shared table sorted
+    by VIRTUAL GROUP (light*NG + group): memory AND kernel grid equal the
+    actual total row count (a per-group jmax grid measured ~40 ms/light of
+    masked-step overhead; the dense per-light stack exhausted HBM).  r2v
+    maps each row to its virtual group, flag marks first-of-group (2) /
+    live (1) / padding (0) rows; run_rows_occlusion traces ALL lights in
+    one dispatch.  Padding rows inherit the last live row's virtual group
+    so the revisited out block never changes on dead steps (a block change
+    there would write back a stale buffer).  For `shards` > 1 the table is
+    laid out shard-major with equal per-shard padding, and r2v holds
+    SHARD-LOCAL virtual groups (light*NG_local + g_local), so shard_map
+    can split it with P("omm") on the row axis.  Flatten indices are
+    computed on the HOST at plan time (one sync per light); steady-state
+    lit frames pay one occlusion kernel + the GGX math."""
     cfg = get_config()
     sk = (eplan.sig, samples, pose_sig, lights_np.tobytes(),
-          cfg.cull_sigmas, cfg.refine_mode)
+          cfg.cull_sigmas, cfg.refine_mode, shards)
     hit = splan.shadow_store.get(sk)
     if hit is not None:
         splan.shadow_store[sk] = splan.shadow_store.pop(sk)  # LRU refresh
@@ -1387,10 +1409,12 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     rw_all = np.asarray(jax.device_get(rows_need))
     shadow_kmax = min(splan.num_clusters, _ceil_to(max(kc, 1), 8))
     ng = eplan.ng
-    flat_parts, offs_np = [], np.zeros((lights_np.shape[0], ng), np.int64)
-    cnts_np = np.zeros((lights_np.shape[0], ng), np.int32)
-    base = 0
-    for li in range(lights_np.shape[0]):
+    n_lights = lights_np.shape[0]
+    ngl = ng // shards
+    cnts_np = np.zeros((n_lights, ng), np.int32)
+    shard_parts = [[] for _ in range(shards)]  # device row chunks, in order
+    shard_rc = [[] for _ in range(shards)]  # per light: local (ngl,) counts
+    for li in range(n_lights):
         rmax_li = min(shadow_kmax, _ceil_to(max(int(rw_all[li]), 1), 2))
         rc_s, packed_s = _shadow_pack_one(
             cg, rg_sph, jnp.asarray(lights_np[li, 4:7]),
@@ -1398,36 +1422,56 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
             splan.half_center, splan.half_radius, tri_cl,
             kcand_s=shadow_kmax, rmax_s=rmax_li, sig=cfg.cull_sigmas,
         )
-        rc_np = np.asarray(jax.device_get(rc_s), np.int64)
-        rc_np = np.minimum(rc_np, rmax_li)
-        # host-side flatten plan: live-row gather indices into the dense
-        # transient, group-major so offs[g] + j walks group g's rows
-        src = np.concatenate(
-            [g0 * rmax_li + np.arange(rc_np[g0]) for g0 in range(ng)]
-        ) if rc_np.sum() else np.zeros((0,), np.int64)
-        flat_parts.append(jnp.take(
-            packed_s.reshape(ng * rmax_li, MM_FEATS, MM_COLS),
-            jnp.asarray(src, jnp.int32), axis=0,
-        ) if src.size else None)
-        row_offs = base + np.concatenate(([0], np.cumsum(rc_np)[:-1]))
-        # zero-count groups never read their row, but the index map still
-        # DMAs it — point them at row 0 so the fetch stays in bounds even
-        # when the group's natural offset is one past the table end
-        row_offs[rc_np == 0] = 0
-        offs_np[li] = row_offs
+        rc_np = np.minimum(np.asarray(jax.device_get(rc_s), np.int64),
+                           rmax_li)
         cnts_np[li] = rc_np
-        base += int(rc_np.sum())
-        del packed_s  # transient dense pack: freed before the next light
-    # pad the shared table to a 64-row bucket so nearby poses reuse the
-    # compiled kernel (the jit key includes flat_rows.shape[0])
-    t_pad = _ceil_to(max(base, 1), 64)
-    parts = [p for p in flat_parts if p is not None]
-    pad_rows = jnp.zeros((t_pad - base, MM_FEATS, MM_COLS), jnp.float32)
-    flat_rows = jnp.concatenate(parts + [pad_rows], axis=0) if parts else (
-        jnp.zeros((t_pad, MM_FEATS, MM_COLS), jnp.float32))
-    shadow_jmax = _ceil_to(max(int(cnts_np.max()), 1), 2)
-    out = (shadow_jmax, jnp.asarray(cnts_np),
-           jnp.asarray(offs_np.astype(np.int32)), flat_rows)
+        flat2 = packed_s.reshape(ng * rmax_li, MM_FEATS, MM_COLS)
+        for k in range(shards):
+            rck = rc_np[k * ngl:(k + 1) * ngl]
+            # live-row gather indices into the dense transient, group-major
+            src = np.concatenate([
+                (k * ngl + gl) * rmax_li + np.arange(rck[gl])
+                for gl in range(ngl)
+            ]) if rck.sum() else np.zeros((0,), np.int64)
+            if src.size:
+                shard_parts[k].append(
+                    jnp.take(flat2, jnp.asarray(src, jnp.int32), axis=0)
+                )
+            shard_rc[k].append(rck)
+        del packed_s, flat2  # transient dense pack: freed per light
+    # equal per-shard padding (SPMD needs one static grid), 64-row buckets
+    # so nearby poses reuse the compiled kernel
+    t_shard = _ceil_to(max(
+        max(int(sum(int(r.sum()) for r in rcl)) for rcl in shard_rc), 1
+    ), 64)
+    r2v_np = np.zeros((shards * t_shard,), np.int32)
+    flag_np = np.zeros((shards * t_shard,), np.int32)
+    dev_parts = []
+    for k in range(shards):
+        base = k * t_shard
+        rows_k = 0
+        for li in range(n_lights):
+            rck = shard_rc[k][li]
+            for gl in range(ngl):
+                c = int(rck[gl])
+                if c:
+                    r2v_np[base + rows_k:base + rows_k + c] = li * ngl + gl
+                    flag_np[base + rows_k] = 2
+                    flag_np[base + rows_k + 1:base + rows_k + c] = 1
+                    rows_k += c
+        if rows_k:  # padding rows revisit the last live block (see above)
+            r2v_np[base + rows_k:base + t_shard] = r2v_np[base + rows_k - 1]
+        pad = t_shard - rows_k
+        parts = shard_parts[k]
+        if pad or not parts:
+            parts = parts + [jnp.zeros((pad, MM_FEATS, MM_COLS),
+                                       jnp.float32)]
+        dev_parts.append(parts[0] if len(parts) == 1
+                         else jnp.concatenate(parts, axis=0))
+    flat_rows = (dev_parts[0] if shards == 1
+                 else jnp.concatenate(dev_parts, axis=0))
+    out = (jnp.asarray(cnts_np), jnp.asarray(r2v_np),
+           jnp.asarray(flag_np), flat_rows)
     while len(splan.shadow_store) >= max(1, cfg.shadow_store_size):
         splan.shadow_store.pop(next(iter(splan.shadow_store)))
     splan.shadow_store[sk] = out
@@ -1547,14 +1591,14 @@ def render_means_pallas(
     # exist first.
     if lights is not None:
         lights_np = np.asarray(lights, np.float32)
-        shadow_jmax, shadow_counts, shadow_offs, shadow_flat = _shadow_plan(
+        shadow_counts, shadow_r2v, shadow_flag, shadow_flat = _shadow_plan(
             splan, eplan, omms_p, position, local_space, pose_sig,
             lights_np, samples, key, packed_mm, row_counts, rmax,
         )
         lights_dev = jnp.asarray(lights_np)
     else:
-        shadow_jmax, shadow_counts, shadow_offs = 0, None, None
-        shadow_flat, lights_dev = None, None
+        shadow_counts, shadow_r2v = None, None
+        shadow_flag, shadow_flat, lights_dev = None, None, None
     means_p = _render_frame(
         packed_mm, row_counts,
         splan.attr_table, scene_dev, splan.quad_table,
@@ -1566,8 +1610,8 @@ def render_means_pallas(
         tex_only=splan.tex_only,
         cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
         lights=lights_dev, slot_tri=splan.slot_tri,
-        shadow_counts=shadow_counts, shadow_offs=shadow_offs,
-        shadow_flat=shadow_flat, shadow_jmax=shadow_jmax,
+        shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
+        shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         tex_static=splan.tex_static,
     )
     return means_p[eplan.inv_valid_dev]

@@ -111,23 +111,24 @@ def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
         s_local=samples // sample_axis,
         ng_local=eplan.ng // omm_axis,
         rb_local=_ceil_to(eplan.g * (samples // sample_axis), BATCH_RAYS),
-        shadow_jmax=0, lights_dev=None, shadow_counts=None,
-        shadow_offs=None, shadow_flat=None,
+        lights_dev=None, shadow_counts=None,
+        shadow_r2v=None, shadow_flag=None, shadow_flat=None,
     )
     if lights_np is not None:
         # the shadow plan is computed GLOBALLY (probe over the full sample
-        # set), then its per-(light, group) counts/offsets shard over the
-        # "omm" axis like the primary payload; the shared ragged row table
-        # they index is replicated (it holds only live rows, so it is
-        # small) — each shard traces its groups' shadow rays through its
-        # own slice of the table
-        shadow_jmax, shadow_counts, shadow_offs, shadow_flat = _shadow_plan(
+        # set) but laid out SHARD-MAJOR (shards=omm_axis, equal per-shard
+        # row padding, shard-local virtual groups), so the ragged row
+        # table, r2v, and flag split over "omm" on the row axis exactly
+        # like the primary payload — each shard traces only its own
+        # groups' occluder rows
+        shadow_counts, shadow_r2v, shadow_flag, shadow_flat = _shadow_plan(
             splan, eplan, omms_p, position, local_space, pose_sig,
             lights_np, samples, key, packed_mm, row_counts, rmax,
+            shards=omm_axis,
         )
         out.update(
-            shadow_jmax=shadow_jmax, shadow_counts=shadow_counts,
-            shadow_offs=shadow_offs, shadow_flat=shadow_flat,
+            shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
+            shadow_flag=shadow_flag, shadow_flat=shadow_flat,
             lights_dev=jnp.asarray(lights_np),
         )
     return out
@@ -162,15 +163,14 @@ def render_means_sharded_packed(
         splan_args["omms_p"], splay, spin,
         splan_args["position"], splan_args["local_space"],
         splan_args["lights_dev"], splan.slot_tri,
-        splan_args["shadow_counts"], splan_args["shadow_offs"],
-        splan_args["shadow_flat"],
+        splan_args["shadow_counts"], splan_args["shadow_r2v"],
+        splan_args["shadow_flag"], splan_args["shadow_flat"],
         samples=samples, s_local=splan_args["s_local"],
         background=background,
         ng_local=splan_args["ng_local"], g=eplan.g,
         rb_local=splan_args["rb_local"], rmax=splan_args["rmax"],
         textured=splan.textured, tex_only=splan.tex_only,
         tex_static=splan.tex_static, mesh=mesh,
-        shadow_jmax=splan_args["shadow_jmax"],
     )
     return means_p[eplan.inv_valid_dev]
 
@@ -180,30 +180,30 @@ def render_means_sharded_packed(
     static_argnames=(
         "samples", "s_local", "background", "ng_local", "g", "rb_local",
         "rmax", "textured", "tex_only", "tex_static", "mesh",
-        "shadow_jmax",
     ),
 )
 def _sharded_packed_impl(
     attr_table, scene_dev, quad_table, packed_mm, row_counts,
     omms_p, splay, spin, position, local_space, lights, slot_tri,
-    shadow_counts, shadow_offs, shadow_flat,
+    shadow_counts, shadow_r2v, shadow_flag, shadow_flat,
     samples: int, s_local: int, background: int, ng_local: int, g: int,
     rb_local: int, rmax: int, textured: bool, tex_only: bool,
-    tex_static, mesh: Mesh, shadow_jmax: int,
+    tex_static, mesh: Mesh,
 ):
     """jit-of-shard_map: ONE compiled executable per (widths, mesh) combo.
     An eager shard_map runs its body primitive-by-primitive through the
     impl path (~500 separate pjit dispatches per frame — measured 40 s on
     the 8-device CPU mesh); under jit it lowers to a single SPMD program.
 
-    The lit path shards cleanly because the memoised shadow plan is
-    group-indexed: counts/offs (L, NG) shard over "omm" on the group axis
-    exactly like the primary payload, while the shared ragged row table
-    they index is replicated — no cross-shard state."""
+    The lit path shards cleanly because the memoised shadow plan is laid
+    out shard-major (_shadow_plan(shards=...)): counts (L, NG) shard over
+    "omm" on the group axis, and the ragged row table + r2v/flag split
+    over "omm" on the ROW axis (equal per-shard padding, shard-local
+    virtual groups) — no cross-shard state."""
 
     def shard_fn(attr_l, sdev_l, quad_l, pmm_l, rc_l, omms_l,
                  splay_l, spin_l, pos_l, ls_l, lights_l, slot_tri_l,
-                 scnt_l, soff_l, sflat_l):
+                 scnt_l, sr2v_l, sflag_l, sflat_l):
         from compound_ray_tpu.eye.pipeline import _trace_shade_angles
 
         partial = _trace_shade_angles(
@@ -213,8 +213,8 @@ def _sharded_packed_impl(
             nrb=1, rb_size=rb_local, rmax=rmax, textured=textured,
             tex_only=tex_only, tex_static=tex_static,
             lights=lights_l, slot_tri=slot_tri_l,
-            shadow_counts=scnt_l, shadow_offs=soff_l,
-            shadow_flat=sflat_l, shadow_jmax=shadow_jmax,
+            shadow_counts=scnt_l, shadow_r2v=sr2v_l,
+            shadow_flag=sflag_l, shadow_flat=sflat_l,
         )  # (Np_local, 3) mean over the LOCAL sample slice
         # combine sample-axis partial means over ICI (the collective
         # replacement for summing_kernel.cu's warp shuffles)
@@ -231,7 +231,7 @@ def _sharded_packed_impl(
             P("omm", None),
             P("omm", "sample"), P("omm", "sample"),
             P(), P(), P(), P(),
-            P(None, "omm"), P(None, "omm"), P(),
+            P(None, "omm"), P("omm"), P("omm"), P("omm", None, None),
         ),
         out_specs=P("omm", None),
         check_vma=False,
@@ -239,7 +239,8 @@ def _sharded_packed_impl(
     return fn(
         attr_table, scene_dev, quad_table, packed_mm,
         row_counts, omms_p, splay, spin, position, local_space,
-        lights, slot_tri, shadow_counts, shadow_offs, shadow_flat,
+        lights, slot_tri, shadow_counts, shadow_r2v, shadow_flag,
+        shadow_flat,
     )
 
 

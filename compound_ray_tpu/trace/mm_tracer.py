@@ -433,117 +433,105 @@ def _packed_kernel_flat(counts_ref, tri_ref, rays_ref, out_ref):
         jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
 
 
-def _flat_occlusion_kernel(offs_ref, counts_ref, tri_ref, rays_ref,
-                           out_ref, bt_s):
-    """Grid = (NG, NRB, JMAX): per (group, ray-block), step through the
-    group's rows of the shared RAGGED payload table; the index map DMAs
-    exactly row offs[g] + j, so per-group work equals the group's own
-    occluder row count — the TPU analogue of a per-ray BVH walk for shadow
-    rays.  Closest-t accumulates in VMEM scratch across the row grid dim
-    (TPU grids iterate sequentially); the final step reduces to out."""
-    g = pl.program_id(0)
-    j = pl.program_id(2)
-    kmax = pl.num_programs(2)
-    cnt = counts_ref[g]
-    rb = rays_ref.shape[1]
+def _rows_occlusion_kernel(r2v_ref, flag_ref, tri_ref, rays_ref, out_ref):
+    """Row-major shadow traversal: grid = (NRB, T) over the ACTUAL rows of
+    the shared ragged payload table — step (rb, r) tests row r against its
+    own (light, group) virtual group's ray block, so total work equals the
+    table's row count with no per-group jmax padding (a jmax-shaped grid
+    measured ~40 ms/light of masked-step overhead on the natural scene).
+    Rows of one virtual group are contiguous, so the revisited out block
+    stays VMEM-resident and min-t accumulates in place; flag 2 = first row
+    of its group (initialise), 1 = live row, 0 = padding (skip).  Virtual
+    groups with zero rows are never visited — the caller masks their
+    (uninitialised) lanes to +inf via the counts table."""
+    r = pl.program_id(1)
+    f = flag_ref[r]
+    rb_size = rays_ref.shape[1]
     big = jnp.float32(jnp.inf)
 
-    @pl.when(j == 0)
+    @pl.when(f == 2)
     def _init():
-        bt_s[...] = jnp.full(bt_s.shape, big)
+        out_ref[...] = jnp.full(out_ref.shape, big)
 
-    @pl.when(j < cnt)
+    @pl.when(f >= 1)
     def _test_row():
-        ft = rays_ref[...]  # (16, RB)
         mm = tri_ref[0]  # (16, 512)
-        p = jax.lax.dot_general(
-            ft, mm, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (RB, 512)
-        w1 = p[:, 0:KERNEL_LEAF]
-        w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
-        den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
-        tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
-        inv = 1.0 / den
-        u = w1 * inv
-        v = w2 * inv
-        t = tnum * inv
-        bt = bt_s[...]
-        ok = (
-            (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (t >= 0.0) & (t < bt)
-        )
-        bt_s[...] = jnp.where(ok, t, bt)
 
-    @pl.when(j == kmax - 1)
-    def _emit():
-        tmin_l = jnp.min(bt_s[...], axis=1, keepdims=True)  # (RB, 1)
-        out_ref[...] = jnp.where(
-            jnp.isfinite(tmin_l), tmin_l, big
-        ).reshape(1, rb)
+        def ray_batch(rbi, _):
+            r0 = pl.multiple_of(rbi * BATCH_RAYS, BATCH_RAYS)
+            ft = rays_ref[:, pl.ds(r0, BATCH_RAYS)]  # (16, RS)
+            p = jax.lax.dot_general(
+                ft, mm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (RS, 512)
+            w1 = p[:, 0:KERNEL_LEAF]
+            w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
+            den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
+            tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
+            inv = 1.0 / den
+            u = w1 * inv
+            v = w2 * inv
+            t = tnum * inv
+            ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+            tmin = jnp.min(jnp.where(ok, t, big), axis=1)  # (RS,)
+            cur = out_ref[0:1, pl.ds(r0, BATCH_RAYS)]
+            out_ref[0:1, pl.ds(r0, BATCH_RAYS)] = jnp.minimum(
+                cur, tmin.reshape(1, BATCH_RAYS)
+            )
+            return 0
+
+        jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ng", "nrb", "rb_size", "jmax")
-)
-def run_flat_occlusion(
-    counts: jnp.ndarray,  # (NG,) int32 payload rows per group
-    offs: jnp.ndarray,  # (NG,) int32 first row of each group in flat_rows
+@functools.partial(jax.jit, static_argnames=("nrb", "rb_size"))
+def run_rows_occlusion(
+    r2v: jnp.ndarray,  # (T,) int32 row -> virtual group (light*NG + group)
+    flag: jnp.ndarray,  # (T,) int32: 2 first-of-group, 1 live, 0 padding
     flat_rows: jnp.ndarray,  # (T, 16, 512) shared ragged payload table
-    rays: jnp.ndarray,  # (16, NG*NRB*RB) f32 PLANAR shadow rays
-    ng: int,
+    rays: jnp.ndarray,  # (16, NVG*NRB*rb_size) f32 PLANAR shadow rays
     nrb: int,
     rb_size: int,
-    jmax: int,
 ) -> jnp.ndarray:
     """Closest-t along shadow rays, (1, R) planar; +inf = unobstructed.
     The caller compares t against the ray-to-light distance to decide
-    occlusion (traceOcclusion semantics, shaders.cu:135-163).
-
-    Scalar-prefetch-driven RAGGED traversal: the payload table holds only
-    the rows that exist (sum of counts), each group's rows contiguous from
-    offs[g]; each grid step DMAs the single 32 KB row offs[g] + j — no
-    dense (NG, rmax) padding in memory, and per-group work is the group's
-    own occluder count (Pallas skips the fetch when the index repeats, so
-    steps past the count, clamped to the last row, are near-free)."""
+    occlusion (traceOcclusion semantics, shaders.cu:135-163), and must
+    mask ray lanes whose virtual group has zero rows (their out block is
+    never initialised).  All lights trace in ONE dispatch: the ray vector
+    stacks each light's group-major block, virtual group = light*NG + g,
+    and the table's rows are sorted by virtual group (see _shadow_plan)."""
+    t_pad = flat_rows.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(ng, nrb, jmax),
+        grid=(nrb, t_pad),
         in_specs=[
             pl.BlockSpec(
                 (1, MM_FEATS, MM_COLS),
-                lambda g, rb, j, offs, counts: (
-                    offs[g] + jnp.minimum(j, jnp.maximum(counts[g] - 1, 0)),
-                    0, 0,
-                ),
+                lambda rb, r, r2v, flag: (r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (RAY_FEATS, rb_size),
-                lambda g, rb, j, offs, counts: (0, g * nrb + rb),
+                lambda rb, r, r2v, flag: (0, r2v[r] * nrb + rb),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, rb_size),
-            lambda g, rb, j, offs, counts: (0, g * nrb + rb),
+            lambda rb, r, r2v, flag: (0, r2v[r] * nrb + rb),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((rb_size, KERNEL_LEAF), jnp.float32),
-        ],
     )
     return pl.pallas_call(
-        _flat_occlusion_kernel,
+        _rows_occlusion_kernel,
         out_shape=jax.ShapeDtypeStruct((1, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(offs, counts, flat_rows, rays)
+    )(r2v, flag, flat_rows, rays)
 
 
 @functools.partial(
