@@ -45,6 +45,7 @@ _BASE_SEED = 42  # curand_init(42, id, 0) in shaders.cu:689
 
 _base_key = None
 _fold_jit = None
+_fold_many_jit = None
 
 
 def _frame_key(frame_number: int):
@@ -56,6 +57,22 @@ def _frame_key(frame_number: int):
         _base_key = jax.random.PRNGKey(_BASE_SEED)
         _fold_jit = jax.jit(jax.random.fold_in)
     return _fold_jit(_base_key, np.uint32(frame_number))
+
+
+def _frame_keys(frame_number: int, n: int):
+    """(n, ...) stacked keys for frames frame_number..frame_number+n-1 —
+    the same keys n _frame_key calls would yield, in one dispatch (feeds
+    the scanned multi-frame burst)."""
+    global _base_key, _fold_many_jit
+    if _base_key is None:
+        _frame_key(0)
+    if _fold_many_jit is None:
+        _fold_many_jit = jax.jit(
+            jax.vmap(jax.random.fold_in, in_axes=(None, 0))
+        )
+    return _fold_many_jit(
+        _base_key, np.arange(frame_number, frame_number + n, dtype=np.uint32)
+    )
 
 
 class EyeRenderer:
@@ -248,12 +265,73 @@ class EyeRenderer:
         Frames run sequentially on the device with fresh RNG streams, exactly
         as n render_frame() calls would; only the per-frame host round trip
         is removed.  This is the steady-state serving mode: a consumer reads
-        get_camera_data once per pose, not once per jittered sample frame."""
+        get_camera_data once per pose, not once per jittered sample frame.
+
+        On the single-chip Pallas means path the whole burst collapses into
+        ONE device dispatch (a lax.scan over the per-frame keys,
+        pipeline._render_frames_scanned) — per-dispatch transport latency
+        (~26 ms through the axon tunnel) otherwise floors small frames at
+        ~30 ms regardless of sample count.  Results are bit-identical to n
+        sequential render_frame calls; only the last frame's projection is
+        materialised (intermediate display buffers are unobservable inside
+        the burst)."""
         t0 = time.perf_counter()
-        for _ in range(n):
-            self.render_frame(sync=False)
-        self.sync()
+        if n > 0 and self._scan_frames_ok():
+            from compound_ray_tpu.eye.pipeline import render_means_pallas_frames
+
+            cam = self.current_camera()
+            scene_dev = self._scene_dev()
+            background = miss_id(self.scene.background_shader)
+            lights = self._lights if self.lighting else None
+            keys = _frame_keys(self._frame_number, n)
+            pos = np.asarray(cam.position, np.float32)
+            ls = np.asarray(cam.local_space, np.float32)
+            means = render_means_pallas_frames(
+                self.scene, scene_dev, cam.ommatidia, pos, ls, keys,
+                cam.samples_per_ommatidium, background,
+                lights=(lights if self.lighting else None),
+            )
+            self._raw_samples = None
+            self._device_means = means[-1]
+            self._camera_data = None
+            self._frame_number += n
+            outputs = [self._device_means]
+            if self.require_noncompound_pipeline and self.width * self.height > 0:
+                omms, omm_pos, omm_dir = cam.device_ommatidia()
+                frame = project_frame(
+                    cam.projection, self._device_means,
+                    jnp.zeros((1, omms.shape[0], 3), jnp.float32),
+                    omm_pos, omm_dir, self.width, self.height,
+                )
+                outputs.append(frame)
+                self._device_frame = frame
+                self._frame_buffer = None
+            self._last_outputs = outputs
+            self.sync()
+        else:
+            for _ in range(n):
+                self.render_frame(sync=False)
+            self.sync()
         return (time.perf_counter() - t0) * 1000.0
+
+    def _scan_frames_ok(self) -> bool:
+        """True when render_frames_pipelined can use the one-dispatch
+        scanned burst: the compound-eye means path on a single device
+        (mirrors _render_means routing; raw-samples projections and the
+        sharded mesh path fall back to per-frame dispatches)."""
+        from compound_ray_tpu.config import get_config
+
+        if self.scene is None or not self.scene.cameras:
+            return False
+        cam = self.current_camera()
+        if not isinstance(cam, CompoundEyeCamera):
+            return False
+        if cam.projection == "raw_ommatidial_samples":
+            return False
+        backend = get_config().backend if self._backend == "auto" else self._backend
+        if len(jax.devices()) > 1 and backend in ("auto", "sharded"):
+            return False
+        return backend in ("auto", "pallas")
 
     # ------------------------------------------------------------ observability
     def start_profile(self, log_dir: str) -> None:

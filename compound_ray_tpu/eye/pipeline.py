@@ -1478,7 +1478,7 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     return out
 
 
-def render_means_pallas(
+def _plan_frame(
     scene_flat,
     scene_dev: Dict[str, Any],
     ommatidia_np: np.ndarray,  # (N,8) host copy (for plan hashing)
@@ -1488,14 +1488,11 @@ def render_means_pallas(
     samples: int,
     background: int,
     lights: Optional[np.ndarray] = None,  # (L,7) host rows enable lighting
-) -> jnp.ndarray:
-    """Full Pallas frame; returns (N,3) means in original ommatidium order.
-
-    One device dispatch per frame in the steady state.  The kernel's ragged
-    shortlist width kmax is pose-dependent; it is measured with a small cull
-    dispatch + host sync only the first time a (scene, eye, pose) combination
-    is seen, then cached (with high-water rounding so nearby poses reuse the
-    compiled kernel)."""
+):
+    """Shared frame planning (memoised widths/payload/cache/shadow plans):
+    returns (kwargs, eplan) where kwargs holds every _render_frame argument
+    except the PRNG key — the single-frame and scanned multi-frame entry
+    points both consume it."""
     splan = scene_plan(scene_flat)
     eplan = eye_plan(ommatidia_np, samples)
     if eplan.omms_p_dev is None:
@@ -1599,10 +1596,11 @@ def render_means_pallas(
     else:
         shadow_counts, shadow_r2v = None, None
         shadow_flag, shadow_flat, lights_dev = None, None, None
-    means_p = _render_frame(
-        packed_mm, row_counts,
-        splan.attr_table, scene_dev, splan.quad_table,
-        omms_p, position, local_space, key,
+    kwargs = dict(
+        packed_mm=packed_mm, row_counts=row_counts,
+        attr_table=splan.attr_table, scene_dev=scene_dev,
+        quad_table=splan.quad_table,
+        omms_p=omms_p, position=position, local_space=local_space,
         samples=samples, background=background,
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
         rmax=rmax, textured=splan.textured,
@@ -1614,7 +1612,102 @@ def render_means_pallas(
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         tex_static=splan.tex_static,
     )
+    return kwargs, eplan
+
+
+def render_means_pallas(
+    scene_flat,
+    scene_dev: Dict[str, Any],
+    ommatidia_np: np.ndarray,  # (N,8) host copy (for plan hashing)
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    key: jax.Array,
+    samples: int,
+    background: int,
+    lights: Optional[np.ndarray] = None,  # (L,7) host rows enable lighting
+) -> jnp.ndarray:
+    """Full Pallas frame; returns (N,3) means in original ommatidium order.
+
+    One device dispatch per frame in the steady state.  The kernel's ragged
+    shortlist width kmax is pose-dependent; it is measured with a small cull
+    dispatch + host sync only the first time a (scene, eye, pose) combination
+    is seen, then cached (with high-water rounding so nearby poses reuse the
+    compiled kernel)."""
+    kwargs, eplan = _plan_frame(
+        scene_flat, scene_dev, ommatidia_np, position, local_space, key,
+        samples, background, lights,
+    )
+    means_p = _render_frame(key=key, **kwargs)
     return means_p[eplan.inv_valid_dev]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
+        "textured", "use_cache", "tex_only", "cache_shape", "tex_static",
+    ),
+)
+def _render_frames_scanned(
+    packed_mm, row_counts, attr_table, scene_dev, quad_table,
+    omms_p, position, local_space, keys,
+    samples: int, background: int, ng: int, g: int, nrb: int,
+    rb_size: int, rmax: int, textured: bool,
+    cache=None, use_cache: bool = False, tex_only: bool = False,
+    cache_shape: Tuple[int, int] = (0, 0),
+    lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
+    shadow_flag=None, shadow_flat=None, tex_static=None,
+):
+    """F consecutive frames in ONE dispatch: a lax.scan over the stacked
+    per-frame PRNG keys, each step drawing its own jitter and running the
+    full fused frame.  Outputs (F, Np, 3) — bit-identical to F sequential
+    _render_frame dispatches; only the per-dispatch transport round trip
+    (~26 ms through the axon tunnel, the entire small-frame floor) is
+    removed."""
+    n_pad = omms_p.shape[0]
+    sd = omms_p[:, 6] / FWHM_SD_RATIO
+
+    def body(carry, key):
+        k_splay, k_spin = jax.random.split(key)
+        splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
+        spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
+        means = _trace_shade_angles(
+            packed_mm, row_counts, attr_table, scene_dev, quad_table,
+            omms_p, position, local_space, splay, spin,
+            samples=samples, background=background, ng=ng, g=g, nrb=nrb,
+            rb_size=rb_size, rmax=rmax, textured=textured,
+            cache=cache, use_cache=use_cache, tex_only=tex_only,
+            cache_shape=cache_shape, lights=lights, slot_tri=slot_tri,
+            shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
+            shadow_flag=shadow_flag, shadow_flat=shadow_flat,
+            tex_static=tex_static,
+        )
+        return carry, means
+
+    _, out = jax.lax.scan(body, 0, keys)
+    return out
+
+
+def render_means_pallas_frames(
+    scene_flat,
+    scene_dev: Dict[str, Any],
+    ommatidia_np: np.ndarray,
+    position: jnp.ndarray,
+    local_space: jnp.ndarray,
+    keys: jax.Array,  # (F, ...) stacked per-frame PRNG keys
+    samples: int,
+    background: int,
+    lights: Optional[np.ndarray] = None,
+) -> jnp.ndarray:
+    """(F, N, 3) means for F consecutive frames in one device dispatch —
+    the steady-state serving mode for pose-static frame bursts (the shared
+    plan is built once; each frame keeps its own RNG stream)."""
+    kwargs, eplan = _plan_frame(
+        scene_flat, scene_dev, ommatidia_np, position, local_space,
+        keys[0], samples, background, lights,
+    )
+    out = _render_frames_scanned(keys=keys, **kwargs)
+    return out[:, eplan.inv_valid_dev]
 
 
 def render_samples_pallas(

@@ -1,0 +1,75 @@
+"""render_frames_pipelined's one-dispatch scanned burst must be
+bit-identical to n sequential render_frame calls (same per-frame keys,
+same plan) — the burst only removes the per-dispatch transport latency."""
+
+import numpy as np
+
+from compound_ray_tpu.api.renderer import EyeRenderer
+from compound_ray_tpu.cameras.types import CompoundEyeCamera
+from compound_ray_tpu.testing import make_box_scene, make_sphere_eye
+
+
+def _renderer(backend: str, lighting: bool = False) -> EyeRenderer:
+    r = EyeRenderer(verbose=False)
+    r.scene = make_box_scene()
+    cam = CompoundEyeCamera("eye", "spherical_positionwise", make_sphere_eye(64))
+    cam.set_samples_per_ommatidium(7)
+    r.scene.cameras.append(cam)
+    r.goto_camera(len(r.scene.cameras) - 1)
+    r._backend = backend
+    if lighting:
+        from compound_ray_tpu.trace.lighting import default_lights
+
+        r._lights = default_lights(r.scene.aabb_min, r.scene.aabb_max)
+        r.set_lighting(True)
+    return r
+
+
+def test_scanned_burst_matches_sequential_frames():
+    seq = _renderer("pallas")
+    assert seq._scan_frames_ok()
+    for _ in range(3):
+        seq.render_frame()
+    d_seq = np.asarray(seq.get_camera_data())
+
+    burst = _renderer("pallas")
+    burst.render_frames_pipelined(3)
+    d_burst = np.asarray(burst.get_camera_data())
+    np.testing.assert_array_equal(d_seq, d_burst)
+    assert burst._frame_number == seq._frame_number == 3
+
+
+def test_scanned_burst_matches_sequential_lit():
+    seq = _renderer("pallas", lighting=True)
+    for _ in range(2):
+        seq.render_frame()
+    d_seq = np.asarray(seq.get_camera_data())
+
+    burst = _renderer("pallas", lighting=True)
+    burst.render_frames_pipelined(2)
+    np.testing.assert_array_equal(d_seq, np.asarray(burst.get_camera_data()))
+
+
+def test_burst_then_sequential_keeps_rng_stream():
+    # frame keys keep advancing across the burst: burst(2) + 1 sequential
+    # frame == 3 sequential frames
+    seq = _renderer("pallas")
+    for _ in range(3):
+        seq.render_frame()
+    d_seq = np.asarray(seq.get_camera_data())
+
+    mixed = _renderer("pallas")
+    mixed.render_frames_pipelined(2)
+    mixed.render_frame()
+    np.testing.assert_array_equal(d_seq, np.asarray(mixed.get_camera_data()))
+
+
+def test_sharded_fallback_still_works():
+    # multi-device default routing declines the scan and renders per frame
+    r = _renderer("auto")
+    import jax
+
+    if len(jax.devices()) > 1:
+        assert not r._scan_frames_ok()
+    r.render_frames_pipelined(2)
+    assert r.get_camera_data().shape == (64, 3)
