@@ -100,6 +100,9 @@ def time_frames(r, samples: int, n_frames: int, warmup: int = 3):
     for _ in range(warmup):
         r.render_frame()
     times = [r.render_frame() for _ in range(n_frames)]
+    # warm the burst program too: the scanned multi-frame executable is a
+    # separate compile (per n) that must not pollute the steady-state time
+    r.render_frames_pipelined(n_frames)
     pipelined = r.render_frames_pipelined(n_frames) / n_frames
     return float(np.mean(times)), float(np.std(times)), float(pipelined)
 

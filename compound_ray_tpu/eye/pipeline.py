@@ -63,6 +63,8 @@ from compound_ray_tpu.trace.mm_tracer import (
 )
 from compound_ray_tpu.trace.shade import (
     build_quad_table,
+    build_quad_table_gray,
+    quad_bilinear_gray_c,
     miss_color,
     miss_color_c,
     quad_bilinear,
@@ -111,6 +113,9 @@ class ScenePlan:
     slot_tri_cl: jnp.ndarray = None  # (C, 128, 9) [v0|e1|e2] for exact refine
     slot_tri: jnp.ndarray = None  # (S,) int32 global slot -> triangle id
     tex_static: Tuple = None  # (off,w,h,ws,wt,filt) when exactly 1 texture
+    quad_gray: jnp.ndarray = None  # (P, 4) single-channel quads: big
+    #   GRAYSCALE single textures sample with ONE in-cliff gather (the
+    #   colour quad table would be 4x the bytes, past the residency cliff)
     # per-plan caches (kept on the plan, NOT keyed by id(scene): CPython
     # recycles object ids after GC, which would alias stale plans)
     kmax_cache: Dict = None
@@ -153,10 +158,6 @@ def scene_plan(scene_flat) -> ScenePlan:
             cs,
             tex_only,
         )
-        if textured:
-            quad = build_quad_table(scene_flat.device_triangles())
-        else:
-            quad = jnp.zeros((1, 16), jnp.float32)
         # single-texture scenes get STATIC sampler constants: the epilogue
         # then skips six per-ray sampler-table gathers and the three-mode
         # wrap select (texture_quad_coords_single)
@@ -170,6 +171,27 @@ def scene_plan(scene_flat) -> ScenePlan:
                 int(np.asarray(scene_flat.tex_wrap_t)[0]),
                 int(np.asarray(scene_flat.tex_filter)[0]),
             )
+        quad_gray = None
+        if textured:
+            sdev_plan = scene_flat.device_triangles()
+            # big GRAYSCALE single textures (e.g. the ofstad arena's
+            # 3072x1024 patterning, R == G == B on every texel): a
+            # single-channel (P, 4) quad table stays under the gather
+            # residency cliff, so bilinear costs ONE gather/ray instead of
+            # four texel gathers — bit-identical results (same linearized
+            # texels, same blend order)
+            if (tex_static is not None
+                    and sdev_plan["tex_data"].shape[0] * 64 > 100_000_000):
+                tex_np = np.asarray(sdev_plan["tex_data"])
+                if (np.array_equal(tex_np[:, 0], tex_np[:, 1])
+                        and np.array_equal(tex_np[:, 0], tex_np[:, 2])):
+                    quad_gray = build_quad_table_gray(sdev_plan)
+            # the 16-wide colour quad table is dead weight when the gray
+            # path serves every textured ray — skip the 4x-bytes build
+            quad = (jnp.zeros((1, 16), jnp.float32) if quad_gray is not None
+                    else build_quad_table(sdev_plan))
+        else:
+            quad = jnp.zeros((1, 16), jnp.float32)
         tid_s = cs.tri_id.reshape(-1)
         safe_s = np.maximum(tid_s, 0)
         mat_id_slot = np.maximum(np.asarray(scene_flat.mat_id)[safe_s], 0)
@@ -207,6 +229,7 @@ def scene_plan(scene_flat) -> ScenePlan:
             sphere_radius_np=np.asarray(cs.sphere_radius),
             tex_only=tex_only,
             tex_static=tex_static,
+            quad_gray=quad_gray,
             slot_tri=jnp.asarray(
                 cs.tri_id.reshape(-1).astype(np.int32)
             ),
@@ -754,6 +777,7 @@ def _render_frame(
     shadow_flag=None,  # (T,) 2 first-of-group / 1 live / 0 padding
     shadow_flat=None,  # (T, 16, 512) shared ragged payload (_shadow_plan)
     tex_static: Optional[Tuple] = None,
+    quad_gray=None,  # (P, 4) single-channel quads (grayscale textures)
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
@@ -772,7 +796,7 @@ def _render_frame(
         lights=lights, slot_tri=slot_tri,
         shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
-        tex_static=tex_static,
+        tex_static=tex_static, quad_gray=quad_gray,
     )
 
 
@@ -878,6 +902,7 @@ def _trace_shade_angles(
     shadow_flag=None,  # (T,) int32 2 first-of-group / 1 live / 0 padding
     shadow_flat=None,  # (T, 16, 512) shared ragged payload (_shadow_plan)
     tex_static: Optional[Tuple] = None,  # static single-texture sampler
+    quad_gray=None,  # (P, 4) single-channel quads (grayscale textures)
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
     path draws angles GLOBALLY and feeds per-device slices here, so results
@@ -965,8 +990,16 @@ def _trace_shade_angles(
         if textured:
             # big single textures: the (P, 16) quad table falls out of
             # on-chip residency past ~100 MB and its row gather slows ~10x
-            # — four gathers from the 4x-smaller texel table win there
-            if tex_static is not None and quad_table.nbytes > 100_000_000:
+            # — four gathers from the 4x-smaller texel table win there,
+            # and GRAYSCALE textures beat both with one (P, 4) gray-quad
+            # gather (scene_plan builds quad_gray when exact)
+            if tex_static is not None and quad_gray is not None:
+                tex_idx, tfx, tfy = texture_quad_coords_single(
+                    flat(cu), flat(cv), *tex_static
+                )
+                qv = quad_bilinear_gray_c(quad_gray[tex_idx], tfx, tfy)
+                qr = qg = qb = qv
+            elif tex_static is not None and quad_table.nbytes > 100_000_000:
                 qr, qg, qb = texture_bilinear4_single(
                     scene_dev["tex_data"], flat(cu), flat(cv), *tex_static
                 )
@@ -1519,8 +1552,12 @@ def _plan_frame(
     use_cache = False
     near_mask = None
     cache = None
+    # quad_gray scenes skip the combined tex+cache table (it is built on
+    # the 16-wide colour quads, which the gray path deliberately never
+    # materialises); closed arenas — the gray path's target — have no far
+    # clusters anyway
     if (lights is None and cfg.farfield == "auto"
-            and splan.num_clusters > 8):
+            and splan.quad_gray is None and splan.num_clusters > 8):
         cache_px = cfg.farfield_cache_width * (cfg.farfield_cache_width // 2)
         if samples * eplan.n >= cache_px:
             d_thresh = _farfield_threshold(ommatidia_np, cfg.farfield_tolerance)
@@ -1610,7 +1647,7 @@ def _plan_frame(
         lights=lights_dev, slot_tri=splan.slot_tri,
         shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
-        tex_static=splan.tex_static,
+        tex_static=splan.tex_static, quad_gray=splan.quad_gray,
     )
     return kwargs, eplan
 
@@ -1656,7 +1693,7 @@ def _render_frames_scanned(
     cache=None, use_cache: bool = False, tex_only: bool = False,
     cache_shape: Tuple[int, int] = (0, 0),
     lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
-    shadow_flag=None, shadow_flat=None, tex_static=None,
+    shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
 ):
     """F consecutive frames in ONE dispatch: a lax.scan over the stacked
     per-frame PRNG keys, each step drawing its own jitter and running the
@@ -1680,7 +1717,7 @@ def _render_frames_scanned(
             cache_shape=cache_shape, lights=lights, slot_tri=slot_tri,
             shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
             shadow_flag=shadow_flag, shadow_flat=shadow_flat,
-            tex_static=tex_static,
+            tex_static=tex_static, quad_gray=quad_gray,
         )
         return carry, means
 
@@ -1751,6 +1788,7 @@ def render_samples_pallas(
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
         rmax=rmax, textured=splan.textured, want_samples=True,
         tex_only=splan.tex_only, tex_static=splan.tex_static,
+        quad_gray=splan.quad_gray,
     )  # (Np, S, 3)
     return jnp.transpose(raw_p[eplan.inv_valid_dev], (1, 0, 2))
 

@@ -165,6 +165,7 @@ def render_means_sharded_packed(
         splan_args["lights_dev"], splan.slot_tri,
         splan_args["shadow_counts"], splan_args["shadow_r2v"],
         splan_args["shadow_flag"], splan_args["shadow_flat"],
+        splan.quad_gray,
         samples=samples, s_local=splan_args["s_local"],
         background=background,
         ng_local=splan_args["ng_local"], g=eplan.g,
@@ -185,7 +186,7 @@ def render_means_sharded_packed(
 def _sharded_packed_impl(
     attr_table, scene_dev, quad_table, packed_mm, row_counts,
     omms_p, splay, spin, position, local_space, lights, slot_tri,
-    shadow_counts, shadow_r2v, shadow_flag, shadow_flat,
+    shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
     samples: int, s_local: int, background: int, ng_local: int, g: int,
     rb_local: int, rmax: int, textured: bool, tex_only: bool,
     tex_static, mesh: Mesh,
@@ -203,7 +204,7 @@ def _sharded_packed_impl(
 
     def shard_fn(attr_l, sdev_l, quad_l, pmm_l, rc_l, omms_l,
                  splay_l, spin_l, pos_l, ls_l, lights_l, slot_tri_l,
-                 scnt_l, sr2v_l, sflag_l, sflat_l):
+                 scnt_l, sr2v_l, sflag_l, sflat_l, qgray_l):
         from compound_ray_tpu.eye.pipeline import _trace_shade_angles
 
         partial = _trace_shade_angles(
@@ -214,7 +215,7 @@ def _sharded_packed_impl(
             tex_only=tex_only, tex_static=tex_static,
             lights=lights_l, slot_tri=slot_tri_l,
             shadow_counts=scnt_l, shadow_r2v=sr2v_l,
-            shadow_flag=sflag_l, shadow_flat=sflat_l,
+            shadow_flag=sflag_l, shadow_flat=sflat_l, quad_gray=qgray_l,
         )  # (Np_local, 3) mean over the LOCAL sample slice
         # combine sample-axis partial means over ICI (the collective
         # replacement for summing_kernel.cu's warp shuffles)
@@ -232,6 +233,7 @@ def _sharded_packed_impl(
             P("omm", "sample"), P("omm", "sample"),
             P(), P(), P(), P(),
             P(None, "omm"), P("omm"), P("omm"), P("omm", None, None),
+            P(),
         ),
         out_specs=P("omm", None),
         check_vma=False,
@@ -240,7 +242,7 @@ def _sharded_packed_impl(
         attr_table, scene_dev, quad_table, packed_mm,
         row_counts, omms_p, splay, spin, position, local_space,
         lights, slot_tri, shadow_counts, shadow_r2v, shadow_flag,
-        shadow_flat,
+        shadow_flat, quad_gray,
     )
 
 

@@ -50,6 +50,7 @@ t in world units, tmin = focal-point offset (shaders.cu:725).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +70,7 @@ AUX_COMPS = 8  # [tmin, 0 x 7]
 # at 128 rays/step the natural scene ran ~23k steps x ~1.4 us = 32 ms for
 # ~8 ms of VPU work.  256 rays halves the step count; the carried winner
 # state (4 x (256, 128) f32 = 512 KB) still fits registers/VMEM.
-BATCH_RAYS = 256
+BATCH_RAYS = int(os.environ.get("CR_TPU_BATCH_RAYS", "256"))
 
 
 def build_mm_features(cluster_set, uv=None, texid=None, rgb=None) -> np.ndarray:

@@ -187,6 +187,58 @@ def build_quad_table(scene: Dict[str, Any]) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def build_quad_table_gray(scene: Dict[str, Any]) -> jnp.ndarray:
+    """Single-channel quad table (P, 4): [c00 | c10 | c01 | c11] of channel
+    0 only — for GRAYSCALE textures (R == G == B on every texel, e.g. the
+    ofstad arena patterning).  One (P, 4) row gather then serves bilinear
+    sampling exactly: 1/4 the bytes of build_quad_table's (P, 16) rows
+    keeps big textures under the ~64-100 MB gather-residency cliff where
+    the colour quad table ran ~10x slower than four texel gathers
+    (docs/performance.md)."""
+    import numpy as np
+
+    tex_data = np.asarray(scene["tex_data"])
+    offs = np.asarray(scene["tex_offset"])
+    ws = np.asarray(scene["tex_width"])
+    hs = np.asarray(scene["tex_height"])
+    wrap_s = np.asarray(scene["tex_wrap_s"])
+    wrap_t = np.asarray(scene["tex_wrap_t"])
+    out = np.zeros((tex_data.shape[0], 4), np.float32)
+
+    def wrap(i, n, mode):
+        if mode == 1:  # clamp
+            return np.clip(i, 0, n - 1)
+        if mode == 2:  # mirror
+            p = 2 * n
+            m = i % p
+            return np.where(m < n, m, p - 1 - m)
+        return i % n  # repeat
+
+    for t in range(len(offs)):
+        o, w, h = int(offs[t]), int(ws[t]), int(hs[t])
+        img = tex_data[o:o + w * h, 0].reshape(h, w)
+        x1 = wrap(np.arange(w) + 1, w, int(wrap_s[t]))
+        y1 = wrap(np.arange(h) + 1, h, int(wrap_t[t]))
+        q = np.stack(
+            [img, img[:, x1], img[y1, :], img[y1][:, x1]], axis=-1
+        )  # (h, w, 4): c00 c10 c01 c11
+        out[o:o + w * h] = q.reshape(-1, 4)
+    return jnp.asarray(out)
+
+
+def quad_bilinear_gray_c(quad: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
+    """Single-channel quad_bilinear_c: quad rows are [c00, c10, c01, c11]
+    of one channel; returns the blended (R,) value.  Identical arithmetic
+    order to quad_bilinear_c/texture_bilinear4_single, so grayscale
+    results match those paths bit-for-bit."""
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = fx * (1.0 - fy)
+    w01 = (1.0 - fx) * fy
+    w11 = fx * fy
+    return (quad[:, 0] * w00 + quad[:, 1] * w10
+            + quad[:, 2] * w01 + quad[:, 3] * w11)
+
+
 def texture_quad_coords(
     scene: Dict[str, Any], tex_id: jnp.ndarray, uv: jnp.ndarray,
 ):
