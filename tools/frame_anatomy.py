@@ -147,6 +147,52 @@ def main():
     t_full = timeit("full frame (fused)", f_full)
     print(f"  {'epilogue (full-kern-rays)':28s} {t_full - t_kern - t_rays:8.2f} ms")
 
+    # ---- epilogue sub-split (synthetic inputs, same shapes as the frame):
+    # ranks addressing transcendentals vs the row gather vs bilinear+mean
+    R = ng * nrb * rb_size
+    kd = jax.random.split(key, 4)
+    dxs = jax.random.uniform(kd[0], (R,), minval=-1.0, maxval=1.0)
+    dys = jax.random.uniform(kd[1], (R,), minval=-1.0, maxval=1.0)
+    dzs = jax.random.uniform(kd[2], (R,), minval=-1.0, maxval=1.0)
+    table = splan.quad_gray if splan.quad_gray is not None else splan.quad_table
+    if table is None or table.shape[0] < 2:
+        table = jnp.zeros((1024, 16), jnp.float32)
+    idx_s = jax.random.randint(kd[3], (R,), 0, table.shape[0])
+    n_pad = omms_p.shape[0]
+
+    @jax.jit
+    def f_equirect(dx, dy, dz):
+        ch = cfg.farfield_cache_width // 2
+        i, fx, fy = P._equirect_coords_c(ch, cfg.farfield_cache_width,
+                                         dx, dy, dz)
+        return jnp.sum(i) + jnp.sum(fx + fy)
+
+    @jax.jit
+    def f_texaddr(cu, cv):
+        if splan.tex_static is None:
+            return jnp.float32(0.0)
+        from compound_ray_tpu.trace.shade import texture_quad_coords_single
+        i, fx, fy = texture_quad_coords_single(cu, cv, *splan.tex_static)
+        return jnp.sum(i) + jnp.sum(fx + fy)
+
+    @jax.jit
+    def f_gather_mean(table, idx, fx, fy):
+        from compound_ray_tpu.trace.shade import (quad_bilinear_c,
+                                                  quad_bilinear_gray_c)
+        rows = table[idx]
+        if rows.shape[1] == 4:
+            qr = qg = qb = quad_bilinear_gray_c(rows, fx, fy)
+        else:
+            qr, qg, qb = quad_bilinear_c(rows, fx, fy)
+        rr = qr.reshape(n_pad, -1)
+        return (jnp.mean(rr, axis=1).sum()
+                + jnp.sum(qg.ravel()[0] + qb.ravel()[0]))
+
+    timeit("  equirect coords", f_equirect, dxs, dys, dzs)
+    timeit("  tex addressing", f_texaddr, dxs, dys)
+    timeit("  row gather+bilinear+mean", f_gather_mean, table, idx_s,
+           dxs, dys)
+
 
 if __name__ == "__main__":
     main()
