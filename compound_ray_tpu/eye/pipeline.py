@@ -650,6 +650,12 @@ def resolve_kernel_hits(
             # 3.3M-row gather costs a flat ~25 ms — docs/performance.md)
             return (out_t[0], out_t[1], out_t[2],
                     out_t[3].astype(jnp.int32), None)
+        if emit == "uvs":
+            # single-texture slim rows [t, cu, cv]: every triangle uses
+            # texture 0, so texid is 0 on hits / -1 on misses by
+            # construction (matching the uv variant's -1 winner init)
+            texid = jnp.where(out_t[0] < 1e30, 0, -1).astype(jnp.int32)
+            return (out_t[0], out_t[1], out_t[2], texid, None)
         if emit == "flat":
             # polymorphic rows: (a0, a1) are (cu, cv) for textured winners
             # and (r, g) for untextured — texid >= 0 disambiguates, and the
@@ -926,7 +932,10 @@ def _trace_shade_angles(
     # in-register — no epilogue attribute gather in either case
     flat_attrs = attr_table.shape[1] == ATTR_COMPS_FLAT
     if lights is None:
-        emit = "uv" if tex_only else ("flat" if flat_attrs else "bary")
+        if tex_only:
+            emit = "uvs" if tex_static is not None else "uv"
+        else:
+            emit = "flat" if flat_attrs else "bary"
     else:
         emit = "bary"
     out = run_packed_tracer(

@@ -339,6 +339,85 @@ def _packed_kernel_uv(counts_ref, tri_ref, rays_ref, out_ref):
         jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
 
 
+def _packed_kernel_uvs(counts_ref, tri_ref, rays_ref, out_ref):
+    """slim tex_only variant for SINGLE-texture scenes: the texture id is a
+    scene constant and the slot id is unused by the epilogue
+    (resolve_kernel_hits emit="uvs"), so the winner state is only
+    (t, cu, cv) — two fewer (RS, 128) selects per row-step, two fewer
+    winner picks, and no second high-row payload read beyond du2y.
+    Output rows: [t, cu, cv, 0...]."""
+    g = pl.program_id(0)
+    cnt = counts_ref[g]
+    rb_size = rays_ref.shape[1]
+    big = jnp.float32(jnp.inf)
+    RS = BATCH_RAYS
+
+    def ray_batch(rbi, _):
+        r0 = pl.multiple_of(rbi * RS, RS)
+        ft = rays_ref[:, pl.ds(r0, RS)]  # (16, RS) feature-major
+
+        def row_step(j, state):
+            (bt, bcu, bcv) = state
+            mm = tri_ref[0, j]  # (16, 512)
+            p = jax.lax.dot_general(
+                ft, mm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (RS, 512)
+            w1 = p[:, 0:KERNEL_LEAF]
+            w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
+            den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
+            tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
+            hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]  # w1 rows 8-15
+            hi2 = tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
+            uv0x = hi1[3:4, :]
+            uv0y = hi1[4:5, :]
+            du1x = hi1[5:6, :]
+            du1y = hi1[6:7, :]
+            du2x = hi1[7:8, :]
+            du2y = hi2[2:3, :]
+            inv = 1.0 / den
+            u = w1 * inv
+            v = w2 * inv
+            t = tnum * inv
+            cu = uv0x + u * du1x + v * du2x
+            cv = uv0y + u * du1y + v * du2y
+            ok = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= 0.0) & (t < bt)
+            )
+            return (
+                jnp.where(ok, t, bt),
+                jnp.where(ok, cu, bcu),
+                jnp.where(ok, cv, bcv),
+            )
+
+        z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
+        init = (jnp.full((RS, KERNEL_LEAF), big), z, z)
+        (bt, bcu, bcv) = jax.lax.fori_loop(0, cnt, row_step, init)
+
+        tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RS, KERNEL_LEAF), 1)
+        cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
+        first = jnp.min(cand, axis=1, keepdims=True)
+        onehot = lane == first
+
+        def pick(buf):
+            return jnp.sum(jnp.where(onehot, buf, 0.0), axis=1, keepdims=True)
+
+        def store(row, val):
+            out_ref[row:row + 1, pl.ds(r0, RS)] = val.reshape(1, RS)
+
+        store(0, jnp.where(jnp.isfinite(tmin_l), tmin_l, big))
+        store(1, pick(bcu))
+        store(2, pick(bcv))
+        return 0
+
+    @pl.when(cnt > 0)
+    def _run_batches():
+        jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
+
+
 def _packed_kernel_flat(counts_ref, tri_ref, rays_ref, out_ref):
     """flat-attr variant: the winner's shading inputs resolve ENTIRELY
     in-register, polymorphically per slot — textured slots (payload tex id
@@ -552,9 +631,12 @@ def run_packed_tracer(
     "bary": [t, u, v, slot-id, 0...] (barycentrics; the epilogue resolves
     attributes with a row gather); "uv": [t, cu, cv, texid, slot-id, 0...]
     (texture coordinates interpolated in-kernel — tex_only scenes);
-    "flat": [t, a0, a1, a2, texid, slot-id, 0, 0] (polymorphic: (cu, cv)
-    for textured winners, the constant material (r, g, b) for untextured —
-    flat-attr scenes need no attribute gather either).
+    "uvs": [t, cu, cv, 0...] (single-texture tex_only scenes: texid is a
+    scene constant and the slot id is unused, so the winner state drops to
+    three buffers); "flat": [t, a0, a1, a2, texid, slot-id, 0, 0]
+    (polymorphic: (cu, cv) for textured winners, the constant material
+    (r, g, b) for untextured — flat-attr scenes need no attribute gather
+    either).
 
     Ray features arrive and results leave feature-major: both sides of the
     kernel then connect to the pipeline's component-planar math with plain
@@ -585,7 +667,7 @@ def run_packed_tracer(
         ),
     )
     kernel = {"bary": _packed_kernel, "uv": _packed_kernel_uv,
-              "flat": _packed_kernel_flat}[emit]
+              "uvs": _packed_kernel_uvs, "flat": _packed_kernel_flat}[emit]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((OUT_COMPS, rays.shape[1]), jnp.float32),

@@ -192,6 +192,11 @@ def main():
     timeit("  tex addressing", f_texaddr, dxs, dys)
     timeit("  row gather+bilinear+mean", f_gather_mean, table, idx_s,
            dxs, dys)
+    # coherent variant: sorted indices approximate the real frame's
+    # per-ommatidium texel locality — tells whether the gather is
+    # descriptor-rate-bound (no change) or memory-bound (faster)
+    timeit("  ..same, sorted indices", f_gather_mean, table,
+           jnp.sort(idx_s), dxs, dys)
 
 
 if __name__ == "__main__":
