@@ -106,7 +106,8 @@ def main():
 
     from compound_ray_tpu.trace.pallas_tracer import ATTR_COMPS_FLAT
 
-    emit = ("uv" if splan.tex_only else
+    emit = (("uvs" if splan.tex_static is not None else "uv")
+            if splan.tex_only else
             "flat" if splan.attr_table.shape[1] == ATTR_COMPS_FLAT
             else "bary")
 
@@ -142,6 +143,16 @@ def main():
         print(f"  {label:28s} {ms:8.2f} ms", flush=True)
         return ms
 
+    @jax.jit
+    def f_rng(omms_p, key):
+        n_pad = omms_p.shape[0]
+        k_splay, k_spin = jax.random.split(key)
+        sd = omms_p[:, 6] / FWHM_SD_RATIO
+        splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
+        spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
+        return jnp.sum(splay) + jnp.sum(spin)
+
+    timeit("  rng draws only", f_rng, omms_p, key)
     t_rays = timeit("raygen+pack", f_rays, omms_p, pos, ls, key)
     t_kern = timeit("raygen-free kernel", f_kern, row_counts, packed_mm, rays)
     t_full = timeit("full frame (fused)", f_full)
