@@ -152,7 +152,44 @@ def main():
         spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
         return jnp.sum(splay) + jnp.sum(spin)
 
+    @jax.jit
+    def f_rays_nostack(omms_p, position, local_space, key):
+        # identical math to f_rays but WITHOUT the 16-component stack/pad:
+        # isolates the planar-layout materialisation cost
+        n_pad = omms_p.shape[0]
+        k_splay, k_spin = jax.random.split(key)
+        sd = omms_p[:, 6] / FWHM_SD_RATIO
+        splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
+        spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
+        ax, ay, az = omms_p[:, 3], omms_p[:, 4], omms_p[:, 5]
+        axis_len = jnp.sqrt(ax * ax + ay * ay + az * az)
+        inv_al = 1.0 / jnp.maximum(axis_len, 1e-30)
+        focal = omms_p[:, 7]
+        rx = omms_p[:, 0] - ax * inv_al * focal
+        ry = omms_p[:, 1] - ay * inv_al * focal
+        rz = omms_p[:, 2] - az * inv_al * focal
+        L = local_space
+        ox = position[0] + rx * L[0, 0] + ry * L[1, 0] + rz * L[2, 0]
+        oy = position[1] + rx * L[0, 1] + ry * L[1, 1] + rz * L[2, 1]
+        oz = position[2] + rx * L[0, 2] + ry * L[1, 2] + rz * L[2, 2]
+        rdx, rdy, rdz = cone_offset_components(
+            ax[:, None], ay[:, None], az[:, None], splay, spin)
+        wdx = rdx * L[0, 0] + rdy * L[1, 0] + rdz * L[2, 0]
+        wdy = rdx * L[0, 1] + rdy * L[1, 1] + rdz * L[2, 1]
+        wdz = rdx * L[0, 2] + rdy * L[1, 2] + rdz * L[2, 2]
+        inv_n = jax.lax.rsqrt(jnp.maximum(wdx * wdx + wdy * wdy + wdz * wdz,
+                                          1e-60))
+        dx, dy, dz = wdx * inv_n, wdy * inv_n, wdz * inv_n
+        tmin = (focal * axis_len)[:, None]
+        oxb, oyb, ozb = ox[:, None], oy[:, None], oz[:, None]
+        mx = oyb * dz - ozb * dy
+        my = ozb * dx - oxb * dz
+        mz = oxb * dy - oyb * dx
+        return (jnp.sum(dx + dy + dz) + jnp.sum(mx + my + mz)
+                + jnp.sum(oxb + tmin))
+
     timeit("  rng draws only", f_rng, omms_p, key)
+    timeit("  raygen math, no stack", f_rays_nostack, omms_p, pos, ls, key)
     t_rays = timeit("raygen+pack", f_rays, omms_p, pos, ls, key)
     t_kern = timeit("raygen-free kernel", f_kern, row_counts, packed_mm, rays)
     t_full = timeit("full frame (fused)", f_full)
