@@ -48,8 +48,11 @@ class RenderConfig:
     # cull+refine+gather of 100s of MB); each packed entry is
     # NG * rmax * 32 KB of HBM, so the default trades ~0.5 GB for thrash-free
     # 4-pose sweeps.
+    # shadow_store matches packed_store: a lit GA sweep thrashes (probe
+    # trace + per-light pack + host syncs per frame) if its poses fit the
+    # packed store but not the shadow store
     packed_store_size: int = 4
-    shadow_store_size: int = 2
+    shadow_store_size: int = 4
     # level-2 refine test: "exact" = spherical-projection cone-vs-triangle
     # (tight for sliver-heavy closed arenas); "sphere" = triangle bounding
     # spheres only (round-2 behaviour).  Plan-time only — memoised per pose.

@@ -85,7 +85,17 @@ def _ceil_to(x: int, m: int) -> int:
 # built from: the probe samples ONE frame's hit cloud, later frames jitter
 # within the same acceptance cones, so the memoised occluder payloads must
 # cover a neighbourhood of the probed bounds (a hit outside the shaft
-# would silently skip its occluders -> light leak).
+# would silently skip SOME of its occluders -> partial light leak on that
+# sample).  KNOWN APPROXIMATION: the inflate covers radial growth of the
+# hit cloud but not hit-DISTANCE discontinuities — a later frame's ray
+# that crosses a silhouette edge the probe frame never crossed (e.g.
+# grazing past a near pillar onto a far wall) lands outside the shaft and
+# its shadow ray only sees the shaft-local occluder rows.  The Gaussian
+# splay is unbounded, so a sound bound would need the group's full
+# candidate-triangle extent (the round-2 cluster strips — measured 16x
+# slower).  With probe samples >= the frame's samples the probe covers
+# the splay distribution to ~3.4 sigma; a leaked sample biases a
+# 1000-sample mean by <= 1/samples of the light term.
 SHADOW_BOUND_INFLATE = 1.25
 
 
@@ -173,7 +183,19 @@ def scene_plan(scene_flat) -> ScenePlan:
             )
         quad_gray = None
         if textured:
-            sdev_plan = scene_flat.device_triangles()
+            # quad tables are HOST-side precomputes: feed them the host
+            # tex_data copy (identical texels to the device copy — the
+            # linearize happened at _build_textures) rather than the
+            # device dict, whose np.asarray blocks on a device->host
+            # transfer through the tunnel (~2 s for a 50 MB atlas)
+            host_tex = {
+                "tex_data": np.asarray(scene_flat.tex_data),
+                "tex_offset": scene_flat.tex_offset,
+                "tex_width": scene_flat.tex_width,
+                "tex_height": scene_flat.tex_height,
+                "tex_wrap_s": scene_flat.tex_wrap_s,
+                "tex_wrap_t": scene_flat.tex_wrap_t,
+            }
             # big GRAYSCALE single textures (e.g. the ofstad arena's
             # 3072x1024 patterning, R == G == B on every texel): a
             # single-channel (P, 4) quad table stays under the gather
@@ -181,15 +203,15 @@ def scene_plan(scene_flat) -> ScenePlan:
             # four texel gathers — bit-identical results (same linearized
             # texels, same blend order)
             if (tex_static is not None
-                    and sdev_plan["tex_data"].shape[0] * 64 > 100_000_000):
-                tex_np = np.asarray(sdev_plan["tex_data"])
+                    and host_tex["tex_data"].shape[0] * 64 > 100_000_000):
+                tex_np = host_tex["tex_data"]
                 if (np.array_equal(tex_np[:, 0], tex_np[:, 1])
                         and np.array_equal(tex_np[:, 0], tex_np[:, 2])):
-                    quad_gray = build_quad_table_gray(sdev_plan)
+                    quad_gray = build_quad_table_gray(host_tex)
             # the 16-wide colour quad table is dead weight when the gray
             # path serves every textured ray — skip the 4x-bytes build
             quad = (jnp.zeros((1, 16), jnp.float32) if quad_gray is not None
-                    else build_quad_table(sdev_plan))
+                    else build_quad_table(host_tex))
         else:
             quad = jnp.zeros((1, 16), jnp.float32)
         tid_s = cs.tri_id.reshape(-1)
@@ -1437,7 +1459,11 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     if hit is not None:
         splan.shadow_store[sk] = splan.shadow_store.pop(sk)  # LRU refresh
         return hit
-    kcand_probe = min(splan.num_clusters, 128)
+    # probe over the FULL cluster set: _shadow_pack_one refines up to
+    # shadow_kmax (<= num_clusters) clusters, so a narrower probe width
+    # would under-measure rows_need and the pack's rmax clamp would drop
+    # the farthest occluder rows (light leaks) on >128-cluster scenes
+    kcand_probe = splan.num_clusters
     tri_cl = splan.slot_tri_cl if cfg.refine_mode == "exact" else None
     kc_need, rows_need, cg, rg_sph = _shadow_probe(
         packed_mm, row_counts, omms_p, position, local_space, key,
@@ -1585,9 +1611,13 @@ def _plan_frame(
                 # the cache depends only on (scene, eye centre, width,
                 # background) — NOT on samples or the RNG — so it is
                 # memoised and reused across frames at a fixed pose
+                # big_table_bf16_bytes is in the key: the cached table's
+                # DTYPE depends on it, and a config flip between frames
+                # must not serve a stale-precision table
                 cache_key = (
                     np.asarray(center_np, np.float32).tobytes(),
                     cfg.farfield_cache_width, background, d_thresh,
+                    cfg.big_table_bf16_bytes,
                 )
                 cache = splan.cache_store.get(cache_key)
                 if cache is None:
