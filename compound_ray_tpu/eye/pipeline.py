@@ -931,6 +931,7 @@ def _trace_shade_angles(
     shadow_flat=None,  # (T, 16, 512) shared ragged payload (_shadow_plan)
     tex_static: Optional[Tuple] = None,  # static single-texture sampler
     quad_gray=None,  # (P, 4) single-channel quads (grayscale textures)
+    frames: int = 1,  # >1: samples = frames*S stacked burst, (Np, F, 3) out
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
     path draws angles GLOBALLY and feeds per-device slices here, so results
@@ -1176,6 +1177,18 @@ def _trace_shade_angles(
         bb = jnp.where(hit, bb, mb.reshape(n_pad, samples))
     if want_samples:
         return jnp.stack([rr, gg, bb], axis=-1)  # (Np, S, 3)
+    if frames > 1:
+        # stacked burst (_render_frames_stacked): `samples` is frames * S
+        # and column f*S+s is frame f's sample s, so per-frame means are a
+        # reshape away — same S-length contiguous reductions as a
+        # sequential frame, hence bit-identical means
+        s1 = samples // frames
+        return jnp.stack(
+            [jnp.mean(rr.reshape(n_pad, frames, s1), axis=2),
+             jnp.mean(gg.reshape(n_pad, frames, s1), axis=2),
+             jnp.mean(bb.reshape(n_pad, frames, s1), axis=2)],
+            axis=-1,
+        )  # (Np, F, 3)
     return jnp.stack(
         [jnp.mean(rr, axis=1), jnp.mean(gg, axis=1), jnp.mean(bb, axis=1)],
         axis=-1,
@@ -1764,6 +1777,70 @@ def _render_frames_scanned(
     return out
 
 
+# past this many total rays-per-ommatidium the stacked burst stops paying
+# (the kernel is marginal-cost-bound, not launch-bound) and its (Np, F*S)
+# intermediates grow; the scanned burst takes over
+STACK_BURST_MAX_SAMPLES = 4096
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
+        "textured", "use_cache", "tex_only", "cache_shape", "tex_static",
+    ),
+)
+def _render_frames_stacked(
+    packed_mm, row_counts, attr_table, scene_dev, quad_table,
+    omms_p, position, local_space, keys,
+    samples: int, background: int, ng: int, g: int, nrb: int,
+    rb_size: int, rmax: int, textured: bool,
+    cache=None, use_cache: bool = False, tex_only: bool = False,
+    cache_shape: Tuple[int, int] = (0, 0),
+    lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
+    shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
+):
+    """F consecutive frames in ONE kernel call: per-frame jitter stacked on
+    the sample axis (column f*S+s = frame f's sample s), so the packed
+    geometry tables are streamed through VMEM once per burst instead of once
+    per frame.  Small frames are table-read-bound (samples=1 costs almost
+    the same as samples=100), so this divides the fixed kernel cost by F.
+    Per-frame RNG streams and the S-length mean reductions are the same as
+    the sequential path — outputs are bit-identical to F render_frame calls
+    (asserted in tests/test_batched_and_gui.py)."""
+    n_pad = omms_p.shape[0]
+    f = keys.shape[0]
+    sd = omms_p[:, 6] / FWHM_SD_RATIO
+
+    def draw(key):
+        k_splay, k_spin = jax.random.split(key)
+        splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
+        spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
+        return splay, spin
+
+    splay_f, spin_f = jax.vmap(draw)(keys)  # (F, Np, S)
+    splay = jnp.transpose(splay_f, (1, 0, 2)).reshape(n_pad, f * samples)
+    spin = jnp.transpose(spin_f, (1, 0, 2)).reshape(n_pad, f * samples)
+    # the burst's per-group ray run is F x the plan's, so it gets its own
+    # block layout (same rule as eye_plan: blocks <= ~3328 rays, padded to
+    # the kernel batch); groups/shortlists are untouched
+    rg2 = g * f * samples
+    nrb2 = max(1, -(-rg2 // 3328))
+    rb_size2 = _ceil_to(-(-rg2 // nrb2), MM_BATCH_RAYS)
+    out = _trace_shade_angles(
+        packed_mm, row_counts, attr_table, scene_dev, quad_table,
+        omms_p, position, local_space, splay, spin,
+        samples=f * samples, background=background, ng=ng, g=g, nrb=nrb2,
+        rb_size=rb_size2, rmax=rmax, textured=textured,
+        cache=cache, use_cache=use_cache, tex_only=tex_only,
+        cache_shape=cache_shape, lights=lights, slot_tri=slot_tri,
+        shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
+        shadow_flag=shadow_flag, shadow_flat=shadow_flat,
+        tex_static=tex_static, quad_gray=quad_gray, frames=f,
+    )  # (Np, F, 3)
+    return jnp.transpose(out, (1, 0, 2))
+
+
 def render_means_pallas_frames(
     scene_flat,
     scene_dev: Dict[str, Any],
@@ -1777,12 +1854,21 @@ def render_means_pallas_frames(
 ) -> jnp.ndarray:
     """(F, N, 3) means for F consecutive frames in one device dispatch —
     the steady-state serving mode for pose-static frame bursts (the shared
-    plan is built once; each frame keeps its own RNG stream)."""
+    plan is built once; each frame keeps its own RNG stream).
+
+    Small bursts (F*S <= STACK_BURST_MAX_SAMPLES) run as ONE kernel call
+    with the frames stacked on the sample axis — small frames are
+    table-read-bound, so the scanned burst still pays the full fixed kernel
+    cost per frame while the stacked one pays it once."""
     kwargs, eplan = _plan_frame(
         scene_flat, scene_dev, ommatidia_np, position, local_space,
         keys[0], samples, background, lights,
     )
-    out = _render_frames_scanned(keys=keys, **kwargs)
+    f = int(keys.shape[0])
+    if 1 < f * samples <= STACK_BURST_MAX_SAMPLES:
+        out = _render_frames_stacked(keys=keys, **kwargs)
+    else:
+        out = _render_frames_scanned(keys=keys, **kwargs)
     return out[:, eplan.inv_valid_dev]
 
 

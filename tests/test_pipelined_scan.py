@@ -64,6 +64,26 @@ def test_burst_then_sequential_keeps_rng_stream():
     np.testing.assert_array_equal(d_seq, np.asarray(mixed.get_camera_data()))
 
 
+def test_stacked_burst_matches_scanned():
+    # small bursts route through _render_frames_stacked (one kernel call,
+    # frames on the sample axis); forcing the scan must give the same bits
+    from compound_ray_tpu.eye import pipeline
+
+    stacked = _renderer("pallas")
+    stacked.render_frames_pipelined(3)
+    d_stacked = np.asarray(stacked.get_camera_data())
+
+    orig = pipeline.STACK_BURST_MAX_SAMPLES
+    pipeline.STACK_BURST_MAX_SAMPLES = 0
+    try:
+        scanned = _renderer("pallas")
+        scanned.render_frames_pipelined(3)
+        d_scanned = np.asarray(scanned.get_camera_data())
+    finally:
+        pipeline.STACK_BURST_MAX_SAMPLES = orig
+    np.testing.assert_array_equal(d_stacked, d_scanned)
+
+
 def test_sharded_fallback_still_works():
     # multi-device default routing declines the scan and renders per frame
     r = _renderer("auto")
