@@ -159,9 +159,10 @@ def main():
                   f"(latency {mean_ms:.3f} ms)", file=sys.stderr)
 
     detail["notes"] = (
-        "single v5e chip through the axon tunnel; frame_ms is the pipelined "
-        "steady-state frame time (frames queued on device, one sync); "
-        "latency_ms includes a per-frame ~26 ms tunnel round trip that a "
+        "single v5e chip through the axon tunnel; pipelined_ms is the "
+        "steady-state frame time (frames queued on device, one sync) the "
+        "headline derives from; frame_ms == latency_ms is the per-frame "
+        "synced latency, which includes a ~26 ms tunnel round trip that a "
         "local PJRT deployment would not pay"
     )
     with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:

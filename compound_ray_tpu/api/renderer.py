@@ -276,9 +276,8 @@ class EyeRenderer:
         materialised (intermediate display buffers are unobservable inside
         the burst)."""
         t0 = time.perf_counter()
-        if n > 0 and self._scan_frames_ok():
-            from compound_ray_tpu.eye.pipeline import render_means_pallas_frames
-
+        route = self._burst_route() if n > 0 else None
+        if route is not None:
             cam = self.current_camera()
             scene_dev = self._scene_dev()
             background = miss_id(self.scene.background_shader)
@@ -286,11 +285,31 @@ class EyeRenderer:
             keys = _frame_keys(self._frame_number, n)
             pos = np.asarray(cam.position, np.float32)
             ls = np.asarray(cam.local_space, np.float32)
-            means = render_means_pallas_frames(
-                self.scene, scene_dev, cam.ommatidia, pos, ls, keys,
-                cam.samples_per_ommatidium, background,
-                lights=(lights if self.lighting else None),
-            )
+            if route == "sharded":
+                from compound_ray_tpu.parallel.sharding import (
+                    make_eye_mesh,
+                    render_means_sharded_packed_frames,
+                )
+
+                samples = cam.samples_per_ommatidium
+                sp = (2 if len(jax.devices()) % 2 == 0 and samples % 2 == 0
+                      else 1)
+                means = render_means_sharded_packed_frames(
+                    self.scene, scene_dev, cam.ommatidia,
+                    jnp.asarray(pos), jnp.asarray(ls), keys, samples,
+                    background, make_eye_mesh(sample_parallel=sp),
+                    lights=(lights if self.lighting else None),
+                )
+            else:
+                from compound_ray_tpu.eye.pipeline import (
+                    render_means_pallas_frames,
+                )
+
+                means = render_means_pallas_frames(
+                    self.scene, scene_dev, cam.ommatidia, pos, ls, keys,
+                    cam.samples_per_ommatidium, background,
+                    lights=(lights if self.lighting else None),
+                )
             self._raw_samples = None
             self._device_means = means[-1]
             self._camera_data = None
@@ -315,23 +334,31 @@ class EyeRenderer:
         return (time.perf_counter() - t0) * 1000.0
 
     def _scan_frames_ok(self) -> bool:
-        """True when render_frames_pipelined can use the one-dispatch
-        scanned burst: the compound-eye means path on a single device
-        (mirrors _render_means routing; raw-samples projections and the
-        sharded mesh path fall back to per-frame dispatches)."""
+        """True when render_frames_pipelined collapses to one dispatch."""
+        return self._burst_route() is not None
+
+    def _burst_route(self) -> Optional[str]:
+        """Which one-dispatch burst backend render_frames_pipelined takes:
+        "sharded" (mesh scan, multi-device), "pallas" (single-device scan /
+        stacked kernel), or None (per-frame dispatch fallback — mirrors
+        _render_means routing; raw-samples projections and XLA/brute
+        backends render frame by frame)."""
         from compound_ray_tpu.config import get_config
 
         if self.scene is None or not self.scene.cameras:
-            return False
+            return None
         cam = self.current_camera()
         if not isinstance(cam, CompoundEyeCamera):
-            return False
+            return None
         if cam.projection == "raw_ommatidial_samples":
-            return False
+            return None
         backend = get_config().backend if self._backend == "auto" else self._backend
         if len(jax.devices()) > 1 and backend in ("auto", "sharded"):
-            return False
-        return backend in ("auto", "pallas")
+            # the mesh scan needs the sample axis to divide every frame
+            s = cam.samples_per_ommatidium
+            sp = 2 if len(jax.devices()) % 2 == 0 and s % 2 == 0 else 1
+            return "sharded" if backend in ("auto", "sharded") and s % sp == 0 else None
+        return "pallas" if backend in ("auto", "pallas") else None
 
     # ------------------------------------------------------------ observability
     def start_profile(self, log_dir: str) -> None:

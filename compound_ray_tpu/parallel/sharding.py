@@ -176,25 +176,15 @@ def render_means_sharded_packed(
     return means_p[eplan.inv_valid_dev]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "samples", "s_local", "background", "ng_local", "g", "rb_local",
-        "rmax", "textured", "tex_only", "tex_static", "mesh",
-    ),
-)
-def _sharded_packed_impl(
+def _packed_mesh_call(
+    mesh, samples, s_local, background, ng_local, g, rb_local, rmax,
+    textured, tex_only, tex_static,
     attr_table, scene_dev, quad_table, packed_mm, row_counts,
     omms_p, splay, spin, position, local_space, lights, slot_tri,
     shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
-    samples: int, s_local: int, background: int, ng_local: int, g: int,
-    rb_local: int, rmax: int, textured: bool, tex_only: bool,
-    tex_static, mesh: Mesh,
 ):
-    """jit-of-shard_map: ONE compiled executable per (widths, mesh) combo.
-    An eager shard_map runs its body primitive-by-primitive through the
-    impl path (~500 separate pjit dispatches per frame — measured 40 s on
-    the 8-device CPU mesh); under jit it lowers to a single SPMD program.
+    """The shard-mapped packed frame core (trace + shade + sample-psum) —
+    shared by the single-frame and scanned-burst jitted wrappers.
 
     The lit path shards cleanly because the memoised shadow plan is laid
     out shard-major (_shadow_plan(shards=...)): counts (L, NG) shard over
@@ -244,6 +234,114 @@ def _sharded_packed_impl(
         lights, slot_tri, shadow_counts, shadow_r2v, shadow_flag,
         shadow_flat, quad_gray,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "samples", "s_local", "background", "ng_local", "g", "rb_local",
+        "rmax", "textured", "tex_only", "tex_static", "mesh",
+    ),
+)
+def _sharded_packed_impl(
+    attr_table, scene_dev, quad_table, packed_mm, row_counts,
+    omms_p, splay, spin, position, local_space, lights, slot_tri,
+    shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
+    samples: int, s_local: int, background: int, ng_local: int, g: int,
+    rb_local: int, rmax: int, textured: bool, tex_only: bool,
+    tex_static, mesh: Mesh,
+):
+    """jit-of-shard_map: ONE compiled executable per (widths, mesh) combo.
+    An eager shard_map runs its body primitive-by-primitive through the
+    impl path (~500 separate pjit dispatches per frame — measured 40 s on
+    the 8-device CPU mesh); under jit it lowers to a single SPMD program."""
+    return _packed_mesh_call(
+        mesh, samples, s_local, background, ng_local, g, rb_local, rmax,
+        textured, tex_only, tex_static,
+        attr_table, scene_dev, quad_table, packed_mm, row_counts,
+        omms_p, splay, spin, position, local_space, lights, slot_tri,
+        shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "samples", "s_local", "background", "ng_local", "g", "rb_local",
+        "rmax", "textured", "tex_only", "tex_static", "mesh",
+    ),
+)
+def _sharded_packed_frames_impl(
+    attr_table, scene_dev, quad_table, packed_mm, row_counts,
+    omms_p, keys, position, local_space, lights, slot_tri,
+    shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
+    samples: int, s_local: int, background: int, ng_local: int, g: int,
+    rb_local: int, rmax: int, textured: bool, tex_only: bool,
+    tex_static, mesh: Mesh,
+):
+    """F consecutive frames over the mesh in ONE dispatch: lax.scan over
+    the stacked per-frame keys around the shard-mapped frame core — the
+    multi-chip twin of pipeline._render_frames_scanned.  Each step draws
+    the GLOBAL angle set from its frame key (same draw as the dense path)
+    and shard_map slices it over the mesh; frames equal sequential sharded
+    frames up to f32 fusion (XLA contracts the in-loop angle draw
+    differently from the eager one — measured 1-ULP differences on a few
+    values; tests/test_pipelined_scan.py)."""
+    def step(carry, key):
+        splay, spin = _draw_angles(key, omms_p, samples)
+        means = _packed_mesh_call(
+            mesh, samples, s_local, background, ng_local, g, rb_local,
+            rmax, textured, tex_only, tex_static,
+            attr_table, scene_dev, quad_table, packed_mm, row_counts,
+            omms_p, splay, spin, position, local_space, lights, slot_tri,
+            shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
+        )
+        return carry, means
+
+    _, out = jax.lax.scan(step, 0, keys)
+    return out  # (F, Np, 3)
+
+
+def render_means_sharded_packed_frames(
+    scene_flat,
+    scene_dev: Dict[str, Any],
+    ommatidia: np.ndarray,  # (N,8) host
+    position,
+    local_space,
+    keys: jax.Array,  # (F, ...) stacked per-frame PRNG keys
+    samples: int,
+    background: int,
+    mesh: Mesh,
+    lights: Optional[np.ndarray] = None,
+) -> jnp.ndarray:
+    """(F, N, 3) means for F consecutive frames over the mesh in one
+    dispatch — the multi-chip render_frames_pipelined backend (lit or
+    unlit); the shared plan is built once per pose."""
+    splan_args = _plan_for_mesh(
+        scene_flat, ommatidia, position, local_space, samples, mesh,
+        lights_np=(np.asarray(lights, np.float32)
+                   if lights is not None else None),
+        key=keys[0],
+    )
+    eplan = splan_args["eplan"]
+    splan = splan_args["splan"]
+    out = _sharded_packed_frames_impl(
+        splan.attr_table, scene_dev, splan.quad_table,
+        splan_args["packed_mm"], splan_args["row_counts"],
+        splan_args["omms_p"], keys,
+        splan_args["position"], splan_args["local_space"],
+        splan_args["lights_dev"], splan.slot_tri,
+        splan_args["shadow_counts"], splan_args["shadow_r2v"],
+        splan_args["shadow_flag"], splan_args["shadow_flat"],
+        splan.quad_gray,
+        samples=samples, s_local=splan_args["s_local"],
+        background=background,
+        ng_local=splan_args["ng_local"], g=eplan.g,
+        rb_local=splan_args["rb_local"], rmax=splan_args["rmax"],
+        textured=splan.textured, tex_only=splan.tex_only,
+        tex_static=splan.tex_static, mesh=mesh,
+    )
+    return out[:, eplan.inv_valid_dev]
 
 
 def render_samples_sharded_packed(

@@ -84,12 +84,39 @@ def test_stacked_burst_matches_scanned():
     np.testing.assert_array_equal(d_stacked, d_scanned)
 
 
-def test_sharded_fallback_still_works():
-    # multi-device default routing declines the scan and renders per frame
-    r = _renderer("auto")
+# the mesh burst draws its angles INSIDE the scan body (the sequential
+# sharded path draws them eagerly), and XLA's fusion inside the loop body
+# contracts the draw arithmetic differently — measured 1-ULP differences
+# on a handful of values.  The frames are the same samples to f32 fusion;
+# exact bit-identity is asserted on the single-device paths above.
+_ULP = dict(rtol=3e-7, atol=1e-7)
+
+
+def test_sharded_burst_matches_sequential():
+    # multi-device default routing takes the mesh-scanned one-dispatch burst
     import jax
 
+    seq = _renderer("auto")
     if len(jax.devices()) > 1:
-        assert not r._scan_frames_ok()
-    r.render_frames_pipelined(2)
-    assert r.get_camera_data().shape == (64, 3)
+        assert seq._burst_route() == "sharded"
+    for _ in range(2):
+        seq.render_frame()
+    d_seq = np.asarray(seq.get_camera_data())
+    assert d_seq.shape == (64, 3)
+
+    burst = _renderer("auto")
+    burst.render_frames_pipelined(2)
+    np.testing.assert_allclose(
+        d_seq, np.asarray(burst.get_camera_data()), **_ULP)
+
+
+def test_sharded_burst_matches_sequential_lit():
+    seq = _renderer("auto", lighting=True)
+    for _ in range(2):
+        seq.render_frame()
+    d_seq = np.asarray(seq.get_camera_data())
+
+    burst = _renderer("auto", lighting=True)
+    burst.render_frames_pipelined(2)
+    np.testing.assert_allclose(
+        d_seq, np.asarray(burst.get_camera_data()), **_ULP)
