@@ -107,6 +107,41 @@ def time_frames(r, samples: int, n_frames: int, warmup: int = 3):
     return float(np.mean(times)), float(np.std(times)), float(pipelined)
 
 
+def pose_sweep(r, samples: int = 100, n_poses: int = 20, seed: int = 0):
+    """GA-loop protocol (position_estimation / minimumSampleRateFinder):
+    every frame renders at a NEW pose.  The reference pays nothing per pose
+    (its BVH is pose-independent); here each unseen pose culls+refines+packs
+    its payload before the kernel runs, so this measures the worst case of
+    the plan memoisation.  Returns (sequential ms/pose, batched ms/pose):
+    sequential = setCameraPose + synced render_frame per pose; batched = one
+    render_batch_poses pass over the same poses (the recommended GA mode —
+    poses fold into the ommatidium axis and plan/cull/pack amortise)."""
+    rng = np.random.default_rng(seed)
+    cam = r.current_camera()
+    r.set_current_eye_samples_per_ommatidium(samples)
+    base = np.asarray(cam.position, np.float64)
+    poses = base[None, :] + rng.uniform(-0.5, 0.5, (n_poses, 3))
+    # warm with poses from the same distribution (but disjoint from the
+    # timed set, so nothing timed is pre-memoised): kmax high-water
+    # rounding settles and the kernel at these widths compiles (fresh
+    # compiles are minutes through the remote-compile tunnel)
+    for p in base[None, :] + np.random.default_rng(seed + 1).uniform(
+            -0.5, 0.5, (3, 3)):
+        cam.set_position(tuple(p))
+        r.render_frame()
+    t0 = time.perf_counter()
+    for p in poses:
+        cam.set_position(tuple(p))
+        r.render_frame()
+    seq_ms = (time.perf_counter() - t0) * 1000.0 / n_poses
+    pose_list = [(tuple(p), np.eye(3)) for p in poses]
+    r.render_batch_poses(pose_list)  # warm the folded-eye plan + kernel
+    t0 = time.perf_counter()
+    r.render_batch_poses(pose_list)
+    bat_ms = (time.perf_counter() - t0) * 1000.0 / n_poses
+    return seq_ms, bat_ms
+
+
 def main():
     t_start = time.time()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
@@ -139,6 +174,20 @@ def main():
               file=sys.stderr)
 
     headline = detail["sweep"]["3200"]["rays_per_s"]
+
+    # GA pose-loop protocol (new pose every frame; plan/pack cost included)
+    if (os.environ.get("BENCH_POSES", "1") != "0"
+            and time.time() - t_start < budget_s):
+        seq_ms, bat_ms = pose_sweep(r, samples=100,
+                                    n_poses=int(os.environ.get(
+                                        "BENCH_N_POSES", "20")))
+        detail["pose_sweep"] = {
+            "samples": 100, "poses": 20,
+            "sequential_ms_per_pose": round(seq_ms, 3),
+            "batched_ms_per_pose": round(bat_ms, 3),
+        }
+        print(f"# pose sweep @100: {seq_ms:.2f} ms/pose sequential, "
+              f"{bat_ms:.2f} ms/pose batched", file=sys.stderr)
 
     # secondary config: the ofstad arena (2080 Ti: 1.633 ms @3200 = 1.96e9);
     # skipped when the soft time budget is spent (cold compiles are slow
