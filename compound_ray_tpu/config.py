@@ -62,6 +62,13 @@ class RenderConfig:
     # (docs/performance.md): halves the bytes, adds <=0.4% relative texel
     # error (inside the 1% fidelity budget).  0 disables.
     big_table_bf16_bytes: int = 64_000_000
+    # unseen-pose planning: True packs speculatively at the eye's high-water
+    # widths and validates the pack's own need counters with ONE host sync
+    # (overflow re-measures exactly); False always measures widths first
+    # (two planning dispatches + two syncs per unseen pose — each sync is a
+    # ~26 ms transport round trip on the tunnelled TPU, the dominant cost of
+    # GA-style pose sweeps)
+    speculative_widths: bool = True
     # verbosity of the [PyEye] log lines
     verbose: bool = True
 
@@ -83,6 +90,8 @@ class RenderConfig:
             "CR_TPU_SHADOW_STORE": ("shadow_store_size", int),
             "CR_TPU_REFINE": ("refine_mode", str),
             "CR_TPU_BF16_TABLE": ("big_table_bf16_bytes", int),
+            "CR_TPU_SPEC_WIDTHS": ("speculative_widths",
+                                   lambda s: s not in ("0", "false", "off")),
         }
         for env, (field, typ) in mapping.items():
             if env in os.environ:

@@ -614,7 +614,10 @@ def _refine_pack(
 ):
     """Refine + compact: gather the surviving triangles' matmul feature
     columns into per-group (rmax, 16, 512) payload blocks, near-to-far.
-    Returns (row_counts (NG,) int32, packed_mm (NG, rmax, 16, 512))."""
+    Returns (row_counts (NG,) int32, packed_mm (NG, rmax, 16, 512),
+    need_r scalar int32 = the UNCLAMPED max rows any group wanted — > rmax
+    means the pack truncated and the speculative-widths path must
+    re-measure)."""
     mask, dmin_g, slots = _refine_mask(
         omms_p, position, local_space, ids, cl_counts,
         center_cl, radius_cl, g, cull_sigmas, dmax=dmax, tri_cl=tri_cl,
@@ -622,6 +625,7 @@ def _refine_pack(
     ng = mask.shape[0]
     refined = jnp.sum(mask, axis=-1)
     row_counts = ((refined + KERNEL_LEAF - 1) // KERNEL_LEAF).astype(jnp.int32)
+    need_r = jnp.max(row_counts)
     # structural contract with the kernel: its fori_loop reads row_counts[g]
     # rows of a (rmax, 16, 512) block, so the count must never exceed rmax
     # even if _refine_counts (a separately-jitted program) rounded
@@ -642,7 +646,7 @@ def _refine_pack(
         .transpose(0, 1, 4, 3, 2)
         .reshape(ng, rmax, MM_FEATS, MM_COLS)
     )
-    return row_counts, packed_mm
+    return row_counts, packed_mm, need_r
 
 
 def resolve_kernel_hits(
@@ -749,7 +753,14 @@ def _pack_fused(
 ):
     """Pose-dependent plan: cull -> shortlist -> triangle refine -> packed
     per-group payload.  Depends only on (scene, eye, pose, widths) — NOT on
-    the RNG or samples count — so callers memoise it per pose."""
+    the RNG or samples count — so callers memoise it per pose.
+
+    Returns (row_counts, packed_mm, need_k, need_r): the need scalars are
+    the widths THIS pose actually wanted (max clusters per group before the
+    kcand shortlist truncation; max payload rows before the rmax clamp).
+    need_k <= kcand and need_r <= rmax certify the pack is exact — the
+    speculative-widths path checks them with one host sync instead of
+    running the two-dispatch width measure."""
     gmask, counts, dmin_all = _cull_groups(
         omms_p, position, local_space, sphere_center, sphere_radius,
         cull_sigmas, g,
@@ -758,13 +769,15 @@ def _pack_fused(
         # far clusters are served by the radiance cache; only near ones trace
         gmask = gmask & near_mask[None, :]
         counts = jnp.sum(gmask, axis=-1).astype(jnp.int32)
+    need_k = jnp.max(counts)
     ids, _ = _shortlist_sorted(gmask, dmin_all, kcand)
     cl_counts = jnp.minimum(counts, kcand)
-    return _refine_pack(
+    row_counts, packed_mm, need_r = _refine_pack(
         omms_p, position, local_space, ids[:, :kcand], cl_counts,
         slot_center_cl, slot_radius_cl, mm_flat,
         g, kcand, rmax, cull_sigmas, dmax=dmax, tri_cl=tri_cl,
     )
+    return row_counts, packed_mm, need_k, need_r
 
 
 @functools.partial(
@@ -1236,6 +1249,9 @@ def _plan_widths(splan, eplan, omms_p, position, local_space, cache_key):
     rmax = min(max(eplan.rmax_hint, _ceil_to(max(r_needed, 1), 2)), kcand)
     eplan.kmax_hint = kcand  # high-water: nearby poses reuse the compile
     eplan.rmax_hint = rmax
+    # scene-scoped high-water marks: the speculative-pack fast path keys off
+    # these (eplan hints are shared across scenes, whose widths differ)
+    splan.kmax_cache[("hints", eplan.sig)] = (kcand, rmax)
     cached = (kcand, rmax)
     splan.kmax_cache[cache_key] = cached
     return cached
@@ -1250,13 +1266,13 @@ def _packed_plan(
     fixed-pose rendering (the speedTest protocol, GA pose loops) pays the
     refine+pack once.  Bounded store: pose sweeps evict oldest."""
     cfg = get_config()
-    pk = (eplan.sig, samples, pose_sig, kcand, rmax,
-          use_cache, d_thresh, cfg.cull_sigmas, cfg.refine_mode)
+    pk = _packed_key(eplan, samples, pose_sig, kcand, rmax, use_cache,
+                     d_thresh, cfg)
     hit = splan.packed_store.get(pk)
     if hit is not None:
         splan.packed_store[pk] = splan.packed_store.pop(pk)  # LRU refresh
         return hit
-    out = _pack_fused(
+    rc, pmm, _, _ = _pack_fused(
         splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
         splan.half_center, splan.half_radius,
         omms_p, position, local_space,
@@ -1265,12 +1281,91 @@ def _packed_plan(
         near_mask=near_mask, use_cache=use_cache,
         tri_cl=(splan.slot_tri_cl if cfg.refine_mode == "exact" else None),
     )
+    out = (rc, pmm)
+    _packed_put(splan, pk, out, cfg)
+    return out
+
+
+def _packed_key(eplan, samples, pose_sig, kcand, rmax, use_cache, d_thresh,
+                cfg):
+    return (eplan.sig, samples, pose_sig, kcand, rmax,
+            use_cache, d_thresh, cfg.cull_sigmas, cfg.refine_mode)
+
+
+def _packed_put(splan, pk, out, cfg):
     # bounded LRU (packed_mm can be 100s of MB); size >= the pose-alternation
     # width of GA-style sweeps so steady-state frames never re-pack
     while len(splan.packed_store) >= max(1, cfg.packed_store_size):
         splan.packed_store.pop(next(iter(splan.packed_store)))
     splan.packed_store[pk] = out
-    return out
+
+
+def _plan_widths_pack(splan, eplan, omms_p, position, local_space,
+                      pose_sig, samples, near_mask=None, use_cache=False,
+                      d_thresh=0.0):
+    """Widths + packed payload for a pose, minimising planning round trips.
+
+    Exact path (first pose of an eye, or speculative overflow): the
+    two-dispatch two-sync _plan_widths measure, then the pack.  Fast path
+    (every later unseen pose, cfg.speculative_widths): pack directly at the
+    eye's high-water widths and check the pack's own need counters with ONE
+    sync — the pack is bit-identical to the measured one whenever it fits
+    (same widths => same compaction), and overflow (needs grew past the
+    high-water marks) falls back to the exact measure, so results never
+    change, only the number of ~26 ms round trips per unseen pose (3 -> 2
+    including the frame's own sync).
+
+    The width memo key includes (use_cache, d_thresh): speculative widths
+    are validated against the near-masked cull, so they must not be served
+    to a pack with a different far-field split."""
+    cfg = get_config()
+    wkey = (eplan.sig, samples, pose_sig, cfg.cull_sigmas, cfg.refine_mode,
+            use_cache, d_thresh)
+    tri_cl = splan.slot_tri_cl if cfg.refine_mode == "exact" else None
+    cached = splan.kmax_cache.get(wkey)
+    hints = splan.kmax_cache.get(("hints", eplan.sig))
+    if cached is None and cfg.speculative_widths and hints is not None:
+        kcand = min(hints[0], splan.num_clusters)
+        rmax = min(hints[1], kcand)
+        pk = _packed_key(eplan, samples, pose_sig, kcand, rmax, use_cache,
+                         d_thresh, cfg)
+        hit = splan.packed_store.get(pk)
+        if hit is not None:  # packed+validated at these widths earlier
+            splan.packed_store[pk] = splan.packed_store.pop(pk)
+            splan.kmax_cache[wkey] = (kcand, rmax)
+            return kcand, rmax, hit
+        rc, pmm, need_k, need_r = _pack_fused(
+            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+            splan.half_center, splan.half_radius,
+            omms_p, position, local_space,
+            g=eplan.g, kcand=kcand, rmax=rmax,
+            cull_sigmas=cfg.cull_sigmas,
+            near_mask=near_mask, use_cache=use_cache, tri_cl=tri_cl,
+        )
+        nk, nr = (int(v) for v in np.asarray(
+            jax.device_get(jnp.stack([need_k, need_r]))))
+        if nk <= kcand and nr <= rmax:
+            splan.kmax_cache[wkey] = (kcand, rmax)
+            out = (rc, pmm)
+            _packed_put(splan, pk, out, cfg)
+            return kcand, rmax, out
+        # overflow: the speculative pack truncated — discard it and raise
+        # the high-water marks via the exact measure below (they only grow,
+        # so overflow gets rarer as a sweep progresses)
+    if cached is not None:
+        kcand, rmax = cached
+    else:
+        kcand, rmax = _plan_widths(
+            splan, eplan, omms_p, position, local_space,
+            (eplan.sig, samples, pose_sig),
+        )
+        splan.kmax_cache[wkey] = (kcand, rmax)
+    out = _packed_plan(
+        splan, eplan, omms_p, position, local_space, pose_sig, samples,
+        kcand, rmax, near_mask=near_mask, use_cache=use_cache,
+        d_thresh=d_thresh,
+    )
+    return kcand, rmax, out
 
 
 @functools.partial(jax.jit, static_argnames=("ratio",))
@@ -1352,11 +1447,12 @@ def _shadow_pack_one(
     gmask = gmask & (dmin_all <= dm[:, None])
     counts = jnp.sum(gmask, axis=-1).astype(jnp.int32)
     ids, _ = _shortlist_sorted(gmask, dmin_all, kcand_s)
-    return _refine_pack(
+    rc_s, packed_s, _ = _refine_pack(
         ps, zero3, eye3, ids[:, :kcand_s], jnp.minimum(counts, kcand_s),
         slot_center_cl, slot_radius_cl, mm_flat,
         1, kcand_s, rmax_s, sig, dmax=dm, tri_cl=tri_cl,
     )
+    return rc_s, packed_s
 
 
 @functools.partial(
@@ -1591,11 +1687,6 @@ def _plan_frame(
         np.asarray(pos_np, np.float32).tobytes(),
         np.asarray(ls_np, np.float32).tobytes(),
     )
-    kcand, rmax = _plan_widths(
-        splan, eplan, omms_p, position, local_space,
-        (eplan.sig, samples, pose_sig),
-    )
-
     cfg = get_config()
     use_cache = False
     near_mask = None
@@ -1663,9 +1754,9 @@ def _plan_frame(
                         splan.cache_store.clear()
                     splan.cache_store[cache_key] = cache
 
-    row_counts, packed_mm = _packed_plan(
+    kcand, rmax, (row_counts, packed_mm) = _plan_widths_pack(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
-        kcand, rmax, near_mask=near_mask, use_cache=use_cache,
+        near_mask=near_mask, use_cache=use_cache,
         d_thresh=(
             _farfield_threshold(ommatidia_np, cfg.farfield_tolerance)
             if use_cache else 0.0

@@ -82,6 +82,91 @@ def test_packed_store_size_is_config_driven(small_setup, monkeypatch):
         set_config(base)
 
 
+def _sweep_means(scene, eye, key, samples=8):
+    scene_dev = scene.device_triangles()
+    return [
+        np.asarray(pipeline.render_means_pallas(
+            scene, scene_dev, eye, pos, ls, key, samples, 0))
+        for pos, ls in _poses()
+    ]
+
+
+def test_speculative_widths_bit_identical():
+    """The speculative pack (high-water widths + need-check) must give the
+    same bits as the exact two-dispatch width measure on every pose of a
+    sweep — it only removes planning round trips."""
+    eye = ommatidia_to_array(make_sphere_eye(64, acceptance_deg=4.0))
+    key = jax.random.PRNGKey(2)
+    base = get_config()
+    set_config(dataclasses.replace(base, speculative_widths=True))
+    try:
+        spec = _sweep_means(make_big_scene(n_boxes=60, seed=3), eye, key)
+    finally:
+        set_config(dataclasses.replace(base, speculative_widths=False))
+    try:
+        exact = _sweep_means(make_big_scene(n_boxes=60, seed=3), eye, key)
+    finally:
+        set_config(base)
+    for a, b in zip(spec, exact):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_speculative_skips_width_measure(small_setup, monkeypatch):
+    """After the first measured pose, unseen poses whose needs fit the
+    high-water widths must not run the two-dispatch width measure."""
+    scene, scene_dev, eye = small_setup
+    key = jax.random.PRNGKey(0)
+    pos0, ls = _poses()[0]
+    pipeline.render_means_pallas(scene, scene_dev, eye, pos0, ls, key, 8, 0)
+
+    calls = []
+    orig = pipeline._plan_widths
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pipeline, "_plan_widths", counting)
+    # a NEARBY pose: needs fit the measured high-water widths
+    near = pos0 + np.float32([0.05, 0.0, 0.0])
+    pipeline.render_means_pallas(scene, scene_dev, eye, near, ls, key, 8, 0)
+    assert calls == [], "nearby unseen pose must take the speculative path"
+
+
+def test_speculative_overflow_falls_back(small_setup, monkeypatch):
+    """Force tiny high-water hints: the speculative pack truncates, the
+    need check catches it, and the exact measure re-plans — output must
+    equal a clean exact render."""
+    scene, scene_dev, eye = small_setup
+    key = jax.random.PRNGKey(0)
+    pos, ls = _poses()[0]
+    base = get_config()
+    set_config(dataclasses.replace(base, speculative_widths=False))
+    try:
+        want = np.asarray(pipeline.render_means_pallas(
+            scene, scene_dev, eye, pos, ls, key, 8, 0))
+    finally:
+        set_config(base)
+
+    scene2 = make_big_scene(n_boxes=60, seed=3)
+    eplan = pipeline.eye_plan(eye, 8)
+    splan2 = pipeline.scene_plan(scene2)
+    splan2.kmax_cache[("hints", eplan.sig)] = (8, 1)  # far too small
+
+    calls = []
+    orig = pipeline._plan_widths
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pipeline, "_plan_widths", counting)
+    got = np.asarray(pipeline.render_means_pallas(
+        scene2, scene2.device_triangles(), eye, pos, ls, key, 8, 0))
+    assert calls, "overflow must fall back to the exact width measure"
+    np.testing.assert_array_equal(want, got)
+
+
 def test_cull_sigmas_change_invalidates_plan(small_setup):
     """A cull-width change at a seen pose must not serve stale payloads
     (ADVICE r2: cache keys omitted cfg.cull_sigmas)."""
