@@ -1300,20 +1300,40 @@ def _packed_put(splan, pk, out, cfg):
     splan.packed_store[pk] = out
 
 
+def _confirm_pending(splan, pending) -> bool:
+    """Resolve a deferred speculative-pack check: fetch the pack's need
+    counters (ONE host sync — issued after the frame dispatch, so it
+    overlaps frame execution) and commit the width/payload memo entries on
+    success.  False = the pack truncated; the caller must re-plan exactly
+    and re-render."""
+    nk, nr = (int(v) for v in np.asarray(jax.device_get(pending["need"])))
+    if nk <= pending["kcand"] and nr <= pending["rmax"]:
+        splan.kmax_cache[pending["wkey"]] = (pending["kcand"],
+                                             pending["rmax"])
+        _packed_put(splan, pending["pk"], pending["out"], get_config())
+        return True
+    return False
+
+
 def _plan_widths_pack(splan, eplan, omms_p, position, local_space,
                       pose_sig, samples, near_mask=None, use_cache=False,
-                      d_thresh=0.0):
+                      d_thresh=0.0, defer=False, force_exact=False):
     """Widths + packed payload for a pose, minimising planning round trips.
+    Returns (kcand, rmax, (row_counts, packed_mm), pending).
 
-    Exact path (first pose of an eye, or speculative overflow): the
-    two-dispatch two-sync _plan_widths measure, then the pack.  Fast path
-    (every later unseen pose, cfg.speculative_widths): pack directly at the
-    eye's high-water widths and check the pack's own need counters with ONE
-    sync — the pack is bit-identical to the measured one whenever it fits
-    (same widths => same compaction), and overflow (needs grew past the
-    high-water marks) falls back to the exact measure, so results never
-    change, only the number of ~26 ms round trips per unseen pose (3 -> 2
-    including the frame's own sync).
+    Exact path (first pose of an eye, speculative overflow, or
+    force_exact): the two-dispatch two-sync _plan_widths measure, then the
+    pack; pending is None.  Fast path (every later unseen pose,
+    cfg.speculative_widths): pack directly at the scene's high-water widths
+    and validate the pack's own need counters — the pack is bit-identical
+    to the measured one whenever it fits (same widths => same compaction),
+    and overflow falls back to the exact measure, so results never change,
+    only the number of ~26 ms round trips per unseen pose.  With
+    defer=False the check syncs here (3 -> 2 round trips incl. the frame's
+    own sync); with defer=True it returns `pending` and the caller calls
+    _confirm_pending AFTER dispatching the frame, overlapping the check
+    with frame execution (~1 round trip per unseen pose) and re-rendering
+    on overflow.
 
     The width memo key includes (use_cache, d_thresh): speculative widths
     are validated against the near-masked cull, so they must not be served
@@ -1324,7 +1344,8 @@ def _plan_widths_pack(splan, eplan, omms_p, position, local_space,
     tri_cl = splan.slot_tri_cl if cfg.refine_mode == "exact" else None
     cached = splan.kmax_cache.get(wkey)
     hints = splan.kmax_cache.get(("hints", eplan.sig))
-    if cached is None and cfg.speculative_widths and hints is not None:
+    if (cached is None and cfg.speculative_widths and hints is not None
+            and not force_exact):
         kcand = min(hints[0], splan.num_clusters)
         rmax = min(hints[1], kcand)
         pk = _packed_key(eplan, samples, pose_sig, kcand, rmax, use_cache,
@@ -1333,7 +1354,7 @@ def _plan_widths_pack(splan, eplan, omms_p, position, local_space,
         if hit is not None:  # packed+validated at these widths earlier
             splan.packed_store[pk] = splan.packed_store.pop(pk)
             splan.kmax_cache[wkey] = (kcand, rmax)
-            return kcand, rmax, hit
+            return kcand, rmax, hit, None
         rc, pmm, need_k, need_r = _pack_fused(
             splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
             splan.half_center, splan.half_radius,
@@ -1342,13 +1363,13 @@ def _plan_widths_pack(splan, eplan, omms_p, position, local_space,
             cull_sigmas=cfg.cull_sigmas,
             near_mask=near_mask, use_cache=use_cache, tri_cl=tri_cl,
         )
-        nk, nr = (int(v) for v in np.asarray(
-            jax.device_get(jnp.stack([need_k, need_r]))))
-        if nk <= kcand and nr <= rmax:
-            splan.kmax_cache[wkey] = (kcand, rmax)
-            out = (rc, pmm)
-            _packed_put(splan, pk, out, cfg)
-            return kcand, rmax, out
+        out = (rc, pmm)
+        pending = dict(wkey=wkey, pk=pk, kcand=kcand, rmax=rmax, out=out,
+                       need=jnp.stack([need_k, need_r]))
+        if defer:
+            return kcand, rmax, out, pending
+        if _confirm_pending(splan, pending):
+            return kcand, rmax, out, None
         # overflow: the speculative pack truncated — discard it and raise
         # the high-water marks via the exact measure below (they only grow,
         # so overflow gets rarer as a sweep progresses)
@@ -1365,7 +1386,7 @@ def _plan_widths_pack(splan, eplan, omms_p, position, local_space,
         kcand, rmax, near_mask=near_mask, use_cache=use_cache,
         d_thresh=d_thresh,
     )
-    return kcand, rmax, out
+    return kcand, rmax, out, None
 
 
 @functools.partial(jax.jit, static_argnames=("ratio",))
@@ -1665,11 +1686,18 @@ def _plan_frame(
     samples: int,
     background: int,
     lights: Optional[np.ndarray] = None,  # (L,7) host rows enable lighting
+    defer_check: bool = False,
+    force_exact: bool = False,
 ):
     """Shared frame planning (memoised widths/payload/cache/shadow plans):
-    returns (kwargs, eplan) where kwargs holds every _render_frame argument
-    except the PRNG key — the single-frame and scanned multi-frame entry
-    points both consume it."""
+    returns (kwargs, eplan, pending) where kwargs holds every _render_frame
+    argument except the PRNG key — the single-frame and scanned multi-frame
+    entry points both consume it.  pending (unlit speculative plans with
+    defer_check) must be resolved with _confirm_pending AFTER dispatching
+    the frame; False means re-plan with force_exact and re-render.  Lit
+    frames never defer: the shadow plan probes the packed payload and its
+    widths are memoised per pose, so they must come from a validated
+    pack."""
     splan = scene_plan(scene_flat)
     eplan = eye_plan(ommatidia_np, samples)
     if eplan.omms_p_dev is None:
@@ -1754,13 +1782,15 @@ def _plan_frame(
                         splan.cache_store.clear()
                     splan.cache_store[cache_key] = cache
 
-    kcand, rmax, (row_counts, packed_mm) = _plan_widths_pack(
+    kcand, rmax, (row_counts, packed_mm), pending = _plan_widths_pack(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
         near_mask=near_mask, use_cache=use_cache,
         d_thresh=(
             _farfield_threshold(ommatidia_np, cfg.farfield_tolerance)
             if use_cache else 0.0
         ),
+        defer=(defer_check and lights is None),
+        force_exact=force_exact,
     )
     # lighting disables the far-field radiance cache: cached radiance is
     # unlit, and the reference lights every hit (shaders.cu:826-881).  The
@@ -1792,7 +1822,7 @@ def _plan_frame(
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         tex_static=splan.tex_static, quad_gray=splan.quad_gray,
     )
-    return kwargs, eplan
+    return kwargs, eplan, (splan, pending)
 
 
 def render_means_pallas(
@@ -1808,16 +1838,22 @@ def render_means_pallas(
 ) -> jnp.ndarray:
     """Full Pallas frame; returns (N,3) means in original ommatidium order.
 
-    One device dispatch per frame in the steady state.  The kernel's ragged
-    shortlist width kmax is pose-dependent; it is measured with a small cull
-    dispatch + host sync only the first time a (scene, eye, pose) combination
-    is seen, then cached (with high-water rounding so nearby poses reuse the
-    compiled kernel)."""
-    kwargs, eplan = _plan_frame(
+    One device dispatch per frame in the steady state.  Unseen poses plan
+    speculatively at the scene's high-water widths and the validity check
+    resolves AFTER the frame dispatch (overlapped with frame execution) —
+    an overflow (needs grew past the marks) re-plans exactly and
+    re-renders the same key, so results never depend on the fast path."""
+    kwargs, eplan, (splan, pending) = _plan_frame(
         scene_flat, scene_dev, ommatidia_np, position, local_space, key,
-        samples, background, lights,
+        samples, background, lights, defer_check=True,
     )
     means_p = _render_frame(key=key, **kwargs)
+    if pending is not None and not _confirm_pending(splan, pending):
+        kwargs, eplan, _ = _plan_frame(
+            scene_flat, scene_dev, ommatidia_np, position, local_space,
+            key, samples, background, lights, force_exact=True,
+        )
+        means_p = _render_frame(key=key, **kwargs)
     return means_p[eplan.inv_valid_dev]
 
 
@@ -1951,15 +1987,20 @@ def render_means_pallas_frames(
     with the frames stacked on the sample axis — small frames are
     table-read-bound, so the scanned burst still pays the full fixed kernel
     cost per frame while the stacked one pays it once."""
-    kwargs, eplan = _plan_frame(
+    kwargs, eplan, (splan, pending) = _plan_frame(
         scene_flat, scene_dev, ommatidia_np, position, local_space,
-        keys[0], samples, background, lights,
+        keys[0], samples, background, lights, defer_check=True,
     )
     f = int(keys.shape[0])
-    if 1 < f * samples <= STACK_BURST_MAX_SAMPLES:
-        out = _render_frames_stacked(keys=keys, **kwargs)
-    else:
-        out = _render_frames_scanned(keys=keys, **kwargs)
+    stacked = 1 < f * samples <= STACK_BURST_MAX_SAMPLES
+    burst = _render_frames_stacked if stacked else _render_frames_scanned
+    out = burst(keys=keys, **kwargs)
+    if pending is not None and not _confirm_pending(splan, pending):
+        kwargs, eplan, _ = _plan_frame(
+            scene_flat, scene_dev, ommatidia_np, position, local_space,
+            keys[0], samples, background, lights, force_exact=True,
+        )
+        out = burst(keys=keys, **kwargs)
     return out[:, eplan.inv_valid_dev]
 
 
