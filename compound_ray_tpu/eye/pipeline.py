@@ -2026,27 +2026,34 @@ def render_samples_pallas(
 
     pos_np = np.asarray(jax.device_get(position), np.float32)
     ls_np = np.asarray(jax.device_get(local_space), np.float32)
-    kcand, rmax = _plan_widths(
-        splan, eplan, omms_p, position, local_space,
-        (eplan.sig, samples,
-         (pos_np.tobytes(), ls_np.tobytes())),
-    )
-
     pose_sig = (pos_np.tobytes(), ls_np.tobytes())
-    row_counts, packed_mm = _packed_plan(
+
+    def dispatch(rmax, row_counts, packed_mm):
+        return _render_frame(
+            packed_mm, row_counts,
+            splan.attr_table, scene_dev, splan.quad_table,
+            omms_p, position, local_space, key,
+            samples=samples, background=background,
+            ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
+            rmax=rmax, textured=splan.textured, want_samples=True,
+            tex_only=splan.tex_only, tex_static=splan.tex_static,
+            quad_gray=splan.quad_gray,
+        )  # (Np, S, 3)
+
+    # same deferred speculative planning as the means path: GA-style raw
+    # sweeps (minimumSampleRateFinder protocol) render at a new pose every
+    # frame, so unseen-pose round trips dominate
+    kcand, rmax, (row_counts, packed_mm), pending = _plan_widths_pack(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
-        kcand, rmax,
+        defer=True,
     )
-    raw_p = _render_frame(
-        packed_mm, row_counts,
-        splan.attr_table, scene_dev, splan.quad_table,
-        omms_p, position, local_space, key,
-        samples=samples, background=background,
-        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
-        rmax=rmax, textured=splan.textured, want_samples=True,
-        tex_only=splan.tex_only, tex_static=splan.tex_static,
-        quad_gray=splan.quad_gray,
-    )  # (Np, S, 3)
+    raw_p = dispatch(rmax, row_counts, packed_mm)
+    if pending is not None and not _confirm_pending(splan, pending):
+        kcand, rmax, (row_counts, packed_mm), _ = _plan_widths_pack(
+            splan, eplan, omms_p, position, local_space, pose_sig, samples,
+            force_exact=True,
+        )
+        raw_p = dispatch(rmax, row_counts, packed_mm)
     return jnp.transpose(raw_p[eplan.inv_valid_dev], (1, 0, 2))
 
 

@@ -167,6 +167,68 @@ def test_speculative_overflow_falls_back(small_setup, monkeypatch):
     np.testing.assert_array_equal(want, got)
 
 
+def _sweep_raw(scene, eye, key, samples=8):
+    scene_dev = scene.device_triangles()
+    return [
+        np.asarray(pipeline.render_samples_pallas(
+            scene, scene_dev, eye, pos, ls, key, samples, 0))
+        for pos, ls in _poses()
+    ]
+
+
+def test_speculative_raw_samples_bit_identical():
+    """render_samples_pallas rides the same deferred speculative planning
+    as the means path (minimumSampleRateFinder sweeps render a new pose
+    every frame); results must match the exact measure bit-for-bit."""
+    eye = ommatidia_to_array(make_sphere_eye(64, acceptance_deg=4.0))
+    key = jax.random.PRNGKey(2)
+    base = get_config()
+    set_config(dataclasses.replace(base, speculative_widths=True))
+    try:
+        spec = _sweep_raw(make_big_scene(n_boxes=60, seed=3), eye, key)
+    finally:
+        set_config(dataclasses.replace(base, speculative_widths=False))
+    try:
+        exact = _sweep_raw(make_big_scene(n_boxes=60, seed=3), eye, key)
+    finally:
+        set_config(base)
+    for a, b in zip(spec, exact):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_speculative_raw_overflow_falls_back(small_setup, monkeypatch):
+    """Truncating speculative pack on the raw path must re-plan exactly and
+    re-render — output equal to a clean exact render."""
+    scene, scene_dev, eye = small_setup
+    key = jax.random.PRNGKey(0)
+    pos, ls = _poses()[0]
+    base = get_config()
+    set_config(dataclasses.replace(base, speculative_widths=False))
+    try:
+        want = np.asarray(pipeline.render_samples_pallas(
+            scene, scene_dev, eye, pos, ls, key, 8, 0))
+    finally:
+        set_config(base)
+
+    scene2 = make_big_scene(n_boxes=60, seed=3)
+    eplan = pipeline.eye_plan(eye, 8)
+    splan2 = pipeline.scene_plan(scene2)
+    splan2.kmax_cache[("hints", eplan.sig)] = (8, 1)  # far too small
+
+    calls = []
+    orig = pipeline._plan_widths
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pipeline, "_plan_widths", counting)
+    got = np.asarray(pipeline.render_samples_pallas(
+        scene2, scene2.device_triangles(), eye, pos, ls, key, 8, 0))
+    assert calls, "overflow must fall back to the exact width measure"
+    np.testing.assert_array_equal(want, got)
+
+
 def test_cull_sigmas_change_invalidates_plan(small_setup):
     """A cull-width change at a seen pose must not serve stale payloads
     (ADVICE r2: cache keys omitted cfg.cull_sigmas)."""
