@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +72,10 @@ AUX_COMPS = 8  # [tmin, 0 x 7]
 # ~8 ms of VPU work.  256 rays halves the step count; the carried winner
 # state (4 x (256, 128) f32 = 512 KB) still fits registers/VMEM.
 BATCH_RAYS = int(os.environ.get("CR_TPU_BATCH_RAYS", "256"))
+# independent ray-batch chains per row-loop step (see _make_packed_kernel):
+# the row step is latency-bound, so independent chains overlap their
+# matmul->divide->select dependency chains.  Bit-identical to 1.
+UNROLL_B = int(os.environ.get("CR_TPU_UNROLL_B", "1"))
 
 
 def build_mm_features(cluster_set, uv=None, texid=None, rgb=None) -> np.ndarray:
@@ -169,348 +174,159 @@ def pack_rays_mm(dirs, origins, tmin):
     return jnp.transpose(feats, (1, 0))
 
 
-def _packed_kernel(counts_ref, tri_ref, rays_ref, out_ref):
-    g = pl.program_id(0)
-    cnt = counts_ref[g]
-    rb_size = rays_ref.shape[1]
-    big = jnp.float32(jnp.inf)
-    RS = BATCH_RAYS
-
-    def ray_batch(rbi, _):
-        r0 = pl.multiple_of(rbi * RS, RS)
-        ft = rays_ref[:, pl.ds(r0, RS)]  # (16, RS) feature-major
-
-        def row_step(j, state):
-            (bt, bu, bv, bid) = state
-            mm = tri_ref[0, j]  # (16, 512)
-            # contract the shared 16-feature axis: K is already on sublanes
-            # for BOTH operands — the MXU-native layout.  Precision must be
-            # explicit: the TPU DEFAULT is one bf16 pass, which measured
-            # median 2e-3 relative t error and hit/miss flips on the bench
-            # scene; HIGHEST (f32-equivalent multi-pass) restores the
-            # f32 contract the rest of the pipeline assumes.  (Mosaic only
-            # lowers DEFAULT and HIGHEST — Precision.HIGH raises
-            # NotImplementedError in _dot_general_lowering_rule.)
-            # Register-carried winner state: a VMEM-scratch variant (to
-            # allow pl.when row skipping) measured +69% on the primary
-            # frame — per-row scratch read/write traffic outweighs any
-            # skipped rows for the tightly-refined primary payloads.
-            p = jax.lax.dot_general(
-                ft, mm, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (RS, 512)
-            w1 = p[:, 0:KERNEL_LEAF]
-            w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
-            den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
-            tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
-            # slot ids ride feature row 10 of the w1 block (rows 8:16 load is
-            # sublane-aligned; the [2] pick afterwards is a register slice)
-            ids = tri_ref[0, j, 8:16, 0:KERNEL_LEAF][2:3, :]  # (1, 128)
-            # den == 0 (parallel ray or all-zero padding column) -> inv inf
-            # -> u/v/t inf or NaN -> every comparison False: self-masking
-            inv = 1.0 / den
-            u = w1 * inv
-            v = w2 * inv
-            t = tnum * inv
-            ok = (
-                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t >= 0.0) & (t < bt)
-            )
-            return (
-                jnp.where(ok, t, bt),
-                jnp.where(ok, u, bu),
-                jnp.where(ok, v, bv),
-                jnp.where(ok, ids, bid),
-            )
-
-        z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
-        init = (jnp.full((RS, KERNEL_LEAF), big), z, z,
-                jnp.full((RS, KERNEL_LEAF), -1.0))
-        (bt, bu, bv, bid) = jax.lax.fori_loop(0, cnt, row_step, init)
-
-        # cross-lane winner per ray (first-occurrence argmin)
-        tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (RS, KERNEL_LEAF), 1)
-        cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
-        first = jnp.min(cand, axis=1, keepdims=True)
-        onehot = lane == first
-
-        def pick(buf):
-            return jnp.sum(jnp.where(onehot, buf, 0.0), axis=1, keepdims=True)
-
-        def store(row, val):  # (RS, 1) winner column -> planar out row
-            out_ref[row:row + 1, pl.ds(r0, RS)] = val.reshape(1, RS)
-
-        store(0, jnp.where(jnp.isfinite(tmin_l), tmin_l, big))
-        store(1, pick(bu))
-        store(2, pick(bv))
-        store(3, pick(bid))
-        return 0
-
-    @pl.when(cnt > 0)
-    def _run_batches():
-        jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
+# winner-state layouts per kernel output mode: which state buffers init to
+# -1 (id/texid lanes) instead of 0; buffer 0 is always the best-t (init inf)
+_EMIT_NEG_INIT = {"bary": (3,), "uv": (3, 4), "uvs": (), "flat": (4, 5)}
+_EMIT_NBUFS = {"bary": 4, "uv": 5, "uvs": 3, "flat": 6}
 
 
-def _packed_kernel_uv(counts_ref, tri_ref, rays_ref, out_ref):
-    """tex_only variant: interpolates the winner's TEXTURE COORDINATES and
-    texture id in-register from per-slot affine constants riding payload
-    rows 11-15/10-11 (build_mm_features), so the epilogue needs NO
-    winner-attribute gather — a flat ~25 ms/frame at 3.3M rays.  Output
-    rows: [t, cu, cv, texid, slot-id, 0...]."""
-    g = pl.program_id(0)
-    cnt = counts_ref[g]
-    rb_size = rays_ref.shape[1]
-    big = jnp.float32(jnp.inf)
-    RS = BATCH_RAYS
+def _row_candidates(p, hi1, hi2, emit):
+    """Per-row candidate quantities from the matmul product p (RS, 512) and
+    the payload's high feature rows (sublane-aligned (8, 128) ref loads).
+    Returns (ok, vals): vals[0] is t and the tuple matches the emit mode's
+    winner-state layout (run_packed_tracer docstring).
 
-    def ray_batch(rbi, _):
-        r0 = pl.multiple_of(rbi * RS, RS)
-        ft = rays_ref[:, pl.ds(r0, RS)]  # (16, RS) feature-major
+    den == 0 (parallel ray or all-zero padding column) -> inv inf -> u/v/t
+    inf or NaN -> every comparison False: compaction padding self-masks."""
+    w1 = p[:, 0:KERNEL_LEAF]
+    w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
+    den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
+    tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
+    inv = 1.0 / den
+    u = w1 * inv
+    v = w2 * inv
+    t = tnum * inv
+    ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+    if emit == "bary":
+        # slot ids ride feature row 10 of the w1 block ([2] of the 8:16
+        # load is a register slice)
+        return ok, (t, u, v, hi1[2:3, :])
+    # texture-coordinate affine constants (build_mm_features rows 11-15)
+    cu = hi1[3:4, :] + u * hi1[5:6, :] + v * hi1[7:8, :]
+    cv = hi1[4:5, :] + u * hi1[6:7, :] + v * hi2[2:3, :]
+    if emit == "uvs":
+        # single-texture scenes: texid is a scene constant, slot id unused
+        return ok, (t, cu, cv)
+    tex = hi2[3:4, :]
+    if emit == "uv":
+        return ok, (t, cu, cv, tex, hi1[2:3, :])
+    # "flat": polymorphic per slot — textured slots carry (cu, cv),
+    # untextured the constant material colour from w2 rows 12-14
+    texd = tex >= 0.0  # (1, 128) broadcasts over rays
+    a0 = jnp.where(texd, cu, hi2[4:5, :])
+    a1 = jnp.where(texd, cv, hi2[5:6, :])
+    a2 = jnp.where(texd, 0.0, hi2[6:7, :])
+    return ok, (t, a0, a1, a2, tex, hi1[2:3, :])
 
-        def row_step(j, state):
-            (bt, bcu, bcv, btex, bid) = state
-            mm = tri_ref[0, j]  # (16, 512)
-            p = jax.lax.dot_general(
-                ft, mm, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (RS, 512)
-            w1 = p[:, 0:KERNEL_LEAF]
-            w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
-            den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
-            tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
-            hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]  # w1 rows 8-15
-            hi2 = tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
-            ids = hi1[2:3, :]  # (1, 128) slot id (row 10)
-            uv0x = hi1[3:4, :]
-            uv0y = hi1[4:5, :]
-            du1x = hi1[5:6, :]
-            du1y = hi1[6:7, :]
-            du2x = hi1[7:8, :]
-            du2y = hi2[2:3, :]
-            tex = hi2[3:4, :]
-            inv = 1.0 / den
-            u = w1 * inv
-            v = w2 * inv
-            t = tnum * inv
-            cu = uv0x + u * du1x + v * du2x
-            cv = uv0y + u * du1y + v * du2y
-            ok = (
-                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t >= 0.0) & (t < bt)
-            )
-            return (
-                jnp.where(ok, t, bt),
-                jnp.where(ok, cu, bcu),
-                jnp.where(ok, cv, bcv),
-                jnp.where(ok, tex, btex),
-                jnp.where(ok, ids, bid),
+
+def _make_packed_kernel(emit: str, ub: int):
+    """Build the packed tracer kernel for an output mode and batch-unroll
+    factor.
+
+    ub > 1 runs `ub` INDEPENDENT ray batches per row-loop step: the loop
+    body is a short dependent chain (matmul -> divide/compare -> select)
+    that measured ~1.4 us/step LATENCY-bound (module docstring), so
+    independent chains fill the issue slots a single chain leaves empty.
+    Different batches touch disjoint rays, so results are bit-identical to
+    ub=1 for every ub.  Carried state grows ub x (nbufs x (RS, 128) f32);
+    keep ub * nbufs modest — Mosaic has hung compiling loops carrying many
+    wide registers (CLAUDE.md)."""
+    neg = _EMIT_NEG_INIT[emit]
+    nbufs = _EMIT_NBUFS[emit]
+
+    def kernel(counts_ref, tri_ref, rays_ref, out_ref):
+        g = pl.program_id(0)
+        cnt = counts_ref[g]
+        rb_size = rays_ref.shape[1]
+        big = jnp.float32(jnp.inf)
+        RS = BATCH_RAYS
+        nb = rb_size // RS
+
+        def state_init():
+            z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
+            return tuple(
+                jnp.full((RS, KERNEL_LEAF), big) if i == 0
+                else (jnp.full((RS, KERNEL_LEAF), -1.0) if i in neg else z)
+                for i in range(nbufs)
             )
 
-        z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
-        init = (jnp.full((RS, KERNEL_LEAF), big), z, z,
-                jnp.full((RS, KERNEL_LEAF), -1.0),
-                jnp.full((RS, KERNEL_LEAF), -1.0))
-        (bt, bcu, bcv, btex, bid) = jax.lax.fori_loop(0, cnt, row_step, init)
+        def finalize(state, r0):
+            # cross-lane winner per ray (first-occurrence argmin)
+            bt = state[0]
+            tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (RS, KERNEL_LEAF), 1)
+            cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
+            first = jnp.min(cand, axis=1, keepdims=True)
+            onehot = lane == first
+            out_ref[0:1, pl.ds(r0, RS)] = jnp.where(
+                jnp.isfinite(tmin_l), tmin_l, big
+            ).reshape(1, RS)
+            for i in range(1, nbufs):
+                val = jnp.sum(jnp.where(onehot, state[i], 0.0),
+                              axis=1, keepdims=True)
+                out_ref[i:i + 1, pl.ds(r0, RS)] = val.reshape(1, RS)
 
-        tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (RS, KERNEL_LEAF), 1)
-        cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
-        first = jnp.min(cand, axis=1, keepdims=True)
-        onehot = lane == first
+        def run_chains(r0s):
+            fts = [rays_ref[:, pl.ds(r0, RS)] for r0 in r0s]
 
-        def pick(buf):
-            return jnp.sum(jnp.where(onehot, buf, 0.0), axis=1, keepdims=True)
+            def row_step(j, states):
+                # one payload load per row, shared by every chain.
+                # Precision must be explicit: the TPU DEFAULT is one bf16
+                # pass, which measured median 2e-3 relative t error and
+                # hit/miss flips; HIGHEST restores the f32 contract.
+                # (Mosaic only lowers DEFAULT and HIGHEST.)  Register-
+                # carried winner state: a VMEM-scratch variant measured
+                # +69% on the primary frame.
+                mm = tri_ref[0, j]  # (16, 512)
+                hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]
+                hi2 = (tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
+                       if emit != "bary" else None)
+                new = []
+                for k, ft in enumerate(fts):
+                    p = jax.lax.dot_general(
+                        ft, mm, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (RS, 512)
+                    ok, vals = _row_candidates(p, hi1, hi2, emit)
+                    okk = ok & (vals[0] < states[k][0])
+                    new.append(tuple(
+                        jnp.where(okk, v, s)
+                        for v, s in zip(vals, states[k])
+                    ))
+                return tuple(new)
 
-        def store(row, val):
-            out_ref[row:row + 1, pl.ds(r0, RS)] = val.reshape(1, RS)
-
-        store(0, jnp.where(jnp.isfinite(tmin_l), tmin_l, big))
-        store(1, pick(bcu))
-        store(2, pick(bcv))
-        store(3, pick(btex))
-        store(4, pick(bid))
-        return 0
-
-    @pl.when(cnt > 0)
-    def _run_batches():
-        jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
-
-
-def _packed_kernel_uvs(counts_ref, tri_ref, rays_ref, out_ref):
-    """slim tex_only variant for SINGLE-texture scenes: the texture id is a
-    scene constant and the slot id is unused by the epilogue
-    (resolve_kernel_hits emit="uvs"), so the winner state is only
-    (t, cu, cv) — two fewer (RS, 128) selects per row-step, two fewer
-    winner picks, and no second high-row payload read beyond du2y.
-    Output rows: [t, cu, cv, 0...]."""
-    g = pl.program_id(0)
-    cnt = counts_ref[g]
-    rb_size = rays_ref.shape[1]
-    big = jnp.float32(jnp.inf)
-    RS = BATCH_RAYS
-
-    def ray_batch(rbi, _):
-        r0 = pl.multiple_of(rbi * RS, RS)
-        ft = rays_ref[:, pl.ds(r0, RS)]  # (16, RS) feature-major
-
-        def row_step(j, state):
-            (bt, bcu, bcv) = state
-            mm = tri_ref[0, j]  # (16, 512)
-            p = jax.lax.dot_general(
-                ft, mm, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (RS, 512)
-            w1 = p[:, 0:KERNEL_LEAF]
-            w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
-            den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
-            tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
-            hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]  # w1 rows 8-15
-            hi2 = tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
-            uv0x = hi1[3:4, :]
-            uv0y = hi1[4:5, :]
-            du1x = hi1[5:6, :]
-            du1y = hi1[6:7, :]
-            du2x = hi1[7:8, :]
-            du2y = hi2[2:3, :]
-            inv = 1.0 / den
-            u = w1 * inv
-            v = w2 * inv
-            t = tnum * inv
-            cu = uv0x + u * du1x + v * du2x
-            cv = uv0y + u * du1y + v * du2y
-            ok = (
-                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t >= 0.0) & (t < bt)
+            states = jax.lax.fori_loop(
+                0, cnt, row_step, tuple(state_init() for _ in r0s)
             )
-            return (
-                jnp.where(ok, t, bt),
-                jnp.where(ok, cu, bcu),
-                jnp.where(ok, cv, bcv),
-            )
+            for k, r0 in enumerate(r0s):
+                finalize(states[k], r0)
 
-        z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
-        init = (jnp.full((RS, KERNEL_LEAF), big), z, z)
-        (bt, bcu, bcv) = jax.lax.fori_loop(0, cnt, row_step, init)
+        @pl.when(cnt > 0)
+        def _run_batches():
+            if ub == 1:
+                def one(rbi, _):
+                    run_chains([pl.multiple_of(rbi * RS, RS)])
+                    return 0
 
-        tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (RS, KERNEL_LEAF), 1)
-        cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
-        first = jnp.min(cand, axis=1, keepdims=True)
-        onehot = lane == first
+                jax.lax.fori_loop(0, nb, one, 0)
+            else:
+                def super_step(sbi, _):
+                    base = sbi * ub
+                    run_chains([
+                        pl.multiple_of((base + k) * RS, RS)
+                        for k in range(ub)
+                    ])
+                    return 0
 
-        def pick(buf):
-            return jnp.sum(jnp.where(onehot, buf, 0.0), axis=1, keepdims=True)
+                jax.lax.fori_loop(0, nb // ub, super_step, 0)
+                # static tail: the batches ub doesn't divide run single-chain
+                for k in range(nb % ub):
+                    run_chains(
+                        [pl.multiple_of(((nb // ub) * ub + k) * RS, RS)]
+                    )
 
-        def store(row, val):
-            out_ref[row:row + 1, pl.ds(r0, RS)] = val.reshape(1, RS)
-
-        store(0, jnp.where(jnp.isfinite(tmin_l), tmin_l, big))
-        store(1, pick(bcu))
-        store(2, pick(bcv))
-        return 0
-
-    @pl.when(cnt > 0)
-    def _run_batches():
-        jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
-
-
-def _packed_kernel_flat(counts_ref, tri_ref, rays_ref, out_ref):
-    """flat-attr variant: the winner's shading inputs resolve ENTIRELY
-    in-register, polymorphically per slot — textured slots (payload tex id
-    >= 0) carry interpolated texture coordinates, untextured slots carry
-    the constant material colour from payload rows w2[12:15]
-    (build_mm_features).  No epilogue attribute gather at all.  Output
-    rows: [t, a0, a1, a2, texid, slot-id, 0, 0] where (a0, a1) = (cu, cv)
-    for textured winners and (a0, a1, a2) = (r, g, b) for untextured."""
-    g = pl.program_id(0)
-    cnt = counts_ref[g]
-    rb_size = rays_ref.shape[1]
-    big = jnp.float32(jnp.inf)
-    RS = BATCH_RAYS
-
-    def ray_batch(rbi, _):
-        r0 = pl.multiple_of(rbi * RS, RS)
-        ft = rays_ref[:, pl.ds(r0, RS)]  # (16, RS) feature-major
-
-        def row_step(j, state):
-            (bt, b0, b1, b2, btex, bid) = state
-            mm = tri_ref[0, j]  # (16, 512)
-            p = jax.lax.dot_general(
-                ft, mm, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (RS, 512)
-            w1 = p[:, 0:KERNEL_LEAF]
-            w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
-            den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
-            tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
-            hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]  # w1 rows 8-15
-            hi2 = tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
-            ids = hi1[2:3, :]  # (1, 128) slot id (row 10)
-            uv0x = hi1[3:4, :]
-            uv0y = hi1[4:5, :]
-            du1x = hi1[5:6, :]
-            du1y = hi1[6:7, :]
-            du2x = hi1[7:8, :]
-            du2y = hi2[2:3, :]
-            tex = hi2[3:4, :]
-            rcol = hi2[4:5, :]
-            gcol = hi2[5:6, :]
-            bcol = hi2[6:7, :]
-            inv = 1.0 / den
-            u = w1 * inv
-            v = w2 * inv
-            t = tnum * inv
-            texd = tex >= 0.0  # (1, 128) broadcasts over rays
-            a0 = jnp.where(texd, uv0x + u * du1x + v * du2x, rcol)
-            a1 = jnp.where(texd, uv0y + u * du1y + v * du2y, gcol)
-            a2 = jnp.where(texd, 0.0, bcol)
-            ok = (
-                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t >= 0.0) & (t < bt)
-            )
-            return (
-                jnp.where(ok, t, bt),
-                jnp.where(ok, a0, b0),
-                jnp.where(ok, a1, b1),
-                jnp.where(ok, a2, b2),
-                jnp.where(ok, tex, btex),
-                jnp.where(ok, ids, bid),
-            )
-
-        z = jnp.zeros((RS, KERNEL_LEAF), jnp.float32)
-        init = (jnp.full((RS, KERNEL_LEAF), big), z, z, z,
-                jnp.full((RS, KERNEL_LEAF), -1.0),
-                jnp.full((RS, KERNEL_LEAF), -1.0))
-        (bt, b0, b1, b2, btex, bid) = jax.lax.fori_loop(0, cnt, row_step, init)
-
-        tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (RS, KERNEL_LEAF), 1)
-        cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
-        first = jnp.min(cand, axis=1, keepdims=True)
-        onehot = lane == first
-
-        def pick(buf):
-            return jnp.sum(jnp.where(onehot, buf, 0.0), axis=1, keepdims=True)
-
-        def store(row, val):
-            out_ref[row:row + 1, pl.ds(r0, RS)] = val.reshape(1, RS)
-
-        store(0, jnp.where(jnp.isfinite(tmin_l), tmin_l, big))
-        store(1, pick(b0))
-        store(2, pick(b1))
-        store(3, pick(b2))
-        store(4, pick(btex))
-        store(5, pick(bid))
-        return 0
-
-    @pl.when(cnt > 0)
-    def _run_batches():
-        jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
+    return kernel
 
 
 def _rows_occlusion_kernel(r2v_ref, flag_ref, tri_ref, rays_ref, out_ref):
@@ -615,7 +431,8 @@ def run_rows_occlusion(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ng", "nrb", "rb_size", "rmax", "emit")
+    jax.jit,
+    static_argnames=("ng", "nrb", "rb_size", "rmax", "emit", "unroll_b"),
 )
 def run_packed_tracer(
     row_counts: jnp.ndarray,  # (NG,) int32 payload rows per group
@@ -626,6 +443,7 @@ def run_packed_tracer(
     rb_size: int,
     rmax: int,
     emit: str = "bary",
+    unroll_b: Optional[int] = None,
 ) -> jnp.ndarray:
     """Returns PLANAR (8, R) rows; t = +inf on miss.  Row layout by emit:
     "bary": [t, u, v, slot-id, 0...] (barycentrics; the epilogue resolves
@@ -644,7 +462,13 @@ def run_packed_tracer(
 
     Groups with row_counts == 0 skip all work and emit garbage rows — the
     epilogue must mask whole groups by count (same contract as
-    run_tracer_kernel)."""
+    run_tracer_kernel).
+
+    unroll_b > 1 runs that many independent ray-batch chains per row-loop
+    step (bit-identical to 1 — see _make_packed_kernel); None uses the
+    UNROLL_B env default."""
+    if unroll_b is None:
+        unroll_b = UNROLL_B
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ng, nrb),
@@ -666,10 +490,8 @@ def run_packed_tracer(
             memory_space=pltpu.VMEM,
         ),
     )
-    kernel = {"bary": _packed_kernel, "uv": _packed_kernel_uv,
-              "uvs": _packed_kernel_uvs, "flat": _packed_kernel_flat}[emit]
     return pl.pallas_call(
-        kernel,
+        _make_packed_kernel(emit, unroll_b),
         out_shape=jax.ShapeDtypeStruct((OUT_COMPS, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),

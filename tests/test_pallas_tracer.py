@@ -336,3 +336,48 @@ def test_multi_texture_atlas_all_backends():
             scene._kernel_plan.cache_store.clear()
     np.testing.assert_allclose(got2[left], red, atol=1e-3)
     np.testing.assert_allclose(got2[~left], blue, atol=1e-3)
+
+
+@pytest.mark.parametrize("emit", ["bary", "uv", "uvs", "flat"])
+def test_packed_tracer_unroll_bit_identical(emit):
+    """Batch-unrolled kernels (unroll_b > 1) must be bit-identical to the
+    single-chain kernel: chains touch disjoint ray batches, so the winner
+    sequences are unchanged.  nb=3 batches exercises super-steps AND the
+    static single-chain tail at ub=2."""
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    scene = make_big_scene(n_boxes=60, seed=5)
+    splan = P.scene_plan(scene)
+    omms_np = ommatidia_to_array(make_sphere_eye(16, acceptance_deg=4.0))
+    samples = 640  # g=1, rg=640 -> rb_size 768 = 3 ray batches of 256
+    eplan = P.eye_plan(omms_np, samples)
+    assert eplan.rb_size // 256 == 3
+    omms_p = jnp.asarray(omms_np[eplan.perm])
+    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    kcand, rmax = P._plan_widths(
+        splan, eplan, omms_p, pos, ls, (eplan.sig, samples, b"unroll-test"))
+    rc, pmm, _, _ = P._pack_fused(
+        splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+        splan.half_center, splan.half_radius, omms_p, pos, ls,
+        g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=4.0,
+        tri_cl=splan.slot_tri_cl)
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+    splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
+    spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
+    rays, _, _ = P._gen_ray_features(
+        omms_p, pos, ls, splay, spin, samples=samples,
+        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+
+    def run(ub):
+        return np.asarray(run_packed_tracer(
+            rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
+            rb_size=eplan.rb_size, rmax=rmax, emit=emit, unroll_b=ub))
+
+    base = run(1)
+    assert np.isfinite(base[0]).any(), "test must produce real hits"
+    for ub in (2, 3):
+        np.testing.assert_array_equal(base, run(ub))

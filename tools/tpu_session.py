@@ -70,8 +70,79 @@ def run_conformance():
     conformance_report.main([])
 
 
+def run_unroll():
+    """Kernel batch-unroll A/B: time run_packed_tracer directly at
+    unroll_b in {1, 2, 4} on the two bench scenes' real payloads/rays.
+    The row step is latency-bound (~1.4 us dependent chain,
+    mm_tracer.py:68); independent chains should overlap it.  Runs LAST:
+    a Mosaic compile hang here must not block the headline numbers."""
+    from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    sigmas = get_config().cull_sigmas
+    for name, build in (("natural", bench.build_renderer),
+                        ("ofstad", bench.build_ofstad_renderer)):
+        built = build()
+        r = built[0] if isinstance(built, tuple) else built
+        if r is None:
+            continue
+        scene = r.scene
+        cam = r.current_camera()
+        splan = P.scene_plan(scene)
+        omms_np = cam.ommatidia
+        samples = 3200
+        eplan = P.eye_plan(omms_np, samples)
+        omms_p = jnp.asarray(omms_np[eplan.perm])
+        pos = jnp.asarray(np.asarray(cam.position, np.float32))
+        ls = jnp.eye(3, dtype=jnp.float32)
+        kcand, rmax = P._plan_widths(
+            splan, eplan, omms_p, pos, ls,
+            (eplan.sig, samples, b"unroll-ab"))
+        rc, pmm, _, _ = P._pack_fused(
+            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+            splan.half_center, splan.half_radius, omms_p, pos, ls,
+            g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=sigmas,
+            tri_cl=splan.slot_tri_cl)
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+        splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
+        spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
+        rays, _, _ = P._gen_ray_features(
+            omms_p, pos, ls, splay, spin, samples=samples,
+            ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+        rays = jax.device_put(rays)
+        emit = "uvs" if splan.tex_static is not None else (
+            "uv" if splan.tex_only else "bary")
+        base = None
+        for ub in (1, 2, 4):
+            def go():
+                return run_packed_tracer(
+                    rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
+                    rb_size=eplan.rb_size, rmax=rmax, emit=emit,
+                    unroll_b=ub)
+            out = go()
+            _ = jax.device_get(out[0, :8])  # tunnel-safe sync
+            times = []
+            for _i in range(5):
+                t0 = time.perf_counter()
+                out = go()
+                _ = jax.device_get(out[0, :8])
+                times.append((time.perf_counter() - t0) * 1000.0)
+            ms = float(np.median(times))
+            log(f"UNROLL {name} emit={emit} rmax={rmax} ub={ub}: "
+                f"{ms:.2f} ms/kernel")
+            if ub == 1:
+                base = np.asarray(out)
+            else:
+                same = np.array_equal(base, np.asarray(out))
+                log(f"  bit-identical vs ub=1: {same}")
+
+
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"bench", "anatomy", "lit", "conformance"}
+    which = set(sys.argv[1:]) or {
+        "bench", "anatomy", "lit", "conformance", "unroll"}
     t0 = time.time()
     if "bench" in which:
         run_bench()
@@ -85,3 +156,6 @@ if __name__ == "__main__":
     if "conformance" in which:
         run_conformance()
         log(f"# conformance done at {time.time()-t0:.0f}s")
+    if "unroll" in which:
+        run_unroll()
+        log(f"# unroll done at {time.time()-t0:.0f}s")
