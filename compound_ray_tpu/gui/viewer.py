@@ -14,12 +14,20 @@ the same key bindings:
   Esc           quit
 
 Run: python -m compound_ray_tpu.gui.viewer -f scene.gltf
+
+Headless machines (like TPU hosts) get a REAL interactive window through
+the browser instead: `--web` serves the same viewer over HTTP via
+matplotlib's WebAgg backend (key events travel the browser -> websocket ->
+mpl key_press_event path, so the bindings above work unchanged).  This is
+the TPU-era counterpart of the reference's "quick way to validate your
+model" GL window (README.md:38-40).
 """
 
 from __future__ import annotations
 
 import argparse
 import math
+import os
 import time
 from typing import Optional
 
@@ -188,15 +196,100 @@ class Viewer:
         plt.close(fig)
 
 
+    def run_web(self, port: int = 8988, max_frames: Optional[int] = None):
+        """Serve the viewer as a live browser window (matplotlib WebAgg).
+
+        The browser page carries the real interaction path: keydown events
+        go over the WebAgg websocket into the same handle_key/controller
+        code the desktop window uses.  The render loop rides a backend
+        timer inside the tornado event loop — no threads touch matplotlib.
+        `max_frames` stops the timer (the server keeps serving the last
+        frame) so scripted sessions terminate deterministically."""
+        import matplotlib
+
+        matplotlib.rcParams["webagg.port"] = port
+        matplotlib.rcParams["webagg.open_in_browser"] = False
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 6))
+        im = ax.imshow(self.frame())
+        ax.set_axis_off()
+        state = {"quit": False, "frame": 0}
+
+        def on_press(event):
+            if event.key is None:
+                return
+            if self.handle_key(event.key) == "quit":
+                state["quit"] = True
+                plt.close(fig)
+                # closing the figure does not stop WebAgg's tornado loop;
+                # Esc must actually end the serving process (gui.cpp:94)
+                import tornado.ioloop
+
+                tornado.ioloop.IOLoop.current().stop()
+
+        def on_release(event):
+            if event.key:
+                self.controller.release(event.key)
+
+        fig.canvas.mpl_connect("key_press_event", on_press)
+        fig.canvas.mpl_connect("key_release_event", on_release)
+
+        timer = fig.canvas.new_timer(interval=30)
+
+        def tick():
+            if state["quit"]:
+                timer.stop()
+                return
+            self.tick()
+            if self.dirty or self.renderer.is_compound_eye_active():
+                im.set_data(self.frame())
+                name = self.renderer.get_current_camera_name()
+                ax.set_title(
+                    f"{name}  "
+                    f"({self.renderer.get_current_eye_samples_per_ommatidium()} "
+                    "samples/omm)" if self.renderer.is_compound_eye_active()
+                    else name
+                )
+                fig.canvas.draw_idle()
+            state["frame"] += 1
+            if max_frames is not None and state["frame"] >= max_frames:
+                timer.stop()
+
+        timer.add_callback(tick)
+        timer.start()
+        print(f"[PyEye] web viewer at http://localhost:{port}/", flush=True)
+        plt.show()  # serves until the process is interrupted / Esc quits
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-f", "--file", required=True, help="glTF scene")
     ap.add_argument("-W", "--width", type=int, default=400)
     ap.add_argument("-H", "--height", type=int, default=300)
+    ap.add_argument("--web", action="store_true",
+                    help="serve an interactive browser window (WebAgg) "
+                         "instead of opening a desktop one")
+    ap.add_argument("--port", type=int, default=8988)
     args = ap.parse_args(argv)
+    if args.web:
+        import matplotlib
+
+        matplotlib.use("webagg")
+    # the axon sitecustomize pins jax_platforms via config, which beats the
+    # env var; honour an explicit JAX_PLATFORMS (e.g. cpu on a box whose
+    # TPU is busy) the way users expect
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     r = EyeRenderer(verbose=True)
     r.load_gltf_scene(args.file)
-    Viewer(r, args.width, args.height).run()
+    v = Viewer(r, args.width, args.height)
+    if args.web:
+        v.run_web(port=args.port)
+    else:
+        v.run()
 
 
 if __name__ == "__main__":
