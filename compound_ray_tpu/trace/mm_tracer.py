@@ -329,7 +329,7 @@ def _make_packed_kernel(emit: str, ub: int):
     return kernel
 
 
-def _rows_occlusion_kernel(r2v_ref, flag_ref, tri_ref, rays_ref, out_ref):
+def _make_rows_occlusion_kernel(ub: int):
     """Row-major shadow traversal: grid = (NRB, T) over the ACTUAL rows of
     the shared ragged payload table — step (rb, r) tests row r against its
     own (light, group) virtual group's ray block, so total work equals the
@@ -339,52 +339,70 @@ def _rows_occlusion_kernel(r2v_ref, flag_ref, tri_ref, rays_ref, out_ref):
     stays VMEM-resident and min-t accumulates in place; flag 2 = first row
     of its group (initialise), 1 = live row, 0 = padding (skip).  Virtual
     groups with zero rows are never visited — the caller masks their
-    (uninitialised) lanes to +inf via the counts table."""
-    r = pl.program_id(1)
-    f = flag_ref[r]
-    rb_size = rays_ref.shape[1]
-    big = jnp.float32(jnp.inf)
+    (uninitialised) lanes to +inf via the counts table.
 
-    @pl.when(f == 2)
-    def _init():
-        out_ref[...] = jnp.full(out_ref.shape, big)
+    ub independent ray-batch chains run per loop step (same latency
+    rationale and bit-identical argument as _make_packed_kernel)."""
 
-    @pl.when(f >= 1)
-    def _test_row():
-        mm = tri_ref[0]  # (16, 512)
+    def kernel(r2v_ref, flag_ref, tri_ref, rays_ref, out_ref):
+        r = pl.program_id(1)
+        f = flag_ref[r]
+        rb_size = rays_ref.shape[1]
+        big = jnp.float32(jnp.inf)
+        nb = rb_size // BATCH_RAYS
 
-        def ray_batch(rbi, _):
-            r0 = pl.multiple_of(rbi * BATCH_RAYS, BATCH_RAYS)
-            ft = rays_ref[:, pl.ds(r0, BATCH_RAYS)]  # (16, RS)
-            p = jax.lax.dot_general(
-                ft, mm, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (RS, 512)
-            w1 = p[:, 0:KERNEL_LEAF]
-            w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
-            den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
-            tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
-            inv = 1.0 / den
-            u = w1 * inv
-            v = w2 * inv
-            t = tnum * inv
-            ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
-            tmin = jnp.min(jnp.where(ok, t, big), axis=1)  # (RS,)
-            cur = out_ref[0:1, pl.ds(r0, BATCH_RAYS)]
-            out_ref[0:1, pl.ds(r0, BATCH_RAYS)] = jnp.minimum(
-                cur, tmin.reshape(1, BATCH_RAYS)
-            )
-            return 0
+        @pl.when(f == 2)
+        def _init():
+            out_ref[...] = jnp.full(out_ref.shape, big)
 
-        jax.lax.fori_loop(0, rb_size // BATCH_RAYS, ray_batch, 0)
+        @pl.when(f >= 1)
+        def _test_row():
+            mm = tri_ref[0]  # (16, 512)
+
+            def one_batch(r0):
+                ft = rays_ref[:, pl.ds(r0, BATCH_RAYS)]  # (16, RS)
+                p = jax.lax.dot_general(
+                    ft, mm, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (RS, 512)
+                w1 = p[:, 0:KERNEL_LEAF]
+                w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
+                den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
+                tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
+                inv = 1.0 / den
+                u = w1 * inv
+                v = w2 * inv
+                t = tnum * inv
+                ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+                tmin = jnp.min(jnp.where(ok, t, big), axis=1)  # (RS,)
+                cur = out_ref[0:1, pl.ds(r0, BATCH_RAYS)]
+                out_ref[0:1, pl.ds(r0, BATCH_RAYS)] = jnp.minimum(
+                    cur, tmin.reshape(1, BATCH_RAYS)
+                )
+
+            def ray_batch(sbi, _):
+                for k in range(ub):
+                    one_batch(
+                        pl.multiple_of((sbi * ub + k) * BATCH_RAYS,
+                                       BATCH_RAYS))
+                return 0
+
+            jax.lax.fori_loop(0, nb // ub, ray_batch, 0)
+            for k in range(nb % ub):
+                one_batch(
+                    pl.multiple_of(((nb // ub) * ub + k) * BATCH_RAYS,
+                                   BATCH_RAYS))
+
+    return kernel
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-@functools.partial(jax.jit, static_argnames=("nrb", "rb_size"))
+@functools.partial(
+    jax.jit, static_argnames=("nrb", "rb_size", "unroll_b"))
 def run_rows_occlusion(
     r2v: jnp.ndarray,  # (T,) int32 row -> virtual group (light*NG + group)
     flag: jnp.ndarray,  # (T,) int32: 2 first-of-group, 1 live, 0 padding
@@ -392,6 +410,7 @@ def run_rows_occlusion(
     rays: jnp.ndarray,  # (16, NVG*NRB*rb_size) f32 PLANAR shadow rays
     nrb: int,
     rb_size: int,
+    unroll_b: Optional[int] = None,
 ) -> jnp.ndarray:
     """Closest-t along shadow rays, (1, R) planar; +inf = unobstructed.
     The caller compares t against the ray-to-light distance to decide
@@ -400,6 +419,8 @@ def run_rows_occlusion(
     never initialised).  All lights trace in ONE dispatch: the ray vector
     stacks each light's group-major block, virtual group = light*NG + g,
     and the table's rows are sorted by virtual group (see _shadow_plan)."""
+    if unroll_b is None:
+        unroll_b = UNROLL_B
     t_pad = flat_rows.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -423,7 +444,7 @@ def run_rows_occlusion(
         ),
     )
     return pl.pallas_call(
-        _rows_occlusion_kernel,
+        _make_rows_occlusion_kernel(unroll_b),
         out_shape=jax.ShapeDtypeStruct((1, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),

@@ -381,3 +381,64 @@ def test_packed_tracer_unroll_bit_identical(emit):
     assert np.isfinite(base[0]).any(), "test must produce real hits"
     for ub in (2, 3):
         np.testing.assert_array_equal(base, run(ub))
+
+
+def test_occlusion_unroll_bit_identical():
+    """run_rows_occlusion with unroll_b > 1 must equal the single-chain
+    kernel (chains cover disjoint ray batches; min accumulation per batch
+    touches disjoint out slices)."""
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_rows_occlusion
+
+    scene = make_big_scene(n_boxes=60, seed=5)
+    splan = P.scene_plan(scene)
+    omms_np = ommatidia_to_array(make_sphere_eye(16, acceptance_deg=4.0))
+    samples = 640  # rb_size 768 = 3 ray batches
+    eplan = P.eye_plan(omms_np, samples)
+    omms_p = jnp.asarray(omms_np[eplan.perm])
+    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    kcand, rmax = P._plan_widths(
+        splan, eplan, omms_p, pos, ls, (eplan.sig, samples, b"occl-unroll"))
+    rc, pmm, _, _ = P._pack_fused(
+        splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+        splan.half_center, splan.half_radius, omms_p, pos, ls,
+        g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=4.0,
+        tri_cl=splan.slot_tri_cl)
+    rc_np = np.asarray(rc)
+    pmm_np = np.asarray(pmm)
+    rows, r2v, flag = [], [], []
+    for g in range(eplan.ng):
+        for j in range(int(rc_np[g])):
+            rows.append(pmm_np[g, j])
+            r2v.append(g)
+            flag.append(2 if j == 0 else 1)
+    assert len(rows) >= 3, "need a non-trivial row table"
+    while len(rows) % 4:
+        rows.append(np.zeros_like(rows[0]))
+        r2v.append(0)
+        flag.append(0)
+    flat = jnp.asarray(np.stack(rows))
+    r2v = jnp.asarray(np.asarray(r2v, np.int32))
+    flag = jnp.asarray(np.asarray(flag, np.int32))
+    key = jax.random.PRNGKey(9)
+    k1, k2 = jax.random.split(key)
+    sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+    splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
+    spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
+    rays, _, _ = P._gen_ray_features(
+        omms_p, pos, ls, splay, spin, samples=samples,
+        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+
+    live = np.repeat(rc_np > 0, eplan.rb_size)  # mask uninitialised groups
+
+    def run(ub):
+        out = np.asarray(run_rows_occlusion(
+            r2v, flag, flat, rays, nrb=eplan.nrb, rb_size=eplan.rb_size,
+            unroll_b=ub))
+        return out[0, live]
+
+    base = run(1)
+    assert np.isfinite(base).any(), "test must produce real occlusions"
+    for ub in (2, 3):
+        np.testing.assert_array_equal(base, run(ub))
