@@ -50,6 +50,7 @@ t in world units, tmin = focal-point offset (shaders.cu:725).
 from __future__ import annotations
 
 import functools
+import json
 import os
 from typing import Optional
 
@@ -75,7 +76,28 @@ BATCH_RAYS = int(os.environ.get("CR_TPU_BATCH_RAYS", "256"))
 # independent ray-batch chains per row-loop step (see _make_packed_kernel):
 # the row step is latency-bound, so independent chains overlap their
 # matmul->divide->select dependency chains.  Bit-identical to 1.
-UNROLL_B = int(os.environ.get("CR_TPU_UNROLL_B", "1"))
+TUNING_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "..", "artifacts", "tuning.json")
+
+
+def _default_unroll() -> int:
+    """Env override > measured-on-TPU tuning file > 1.
+
+    tools/tpu_session.py's unroll A/B writes artifacts/tuning.json when a
+    batch-unroll factor beats ub=1 on the real chip; every kernel variant is
+    bit-identical across ub (tests/test_mm_tracer.py), so adopting it here
+    changes speed only."""
+    v = os.environ.get("CR_TPU_UNROLL_B")
+    if v is not None:
+        return int(v)
+    try:
+        with open(TUNING_PATH) as f:
+            return int(json.load(f).get("unroll_b", 1))
+    except (OSError, ValueError):
+        return 1
+
+
+UNROLL_B = _default_unroll()
 
 
 def build_mm_features(cluster_set, uv=None, texid=None, rgb=None) -> np.ndarray:
