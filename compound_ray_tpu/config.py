@@ -62,6 +62,15 @@ class RenderConfig:
     # (docs/performance.md): halves the bytes, adds <=0.4% relative texel
     # error (inside the 1% fidelity budget).  0 disables.
     big_table_bf16_bytes: int = 64_000_000
+    # affine ray factorisation (trace/mm_tracer.transform_payload_affine):
+    # fold the per-group origin/tmin into the pose-memoised payload so the
+    # hot path traces [d, 1] rays — half the planar ray stack, no cross
+    # products.  Applies to unlit frames with one ommatidium per group
+    # (the headline regime); numerically equivalent but NOT bit-identical
+    # to the 16-feature path (one extra pack-time rounding), so it ships
+    # default-off until the TPU A/B (tools/tpu_session.py) adopts it via
+    # artifacts/tuning.json.
+    affine_rays: bool = False
     # unseen-pose planning: True packs speculatively at the eye's high-water
     # widths and validates the pack's own need counters with ONE host sync
     # (overflow re-measures exactly); False always measures widths first
@@ -92,7 +101,20 @@ class RenderConfig:
             "CR_TPU_BF16_TABLE": ("big_table_bf16_bytes", int),
             "CR_TPU_SPEC_WIDTHS": ("speculative_widths",
                                    lambda s: s not in ("0", "false", "off")),
+            "CR_TPU_AFFINE_RAYS": ("affine_rays",
+                                   lambda s: s not in ("0", "false", "off")),
         }
+        # measured-on-TPU adoptions (tools/tpu_session.py A/B stages) apply
+        # below env defaults: an explicit CR_TPU_* always wins
+        tuning_path = os.path.join(
+            os.path.dirname(__file__), "..", "artifacts", "tuning.json")
+        try:
+            with open(tuning_path) as f:
+                tuning = json.load(f)
+        except (OSError, ValueError):
+            tuning = {}
+        if "affine_rays" in tuning and "CR_TPU_AFFINE_RAYS" not in os.environ:
+            cfg.affine_rays = bool(tuning["affine_rays"])
         for env, (field, typ) in mapping.items():
             if env in os.environ:
                 setattr(cfg, field, typ(os.environ[env]))

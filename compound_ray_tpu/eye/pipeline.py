@@ -731,7 +731,8 @@ def resolve_kernel_hits(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("g", "kcand", "rmax", "cull_sigmas", "use_cache"),
+    static_argnames=("g", "kcand", "rmax", "cull_sigmas", "use_cache",
+                     "affine"),
 )
 def _pack_fused(
     mm_flat: jnp.ndarray,  # (S+128, 64) matmul feature columns
@@ -750,10 +751,15 @@ def _pack_fused(
     use_cache: bool = False,
     dmax: Optional[jnp.ndarray] = None,  # (Np,) refine distance bound
     tri_cl: Optional[jnp.ndarray] = None,  # (C, 128, 9) exact-refine geometry
+    affine: bool = False,  # fold per-group origin/tmin into the payload
 ):
     """Pose-dependent plan: cull -> shortlist -> triangle refine -> packed
     per-group payload.  Depends only on (scene, eye, pose, widths) — NOT on
     the RNG or samples count — so callers memoise it per pose.
+
+    affine=True (requires g == 1) applies transform_payload_affine so the
+    frame can trace with [d, 1] rays — the trade is pose-plan-time work
+    (this memoised function) for per-ray feature width in the hot path.
 
     Returns (row_counts, packed_mm, need_k, need_r): the need scalars are
     the widths THIS pose actually wanted (max clusters per group before the
@@ -777,6 +783,14 @@ def _pack_fused(
         slot_center_cl, slot_radius_cl, mm_flat,
         g, kcand, rmax, cull_sigmas, dmax=dmax, tri_cl=tri_cl,
     )
+    if affine:
+        assert g == 1, "affine payloads need one ommatidium per group"
+        from compound_ray_tpu.trace.mm_tracer import transform_payload_affine
+
+        (ox, oy, oz), tmin_w, _, _ = _omm_world_origins(
+            omms_p, position, local_space)
+        packed_mm = transform_payload_affine(
+            packed_mm, jnp.stack([ox, oy, oz], axis=-1), tmin_w)
     return row_counts, packed_mm, need_k, need_r
 
 
@@ -785,7 +799,7 @@ def _pack_fused(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
-        "tex_static",
+        "tex_static", "affine",
     ),
 )
 def _render_frame(
@@ -819,6 +833,7 @@ def _render_frame(
     shadow_flat=None,  # (T, 16, 512) shared ragged payload (_shadow_plan)
     tex_static: Optional[Tuple] = None,
     quad_gray=None,  # (P, 4) single-channel quads (grayscale textures)
+    affine: bool = False,  # packed_mm is transform_payload_affine'd
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
@@ -837,8 +852,29 @@ def _render_frame(
         lights=lights, slot_tri=slot_tri,
         shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
-        tex_static=tex_static, quad_gray=quad_gray,
+        tex_static=tex_static, quad_gray=quad_gray, affine=affine,
     )
+
+
+def _omm_world_origins(omms_p, position, local_space):
+    """Per-ommatidium world ray origin (focal-retracted) and world tmin.
+
+    Returns ((ox, oy, oz), tmin, (ax, ay, az), axis_len) with everything
+    (Np,)-shaped — the same math _gen_ray_features bakes into the ray
+    features, shared with the affine payload transform (_pack_fused) so the
+    origin folded into the payload is the one the rays would have carried."""
+    ax, ay, az = omms_p[:, 3], omms_p[:, 4], omms_p[:, 5]  # (Np,)
+    axis_len = jnp.sqrt(ax * ax + ay * ay + az * az)
+    inv_al = 1.0 / jnp.maximum(axis_len, 1e-30)
+    focal = omms_p[:, 7]
+    rx = omms_p[:, 0] - ax * inv_al * focal
+    ry = omms_p[:, 1] - ay * inv_al * focal
+    rz = omms_p[:, 2] - az * inv_al * focal
+    L = local_space  # rows are the eye's world x/y/z axes
+    ox = position[0] + rx * L[0, 0] + ry * L[1, 0] + rz * L[2, 0]  # (Np,)
+    oy = position[1] + rx * L[0, 1] + ry * L[1, 1] + rz * L[2, 1]
+    oz = position[2] + rx * L[0, 2] + ry * L[1, 2] + rz * L[2, 2]
+    return (ox, oy, oz), focal * axis_len, (ax, ay, az), axis_len
 
 
 def _gen_ray_features(
@@ -852,24 +888,22 @@ def _gen_ray_features(
     g: int,
     nrb: int,
     rb_size: int,
+    affine: bool = False,
 ):
     """Sample angles -> world rays -> kernel feature planes.
 
-    Returns (rays (16, NG*rg_pad) feature-major, (dx, dy, dz) (Np, S) unit
-    world directions, neg_o 3-tuple of (Np, S) = -(o + tmin d), the
-    tmin-shifted origin the features carry negated in rows 6-8)."""
+    Returns (rays, (dx, dy, dz), neg_o): rays is feature-major planar —
+    (16, NG*rg_pad) [d, m, -o', 1, 0 x 6] by default, or (8, NG*rg_pad)
+    [d, 1, 0 x 4] when `affine` (the origin/tmin live in the
+    transform_payload_affine'd payload, so the moment and origin features
+    vanish from the hot path entirely).  (dx, dy, dz) are (Np, S) unit
+    world directions; neg_o the 3-tuple of (Np, S) = -(o + tmin d)
+    tmin-shifted origins (computed either way — XLA dead-code-eliminates it
+    inside the frame jit when no consumer exists)."""
     n_pad = omms_p.shape[0]
-    ax, ay, az = omms_p[:, 3], omms_p[:, 4], omms_p[:, 5]  # (Np,)
-    axis_len = jnp.sqrt(ax * ax + ay * ay + az * az)
-    inv_al = 1.0 / jnp.maximum(axis_len, 1e-30)
-    focal = omms_p[:, 7]
-    rx = omms_p[:, 0] - ax * inv_al * focal
-    ry = omms_p[:, 1] - ay * inv_al * focal
-    rz = omms_p[:, 2] - az * inv_al * focal
-    L = local_space  # rows are the eye's world x/y/z axes
-    ox = position[0] + rx * L[0, 0] + ry * L[1, 0] + rz * L[2, 0]  # (Np,)
-    oy = position[1] + rx * L[0, 1] + ry * L[1, 1] + rz * L[2, 1]
-    oz = position[2] + rx * L[0, 2] + ry * L[1, 2] + rz * L[2, 2]
+    (ox, oy, oz), tmin_w, (ax, ay, az), _ = _omm_world_origins(
+        omms_p, position, local_space)
+    L = local_space
 
     rdx, rdy, rdz = cone_offset_components(
         ax[:, None], ay[:, None], az[:, None], splay, spin
@@ -882,24 +916,32 @@ def _gen_ray_features(
         jnp.maximum(wdx * wdx + wdy * wdy + wdz * wdz, 1e-60)
     )
     dx, dy, dz = wdx * inv_n, wdy * inv_n, wdz * inv_n  # (Np, S)
-    tmin = (focal * axis_len)[:, None]  # (Np, 1) world units
+    tmin = tmin_w[:, None]  # (Np, 1) world units
 
-    # Plücker moment m = o x d (origin broadcast over samples)
     oxb, oyb, ozb = ox[:, None], oy[:, None], oz[:, None]
-    mx = oyb * dz - ozb * dy
-    my = ozb * dx - oxb * dz
-    mz = oxb * dy - oyb * dx
+    # -o' = -(o + tmin d): consumed by the 16-feature rows and the lit
+    # branch's hit-point reconstruction; dead-code-eliminated otherwise
+    neg_o = (-(oxb + tmin * dx), -(oyb + tmin * dy), -(ozb + tmin * dz))
 
     rg = g * samples
     rg_pad = nrb * rb_size
     zeros = jnp.zeros((n_pad, samples), jnp.float32)
     ones = jnp.ones((n_pad, samples), jnp.float32)
-    # kernel ray features [d, m, -o', 1, 0 x 6] with tmin folded into the
-    # origin (o' = o + tmin d; the moment is tmin-invariant) — see
-    # trace/mm_tracer.pack_rays_mm
-    neg_o = (-(oxb + tmin * dx), -(oyb + tmin * dy), -(ozb + tmin * dz))
-    comps = [dx, dy, dz, mx, my, mz, neg_o[0], neg_o[1], neg_o[2], ones]
-    comps += [zeros] * (16 - len(comps))
+    if affine:
+        # origin/moment/tmin live in the transformed payload: the ray is
+        # [d, 1, 0 x 4] (trace/mm_tracer.pack_rays_affine) — half the
+        # planar stack, no cross products
+        comps = [dx, dy, dz, ones] + [zeros] * 4
+    else:
+        # Plücker moment m = o x d (origin broadcast over samples)
+        mx = oyb * dz - ozb * dy
+        my = ozb * dx - oxb * dz
+        mz = oxb * dy - oyb * dx
+        # kernel ray features [d, m, -o', 1, 0 x 6] with tmin folded into
+        # the origin (o' = o + tmin d; the moment is tmin-invariant) — see
+        # trace/mm_tracer.pack_rays_mm
+        comps = [dx, dy, dz, mx, my, mz, neg_o[0], neg_o[1], neg_o[2], ones]
+        comps += [zeros] * (16 - len(comps))
 
     # planar stack straight into the kernel's feature-major layout: NO
     # (R, 16) transpose (it measured 10s of ms at 3.3M rays)
@@ -909,7 +951,7 @@ def _gen_ray_features(
         # finite; their kernel results are discarded by unpad
         rays_pl = jnp.pad(rays_pl, ((0, 0), (0, 0), (0, rg_pad - rg)),
                           mode="edge")
-    return rays_pl.reshape(16, ng * rg_pad), (dx, dy, dz), neg_o
+    return rays_pl.reshape(len(comps), ng * rg_pad), (dx, dy, dz), neg_o
 
 
 def _trace_shade_angles(
@@ -945,10 +987,15 @@ def _trace_shade_angles(
     tex_static: Optional[Tuple] = None,  # static single-texture sampler
     quad_gray=None,  # (P, 4) single-channel quads (grayscale textures)
     frames: int = 1,  # >1: samples = frames*S stacked burst, (Np, F, 3) out
+    affine: bool = False,  # packed_mm is transform_payload_affine'd
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
     path draws angles GLOBALLY and feeds per-device slices here, so results
     are identical across mesh topologies.
+
+    `affine` requires a payload built with _pack_fused(affine=True) (the
+    per-group origin/tmin folded in — g must be 1) and an unlit frame; rays
+    shrink to [d, 1] planes and the kernel contracts K = 8 instead of 16.
 
     Everything per-ray is COMPONENT-PLANAR: (Np, S) or (R,) arrays per
     x/y/z channel, never (R, 3)/(R, 1).  Keeping the ray axis on the lane
@@ -961,6 +1008,7 @@ def _trace_shade_angles(
     rays, (dx, dy, dz), neg_o = _gen_ray_features(
         omms_p, position, local_space, splay, spin,
         samples=samples, ng=ng, g=g, nrb=nrb, rb_size=rb_size,
+        affine=affine,
     )
     # kernel output layout: lit frames need barycentrics for the shading
     # basis; unlit tex_only scenes resolve texture coords in-register;
@@ -977,7 +1025,7 @@ def _trace_shade_angles(
     out = run_packed_tracer(
         row_counts, packed_mm, rays,
         ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax,
-        emit=emit,
+        emit=emit, ray_feats=(8 if affine else 16),
     )
     t_f, cu_f, cv_f, texid_f, rgb_f = resolve_kernel_hits(
         out, attr_table, tex_only, packed=True, emit=emit,
@@ -1260,6 +1308,7 @@ def _plan_widths(splan, eplan, omms_p, position, local_space, cache_key):
 def _packed_plan(
     splan, eplan, omms_p, position, local_space, pose_sig, samples,
     kcand, rmax, near_mask=None, use_cache=False, d_thresh=0.0,
+    affine=False,
 ):
     """Memoised _pack_fused: the packed payload depends only on
     (scene, eye, pose, widths, far-field split) — not on the RNG — so
@@ -1267,7 +1316,7 @@ def _packed_plan(
     refine+pack once.  Bounded store: pose sweeps evict oldest."""
     cfg = get_config()
     pk = _packed_key(eplan, samples, pose_sig, kcand, rmax, use_cache,
-                     d_thresh, cfg)
+                     d_thresh, cfg, affine)
     hit = splan.packed_store.get(pk)
     if hit is not None:
         splan.packed_store[pk] = splan.packed_store.pop(pk)  # LRU refresh
@@ -1280,6 +1329,7 @@ def _packed_plan(
         cull_sigmas=cfg.cull_sigmas,
         near_mask=near_mask, use_cache=use_cache,
         tri_cl=(splan.slot_tri_cl if cfg.refine_mode == "exact" else None),
+        affine=affine,
     )
     out = (rc, pmm)
     _packed_put(splan, pk, out, cfg)
@@ -1287,9 +1337,11 @@ def _packed_plan(
 
 
 def _packed_key(eplan, samples, pose_sig, kcand, rmax, use_cache, d_thresh,
-                cfg):
+                cfg, affine=False):
+    # affine payloads are origin-transformed — never interchangeable with
+    # plain ones, even at the same pose/widths
     return (eplan.sig, samples, pose_sig, kcand, rmax,
-            use_cache, d_thresh, cfg.cull_sigmas, cfg.refine_mode)
+            use_cache, d_thresh, cfg.cull_sigmas, cfg.refine_mode, affine)
 
 
 def _packed_put(splan, pk, out, cfg):
@@ -1317,7 +1369,8 @@ def _confirm_pending(splan, pending) -> bool:
 
 def _plan_widths_pack(splan, eplan, omms_p, position, local_space,
                       pose_sig, samples, near_mask=None, use_cache=False,
-                      d_thresh=0.0, defer=False, force_exact=False):
+                      d_thresh=0.0, defer=False, force_exact=False,
+                      affine=False):
     """Widths + packed payload for a pose, minimising planning round trips.
     Returns (kcand, rmax, (row_counts, packed_mm), pending).
 
@@ -1349,7 +1402,7 @@ def _plan_widths_pack(splan, eplan, omms_p, position, local_space,
         kcand = min(hints[0], splan.num_clusters)
         rmax = min(hints[1], kcand)
         pk = _packed_key(eplan, samples, pose_sig, kcand, rmax, use_cache,
-                         d_thresh, cfg)
+                         d_thresh, cfg, affine)
         hit = splan.packed_store.get(pk)
         if hit is not None:  # packed+validated at these widths earlier
             splan.packed_store[pk] = splan.packed_store.pop(pk)
@@ -1362,6 +1415,7 @@ def _plan_widths_pack(splan, eplan, omms_p, position, local_space,
             g=eplan.g, kcand=kcand, rmax=rmax,
             cull_sigmas=cfg.cull_sigmas,
             near_mask=near_mask, use_cache=use_cache, tri_cl=tri_cl,
+            affine=affine,
         )
         out = (rc, pmm)
         pending = dict(wkey=wkey, pk=pk, kcand=kcand, rmax=rmax, out=out,
@@ -1384,7 +1438,7 @@ def _plan_widths_pack(splan, eplan, omms_p, position, local_space,
     out = _packed_plan(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
         kcand, rmax, near_mask=near_mask, use_cache=use_cache,
-        d_thresh=d_thresh,
+        d_thresh=d_thresh, affine=affine,
     )
     return kcand, rmax, out, None
 
@@ -1782,6 +1836,12 @@ def _plan_frame(
                         splan.cache_store.clear()
                     splan.cache_store[cache_key] = cache
 
+    # affine ray factorisation (transform_payload_affine): unlit frames
+    # with one ommatidium per group trace [d, 1] rays against an
+    # origin-folded payload — half the planar ray stack, no cross products.
+    # Lit frames keep 16-feature payloads (the shadow probe and the
+    # hit-point reconstruction share them).
+    affine = bool(cfg.affine_rays) and lights is None and eplan.g == 1
     kcand, rmax, (row_counts, packed_mm), pending = _plan_widths_pack(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
         near_mask=near_mask, use_cache=use_cache,
@@ -1791,6 +1851,7 @@ def _plan_frame(
         ),
         defer=(defer_check and lights is None),
         force_exact=force_exact,
+        affine=affine,
     )
     # lighting disables the far-field radiance cache: cached radiance is
     # unlit, and the reference lights every hit (shaders.cu:826-881).  The
@@ -1821,6 +1882,7 @@ def _plan_frame(
         shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         tex_static=splan.tex_static, quad_gray=splan.quad_gray,
+        affine=affine,
     )
     return kwargs, eplan, (splan, pending)
 
@@ -1862,6 +1924,7 @@ def render_means_pallas(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "use_cache", "tex_only", "cache_shape", "tex_static",
+        "affine",
     ),
 )
 def _render_frames_scanned(
@@ -1873,6 +1936,7 @@ def _render_frames_scanned(
     cache_shape: Tuple[int, int] = (0, 0),
     lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
+    affine: bool = False,
 ):
     """F consecutive frames in ONE dispatch: a lax.scan over the stacked
     per-frame PRNG keys, each step drawing its own jitter and running the
@@ -1896,7 +1960,7 @@ def _render_frames_scanned(
             cache_shape=cache_shape, lights=lights, slot_tri=slot_tri,
             shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
             shadow_flag=shadow_flag, shadow_flat=shadow_flat,
-            tex_static=tex_static, quad_gray=quad_gray,
+            tex_static=tex_static, quad_gray=quad_gray, affine=affine,
         )
         return carry, means
 
@@ -1915,6 +1979,7 @@ STACK_BURST_MAX_SAMPLES = 4096
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "use_cache", "tex_only", "cache_shape", "tex_static",
+        "affine",
     ),
 )
 def _render_frames_stacked(
@@ -1926,6 +1991,7 @@ def _render_frames_stacked(
     cache_shape: Tuple[int, int] = (0, 0),
     lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
+    affine: bool = False,
 ):
     """F consecutive frames in ONE kernel call: per-frame jitter stacked on
     the sample axis (column f*S+s = frame f's sample s), so the packed
@@ -1963,7 +2029,7 @@ def _render_frames_stacked(
         cache_shape=cache_shape, lights=lights, slot_tri=slot_tri,
         shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
-        tex_static=tex_static, quad_gray=quad_gray, frames=f,
+        tex_static=tex_static, quad_gray=quad_gray, frames=f, affine=affine,
     )  # (Np, F, 3)
     return jnp.transpose(out, (1, 0, 2))
 
@@ -2028,6 +2094,8 @@ def render_samples_pallas(
     ls_np = np.asarray(jax.device_get(local_space), np.float32)
     pose_sig = (pos_np.tobytes(), ls_np.tobytes())
 
+    affine = bool(get_config().affine_rays) and eplan.g == 1
+
     def dispatch(rmax, row_counts, packed_mm):
         return _render_frame(
             packed_mm, row_counts,
@@ -2037,7 +2105,7 @@ def render_samples_pallas(
             ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
             rmax=rmax, textured=splan.textured, want_samples=True,
             tex_only=splan.tex_only, tex_static=splan.tex_static,
-            quad_gray=splan.quad_gray,
+            quad_gray=splan.quad_gray, affine=affine,
         )  # (Np, S, 3)
 
     # same deferred speculative planning as the means path: GA-style raw
@@ -2045,13 +2113,13 @@ def render_samples_pallas(
     # frame, so unseen-pose round trips dominate
     kcand, rmax, (row_counts, packed_mm), pending = _plan_widths_pack(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
-        defer=True,
+        defer=True, affine=affine,
     )
     raw_p = dispatch(rmax, row_counts, packed_mm)
     if pending is not None and not _confirm_pending(splan, pending):
         kcand, rmax, (row_counts, packed_mm), _ = _plan_widths_pack(
             splan, eplan, omms_p, position, local_space, pose_sig, samples,
-            force_exact=True,
+            force_exact=True, affine=affine,
         )
         raw_p = dispatch(rmax, row_counts, packed_mm)
     return jnp.transpose(raw_p[eplan.inv_valid_dev], (1, 0, 2))

@@ -157,6 +157,75 @@ def build_mm_features(cluster_set, uv=None, texid=None, rgb=None) -> np.ndarray:
     return feats
 
 
+def transform_payload_affine(
+    packed_mm: jnp.ndarray,  # (NG, rmax, 16, 512) build_mm_features layout
+    o_g: jnp.ndarray,  # (NG, 3) per-group ray origin (g == 1: the omm)
+    tmin_g: jnp.ndarray,  # (NG,) per-group tmin (focal offset, world units)
+) -> jnp.ndarray:
+    """Affine ray factorisation: fold the per-group origin into the payload.
+
+    Every ray feature row is AFFINE in the unit direction d when the origin
+    is constant across a group's rays (g == 1: one ommatidium per group):
+
+        F = [d, m, -o', 1, 0 x 6] = B_g @ [d, 1]
+        m  = o x d          (rows 3:6  = skew(o))
+        -o' = -o - tmin d   (rows 6:9  = [-tmin I | -o])
+
+    so F . P = [d, 1] . (B_g^T P) and the 16-feature matmul collapses to
+    K = 4 once B_g^T is pre-applied to the payload — done HERE, once per
+    (pose, group), in the same jit as the pack.  Per column block:
+
+        Q_d = P[0:3] + P[3:6] x o - tmin * P[6:9]      (d coefficients)
+        Q_c = P[9] - o . P[6:9]                        (constant term)
+
+    The result keeps the (16, 512) row layout: rows 0:3 = Q_d, row 3 = Q_c,
+    rows 4:8 zero (the ray vector is [d, 1, 0, 0, 0, 0] so K pads to the
+    8-sublane tile and both the 0:8 matmul slice and the 8:16 metadata
+    slice stay tile-aligned for Mosaic), rows 8:16 = the original metadata
+    rows byte-for-byte (slot ids, texture-coordinate affine constants,
+    material colours) — the emit variants read them unchanged.
+
+    Derivation checks (per column block of build_mm_features):
+      w1:  d.ec + (o x d).ed = d.(ec + ed x o)            = d . Q_d
+      den: P rows 0:3 = n, rest 0                     ->  d . n (unchanged,
+           bitwise: Q_d = n exactly, so padding self-masking is preserved)
+      tnum: -tmin (d.n) + (c0 - o.n) = c0 - (o + tmin d).n
+    """
+    p_d = packed_mm[:, :, 0:3, :]  # (NG, rmax, 3, 512)
+    p_m = packed_mm[:, :, 3:6, :]
+    p_o = packed_mm[:, :, 6:9, :]
+    p_1 = packed_mm[:, :, 9, :]  # (NG, rmax, 512)
+    o = o_g[:, None, :, None]  # (NG, 1, 3, 1)
+    tm = tmin_g[:, None, None, None]
+    # v x o for every column vector v = p_m
+    cross = jnp.concatenate(
+        [
+            p_m[:, :, 1:2] * o[:, :, 2:3] - p_m[:, :, 2:3] * o[:, :, 1:2],
+            p_m[:, :, 2:3] * o[:, :, 0:1] - p_m[:, :, 0:1] * o[:, :, 2:3],
+            p_m[:, :, 0:1] * o[:, :, 1:2] - p_m[:, :, 1:2] * o[:, :, 0:1],
+        ],
+        axis=2,
+    )
+    q_d = p_d + cross - tm * p_o
+    q_c = p_1 - jnp.sum(o * p_o, axis=2)
+    zeros = jnp.zeros_like(packed_mm[:, :, 0:4, :])
+    return jnp.concatenate(
+        [q_d, q_c[:, :, None, :], zeros, packed_mm[:, :, 8:16, :]], axis=2
+    )
+
+
+def pack_rays_affine(dirs: jnp.ndarray) -> jnp.ndarray:
+    """(8, R) PLANAR affine ray features [d, 1, 0, 0, 0, 0] from (R, 3)
+    unit dirs — the counterpart of pack_rays_mm for payloads processed by
+    transform_payload_affine (origin and tmin live in the payload)."""
+    r = dirs.shape[0]
+    feats = jnp.concatenate(
+        [dirs, jnp.ones((r, 1), jnp.float32), jnp.zeros((r, 4), jnp.float32)],
+        axis=-1,
+    )
+    return jnp.transpose(feats, (1, 0))
+
+
 def slot_spheres(cluster_set):
     """Per-slot triangle bounding spheres for the cone refine.
 
@@ -241,9 +310,14 @@ def _row_candidates(p, hi1, hi2, emit):
     return ok, (t, a0, a1, a2, tex, hi1[2:3, :])
 
 
-def _make_packed_kernel(emit: str, ub: int):
+def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS):
     """Build the packed tracer kernel for an output mode and batch-unroll
     factor.
+
+    ray_feats = 8 consumes affine-factorised payloads
+    (transform_payload_affine): the matmul contracts only payload rows 0:8
+    against [d, 1, 0 x 4] rays — the metadata rows 8:16 and the whole
+    epilogue are shared with the 16-feature path.
 
     ub > 1 runs `ub` INDEPENDENT ray batches per row-loop step: the loop
     body is a short dependent chain (matmul -> divide/compare -> select)
@@ -299,7 +373,8 @@ def _make_packed_kernel(emit: str, ub: int):
                 # (Mosaic only lowers DEFAULT and HIGHEST.)  Register-
                 # carried winner state: a VMEM-scratch variant measured
                 # +69% on the primary frame.
-                mm = tri_ref[0, j]  # (16, 512)
+                mm = (tri_ref[0, j] if ray_feats == RAY_FEATS
+                      else tri_ref[0, j, 0:8, :])  # (ray_feats, 512)
                 hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]
                 hi2 = (tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
                        if emit != "bary" else None)
@@ -475,18 +550,20 @@ def run_rows_occlusion(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ng", "nrb", "rb_size", "rmax", "emit", "unroll_b"),
+    static_argnames=("ng", "nrb", "rb_size", "rmax", "emit", "unroll_b",
+                     "ray_feats"),
 )
 def run_packed_tracer(
     row_counts: jnp.ndarray,  # (NG,) int32 payload rows per group
     packed_mm: jnp.ndarray,  # (NG, rmax, 16, 512) f32
-    rays: jnp.ndarray,  # (16, NG*NRB*RB) f32 PLANAR (pack_rays_mm features)
+    rays: jnp.ndarray,  # (ray_feats, NG*NRB*RB) f32 PLANAR
     ng: int,
     nrb: int,
     rb_size: int,
     rmax: int,
     emit: str = "bary",
     unroll_b: Optional[int] = None,
+    ray_feats: int = RAY_FEATS,
 ) -> jnp.ndarray:
     """Returns PLANAR (8, R) rows; t = +inf on miss.  Row layout by emit:
     "bary": [t, u, v, slot-id, 0...] (barycentrics; the epilogue resolves
@@ -509,7 +586,10 @@ def run_packed_tracer(
 
     unroll_b > 1 runs that many independent ray-batch chains per row-loop
     step (bit-identical to 1 — see _make_packed_kernel); None uses the
-    UNROLL_B env default."""
+    UNROLL_B env default.
+
+    ray_feats = 8: `rays` is pack_rays_affine features ([d, 1, 0 x 4]) and
+    `packed_mm` has been transform_payload_affine'd for this pose."""
     if unroll_b is None:
         unroll_b = UNROLL_B
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -522,7 +602,7 @@ def run_packed_tracer(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (RAY_FEATS, rb_size),
+                (ray_feats, rb_size),
                 lambda g, rb, counts: (0, g * nrb + rb),
                 memory_space=pltpu.VMEM,
             ),
@@ -534,7 +614,7 @@ def run_packed_tracer(
         ),
     )
     return pl.pallas_call(
-        _make_packed_kernel(emit, unroll_b),
+        _make_packed_kernel(emit, unroll_b, ray_feats),
         out_shape=jax.ShapeDtypeStruct((OUT_COMPS, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),

@@ -193,13 +193,68 @@ def _adopt_unroll(results):
             f"latency {mean_ms:.2f} ms)")
 
 
+def run_affine():
+    """Affine-ray A/B (trace/mm_tracer.transform_payload_affine): full-frame
+    pipelined time at 3200 samples with cfg.affine_rays off vs on, both
+    bench scenes.  The payload transform is pose-memoised, so the steady
+    state measures exactly the hot-path difference: an 8-row ray stack and
+    a K=8 matmul vs 16.  Adopts a >=3% geomean win into
+    artifacts/tuning.json ("affine_rays": true — config.get_config reads
+    it); numerical equivalence is pinned by tests/test_affine_rays.py."""
+    import dataclasses
+
+    import compound_ray_tpu.trace.mm_tracer as mm
+    from compound_ray_tpu.config import RenderConfig, get_config, set_config
+
+    results = {}
+    base_cfg = get_config()
+    try:
+        for affine in (False, True):
+            set_config(dataclasses.replace(RenderConfig.from_env(),
+                                           affine_rays=affine))
+            for name, build in (("natural", bench.build_renderer),
+                                ("ofstad", bench.build_ofstad_renderer)):
+                built = build()
+                r = built[0] if isinstance(built, tuple) else built
+                if r is None:
+                    continue
+                r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+                mean_ms, _std, pipe = bench.time_frames(r, 3200, 5)
+                results.setdefault(name, {})[affine] = pipe
+                log(f"AFFINE {name} @3200 affine={affine}: {pipe:.2f} ms "
+                    f"pipelined (latency {mean_ms:.2f} ms)")
+    finally:
+        set_config(base_cfg)
+    ratios = [t[True] / t[False] for t in results.values()
+              if True in t and False in t]
+    if not ratios:
+        return
+    g = float(np.exp(np.mean(np.log(ratios))))
+    log(f"AFFINE geomean frame ratio {g:.3f}x vs 16-feature rays")
+    if g >= 0.97:
+        log("AFFINE: not adopted")
+        return
+    try:
+        with open(mm.TUNING_PATH) as f:
+            tuning = json.load(f)
+    except (OSError, ValueError):
+        tuning = {}
+    tuning["affine_rays"] = True
+    tuning["affine_frame_ms"] = {
+        k: {("on" if a else "off"): ms for a, ms in v.items()}
+        for k, v in results.items()}
+    with open(mm.TUNING_PATH, "w") as f:
+        json.dump(tuning, f, indent=1)
+    log(f"AFFINE-ADOPTED ({g:.3f}x): artifacts/tuning.json updated")
+
+
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
-        "bench", "anatomy", "lit", "conformance", "unroll"}
+        "bench", "anatomy", "lit", "conformance", "unroll", "affine"}
     t0 = time.time()
     for name, fn in (("bench", run_bench), ("anatomy", run_anatomy),
                      ("lit", run_lit), ("conformance", run_conformance),
-                     ("unroll", run_unroll)):
+                     ("unroll", run_unroll), ("affine", run_affine)):
         if name not in which:
             continue
         try:
