@@ -70,6 +70,7 @@ def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
     """Global planning for a sharded frame: eye layout padded to the mesh,
     pose-memoised packed payload, optional shadow widths.  Returns a dict of
     everything the sharded impl needs."""
+    from compound_ray_tpu.config import get_config
     from compound_ray_tpu.eye.pipeline import (
         _packed_plan,
         _plan_widths,
@@ -100,14 +101,20 @@ def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
         splan, eplan, omms_p, position, local_space,
         (eplan.sig, samples, pose_sig, "mesh"),
     )
+    # affine ray factorisation shards transparently: the origin fold is
+    # per GROUP, and groups shard whole over "omm" — each shard's local
+    # payload slice is exactly what its local [d, 1] rays expect
+    affine = (bool(get_config().affine_rays) and lights_np is None
+              and eplan.g == 1)
     row_counts, packed_mm = _packed_plan(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
-        kcand, rmax,
+        kcand, rmax, affine=affine,
     )
     out = dict(
         splan=splan, eplan=eplan, omms_p=omms_p,
         position=position, local_space=local_space,
         row_counts=row_counts, packed_mm=packed_mm, rmax=rmax,
+        affine=affine,
         s_local=samples // sample_axis,
         ng_local=eplan.ng // omm_axis,
         rb_local=_ceil_to(eplan.g * (samples // sample_axis), BATCH_RAYS),
@@ -172,6 +179,7 @@ def render_means_sharded_packed(
         rb_local=splan_args["rb_local"], rmax=splan_args["rmax"],
         textured=splan.textured, tex_only=splan.tex_only,
         tex_static=splan.tex_static, mesh=mesh,
+        affine=splan_args["affine"],
     )
     return means_p[eplan.inv_valid_dev]
 
@@ -182,6 +190,7 @@ def _packed_mesh_call(
     attr_table, scene_dev, quad_table, packed_mm, row_counts,
     omms_p, splay, spin, position, local_space, lights, slot_tri,
     shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
+    affine=False,
 ):
     """The shard-mapped packed frame core (trace + shade + sample-psum) —
     shared by the single-frame and scanned-burst jitted wrappers.
@@ -206,6 +215,7 @@ def _packed_mesh_call(
             lights=lights_l, slot_tri=slot_tri_l,
             shadow_counts=scnt_l, shadow_r2v=sr2v_l,
             shadow_flag=sflag_l, shadow_flat=sflat_l, quad_gray=qgray_l,
+            affine=affine,
         )  # (Np_local, 3) mean over the LOCAL sample slice
         # combine sample-axis partial means over ICI (the collective
         # replacement for summing_kernel.cu's warp shuffles)
@@ -240,7 +250,7 @@ def _packed_mesh_call(
     jax.jit,
     static_argnames=(
         "samples", "s_local", "background", "ng_local", "g", "rb_local",
-        "rmax", "textured", "tex_only", "tex_static", "mesh",
+        "rmax", "textured", "tex_only", "tex_static", "mesh", "affine",
     ),
 )
 def _sharded_packed_impl(
@@ -249,7 +259,7 @@ def _sharded_packed_impl(
     shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
     samples: int, s_local: int, background: int, ng_local: int, g: int,
     rb_local: int, rmax: int, textured: bool, tex_only: bool,
-    tex_static, mesh: Mesh,
+    tex_static, mesh: Mesh, affine: bool = False,
 ):
     """jit-of-shard_map: ONE compiled executable per (widths, mesh) combo.
     An eager shard_map runs its body primitive-by-primitive through the
@@ -261,6 +271,7 @@ def _sharded_packed_impl(
         attr_table, scene_dev, quad_table, packed_mm, row_counts,
         omms_p, splay, spin, position, local_space, lights, slot_tri,
         shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
+        affine=affine,
     )
 
 
@@ -268,7 +279,7 @@ def _sharded_packed_impl(
     jax.jit,
     static_argnames=(
         "samples", "s_local", "background", "ng_local", "g", "rb_local",
-        "rmax", "textured", "tex_only", "tex_static", "mesh",
+        "rmax", "textured", "tex_only", "tex_static", "mesh", "affine",
     ),
 )
 def _sharded_packed_frames_impl(
@@ -277,7 +288,7 @@ def _sharded_packed_frames_impl(
     shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
     samples: int, s_local: int, background: int, ng_local: int, g: int,
     rb_local: int, rmax: int, textured: bool, tex_only: bool,
-    tex_static, mesh: Mesh,
+    tex_static, mesh: Mesh, affine: bool = False,
 ):
     """F consecutive frames over the mesh in ONE dispatch: lax.scan over
     the stacked per-frame keys around the shard-mapped frame core — the
@@ -295,6 +306,7 @@ def _sharded_packed_frames_impl(
             attr_table, scene_dev, quad_table, packed_mm, row_counts,
             omms_p, splay, spin, position, local_space, lights, slot_tri,
             shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
+            affine=affine,
         )
         return carry, means
 
@@ -340,6 +352,7 @@ def render_means_sharded_packed_frames(
         rb_local=splan_args["rb_local"], rmax=splan_args["rmax"],
         textured=splan.textured, tex_only=splan.tex_only,
         tex_static=splan.tex_static, mesh=mesh,
+        affine=splan_args["affine"],
     )
     return out[:, eplan.inv_valid_dev]
 
@@ -374,6 +387,7 @@ def render_samples_sharded_packed(
         rb_local=args["rb_local"], rmax=args["rmax"],
         textured=splan.textured, tex_only=splan.tex_only,
         tex_static=splan.tex_static, mesh=mesh,
+        affine=args["affine"],
     )  # (Np, S, 3)
     return jnp.transpose(raw_p[eplan.inv_valid_dev], (1, 0, 2))
 
@@ -382,7 +396,7 @@ def render_samples_sharded_packed(
     jax.jit,
     static_argnames=(
         "s_local", "background", "ng_local", "g", "rb_local",
-        "rmax", "textured", "tex_only", "tex_static", "mesh",
+        "rmax", "textured", "tex_only", "tex_static", "mesh", "affine",
     ),
 )
 def _sharded_samples_impl(
@@ -390,7 +404,7 @@ def _sharded_samples_impl(
     omms_p, splay, spin, position, local_space,
     s_local: int, background: int, ng_local: int, g: int,
     rb_local: int, rmax: int, textured: bool, tex_only: bool,
-    tex_static, mesh: Mesh,
+    tex_static, mesh: Mesh, affine: bool = False,
 ):
     def shard_fn(attr_l, sdev_l, quad_l, pmm_l, rc_l, omms_l,
                  splay_l, spin_l, pos_l, ls_l):
@@ -402,7 +416,7 @@ def _sharded_samples_impl(
             samples=s_local, background=background, ng=ng_local, g=g,
             nrb=1, rb_size=rb_local, rmax=rmax, textured=textured,
             tex_only=tex_only, tex_static=tex_static,
-            want_samples=True,
+            want_samples=True, affine=affine,
         )  # (Np_local, S_local, 3)
 
     from jax import shard_map

@@ -181,3 +181,26 @@ def test_affine_gated_off_for_grouped_eyes(cfg_guard):
         np.testing.assert_array_equal(got, ref)
     else:
         np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_affine_sharded_matches_dense(cfg_guard):
+    """The origin fold is per group and groups shard whole over "omm", so
+    the sharded affine frame must match the dense affine frame on the same
+    angle set (same contract as the 16-feature sharded path)."""
+    from compound_ray_tpu.parallel.sharding import (
+        make_eye_mesh,
+        render_means_sharded_packed,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    scene, dev, omms_np, pos, ls = _setup_scene(n_omms=32)
+    key = jax.random.PRNGKey(13)
+    bg = miss_id(scene.background_shader)
+    _affine_cfg(True)
+    dense = np.asarray(render_means_pallas(scene, dev, omms_np, pos, ls,
+                                           key, 128, bg))
+    mesh = make_eye_mesh(4, sample_parallel=2)
+    sharded = np.asarray(render_means_sharded_packed(
+        scene, dev, omms_np, pos, ls, key, 128, bg, mesh))
+    np.testing.assert_allclose(sharded, dense, atol=2e-5)
