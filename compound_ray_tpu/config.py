@@ -16,6 +16,20 @@ import json
 import os
 from typing import Optional
 
+# measured-on-TPU adoptions (tools/tpu_session.py A/B stages) — the single
+# shared location; trace/mm_tracer.py imports this constant so the producer
+# and both consumers can never drift apart
+TUNING_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "artifacts", "tuning.json")
+
+
+def load_tuning() -> dict:
+    try:
+        with open(TUNING_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
 
 @dataclasses.dataclass
 class RenderConfig:
@@ -104,15 +118,9 @@ class RenderConfig:
             "CR_TPU_AFFINE_RAYS": ("affine_rays",
                                    lambda s: s not in ("0", "false", "off")),
         }
-        # measured-on-TPU adoptions (tools/tpu_session.py A/B stages) apply
-        # below env defaults: an explicit CR_TPU_* always wins
-        tuning_path = os.path.join(
-            os.path.dirname(__file__), "..", "artifacts", "tuning.json")
-        try:
-            with open(tuning_path) as f:
-                tuning = json.load(f)
-        except (OSError, ValueError):
-            tuning = {}
+        # measured-on-TPU adoptions apply below env defaults: an explicit
+        # CR_TPU_* always wins
+        tuning = load_tuning()
         if "affine_rays" in tuning and "CR_TPU_AFFINE_RAYS" not in os.environ:
             cfg.affine_rays = bool(tuning["affine_rays"])
         for env, (field, typ) in mapping.items():

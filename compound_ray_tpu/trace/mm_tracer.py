@@ -50,7 +50,6 @@ t in world units, tmin = focal-point offset (shaders.cu:725).
 from __future__ import annotations
 
 import functools
-import json
 import os
 from typing import Optional
 
@@ -76,8 +75,7 @@ BATCH_RAYS = int(os.environ.get("CR_TPU_BATCH_RAYS", "256"))
 # independent ray-batch chains per row-loop step (see _make_packed_kernel):
 # the row step is latency-bound, so independent chains overlap their
 # matmul->divide->select dependency chains.  Bit-identical to 1.
-TUNING_PATH = os.path.join(
-    os.path.dirname(__file__), "..", "..", "artifacts", "tuning.json")
+from compound_ray_tpu.config import TUNING_PATH, load_tuning  # noqa: E402
 
 
 def _default_unroll() -> int:
@@ -85,16 +83,12 @@ def _default_unroll() -> int:
 
     tools/tpu_session.py's unroll A/B writes artifacts/tuning.json when a
     batch-unroll factor beats ub=1 on the real chip; every kernel variant is
-    bit-identical across ub (tests/test_mm_tracer.py), so adopting it here
-    changes speed only."""
+    bit-identical across ub (tests/test_pallas_tracer.py), so adopting it
+    here changes speed only."""
     v = os.environ.get("CR_TPU_UNROLL_B")
     if v is not None:
         return int(v)
-    try:
-        with open(TUNING_PATH) as f:
-            return int(json.load(f).get("unroll_b", 1))
-    except (OSError, ValueError):
-        return 1
+    return int(load_tuning().get("unroll_b", 1))
 
 
 UNROLL_B = _default_unroll()
@@ -590,6 +584,11 @@ def run_packed_tracer(
 
     ray_feats = 8: `rays` is pack_rays_affine features ([d, 1, 0 x 4]) and
     `packed_mm` has been transform_payload_affine'd for this pose."""
+    # the payload's affine-ness is tracked only by the flag the callers
+    # thread through — catch the forgotten-flag mix-up structurally (shapes
+    # are static under jit, so this is free)
+    assert rays.shape[0] == ray_feats, (
+        f"rays carry {rays.shape[0]} features but ray_feats={ray_feats}")
     if unroll_b is None:
         unroll_b = UNROLL_B
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -167,12 +167,16 @@ def _adopt_unroll(results):
         log(f"UNROLL: keeping ub=1 (best alternative ratio {best_ratio:.3f})")
         return
     import compound_ray_tpu.trace.mm_tracer as mm
+    from compound_ray_tpu.config import load_tuning
 
+    # read-merge-update: tuning.json is shared with the affine stage — a
+    # whole-file write here would silently erase its adoption
+    tuning = load_tuning()
+    tuning.update(unroll_b=best_ub, unroll_kernel_ms=results,
+                  measured=time.strftime("%Y-%m-%d %H:%M UTC",
+                                         time.gmtime()))
     with open(mm.TUNING_PATH, "w") as f:
-        json.dump({"unroll_b": best_ub,
-                   "unroll_kernel_ms": results,
-                   "measured": time.strftime("%Y-%m-%d %H:%M UTC",
-                                             time.gmtime())}, f, indent=1)
+        json.dump(tuning, f, indent=1)
     mm.UNROLL_B = best_ub
     # the fused frame programs traced unroll_b=None at ub=1 — drop them so
     # the re-measure below compiles the winning kernel into the frame
@@ -231,21 +235,20 @@ def run_affine():
         return
     g = float(np.exp(np.mean(np.log(ratios))))
     log(f"AFFINE geomean frame ratio {g:.3f}x vs 16-feature rays")
-    if g >= 0.97:
-        log("AFFINE: not adopted")
-        return
-    try:
-        with open(mm.TUNING_PATH) as f:
-            tuning = json.load(f)
-    except (OSError, ValueError):
-        tuning = {}
-    tuning["affine_rays"] = True
+    from compound_ray_tpu.config import load_tuning
+
+    adopt = g < 0.97
+    # the measurement GOVERNS the config either way: a stale affine_rays
+    # from an earlier batch must not outlive a re-measured regression
+    tuning = load_tuning()
+    tuning["affine_rays"] = adopt
     tuning["affine_frame_ms"] = {
         k: {("on" if a else "off"): ms for a, ms in v.items()}
         for k, v in results.items()}
     with open(mm.TUNING_PATH, "w") as f:
         json.dump(tuning, f, indent=1)
-    log(f"AFFINE-ADOPTED ({g:.3f}x): artifacts/tuning.json updated")
+    log(f"AFFINE {'ADOPTED' if adopt else 'NOT adopted'} ({g:.3f}x): "
+        f"artifacts/tuning.json updated")
 
 
 if __name__ == "__main__":
