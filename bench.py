@@ -207,6 +207,9 @@ def main():
             print(f"# ofstad samples={s}: {pipe_ms:.3f} ms/frame pipelined "
                   f"(latency {mean_ms:.3f} ms)", file=sys.stderr)
 
+    from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.trace.mm_tracer import UNROLL_B
+
     detail["notes"] = (
         "single v5e chip through the axon tunnel; pipelined_ms is the "
         "steady-state frame time (frames queued on device, one sync) the "
@@ -214,6 +217,9 @@ def main():
         "synced latency, which includes a ~26 ms tunnel round trip that a "
         "local PJRT deployment would not pay"
     )
+    # measured-on-TPU adoptions active for this run (tools/tpu_session.py)
+    detail["tuning"] = {"unroll_b": UNROLL_B,
+                        "affine_rays": get_config().affine_rays}
     with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
 

@@ -79,8 +79,8 @@ class RenderConfig:
     # affine ray factorisation (trace/mm_tracer.transform_payload_affine):
     # fold the per-group origin/tmin into the pose-memoised payload so the
     # hot path traces [d, 1] rays — half the planar ray stack, no cross
-    # products.  Applies to unlit frames with one ommatidium per group
-    # (the headline regime); numerically equivalent but NOT bit-identical
+    # products.  Applies to frames with one ommatidium per group (the
+    # headline regime); numerically equivalent but NOT bit-identical
     # to the 16-feature path (one extra pack-time rounding), so it ships
     # default-off until the TPU A/B (tools/tpu_session.py) adopts it via
     # artifacts/tuning.json.

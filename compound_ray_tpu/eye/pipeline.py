@@ -994,8 +994,10 @@ def _trace_shade_angles(
     are identical across mesh topologies.
 
     `affine` requires a payload built with _pack_fused(affine=True) (the
-    per-group origin/tmin folded in — g must be 1) and an unlit frame; rays
-    shrink to [d, 1] planes and the kernel contracts K = 8 instead of 16.
+    per-group origin/tmin folded in — g must be 1); rays shrink to [d, 1]
+    planes and the kernel contracts K = 8 instead of 16.  Lit frames work
+    too: hit points reconstruct from neg_o (raygen returns it either way)
+    and the shadow-ray kernel keeps its own 16-feature payloads.
 
     Everything per-ray is COMPONENT-PLANAR: (Np, S) or (R,) arrays per
     x/y/z channel, never (R, 3)/(R, 1).  Keeping the ray axis on the lane
@@ -1534,14 +1536,14 @@ def _shadow_pack_one(
     jax.jit,
     static_argnames=(
         "samples", "ng", "g", "nrb", "rb_size", "rmax", "cull_sigmas",
-        "kcand_probe",
+        "kcand_probe", "affine",
     ),
 )
 def _shadow_probe(
     packed_mm, row_counts, omms_p, position, local_space, key, lights,
     half_center, half_radius, slot_center_cl, slot_radius_cl, tri_cl,
     samples: int, ng: int, g: int, nrb: int, rb_size: int, rmax: int,
-    cull_sigmas: float, kcand_probe: int,
+    cull_sigmas: float, kcand_probe: int, affine: bool = False,
 ):
     """Planning dispatch for the lit frame's shadow plan: trace the
     primary rays once, bound each group's hit points (inflated by
@@ -1558,10 +1560,12 @@ def _shadow_probe(
     rays, (dx, dy, dz), neg_o = _gen_ray_features(
         omms_p, position, local_space, splay, spin,
         samples=samples, ng=ng, g=g, nrb=nrb, rb_size=rb_size,
+        affine=affine,
     )
     out = run_packed_tracer(
         row_counts, packed_mm, rays,
         ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax,
+        ray_feats=(8 if affine else 16),
     )
     t_f = out[0]
     rg = g * samples
@@ -1613,7 +1617,8 @@ def _shadow_probe(
 
 def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
                  lights_np: np.ndarray, samples: int, key,
-                 packed_mm, row_counts, rmax: int, shards: int = 1):
+                 packed_mm, row_counts, rmax: int, shards: int = 1,
+                 affine: bool = False):
     """Memoised ROW-MAJOR shadow payload
     (counts (L, NG), r2v (T,), flag (T,), flat_rows (T, 16, 512))
     for a (eye, pose, lights, samples, mesh-shards) combination.
@@ -1637,8 +1642,11 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     computed on the HOST at plan time (one sync per light); steady-state
     lit frames pay one occlusion kernel + the GGX math."""
     cfg = get_config()
+    # affine in the key: the probe traces the (affine or plain) primary
+    # payload, and a config flip at a seen pose must not serve the other
+    # mode's hit-bound shafts
     sk = (eplan.sig, samples, pose_sig, lights_np.tobytes(),
-          cfg.cull_sigmas, cfg.refine_mode, shards)
+          cfg.cull_sigmas, cfg.refine_mode, shards, affine)
     hit = splan.shadow_store.get(sk)
     if hit is not None:
         splan.shadow_store[sk] = splan.shadow_store.pop(sk)  # LRU refresh
@@ -1656,6 +1664,7 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
         samples=samples, ng=eplan.ng, g=eplan.g, nrb=eplan.nrb,
         rb_size=eplan.rb_size, rmax=rmax,
         cull_sigmas=cfg.cull_sigmas, kcand_probe=kcand_probe,
+        affine=affine,
     )
     kc = int(np.asarray(jax.device_get(jnp.max(kc_need))))
     rw_all = np.asarray(jax.device_get(rows_need))
@@ -1836,12 +1845,14 @@ def _plan_frame(
                         splan.cache_store.clear()
                     splan.cache_store[cache_key] = cache
 
-    # affine ray factorisation (transform_payload_affine): unlit frames
-    # with one ommatidium per group trace [d, 1] rays against an
-    # origin-folded payload — half the planar ray stack, no cross products.
-    # Lit frames keep 16-feature payloads (the shadow probe and the
-    # hit-point reconstruction share them).
-    affine = bool(cfg.affine_rays) and lights is None and eplan.g == 1
+    # affine ray factorisation (transform_payload_affine): frames with one
+    # ommatidium per group trace [d, 1] rays against an origin-folded
+    # payload — half the planar ray stack, no cross products.  Lit frames
+    # ride it too: the shadow probe traces the same payload (affine-aware),
+    # hit points reconstruct from neg_o (computed either way), and the
+    # shadow-ray occlusion kernel keeps its own 16-feature payloads
+    # (per-ray origins — the affine trick needs a shared one).
+    affine = bool(cfg.affine_rays) and eplan.g == 1
     kcand, rmax, (row_counts, packed_mm), pending = _plan_widths_pack(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
         near_mask=near_mask, use_cache=use_cache,
@@ -1862,6 +1873,7 @@ def _plan_frame(
         shadow_counts, shadow_r2v, shadow_flag, shadow_flat = _shadow_plan(
             splan, eplan, omms_p, position, local_space, pose_sig,
             lights_np, samples, key, packed_mm, row_counts, rmax,
+            affine=affine,
         )
         lights_dev = jnp.asarray(lights_np)
     else:

@@ -103,9 +103,9 @@ def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
     )
     # affine ray factorisation shards transparently: the origin fold is
     # per GROUP, and groups shard whole over "omm" — each shard's local
-    # payload slice is exactly what its local [d, 1] rays expect
-    affine = (bool(get_config().affine_rays) and lights_np is None
-              and eplan.g == 1)
+    # payload slice is exactly what its local [d, 1] rays expect (lit
+    # frames included; the shadow plan's probe is affine-aware)
+    affine = bool(get_config().affine_rays) and eplan.g == 1
     row_counts, packed_mm = _packed_plan(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
         kcand, rmax, affine=affine,
@@ -131,7 +131,7 @@ def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
         shadow_counts, shadow_r2v, shadow_flag, shadow_flat = _shadow_plan(
             splan, eplan, omms_p, position, local_space, pose_sig,
             lights_np, samples, key, packed_mm, row_counts, rmax,
-            shards=omm_axis,
+            shards=omm_axis, affine=affine,
         )
         out.update(
             shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,

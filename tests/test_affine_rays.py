@@ -204,3 +204,23 @@ def test_affine_sharded_matches_dense(cfg_guard):
     sharded = np.asarray(render_means_sharded_packed(
         scene, dev, omms_np, pos, ls, key, 128, bg, mesh))
     np.testing.assert_allclose(sharded, dense, atol=2e-5)
+
+
+def test_affine_lit_frame_matches(cfg_guard):
+    """Lit frames ride affine too: the primary trace and the shadow-plan
+    probe use the folded payload; shadow rays keep 16-feature payloads."""
+    from compound_ray_tpu.trace.lighting import default_lights
+
+    scene, dev, omms_np, pos, ls = _setup_scene(n_omms=24)
+    lights = default_lights(scene.aabb_min, scene.aabb_max)
+    key = jax.random.PRNGKey(17)
+    bg = miss_id(scene.background_shader)
+    assert P.eye_plan(omms_np, 128).g == 1
+    _affine_cfg(False)
+    ref = np.asarray(render_means_pallas(scene, dev, omms_np, pos, ls,
+                                         key, 128, bg, lights=lights))
+    _affine_cfg(True)
+    got = np.asarray(render_means_pallas(scene, dev, omms_np, pos, ls,
+                                         key, 128, bg, lights=lights))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+    assert np.abs(got - ref).mean() < 5e-5
