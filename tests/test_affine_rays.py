@@ -224,3 +224,30 @@ def test_affine_lit_frame_matches(cfg_guard):
                                          key, 128, bg, lights=lights))
     np.testing.assert_allclose(got, ref, atol=2e-3)
     assert np.abs(got - ref).mean() < 5e-5
+
+
+def test_affine_textured_uvs_emit(cfg_guard):
+    """The bench scenes trace emit="uvs" (single-texture tex_only): the
+    texture-coordinate affine constants live in the metadata rows the fold
+    preserves byte-for-byte, so the textured frame must agree too — this is
+    the exact (emit, affine) combination the TPU A/B measures."""
+    from compound_ray_tpu.testing import make_textured_quad_scene
+
+    scene = make_textured_quad_scene(16)
+    dev = scene.device_triangles()
+    splan = P.scene_plan(scene)
+    assert splan.tex_only and splan.tex_static is not None  # emit == "uvs"
+    omms_np = ommatidia_to_array(make_sphere_eye(24, acceptance_deg=2.6))
+    pos = jnp.asarray((0.0, 2.0, 0.0), jnp.float32)
+    ls = jnp.asarray([[1, 0, 0], [0, -1, 0], [0, 0, 1]], jnp.float32)
+    key = jax.random.PRNGKey(19)
+    bg = miss_id(scene.background_shader)
+    assert P.eye_plan(omms_np, 128).g == 1
+    _affine_cfg(False)
+    ref = np.asarray(render_means_pallas(scene, dev, omms_np, pos, ls,
+                                         key, 128, bg))
+    _affine_cfg(True)
+    got = np.asarray(render_means_pallas(scene, dev, omms_np, pos, ls,
+                                         key, 128, bg))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+    assert np.abs(got - ref).mean() < 5e-5
