@@ -251,3 +251,22 @@ def test_affine_textured_uvs_emit(cfg_guard):
                                          key, 128, bg))
     np.testing.assert_allclose(got, ref, atol=2e-3)
     assert np.abs(got - ref).mean() < 5e-5
+
+
+def test_affine_stacked_burst_bit_identical(cfg_guard):
+    """Stacked frame bursts (F*S on one sample axis) under affine must stay
+    bit-identical to sequential affine frames — same kernel, same draws."""
+    from compound_ray_tpu.eye.pipeline import render_means_pallas_frames
+
+    scene, dev, omms_np, pos, ls = _setup_scene(n_omms=24)
+    bg = miss_id(scene.background_shader)
+    key = jax.random.PRNGKey(23)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(2))
+    _affine_cfg(True)
+    seq = np.stack([
+        np.asarray(render_means_pallas(scene, dev, omms_np, pos, ls,
+                                       k, 128, bg)) for k in keys
+    ])
+    burst = np.asarray(render_means_pallas_frames(
+        scene, dev, omms_np, pos, ls, keys, 128, bg))
+    np.testing.assert_array_equal(burst, seq)
