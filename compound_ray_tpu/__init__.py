@@ -16,16 +16,14 @@ via :mod:`compound_ray_tpu.api`.
 
 __version__ = "0.1.0"
 
-import jax as _jax
-
 # Geometry in a renderer is f32: the TPU MXU's DEFAULT one-pass bf16 matmul
 # gives ~4e-3 relative error, which flips Voronoi projection winners
 # (measured 11.5/255 MAE vs CPU on the ofstad stripe band), perturbs camera
-# ray directions, and can flip borderline cull decisions.  Every matmul in
-# this package outside the Pallas kernel is planning/projection scale, so
-# f32-equivalent multi-pass is free; the hot kernel sets its own precision
-# explicitly (trace/mm_tracer.py).  The reference hardware (OptiX/CUDA)
-# always computes geometry in f32.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# ray directions, and can flip borderline cull decisions.  Rather than
+# mutating the process-wide jax_default_matmul_precision (which would also
+# slow down unrelated user models sharing the process), every matmul /
+# contracting einsum in this package passes precision=HIGHEST explicitly
+# (trace/, eye/, accel/, cameras/, projection/).  The reference hardware
+# (OptiX/CUDA) always computes geometry in f32.
 
 from compound_ray_tpu.api.renderer import EyeRenderer  # noqa: F401

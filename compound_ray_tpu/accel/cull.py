@@ -35,8 +35,9 @@ def eye_world_geometry(
     focal = ommatidia[:, 7]
     axis_n = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-30)
     rel_origin = rel_pos - axis_n * focal[:, None]
-    apex = position[None, :] + rel_origin @ local_space
-    world_axis = axis_n @ local_space
+    _hi = jax.lax.Precision.HIGHEST
+    apex = position[None, :] + jnp.matmul(rel_origin, local_space, precision=_hi)
+    world_axis = jnp.matmul(axis_n, local_space, precision=_hi)
     world_axis = world_axis / jnp.maximum(
         jnp.linalg.norm(world_axis, axis=-1, keepdims=True), 1e-30
     )
@@ -61,7 +62,9 @@ def cone_cull_clusters(
     to_c = sphere_center[None, :, :] - apex[:, None, :]  # (N,C,3)
     dist = jnp.linalg.norm(to_c, axis=-1)  # (N,C)
     inside = dist <= sphere_radius[None, :]
-    cos_a = jnp.einsum("ncd,nd->nc", to_c, axis) / jnp.maximum(dist, 1e-30)
+    cos_a = jnp.einsum("ncd,nd->nc", to_c, axis,
+                       precision=jax.lax.Precision.HIGHEST
+                       ) / jnp.maximum(dist, 1e-30)
     alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
     beta = jnp.arcsin(jnp.clip(sphere_radius[None, :] / jnp.maximum(dist, 1e-30), 0.0, 1.0))
     mask = inside | (alpha <= half_angle[:, None] + beta)

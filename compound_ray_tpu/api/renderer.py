@@ -288,12 +288,12 @@ class EyeRenderer:
             if route == "sharded":
                 from compound_ray_tpu.parallel.sharding import (
                     make_eye_mesh,
+                    pick_sample_parallel,
                     render_means_sharded_packed_frames,
                 )
 
                 samples = cam.samples_per_ommatidium
-                sp = (2 if len(jax.devices()) % 2 == 0 and samples % 2 == 0
-                      else 1)
+                sp = pick_sample_parallel(samples)
                 means = render_means_sharded_packed_frames(
                     self.scene, scene_dev, cam.ommatidia,
                     jnp.asarray(pos), jnp.asarray(ls), keys, samples,
@@ -354,10 +354,9 @@ class EyeRenderer:
             return None
         backend = get_config().backend if self._backend == "auto" else self._backend
         if len(jax.devices()) > 1 and backend in ("auto", "sharded"):
-            # the mesh scan needs the sample axis to divide every frame
-            s = cam.samples_per_ommatidium
-            sp = 2 if len(jax.devices()) % 2 == 0 and s % 2 == 0 else 1
-            return "sharded" if backend in ("auto", "sharded") and s % sp == 0 else None
+            # pick_sample_parallel always returns an sp that divides the
+            # sample count, so the mesh scan is routable unconditionally
+            return "sharded"
         return "pallas" if backend in ("auto", "pallas") else None
 
     # ------------------------------------------------------------ observability
@@ -424,10 +423,11 @@ class EyeRenderer:
             if len(jax.devices()) > 1 and backend in ("auto", "sharded"):
                 from compound_ray_tpu.parallel.sharding import (
                     make_eye_mesh,
+                    pick_sample_parallel,
                     render_samples_sharded_packed,
                 )
 
-                sp = 2 if len(jax.devices()) % 2 == 0 and samples % 2 == 0 else 1
+                sp = pick_sample_parallel(samples)
                 mesh = make_eye_mesh(sample_parallel=sp)
                 return render_samples_sharded_packed(
                     self.scene, scene_dev, omms_np,
@@ -456,10 +456,11 @@ class EyeRenderer:
             # shard builds its own occluder payloads)
             from compound_ray_tpu.parallel.sharding import (
                 make_eye_mesh,
+                pick_sample_parallel,
                 render_means_sharded_packed,
             )
 
-            sp = 2 if len(jax.devices()) % 2 == 0 and samples % 2 == 0 else 1
+            sp = pick_sample_parallel(samples)
             mesh = make_eye_mesh(sample_parallel=sp)
             return render_means_sharded_packed(
                 self.scene, scene_dev, omms_np,
@@ -661,21 +662,28 @@ class EyeRenderer:
         n = base.shape[0]
         from compound_ray_tpu.cameras.types import PerspectiveCamera
 
-        blocks = []
-        for pose in poses:
-            pos, rot = pose
+        # resolve each pose's (position, local_space) — cheap 3x3 work —
+        # then transform ALL poses' ommatidia in two einsums (B can be
+        # hundreds in a GA sweep; per-pose (N,3)@(3,3) loops were the
+        # BASELINE.json batched-poses config's host bottleneck)
+        pos_all = np.empty((len(poses), 3), np.float64)
+        ls_all = np.empty((len(poses), 3, 3), np.float64)
+        for i, (pos, rot) in enumerate(poses):
             probe = PerspectiveCamera("pose-probe")
             if np.asarray(rot).shape == (3, 3):
                 probe.set_position(pos)
                 probe.local_space = np.asarray(rot, np.float64)
             else:
                 probe.set_pose(*pos, *rot)
-            ls = probe.local_space
-            block = base.copy()
-            block[:, 0:3] = base[:, 0:3] @ ls + np.asarray(probe.position)[None, :]
-            block[:, 3:6] = base[:, 3:6] @ ls
-            blocks.append(block)
-        all_omms = np.concatenate(blocks, axis=0).astype(np.float32)
+            pos_all[i] = probe.position
+            ls_all[i] = probe.local_space
+        b = len(poses)
+        all_omms = np.broadcast_to(base[None], (b, n, base.shape[1])).copy()
+        all_omms[:, :, 0:3] = (
+            np.einsum("nc,bcd->bnd", base[:, 0:3], ls_all)
+            + pos_all[:, None, :])
+        all_omms[:, :, 3:6] = np.einsum("nc,bcd->bnd", base[:, 3:6], ls_all)
+        all_omms = all_omms.reshape(b * n, base.shape[1]).astype(np.float32)
 
         scene_dev = self._scene_dev()
         background = miss_id(self.scene.background_shader)
@@ -689,7 +697,7 @@ class EyeRenderer:
         )
         out = np.array(jax.device_get(means), np.float32)
         out[np.isnan(out[:, 0])] = 0.0
-        return out.reshape(len(blocks), n, 3)
+        return out.reshape(b, n, 3)
 
     def get_camera_data(self) -> np.ndarray:
         """Per-ommatidium mean radiance (N,3) float32, NaN-guarded

@@ -83,7 +83,8 @@ def _image_fused(
     centroid = centroid / jnp.maximum(
         jnp.linalg.norm(centroid, axis=-1, keepdims=True), 1e-30
     )  # (ng,3)
-    cosmin = jnp.min(jnp.einsum("gtc,gc->gt", td, centroid), axis=1)
+    cosmin = jnp.min(jnp.einsum("gtc,gc->gt", td, centroid,
+                                precision=jax.lax.Precision.HIGHEST), axis=1)
     half = jnp.arccos(jnp.clip(cosmin, -1.0, 1.0))  # (ng,)
     apex = jnp.mean(to, axis=1)  # (ng,3)
     spread = jnp.max(jnp.linalg.norm(to - apex[:, None, :], axis=-1), axis=1)
@@ -93,7 +94,9 @@ def _image_fused(
     dist = jnp.linalg.norm(to_c, axis=-1)
     radii_eff = sphere_radius[None, :] + spread[:, None]
     inside = dist <= radii_eff
-    cos_a = jnp.einsum("gcd,gd->gc", to_c, centroid) / jnp.maximum(dist, 1e-30)
+    cos_a = jnp.einsum("gcd,gd->gc", to_c, centroid,
+                       precision=jax.lax.Precision.HIGHEST
+                       ) / jnp.maximum(dist, 1e-30)
     alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
     beta = jnp.arcsin(jnp.clip(radii_eff / jnp.maximum(dist, 1e-30), 0.0, 1.0))
     gmask = inside | (alpha <= half[:, None] + beta)

@@ -49,7 +49,8 @@ def panoramic_rays(position, local_space, start_radius, width: int, height: int)
     ay = dy * (jnp.pi / 2.0)
     cos_y = jnp.cos(ay)
     local = jnp.stack([jnp.cos(ax) * cos_y, jnp.sin(ay), jnp.sin(ax) * cos_y], axis=-1)
-    dirs = local @ local_space  # rows are axes
+    dirs = jnp.matmul(local, local_space,
+                      precision=jax.lax.Precision.HIGHEST)  # rows are axes
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     origins = position[None, :] + dirs * start_radius
     return origins, dirs, 0.01

@@ -2250,13 +2250,16 @@ def _render_cache(
     centroid = centroid / jnp.maximum(
         jnp.linalg.norm(centroid, axis=-1, keepdims=True), 1e-30
     )
-    cosmin = jnp.min(jnp.einsum("gtc,gc->gt", td, centroid), axis=1)
+    cosmin = jnp.min(jnp.einsum("gtc,gc->gt", td, centroid,
+                                precision=jax.lax.Precision.HIGHEST), axis=1)
     half_ang = jnp.arccos(jnp.clip(cosmin, -1.0, 1.0))
 
     to_c = half_center[None, :, :, :] - center[None, None, None, :]  # (1,C,2,3)
     dist = jnp.linalg.norm(to_c, axis=-1)  # (1,C,2)
     inside = dist <= half_radius[None, :, :]
-    cos_a = jnp.einsum("chd,gd->gch", to_c[0], centroid) / jnp.maximum(dist, 1e-30)
+    cos_a = jnp.einsum("chd,gd->gch", to_c[0], centroid,
+                       precision=jax.lax.Precision.HIGHEST
+                       ) / jnp.maximum(dist, 1e-30)
     alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
     beta = jnp.arcsin(
         jnp.clip(half_radius[None, :, :] / jnp.maximum(dist, 1e-30), 0.0, 1.0)

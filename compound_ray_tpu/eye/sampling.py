@@ -135,8 +135,10 @@ def ommatidial_rays(
     rel_origin = rel_pos - axis_n * focal[:, None]  # (N,3)
 
     # world transform: v_world = v.x * X + v.y * Y + v.z * Z = v @ local_space
-    origins = position[None, :] + rel_origin @ local_space  # (N,3)
+    _hi = jax.lax.Precision.HIGHEST
+    origins = position[None, :] + jnp.matmul(
+        rel_origin, local_space, precision=_hi)  # (N,3)
     origins = jnp.broadcast_to(origins[None, :, :], (samples, n, 3)).reshape(-1, 3)
-    dirs = (rel_dir.reshape(-1, 3)) @ local_space
+    dirs = jnp.matmul(rel_dir.reshape(-1, 3), local_space, precision=_hi)
     tmin = jnp.broadcast_to(focal[None, :], (samples, n)).reshape(-1)
     return origins, dirs, tmin

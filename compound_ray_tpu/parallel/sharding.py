@@ -31,6 +31,17 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def pick_sample_parallel(samples: int, n_devices: Optional[int] = None) -> int:
+    """Sample-axis width for the ("omm", "sample") mesh: 2 when the device
+    count is even AND the sample count divides it (the sharded impls require
+    samples % sample_axis == 0, see _plan_for_mesh), else 1 (pure omm-DP).
+    The single source of truth for every dispatch site in api/renderer.py —
+    by construction the returned sp always divides `samples`."""
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    return 2 if n_devices % 2 == 0 and samples % 2 == 0 else 1
+
+
 def make_eye_mesh(
     n_devices: Optional[int] = None,
     sample_parallel: int = 1,

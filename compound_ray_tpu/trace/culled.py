@@ -89,7 +89,8 @@ def render_means_culled_angles(
 
     axis_n = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-30)
     rel_origin = ommatidia[:, 0:3] - axis_n * focal[:, None]
-    origins = position[None, :] + rel_origin @ local_space  # (N,3)
+    origins = position[None, :] + jnp.matmul(
+        rel_origin, local_space, precision=jax.lax.Precision.HIGHEST)  # (N,3)
 
     np_pad = _ceil_to(n, omm_chunk)
     sp_pad = _ceil_to(samples, sample_chunk)
@@ -123,7 +124,8 @@ def render_means_culled_angles(
         c0 = jnp.where(vm, c0, 0.0).reshape(omm_chunk, kl)
         tid = jnp.where(vm, tid, -1).reshape(omm_chunk, kl)
 
-        onum = jnp.einsum("ok,otk->ot", or_c, nrm)  # (oc,kl), frame-invariant
+        onum = jnp.einsum("ok,otk->ot", or_c, nrm,
+                          precision=jax.lax.Precision.HIGHEST)  # (oc,kl)
 
         def per_sample_chunk(acc, sc_args):
             splay_s, spin_s, w_s = sc_args  # (sc,oc), (sc,oc), (sc,)
@@ -131,14 +133,17 @@ def render_means_culled_angles(
                 jnp.broadcast_to(ax_c[None], (sample_chunk, omm_chunk, 3)),
                 splay_s, spin_s,
             )  # (sc,oc,3)
-            dirs = jnp.einsum("soc,cd->osd", rel_dir, local_space)  # (oc,sc,3)
+            dirs = jnp.einsum("soc,cd->osd", rel_dir, local_space,
+                              precision=jax.lax.Precision.HIGHEST)  # (oc,sc,3)
             m = jnp.cross(jnp.broadcast_to(or_c[:, None, :], dirs.shape), dirs)
             r6 = jnp.concatenate([dirs, m], axis=-1)  # (oc,sc,6)
 
-            w = jnp.einsum("osk,oTk->osT", r6, w6).reshape(
+            w = jnp.einsum("osk,oTk->osT", r6, w6,
+                           precision=jax.lax.Precision.HIGHEST).reshape(
                 omm_chunk, sample_chunk, kl, 3
             )
-            den = jnp.einsum("osk,otk->ost", dirs, nrm)  # (oc,sc,kl)
+            den = jnp.einsum("osk,otk->ost", dirs, nrm,
+                             precision=jax.lax.Precision.HIGHEST)  # (oc,sc,kl)
             t = (c0[:, None, :] - onum[:, None, :]) / den
             wsum = jnp.sum(w, axis=-1)
             ok = (

@@ -43,13 +43,14 @@ def moller_trumbore(
     share those units)."""
     # pvec = d x e2  -> (R,T,3)
     pvec = jnp.cross(d[:, None, :], e2[None, :, :])
-    det = jnp.einsum("tc,rtc->rt", e1, pvec)
+    _hi = jax.lax.Precision.HIGHEST
+    det = jnp.einsum("tc,rtc->rt", e1, pvec, precision=_hi)
     inv_det = jnp.where(det == _DET_EPS, 0.0, 1.0 / det)
     tvec = o[:, None, :] - v0[None, :, :]  # (R,T,3)
-    u = jnp.einsum("rtc,rtc->rt", tvec, pvec) * inv_det
+    u = jnp.einsum("rtc,rtc->rt", tvec, pvec, precision=_hi) * inv_det
     qvec = jnp.cross(tvec, jnp.broadcast_to(e1[None, :, :], tvec.shape))
-    v = jnp.einsum("rc,rtc->rt", d, qvec) * inv_det
-    t = jnp.einsum("tc,rtc->rt", e2, qvec) * inv_det
+    v = jnp.einsum("rc,rtc->rt", d, qvec, precision=_hi) * inv_det
+    t = jnp.einsum("tc,rtc->rt", e2, qvec, precision=_hi) * inv_det
     valid = (
         (det != 0.0)
         & (u >= 0.0)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,10 +73,11 @@ def ggx_light_contrib(
     alpha = roughness * roughness
     h = l + view
     h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
-    n_dot_l = jnp.einsum("rc,rc->r", n, l)
-    n_dot_v = jnp.einsum("rc,rc->r", n, view)
-    n_dot_h = jnp.einsum("rc,rc->r", n, h)
-    v_dot_h = jnp.einsum("rc,rc->r", view, h)
+    _hi = jax.lax.Precision.HIGHEST
+    n_dot_l = jnp.einsum("rc,rc->r", n, l, precision=_hi)
+    n_dot_v = jnp.einsum("rc,rc->r", n, view, precision=_hi)
+    n_dot_h = jnp.einsum("rc,rc->r", n, h, precision=_hi)
+    v_dot_h = jnp.einsum("rc,rc->r", view, h, precision=_hi)
     facing = (n_dot_l > 0.0) & (n_dot_v > 0.0)
     f = _schlick(spec_color, v_dot_h)
     g_vis = _vis(n_dot_l, n_dot_v, alpha)[:, None]
@@ -153,10 +155,11 @@ def ggx_direct(
         l = to_l / jnp.maximum(l_dist[:, None], 1e-20)
         h = l + view
         h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
-        n_dot_l = jnp.einsum("rc,rc->r", n, l)
-        n_dot_v = jnp.einsum("rc,rc->r", n, view)
-        n_dot_h = jnp.einsum("rc,rc->r", n, h)
-        v_dot_h = jnp.einsum("rc,rc->r", view, h)
+        _hi = jax.lax.Precision.HIGHEST
+        n_dot_l = jnp.einsum("rc,rc->r", n, l, precision=_hi)
+        n_dot_v = jnp.einsum("rc,rc->r", n, view, precision=_hi)
+        n_dot_h = jnp.einsum("rc,rc->r", n, h, precision=_hi)
+        v_dot_h = jnp.einsum("rc,rc->r", view, h, precision=_hi)
 
         facing = (n_dot_l > 0.0) & (n_dot_v > 0.0)
         occluded = occlusion_test(

@@ -72,6 +72,12 @@ AUX_COMPS = 8  # [tmin, 0 x 7]
 # ~8 ms of VPU work.  256 rays halves the step count; the carried winner
 # state (4 x (256, 128) f32 = 512 KB) still fits registers/VMEM.
 BATCH_RAYS = int(os.environ.get("CR_TPU_BATCH_RAYS", "256"))
+# the kernel loops run rb_size // BATCH_RAYS, so a non-dividing value would
+# silently leave ray tails untraced; non-256-multiple blocks are also a
+# known Mosaic ICE risk (CLAUDE.md).  Fail loudly at import instead.
+assert BATCH_RAYS > 0 and BATCH_RAYS % 128 == 0, (
+    f"CR_TPU_BATCH_RAYS={BATCH_RAYS} must be a positive multiple of 128 "
+    f"(the lane tile; 256-multiples are safest for Mosaic)")
 # independent ray-batch chains per row-loop step (see _make_packed_kernel):
 # the row step is latency-bound, so independent chains overlap their
 # matmul->divide->select dependency chains.  Bit-identical to 1.
@@ -510,6 +516,8 @@ def run_rows_occlusion(
     never initialised).  All lights trace in ONE dispatch: the ray vector
     stacks each light's group-major block, virtual group = light*NG + g,
     and the table's rows are sorted by virtual group (see _shadow_plan)."""
+    assert rb_size % BATCH_RAYS == 0, (
+        f"rb_size={rb_size} must be a multiple of BATCH_RAYS={BATCH_RAYS}")
     if unroll_b is None:
         unroll_b = UNROLL_B
     t_pad = flat_rows.shape[0]
@@ -589,6 +597,10 @@ def run_packed_tracer(
     # are static under jit, so this is free)
     assert rays.shape[0] == ray_feats, (
         f"rays carry {rays.shape[0]} features but ray_feats={ray_feats}")
+    assert rb_size % BATCH_RAYS == 0, (
+        f"rb_size={rb_size} must be a multiple of BATCH_RAYS={BATCH_RAYS} "
+        f"(the kernel traces rb_size // BATCH_RAYS steps — a remainder "
+        f"would go untraced)")
     if unroll_b is None:
         unroll_b = UNROLL_B
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -32,9 +32,11 @@ def log(msg):
 
 
 def run_bench():
-    """The bench.py protocol inline (same process/session)."""
+    """The bench.py protocol inline (same process/session).  run_protocol,
+    NOT main: main's probe subprocess would be a second live tunnel session
+    next to ours — the documented wedge trigger."""
     os.environ.setdefault("BENCH_FRAMES", "10")
-    bench.main()
+    bench.run_protocol()
 
 
 def run_anatomy():
@@ -163,20 +165,27 @@ def _adopt_unroll(results):
         log(f"UNROLL ub={ub}: geomean kernel ratio {g:.3f}x vs ub=1")
         if g < best_ratio:
             best_ratio, best_ub = g, ub
-    if best_ub == 1 or best_ratio > 0.95:
-        log(f"UNROLL: keeping ub=1 (best alternative ratio {best_ratio:.3f})")
-        return
+    if best_ub != 1 and best_ratio > 0.95:
+        best_ub, best_ratio = 1, 1.0  # <5% win: not worth a non-default
     import compound_ray_tpu.trace.mm_tracer as mm
     from compound_ray_tpu.config import load_tuning
 
     # read-merge-update: tuning.json is shared with the affine stage — a
-    # whole-file write here would silently erase its adoption
+    # whole-file write here would silently erase its adoption.  The
+    # measurement GOVERNS the adoption either way (best_ub may be 1): a
+    # stale unroll_b from an earlier batch must not outlive a re-measured
+    # regression (mirrors run_affine).
     tuning = load_tuning()
     tuning.update(unroll_b=best_ub, unroll_kernel_ms=results,
                   measured=time.strftime("%Y-%m-%d %H:%M UTC",
                                          time.gmtime()))
     with open(mm.TUNING_PATH, "w") as f:
         json.dump(tuning, f, indent=1)
+    if best_ub == 1:
+        log(f"UNROLL: keeping ub=1 (best alternative ratio {best_ratio:.3f});"
+            f" tuning.json records the measurement")
+        mm.UNROLL_B = 1
+        return
     mm.UNROLL_B = best_ub
     # the fused frame programs traced unroll_b=None at ub=1 — drop them so
     # the re-measure below compiles the winning kernel into the frame
