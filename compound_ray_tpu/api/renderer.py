@@ -98,6 +98,9 @@ class EyeRenderer:
         # jax.profiler trace capture
         self.frame_times_ms: List[float] = []
         self._profile_dir: Optional[str] = None
+        # lit-frame shadow-shaft audit (see _check_shadow_audit)
+        self._pending_shadow_audit = None
+        self._shadow_audit_warned: set = set()
 
     # ------------------------------------------------------------------ config
     def set_verbosity(self, v: bool) -> None:
@@ -244,6 +247,7 @@ class EyeRenderer:
             # of the reference's CUDA_SYNC_CHECK after launch
             # (libEyeRenderer.cpp:243).
             jax.device_get(outputs[-1].ravel()[0])
+            self._check_shadow_audit()
         self._last_outputs = outputs
         ms = (time.perf_counter() - t0) * 1000.0
         self.frame_times_ms.append(ms)
@@ -257,6 +261,35 @@ class EyeRenderer:
         outs = getattr(self, "_last_outputs", None)
         if outs:
             jax.device_get(outs[-1].ravel()[0])
+            self._check_shadow_audit()
+
+    def _check_shadow_audit(self) -> None:
+        """Surface the lit-frame shadow-shaft audit (ADVICE r3): hits
+        outside their group's memoised shaft saw only shaft-local occluders
+        (the silhouette-edge approximation, pipeline.SHADOW_BOUND_INFLATE)
+        — scene-dependent partial light leak that would otherwise be
+        silent.  Fetched at an existing sync point (no extra round trip in
+        the pipelined path); warns once per distinct leak fraction decade
+        to stay quiet in steady state."""
+        audit = getattr(self, "_pending_shadow_audit", None)
+        if audit is None:
+            return
+        self._pending_shadow_audit = None
+        leaked, total = (int(x) for x in np.asarray(jax.device_get(audit)))
+        if leaked <= 0 or total <= 0:
+            return
+        frac = leaked / total
+        import math
+
+        decade = int(math.floor(math.log10(max(frac, 1e-12))))
+        if decade not in self._shadow_audit_warned:
+            self._shadow_audit_warned.add(decade)
+            print(
+                f"[PyEye] warning: {leaked}/{total} lit samples "
+                f"({100.0 * frac:.3g}%) hit outside their memoised shadow "
+                f"shaft; their shadow rays saw only shaft-local occluders "
+                f"(possible partial light leak — see docs/conformance.md)"
+            )
 
     def render_frames_pipelined(self, n: int) -> float:
         """Render n consecutive frames without intermediate host syncs and
@@ -475,11 +508,18 @@ class EyeRenderer:
             # light with shadow rays traced through per-group occluder
             # payloads memoised per (pose, lights) from the probed hit
             # points (eye/pipeline._shadow_plan)
-            return render_means_pallas(
+            lit = self.lighting and lights is not None
+            out = render_means_pallas(
                 self.scene, scene_dev, omms_np, pos, ls, key, samples,
                 background,
                 lights=(lights if self.lighting else None),
+                shadow_audit=lit,
             )
+            if lit:
+                means, audit = out
+                self._pending_shadow_audit = audit  # fetched lazily at sync
+                return means
+            return out
         if backend in ("auto", "xla"):
             from compound_ray_tpu.trace.dispatch import render_means_fast
 

@@ -799,7 +799,7 @@ def _pack_fused(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
-        "tex_static", "affine",
+        "tex_static", "affine", "shadow_audit",
     ),
 )
 def _render_frame(
@@ -834,6 +834,8 @@ def _render_frame(
     tex_static: Optional[Tuple] = None,
     quad_gray=None,  # (P, 4) single-channel quads (grayscale textures)
     affine: bool = False,  # packed_mm is transform_payload_affine'd
+    shadow_sph=None,  # (NG, 4) memoised shaft spheres (lit frames)
+    shadow_audit: bool = False,  # lit frames also return leak counts
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
@@ -853,6 +855,7 @@ def _render_frame(
         shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         tex_static=tex_static, quad_gray=quad_gray, affine=affine,
+        shadow_sph=shadow_sph, shadow_audit=shadow_audit,
     )
 
 
@@ -988,6 +991,8 @@ def _trace_shade_angles(
     quad_gray=None,  # (P, 4) single-channel quads (grayscale textures)
     frames: int = 1,  # >1: samples = frames*S stacked burst, (Np, F, 3) out
     affine: bool = False,  # packed_mm is transform_payload_affine'd
+    shadow_sph=None,  # (NG, 4) memoised shaft spheres [c, r] (lit frames)
+    shadow_audit: bool = False,  # also return the out-of-shaft hit counts
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
     path draws angles GLOBALLY and feeds per-device slices here, so results
@@ -1136,6 +1141,7 @@ def _trace_shade_angles(
             eps = jnp.float32(1e-3)  # traceOcclusion tmin (shaders.cu:875)
             hit_f2 = repad(hit)
             dxf, dyf, dzf = repad(dx), repad(dy), repad(dz)
+            audit = None
             # hit point p = o' + t d (o' is the tmin-shifted origin the
             # ray features carry negated in rows 6-8).  Missed rays
             # (t = inf) clamp to t = 0 so every shadow-ray feature stays
@@ -1144,6 +1150,23 @@ def _trace_shade_angles(
             pxf = -repad(jnp.broadcast_to(neg_o[0], (n_pad, samples))) + t_c * dxf
             pyf = -repad(jnp.broadcast_to(neg_o[1], (n_pad, samples))) + t_c * dyf
             pzf = -repad(jnp.broadcast_to(neg_o[2], (n_pad, samples))) + t_c * dzf
+            if shadow_audit and shadow_sph is not None:
+                # out-of-shaft detector (the memoised-shadow-plan known
+                # approximation, SHADOW_BOUND_INFLATE above): a hit outside
+                # its group's probed+inflated sphere saw only shaft-local
+                # occluders, so its shadow test may have leaked light.
+                # Cheap planar VPU work; the caller rate-limits the warn.
+                hm2 = hit_f2.reshape(ng, rg_pad)
+                ddx = pxf.reshape(ng, rg_pad) - shadow_sph[:, 0:1]
+                ddy = pyf.reshape(ng, rg_pad) - shadow_sph[:, 1:2]
+                ddz = pzf.reshape(ng, rg_pad) - shadow_sph[:, 2:3]
+                d2 = ddx * ddx + ddy * ddy + ddz * ddz
+                r_s = shadow_sph[:, 3:4]
+                # r < 0 marks "group hit nothing in the probe": ANY
+                # steady-state hit there traced zero occluder rows
+                leak = hm2 & ((d2 > r_s * r_s) | (r_s < 0.0))
+                audit = jnp.stack([jnp.sum(leak.astype(jnp.int32)),
+                                   jnp.sum(hm2.astype(jnp.int32))])
             u_b = out[1]
             v_b = out[2]
             row_s = jnp.clip(out[3].astype(jnp.int32), 0,
@@ -1158,6 +1181,22 @@ def _trace_shade_angles(
             n_vec = n_vec / jnp.maximum(
                 jnp.linalg.norm(n_vec, axis=-1, keepdims=True), 1e-20
             )
+            if "mat_mr_tex" in scene_dev:
+                # metallic-roughness / normal-map modulation (shaders.cu:
+                # 831-852).  Key presence is static pytree structure: the
+                # device dict carries these slots only when some material
+                # references such a texture (scene/flat.py), so ordinary
+                # lit scenes skip the extra gathers entirely.
+                from compound_ray_tpu.trace.lighting import (
+                    apply_material_textures,
+                )
+
+                uv_hit = (w_b * scene_dev["uv0"][tid]
+                          + u_b[:, None] * scene_dev["uv1"][tid]
+                          + v_b[:, None] * scene_dev["uv2"][tid])
+                n_vec, metallic, roughness = apply_material_textures(
+                    scene_dev, tid, uv_hit, n_vec, metallic, roughness
+                )
             view = -jnp.stack([dxf, dyf, dzf], axis=-1)
             base = jnp.stack([repad(rr), repad(gg), repad(bb)], axis=-1)
             result = base
@@ -1252,10 +1291,13 @@ def _trace_shade_angles(
              jnp.mean(bb.reshape(n_pad, frames, s1), axis=2)],
             axis=-1,
         )  # (Np, F, 3)
-    return jnp.stack(
+    means = jnp.stack(
         [jnp.mean(rr, axis=1), jnp.mean(gg, axis=1), jnp.mean(bb, axis=1)],
         axis=-1,
     )  # (Np, 3)
+    if shadow_audit and lights is not None:
+        return means, audit  # audit = [out-of-shaft hits, total hits]
+    return means
 
 
 # NOTE: plan/kmax/cache stores live on the FlatScene/ScenePlan objects (see
@@ -1731,8 +1773,13 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
                          else jnp.concatenate(parts, axis=0))
     flat_rows = (dev_parts[0] if shards == 1
                  else jnp.concatenate(dev_parts, axis=0))
+    # the probed (inflated) per-group shaft spheres ride along so the
+    # steady-state lit frame can AUDIT its hits against them: a hit outside
+    # its group's sphere saw only shaft-local occluders (the documented
+    # silhouette-edge approximation) — see the shadow_audit epilogue
     out = (jnp.asarray(cnts_np), jnp.asarray(r2v_np),
-           jnp.asarray(flag_np), flat_rows)
+           jnp.asarray(flag_np), flat_rows,
+           jnp.concatenate([cg, rg_sph[:, None]], axis=-1))
     while len(splan.shadow_store) >= max(1, cfg.shadow_store_size):
         splan.shadow_store.pop(next(iter(splan.shadow_store)))
     splan.shadow_store[sk] = out
@@ -1870,7 +1917,8 @@ def _plan_frame(
     # exist first.
     if lights is not None:
         lights_np = np.asarray(lights, np.float32)
-        shadow_counts, shadow_r2v, shadow_flag, shadow_flat = _shadow_plan(
+        (shadow_counts, shadow_r2v, shadow_flag, shadow_flat,
+         shadow_sph) = _shadow_plan(
             splan, eplan, omms_p, position, local_space, pose_sig,
             lights_np, samples, key, packed_mm, row_counts, rmax,
             affine=affine,
@@ -1879,6 +1927,7 @@ def _plan_frame(
     else:
         shadow_counts, shadow_r2v = None, None
         shadow_flag, shadow_flat, lights_dev = None, None, None
+        shadow_sph = None
     kwargs = dict(
         packed_mm=packed_mm, row_counts=row_counts,
         attr_table=splan.attr_table, scene_dev=scene_dev,
@@ -1893,6 +1942,7 @@ def _plan_frame(
         lights=lights_dev, slot_tri=splan.slot_tri,
         shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
+        shadow_sph=shadow_sph,
         tex_static=splan.tex_static, quad_gray=splan.quad_gray,
         affine=affine,
     )
@@ -1909,6 +1959,7 @@ def render_means_pallas(
     samples: int,
     background: int,
     lights: Optional[np.ndarray] = None,  # (L,7) host rows enable lighting
+    shadow_audit: bool = False,  # lit frames: also return leak counts
 ) -> jnp.ndarray:
     """Full Pallas frame; returns (N,3) means in original ommatidium order.
 
@@ -1916,18 +1967,27 @@ def render_means_pallas(
     speculatively at the scene's high-water widths and the validity check
     resolves AFTER the frame dispatch (overlapped with frame execution) —
     an overflow (needs grew past the marks) re-plans exactly and
-    re-renders the same key, so results never depend on the fast path."""
+    re-renders the same key, so results never depend on the fast path.
+
+    With `shadow_audit` and lighting on, returns (means, audit) where
+    audit = [out-of-shaft hits, total hits] (int32 device scalars): hits
+    outside their group's memoised shadow shaft saw only shaft-local
+    occluders and may have leaked light (SHADOW_BOUND_INFLATE note)."""
+    audit_on = shadow_audit and lights is not None
     kwargs, eplan, (splan, pending) = _plan_frame(
         scene_flat, scene_dev, ommatidia_np, position, local_space, key,
         samples, background, lights, defer_check=True,
     )
-    means_p = _render_frame(key=key, **kwargs)
+    means_p = _render_frame(key=key, shadow_audit=audit_on, **kwargs)
     if pending is not None and not _confirm_pending(splan, pending):
         kwargs, eplan, _ = _plan_frame(
             scene_flat, scene_dev, ommatidia_np, position, local_space,
             key, samples, background, lights, force_exact=True,
         )
-        means_p = _render_frame(key=key, **kwargs)
+        means_p = _render_frame(key=key, shadow_audit=audit_on, **kwargs)
+    if audit_on:
+        means_p, audit = means_p
+        return means_p[eplan.inv_valid_dev], audit
     return means_p[eplan.inv_valid_dev]
 
 
@@ -1948,7 +2008,7 @@ def _render_frames_scanned(
     cache_shape: Tuple[int, int] = (0, 0),
     lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
-    affine: bool = False,
+    affine: bool = False, shadow_sph=None,
 ):
     """F consecutive frames in ONE dispatch: a lax.scan over the stacked
     per-frame PRNG keys, each step drawing its own jitter and running the
@@ -2003,7 +2063,7 @@ def _render_frames_stacked(
     cache_shape: Tuple[int, int] = (0, 0),
     lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
-    affine: bool = False,
+    affine: bool = False, shadow_sph=None,
 ):
     """F consecutive frames in ONE kernel call: per-frame jitter stacked on
     the sample axis (column f*S+s = frame f's sample s), so the packed

@@ -139,10 +139,14 @@ def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
         # table, r2v, and flag split over "omm" on the row axis exactly
         # like the primary payload — each shard traces only its own
         # groups' occluder rows
-        shadow_counts, shadow_r2v, shadow_flag, shadow_flat = _shadow_plan(
-            splan, eplan, omms_p, position, local_space, pose_sig,
-            lights_np, samples, key, packed_mm, row_counts, rmax,
-            shards=omm_axis, affine=affine,
+        # (the trailing element is the audit shaft-sphere table, used only
+        # by the dense path's shadow_audit epilogue)
+        shadow_counts, shadow_r2v, shadow_flag, shadow_flat, _ = (
+            _shadow_plan(
+                splan, eplan, omms_p, position, local_space, pose_sig,
+                lights_np, samples, key, packed_mm, row_counts, rmax,
+                shards=omm_axis, affine=affine,
+            )
         )
         out.update(
             shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,

@@ -464,6 +464,9 @@ def _apply_textures(scene, meshes, textures: Dict[str, str]) -> None:
     scene.mat_metallic = np.zeros(len(mats_rgb), np.float32)
     scene.mat_roughness = np.full(len(mats_rgb), 0.5, np.float32)
     scene.mat_tex = np.asarray(mat_tex, np.int32)
+    # .blend extraction carries no MR / normal-map textures
+    scene.mat_mr_tex = np.full(len(mats_rgb), -1, np.int32)
+    scene.mat_normal_tex = np.full(len(mats_rgb), -1, np.int32)
     # with per-mesh materials in place, untextured meshes take their colour
     # from the MATERIAL (raw, like a glTF export's baseColorFactor —
     # Blender stores material colours linear already), not from the baked

@@ -143,6 +143,8 @@ class FlatScene:
     mat_metallic: np.ndarray  # (M,)
     mat_roughness: np.ndarray  # (M,)
     mat_tex: np.ndarray  # (M,) int32 texture index or -1
+    # mat_mr_tex / mat_normal_tex ((M,) int32 or -1) live in the defaults
+    # block below: older construction sites may omit them
 
     # texture atlas (all texels of all textures concatenated row-major)
     tex_data: np.ndarray  # (P,4) float32 0-1
@@ -161,9 +163,19 @@ class FlatScene:
     aabb_max: np.ndarray
     source_path: str = ""
     eye_data_path: str = ""  # last compound eye path loaded (scene.eye_data_path)
+    # lit-path texture modulation slots (shaders.cu:831-852): glTF
+    # metallicRoughnessTexture / normalTexture indices, -1 = none
+    mat_mr_tex: Optional[np.ndarray] = None  # (M,) int32
+    mat_normal_tex: Optional[np.ndarray] = None  # (M,) int32
 
     _device_cache: Optional[Dict[str, Any]] = field(default=None, repr=False)
     _accel_cache: Optional[Any] = field(default=None, repr=False)
+
+    def __post_init__(self):
+        if self.mat_mr_tex is None:
+            self.mat_mr_tex = np.full(self.mat_tex.shape, -1, np.int32)
+        if self.mat_normal_tex is None:
+            self.mat_normal_tex = np.full(self.mat_tex.shape, -1, np.int32)
 
     @property
     def num_triangles(self) -> int:
@@ -208,6 +220,14 @@ class FlatScene:
                 "tex_wrap_t": dev(self.tex_wrap_t),
                 "tex_filter": dev(self.tex_filter),
             }
+            # conditional keys: present ONLY when some material actually
+            # references an MR / normal texture.  Pytree structure is
+            # static under jit, so `"mat_mr_tex" in scene_dev` is a free
+            # static gate for the lit-path modulation (shaders.cu:831-852)
+            # — no extra gathers for the overwhelmingly common case.
+            if (self.mat_mr_tex >= 0).any() or (self.mat_normal_tex >= 0).any():
+                self._device_cache["mat_mr_tex"] = dev(self.mat_mr_tex)
+                self._device_cache["mat_normal_tex"] = dev(self.mat_normal_tex)
         return self._device_cache
 
 
@@ -253,6 +273,8 @@ class _Builder:
         self.mat_metallic: List[float] = []
         self.mat_roughness: List[float] = []
         self.mat_tex: List[int] = []
+        self.mat_mr_tex: List[int] = []
+        self.mat_normal_tex: List[int] = []
         self._build_materials()
         self._build_textures()
 
@@ -267,18 +289,32 @@ class _Builder:
             self.mat_roughness.append(float(pbr.get("roughnessFactor", 1.0)))
             bct = pbr.get("baseColorTexture")
             self.mat_tex.append(int(bct["index"]) if bct else -1)
+            # lit-path modulation textures (shaders.cu:838-845, 848-852)
+            mrt = pbr.get("metallicRoughnessTexture")
+            self.mat_mr_tex.append(int(mrt["index"]) if mrt else -1)
+            nt = mat.get("normalTexture")
+            self.mat_normal_tex.append(int(nt["index"]) if nt else -1)
         if not self.mat_base_color:  # always at least one slot so gathers are safe
             self.mat_base_color.append(np.array([1, 1, 1, 1], np.float32))
             self.mat_metallic.append(1.0)
             self.mat_roughness.append(1.0)
             self.mat_tex.append(-1)
+            self.mat_mr_tex.append(-1)
+            self.mat_normal_tex.append(-1)
 
     def _build_textures(self) -> None:
         textures = self.doc.json.get("textures", [])
         samplers = self.doc.json.get("samplers", [])
         datas, offs, ws, hs, wss, wts, flt = [], [], [], [], [], [], []
         offset = 0
-        for tex in textures:
+        # MR / normal maps carry DATA, not colour: glTF stores them linear,
+        # so the sRGB linearization below must skip them.  A texture used
+        # both as base colour and as a data map (pathological) stays
+        # colour-linearized.
+        data_tex = ({t for t in self.mat_mr_tex if t >= 0}
+                    | {t for t in self.mat_normal_tex if t >= 0}) \
+            - {t for t in self.mat_tex if t >= 0}
+        for ti, tex in enumerate(textures):
             img = self.doc.image(tex["source"])
             h, w = img.data.shape[:2]
             rgba = img.data.astype(np.float32) / 255.0
@@ -290,7 +326,8 @@ class _Builder:
             # for base_color -- handle in shader" + shaders.cu:805-809),
             # which double-brightens textures — conformance vs the goldens
             # (tools/conformance_report.py) pins the linearized behaviour.
-            rgba[..., :3] = np.power(rgba[..., :3], 2.2)
+            if ti not in data_tex:
+                rgba[..., :3] = np.power(rgba[..., :3], 2.2)
             datas.append(rgba.reshape(-1, 4))
             offs.append(offset)
             ws.append(w)
@@ -533,6 +570,8 @@ class _Builder:
             mat_metallic=np.array(self.mat_metallic, np.float32),
             mat_roughness=np.array(self.mat_roughness, np.float32),
             mat_tex=np.array(self.mat_tex, np.int32),
+            mat_mr_tex=np.array(self.mat_mr_tex, np.int32),
+            mat_normal_tex=np.array(self.mat_normal_tex, np.int32),
             tex_data=self.tex_data,
             tex_offset=self.tex_offset,
             tex_width=self.tex_width,

@@ -152,6 +152,55 @@ def make_textured_quad_scene(tex_size: int = 8,
     return scene
 
 
+def make_mr_normal_scene(background: str = "black") -> FlatScene:
+    """The textured floor quad plus a metallic-roughness texture and a
+    normal map on its material — exercises the lit-path modulation
+    (shaders.cu:831-852, trace/lighting.py apply_material_textures).
+
+    MR texels vary across x (left half vs right half) so sampling position
+    matters; the normal map tilts normals toward +u on the left half and
+    leaves them unperturbed on the right."""
+    scene = make_textured_quad_scene(8, background)
+    scene.mat_metallic = np.array([0.8], np.float32)
+    scene.mat_roughness = np.array([0.6], np.float32)
+    # upward vertex normals: the quad's winding gives a downward geometric
+    # normal, which would fail the facing test for an eye above the floor
+    up = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (2, 1))
+    scene.n0 = up.copy()
+    scene.n1 = up.copy()
+    scene.n2 = up.copy()
+    scene.has_normals = np.ones(2, bool)
+    # texture 1: 4x4 MR map — (occlusion, roughness, metallic, 1); left
+    # half halves roughness and quarters metallic, right half is identity
+    mr = np.ones((4, 4, 4), np.float32)
+    mr[:, :2, 1] = 0.5
+    mr[:, :2, 2] = 0.25
+    # texture 2: 4x4 normal map — left half tilted (+0.4 along dpdu),
+    # right half flat (0.5, 0.5, 1.0) == no perturbation
+    nm = np.empty((4, 4, 4), np.float32)
+    nm[:, :, 0] = 0.5
+    nm[:, :, 1] = 0.5
+    nm[:, :, 2] = 1.0
+    nm[:, :, 3] = 1.0
+    nm[:, :2, 0] = 0.7
+    base = scene.tex_data.shape[0]
+    scene.tex_data = np.concatenate(
+        [scene.tex_data, mr.reshape(-1, 4), nm.reshape(-1, 4)]
+    )
+    scene.tex_offset = np.concatenate(
+        [scene.tex_offset, np.array([base, base + 16], np.int32)]
+    )
+    scene.tex_width = np.concatenate([scene.tex_width, np.array([4, 4], np.int32)])
+    scene.tex_height = np.concatenate([scene.tex_height, np.array([4, 4], np.int32)])
+    scene.tex_wrap_s = np.concatenate([scene.tex_wrap_s, np.zeros(2, np.int32)])
+    scene.tex_wrap_t = np.concatenate([scene.tex_wrap_t, np.zeros(2, np.int32)])
+    scene.tex_filter = np.concatenate([scene.tex_filter, np.ones(2, np.int32)])
+    scene.mat_mr_tex = np.array([1], np.int32)
+    scene.mat_normal_tex = np.array([2], np.int32)
+    scene._device_cache = None
+    return scene
+
+
 def make_mixed_flat_scene(tex_size: int = 8,
                           background: str = "black") -> FlatScene:
     """A textured floor quad + an UNtextured coloured box (two materials,
@@ -196,6 +245,8 @@ def make_mixed_flat_scene(tex_size: int = 8,
     scene.mat_tex = np.concatenate(
         [scene.mat_tex, np.array([-1], np.int32)]
     )
+    scene.mat_mr_tex = np.full(2, -1, np.int32)
+    scene.mat_normal_tex = np.full(2, -1, np.int32)
     scene.aabb_min = np.minimum(scene.aabb_min, bv.min(axis=0))
     scene.aabb_max = np.maximum(scene.aabb_max, bv.max(axis=0))
     scene._device_cache = None
@@ -233,6 +284,8 @@ def make_two_texture_scene(background: str = "black") -> FlatScene:
     scene.mat_metallic = np.zeros(2, np.float32)
     scene.mat_roughness = np.full(2, 0.5, np.float32)
     scene.mat_tex = np.array([0, 1], np.int32)
+    scene.mat_mr_tex = np.full(2, -1, np.int32)
+    scene.mat_normal_tex = np.full(2, -1, np.int32)
     scene.mat_id = np.array([0, 0, 1, 1], np.int32)
     scene._device_cache = None
     return scene

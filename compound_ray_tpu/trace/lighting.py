@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from compound_ray_tpu.trace.intersect import occlusion_test
+from compound_ray_tpu.trace.shade import sample_texture
 
 
 def default_lights(aabb_min: np.ndarray, aabb_max: np.ndarray) -> np.ndarray:
@@ -51,6 +52,71 @@ def shading_basis(scene: Dict[str, Any], tri: jnp.ndarray):
     metallic = scene["mat_metallic"][mat]
     roughness = scene["mat_roughness"][mat]
     return e1, e2, n0, n1, n2, has_n, metallic, roughness
+
+
+def triangle_dpduv(scene: Dict[str, Any], tri: jnp.ndarray):
+    """Per-triangle UV-parametrisation tangents dpdu/dpdv (R,3), the inputs
+    to tangent-space normal mapping (cuda/LocalGeometry.h:193-205).
+
+    The reference solves [dp1 dp2] = [du1 dv1; du2 dv2] [dpdu dpdv] with
+    dp1 = P0-P2, dp2 = P1-P2; in FlatScene terms dp1 = -e2, dp2 = e1-e2.
+    Our triangles are baked to world space, so the tangents come out in
+    world space directly (the reference leaves them in object space and
+    mixes them with a world normal — correct only for rigid transforms;
+    for the identity-transformed data scenes the two agree).  A degenerate
+    UV mapping (det == 0; the reference divides unguarded -> inf) returns
+    zero tangents, which the caller's normalize-guard turns into a
+    no-perturbation fallback."""
+    uv0 = scene["uv0"][tri]
+    uv1 = scene["uv1"][tri]
+    uv2 = scene["uv2"][tri]
+    dp1 = -scene["e2"][tri]
+    dp2 = scene["e1"][tri] - scene["e2"][tri]
+    du1 = (uv0[:, 0] - uv2[:, 0])[:, None]
+    du2 = (uv1[:, 0] - uv2[:, 0])[:, None]
+    dv1 = (uv0[:, 1] - uv2[:, 1])[:, None]
+    dv2 = (uv1[:, 1] - uv2[:, 1])[:, None]
+    det = du1 * dv2 - dv1 * du2
+    inv = jnp.where(jnp.abs(det) < 1e-20, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
+    dpdu = (dv2 * dp1 - dv1 * dp2) * inv
+    dpdv = (-du2 * dp1 + du1 * dp2) * inv
+    return dpdu, dpdv
+
+
+def _unit(x):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-20)
+
+
+def apply_material_textures(
+    scene: Dict[str, Any],
+    tri: jnp.ndarray,  # (R,) triangle ids (clipped to valid range)
+    uv: jnp.ndarray,  # (R,2) interpolated texture coords at the hit
+    n: jnp.ndarray,  # (R,3) unit shading normal
+    metallic: jnp.ndarray,  # (R,)
+    roughness: jnp.ndarray,  # (R,)
+):
+    """Metallic-roughness-texture and normal-map modulation
+    (shaders.cu:838-845: roughness *= mr.g, metallic *= mr.b;
+    shaders.cu:848-852: N = normalize(NN.x*normalize(dpdu) +
+    NN.y*normalize(dpdv) + NN.z*N) with NN = 2*tex-1).
+
+    Callers gate statically on `"mat_mr_tex" in scene` — the keys exist in
+    the device dict only when some material references one of these
+    textures (scene/flat.py device_triangles), so untextured scenes never
+    trace these gathers.  Returns (n, metallic, roughness)."""
+    mat = jnp.maximum(scene["mat_id"][tri], 0)
+    mr_tex = scene["mat_mr_tex"][mat]
+    nm_tex = scene["mat_normal_tex"][mat]
+    mr = sample_texture(scene, mr_tex, uv)
+    has_mr = mr_tex >= 0
+    roughness = jnp.where(has_mr, roughness * mr[:, 1], roughness)
+    metallic = jnp.where(has_mr, metallic * mr[:, 2], metallic)
+    nn = sample_texture(scene, nm_tex, uv) * 2.0 - 1.0
+    dpdu, dpdv = triangle_dpduv(scene, tri)
+    n_pert = (nn[:, 0:1] * _unit(dpdu) + nn[:, 1:2] * _unit(dpdv)
+              + nn[:, 2:3] * n)
+    n = jnp.where((nm_tex >= 0)[:, None], _unit(n_pert), n)
+    return n, metallic, roughness
 
 
 def ggx_light_contrib(
@@ -115,9 +181,9 @@ def ggx_direct(
 ) -> jnp.ndarray:
     """Direct GGX lighting over `lights` with occlusion shadow rays.
 
-    Mirrors the loop in __closesthit__radiance (shaders.cu:826-881); the
-    metallic-roughness / normal texture modulation paths are evaluated when
-    the material references them."""
+    Mirrors the loop in __closesthit__radiance (shaders.cu:826-881),
+    including metallic-roughness-texture and normal-map modulation
+    (apply_material_textures) when a material references those textures."""
     tri = jnp.maximum(hit["tri_id"], 0)
     u = hit["u"][:, None]
     v = hit["v"][:, None]
@@ -136,6 +202,12 @@ def ggx_direct(
     mat = jnp.maximum(scene["mat_id"][tri], 0)
     metallic = scene["mat_metallic"][mat]
     roughness = scene["mat_roughness"][mat]
+    if "mat_mr_tex" in scene:
+        uv_interp = (w * scene["uv0"][tri] + u * scene["uv1"][tri]
+                     + v * scene["uv2"][tri])
+        n, metallic, roughness = apply_material_textures(
+            scene, tri, uv_interp, n, metallic, roughness
+        )
 
     f0 = 0.04
     diff_color = base_color * (1.0 - f0) * (1.0 - metallic[:, None])

@@ -208,3 +208,56 @@ def test_blend_gltf_export_conventions():
     assert (scene.mat_tex[scene.mat_id] >= 0).sum() > 1000
     # material colours, not baked vertex colours (flat attr path)
     assert not np.asarray(scene.has_color).any()
+
+
+def _png_data_uri(rgba_2x2):
+    """Encode a 2x2 RGBA uint8 array as a PNG data URI."""
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(np.asarray(rgba_2x2, np.uint8), "RGBA").save(buf, "PNG")
+    return ("data:image/png;base64,"
+            + base64.b64encode(buf.getvalue()).decode())
+
+
+def test_mr_and_normal_texture_slots(tmp_path):
+    """metallicRoughnessTexture / normalTexture indices load into
+    mat_mr_tex / mat_normal_tex, and those textures skip the sRGB
+    linearization that base-color textures get (they carry data)."""
+    doc, blob = _tri_gltf_json()
+    doc["buffers"][0]["uri"] = (
+        "data:application/octet-stream;base64,"
+        + base64.b64encode(blob).decode()
+    )
+    half = np.full((2, 2, 4), [128, 128, 128, 255], np.uint8)
+    doc["images"] = [{"uri": _png_data_uri(half)} for _ in range(3)]
+    doc["textures"] = [{"source": i} for i in range(3)]
+    doc["materials"] = [{
+        "pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "metallicRoughnessTexture": {"index": 1},
+            "metallicFactor": 0.9,
+            "roughnessFactor": 0.4,
+        },
+        "normalTexture": {"index": 2},
+    }]
+    doc["meshes"][0]["primitives"][0]["material"] = 0
+    p = tmp_path / "t.gltf"
+    p.write_text(json.dumps(doc))
+    scene = load_scene(str(p))
+    np.testing.assert_array_equal(scene.mat_tex, [0])
+    np.testing.assert_array_equal(scene.mat_mr_tex, [1])
+    np.testing.assert_array_equal(scene.mat_normal_tex, [2])
+    # texture 0 (base color): linearized -> (128/255)^2.2 ~ 0.2158
+    # textures 1-2 (data): raw -> 128/255 ~ 0.502
+    t0 = scene.tex_data[scene.tex_offset[0]]
+    t1 = scene.tex_data[scene.tex_offset[1]]
+    t2 = scene.tex_data[scene.tex_offset[2]]
+    np.testing.assert_allclose(t0[:3], (128 / 255) ** 2.2, atol=1e-4)
+    np.testing.assert_allclose(t1[:3], 128 / 255, atol=1e-4)
+    np.testing.assert_allclose(t2[:3], 128 / 255, atol=1e-4)
+    # device dict carries the conditional modulation keys
+    dev = scene.device_triangles()
+    assert "mat_mr_tex" in dev and "mat_normal_tex" in dev

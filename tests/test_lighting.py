@@ -130,3 +130,123 @@ def test_renderer_lighting_flag():
     r.render_frame()
     lit = r.get_camera_data()
     assert (lit > unlit).all()
+
+
+# ---------------------------------------------------------------------------
+# metallic-roughness texture + normal map modulation (shaders.cu:831-852)
+# ---------------------------------------------------------------------------
+
+
+def test_device_dict_mr_keys_conditional():
+    """mat_mr_tex/mat_normal_tex appear in the device dict ONLY when a
+    material references one — the static jit gate for the modulation."""
+    from compound_ray_tpu.testing import make_mr_normal_scene, make_textured_quad_scene
+
+    plain = make_textured_quad_scene().device_triangles()
+    assert "mat_mr_tex" not in plain and "mat_normal_tex" not in plain
+    mod = make_mr_normal_scene().device_triangles()
+    assert "mat_mr_tex" in mod and "mat_normal_tex" in mod
+
+
+def test_triangle_dpduv_known_quad():
+    from compound_ray_tpu.testing import make_mr_normal_scene
+    from compound_ray_tpu.trace.lighting import triangle_dpduv
+
+    dev = make_mr_normal_scene().device_triangles()
+    dpdu, dpdv = triangle_dpduv(dev, jnp.array([0, 1]))
+    # quad spans x,z in [-10,10] with u along +x and v along +z
+    np.testing.assert_allclose(np.asarray(dpdu), [[20, 0, 0]] * 2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dpdv), [[0, 0, 20]] * 2, atol=1e-4)
+
+
+def test_apply_material_textures_semantics():
+    """Left half of the MR map halves roughness / quarters metallic and the
+    normal map tilts the normal toward +x; right half is identity."""
+    from compound_ray_tpu.testing import make_mr_normal_scene
+    from compound_ray_tpu.trace.lighting import apply_material_textures
+
+    dev = make_mr_normal_scene().device_triangles()
+    # hit points: one on the left half (u=0.25), one on the right (u=0.75)
+    uv = jnp.array([[0.25, 0.5], [0.75, 0.5]], jnp.float32)
+    tri = jnp.array([0, 0])
+    n = jnp.tile(jnp.array([0.0, 1.0, 0.0]), (2, 1))
+    metallic = jnp.full((2,), 0.8)
+    roughness = jnp.full((2,), 0.6)
+    n2, m2, r2 = apply_material_textures(dev, tri, uv, n, metallic, roughness)
+    n2, m2, r2 = np.asarray(n2), np.asarray(m2), np.asarray(r2)
+    np.testing.assert_allclose(r2, [0.6 * 0.5, 0.6], atol=1e-5)
+    np.testing.assert_allclose(m2, [0.8 * 0.25, 0.8], atol=1e-5)
+    # right half: flat normal map leaves n unchanged
+    np.testing.assert_allclose(n2[1], [0.0, 1.0, 0.0], atol=1e-5)
+    # left half: NN = (0.4, 0, 1) -> n = normalize(0.4*x_hat + 1*y_hat)
+    expect = np.array([0.4, 1.0, 0.0])
+    expect /= np.linalg.norm(expect)
+    np.testing.assert_allclose(n2[0], expect, atol=1e-5)
+
+
+def test_mr_normal_textures_change_lit_result():
+    """The modulation must actually alter shading vs the scalar-only path."""
+    from compound_ray_tpu.testing import make_mr_normal_scene
+    from compound_ray_tpu.trace.shade import shade_rays
+
+    scene = make_mr_normal_scene()
+    dev = scene.device_triangles()
+    lights = jnp.asarray(default_lights(scene.aabb_min, scene.aabb_max))
+    o = jnp.asarray([[-5.0, 5.0, 0.0], [5.0, 5.0, 0.0]])
+    d = jnp.asarray([[0.0, -1.0, 0.0], [0.0, -1.0, 0.0]])
+    hit = intersect_rays(o, d, dev["v0"], dev["e1"], dev["e2"], 0.0, 1e16)
+    lit_mod = np.asarray(
+        shade_rays(dev, d, hit, background=2,
+                   lighting={"lights": lights}, origins=o)
+    )
+    # same scene with the modulation slots cleared
+    import dataclasses
+
+    plain = dataclasses.replace(
+        scene,
+        mat_mr_tex=np.array([-1], np.int32),
+        mat_normal_tex=np.array([-1], np.int32),
+        _device_cache=None, _accel_cache=None,
+    )
+    lit_plain = np.asarray(
+        shade_rays(plain.device_triangles(), d, hit, background=2,
+                   lighting={"lights": lights}, origins=o)
+    )
+    # left-half ray (index 0) sees different roughness/metallic/normal
+    assert np.abs(lit_mod[0] - lit_plain[0]).max() > 1e-3
+    # right-half ray: MR map is identity there, flat normal map -> equal
+    np.testing.assert_allclose(lit_mod[1], lit_plain[1], atol=1e-5)
+
+
+def test_packed_mr_normal_matches_brute_oracle():
+    """Pallas lit frame == brute oracle on the MR+normal-mapped scene."""
+    import jax
+
+    from compound_ray_tpu.eye.pipeline import render_means_pallas
+    from compound_ray_tpu.eye.render import render_compound_means
+    from compound_ray_tpu.scene.eye_io import Ommatidium, ommatidia_to_array
+    from compound_ray_tpu.testing import make_mr_normal_scene
+
+    scene = make_mr_normal_scene()
+    dev = scene.device_triangles()
+    lights = default_lights(scene.aabb_min, scene.aabb_max)
+
+    omms = []
+    for ix in range(6):
+        for iz in range(5):
+            p = np.array([2.0 * ix - 5.0, 3.0, 2.0 * iz - 4.0])
+            d = np.array([0.2 * (ix - 2.5), -1.0, 0.15 * (iz - 2.0)])
+            omms.append(Ommatidium(p, d / np.linalg.norm(d), 1e-6, 0.0))
+    omms_np = ommatidia_to_array(omms)
+    pos = jnp.zeros(3)
+    ls = jnp.eye(3)
+    key = jax.random.PRNGKey(7)
+    ref = np.asarray(render_compound_means(
+        dev, jnp.asarray(omms_np), pos, ls, key, 2, 2, True,
+        jnp.asarray(lights),
+    ))
+    got = np.asarray(render_means_pallas(
+        scene, dev, omms_np, pos, ls, key, 2, 2, lights=lights,
+    ))
+    assert ref.max() > 0.1
+    np.testing.assert_allclose(got, ref, atol=2e-3)

@@ -200,3 +200,37 @@ def test_sharded_packed_statistical_agreement(setup):
     assert sharded.shape == dense.shape == (40, 3)
     assert np.isfinite(sharded).all()
     np.testing.assert_allclose(sharded.mean(), dense.mean(), atol=0.05)
+
+
+def test_sharded_lit_mr_normal_matches_dense(setup):
+    """Sharded lit frames on the MR-texture + normal-map scene: the
+    modulation gathers (conditional scene_dev keys) must shard cleanly."""
+    from compound_ray_tpu.eye.pipeline import render_means_pallas
+    from compound_ray_tpu.scene.eye_io import Ommatidium
+    from compound_ray_tpu.testing import make_mr_normal_scene
+    from compound_ray_tpu.trace.lighting import default_lights
+
+    scene = make_mr_normal_scene()
+    dev = scene.device_triangles()
+    assert "mat_mr_tex" in dev
+    lights = default_lights(scene.aabb_min, scene.aabb_max)
+
+    omms = []
+    for ix in range(8):
+        for iz in range(4):
+            p = np.array([2.0 * ix - 7.0, 3.0, 2.0 * iz - 3.0])
+            d = np.array([0.1 * (ix - 3.5), -1.0, 0.1 * (iz - 1.5)])
+            omms.append(Ommatidium(p, d / np.linalg.norm(d), 1e-6, 0.0))
+    omms_np = ommatidia_to_array(omms)
+    pos = jnp.zeros(3, jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(11)
+    mesh = make_eye_mesh(8, sample_parallel=2)
+    sharded = np.asarray(render_means_sharded_packed(
+        scene, dev, omms_np, pos, ls, key, 2, 2, mesh, lights=lights,
+    ))
+    dense = np.asarray(render_means_pallas(
+        scene, dev, omms_np, pos, ls, key, 2, 2, lights=lights,
+    ))
+    assert dense.max() > 0.1, "lighting must actually contribute"
+    np.testing.assert_allclose(sharded, dense, atol=2e-5)
