@@ -201,6 +201,61 @@ def make_mr_normal_scene(background: str = "black") -> FlatScene:
     return scene
 
 
+def make_silhouette_leak_scene(with_slab: bool = True,
+                               pillar_half_width: float = 0.18) -> FlatScene:
+    """The shadow-plan adversarial geometry (VERDICT r3 #7): a NEAR PILLAR
+    in front of a FAR WALL, with a horizontal slab that shadows the wall
+    (but not the pillar) from the light.
+
+    An eye at the origin looking -z with its acceptance cone centred on
+    the pillar probes a lit frame: if every probe sample hits the pillar,
+    the group's memoised shadow shaft is a small sphere at the pillar and
+    its occluder payload excludes the slab (the pillar->light cone passes
+    z >= -2.9; the slab spans z <= -4).  A later frame's sample that
+    crosses the pillar's silhouette edge hits the wall OUT of shaft and
+    its shadow ray misses the slab -> the sample leaks the wall's full
+    light term.  tests/test_shadow_leak.py pins the leak against the
+    1/samples bound documented at SHADOW_BOUND_INFLATE.
+
+    Layout (light at (0, 30, -7), intensity 5):
+      pillar  x in [-w, w], y in [-2, 2], z = -2   (normal +z)
+      wall    x, y in [-20, 20],          z = -10  (normal +z)
+      slab    x in [-12, 12], z in [-11, -4], y = 5 (occludes wall only)
+    """
+    w = pillar_half_width
+    quads = [
+        # (corner list CCW seen from +z / +y, color)
+        ([[-w, -2, -2], [w, -2, -2], [w, 2, -2], [-w, 2, -2]],
+         (0.9, 0.3, 0.2)),
+        ([[-20, -20, -10], [20, -20, -10], [20, 20, -10], [-20, 20, -10]],
+         (0.6, 0.6, 0.6)),
+    ]
+    if with_slab:
+        quads.append(([[-12, 5, -11], [12, 5, -11], [12, 5, -4],
+                       [-12, 5, -4]], (0.2, 0.2, 0.8)))
+    all_v, all_f, all_c = [], [], []
+    off = 0
+    for corners, col in quads:
+        all_v.append(np.asarray(corners, np.float64))
+        all_f.append(np.array([[0, 1, 2], [0, 2, 3]], np.int64) + off)
+        all_c.append(np.tile(np.asarray(col, np.float32), (4, 1)))
+        off += 4
+    return build_scene_from_arrays(
+        np.concatenate(all_v), np.concatenate(all_f),
+        vertex_colors=np.concatenate(all_c),
+        background_shader="black", name="silhouette-leak",
+    )
+
+
+def leak_scene_light() -> np.ndarray:
+    """The single point light the leak scene is designed around."""
+    out = np.zeros((1, 7), np.float32)
+    out[0, 0:3] = [1.0, 1.0, 0.9]
+    out[0, 3] = 15.0
+    out[0, 4:7] = [0.0, 30.0, -7.0]
+    return out
+
+
 def make_mixed_flat_scene(tex_size: int = 8,
                           background: str = "black") -> FlatScene:
     """A textured floor quad + an UNtextured coloured box (two materials,

@@ -1,0 +1,121 @@
+"""Adversarial silhouette-edge light-leak test for the memoised shadow plan.
+
+The lit path memoises per-(pose, lights) occluder payloads from ONE probe
+frame's hit-bound spheres (eye/pipeline.py, SHADOW_BOUND_INFLATE): a later
+frame's ray that crosses a silhouette edge the probe never crossed lands
+OUTSIDE its group's shaft and its shadow ray sees only shaft-local
+occluders — a documented approximation (VERDICT r3 #7 asked for this
+construction).  The scene (testing.make_silhouette_leak_scene) makes the
+failure maximal: a near pillar in front of a far wall, the wall fully
+shadowed by a slab the pillar shaft excludes.  The test pins
+
+  1. the audit counter (render_means_pallas(shadow_audit=True)) detects
+     every frame whose hits left the probed shafts;
+  2. frames with a clean audit match the brute-force exact-occlusion
+     oracle;
+  3. leaking frames obey the documented bound: each out-of-shaft sample
+     biases a per-ommatidium mean by at most 1/samples of the wall's
+     per-sample light term.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compound_ray_tpu.eye.pipeline import render_means_pallas
+from compound_ray_tpu.eye.render import render_compound_means
+from compound_ray_tpu.scene.eye_io import Ommatidium, ommatidia_to_array
+from compound_ray_tpu.testing import (
+    leak_scene_light,
+    make_silhouette_leak_scene,
+)
+
+SIGMA = 0.03  # per-sample splay sd (rad)
+ACCEPT = SIGMA * 2.3548  # FWHM acceptance encoding
+S = 64  # samples/omm -> 2 omms/group (128-ray groups)
+N_OMMS = 32
+# pillar half-width: silhouette edge ~2.6 sigma off-axis, so a probe
+# frame's 128-sample group stays on the pillar with good probability
+# while a 10-frame sweep crosses it with near certainty
+PILLAR_HALF_W = 2.0 * np.tan(2.6 * SIGMA)
+
+
+def _edge_eye(n=N_OMMS):
+    """All ommatidia at the origin looking -z (straight at the pillar),
+    tiny vertical tilts so they are distinct; the pillar's silhouette edge
+    sits ~2.6 sigma off-axis in x for every one of them."""
+    omms = []
+    for i in range(n):
+        ty = (i - n / 2) * 0.002
+        d = np.array([0.0, ty, -1.0])
+        omms.append(Ommatidium(np.zeros(3), d / np.linalg.norm(d),
+                               ACCEPT, 0.0))
+    return ommatidia_to_array(omms)
+
+
+def _wall_light_term(pos, ls):
+    """Max per-sample light contribution on the wall: slab-less scene,
+    a few ommatidia aimed past the pillar so every sample hits the
+    (unoccluded) wall; lit-vs-unlit oracle mean == per-sample term."""
+    open_scene = make_silhouette_leak_scene(with_slab=False)
+    odev = open_scene.device_triangles()
+    lights = jnp.asarray(leak_scene_light())
+    omms = []
+    for tx in (-0.25, -0.15, 0.15, 0.2, 0.3):
+        d = np.array([np.sin(tx), 0.0, -np.cos(tx)])
+        omms.append(Ommatidium(np.zeros(3), d, ACCEPT, 0.0))
+    w = jnp.asarray(ommatidia_to_array(omms))
+    kw = jax.random.PRNGKey(999)
+    lit = np.asarray(render_compound_means(
+        odev, w, pos, ls, kw, S, 2, True, lights))
+    unlit = np.asarray(render_compound_means(
+        odev, w, pos, ls, kw, S, 2, False))
+    return float((lit - unlit).max())
+
+
+def test_silhouette_leak_audited_and_bounded():
+    scene = make_silhouette_leak_scene(pillar_half_width=PILLAR_HALF_W)
+    dev = scene.device_triangles()
+    lights = leak_scene_light()
+    omms_np = _edge_eye()
+    pos = jnp.zeros(3, jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+
+    lw = _wall_light_term(pos, ls)
+    assert lw > 0.05, f"wall light term {lw} too small to measure a leak"
+
+    # first lit frame builds the memoised shadow plan from ITS key's probe
+    k_probe = jax.random.PRNGKey(100)
+    render_means_pallas(scene, dev, omms_np, pos, ls, k_probe, S, 2,
+                        lights=lights)
+
+    leak_frames = 0
+    worst_ratio = 0.0
+    for seed in range(8):
+        k = jax.random.PRNGKey(seed)
+        got, audit = render_means_pallas(
+            scene, dev, omms_np, pos, ls, k, S, 2, lights=lights,
+            shadow_audit=True)
+        got = np.asarray(got)
+        leaks, hits = (int(x) for x in np.asarray(audit))
+        truth = np.asarray(render_compound_means(
+            dev, jnp.asarray(omms_np), pos, ls, k, S, 2, True,
+            jnp.asarray(lights)))
+        err = float(np.abs(got - truth).max())
+        assert hits > 0
+        if leaks == 0:
+            # all hits inside the probed shafts -> exact occlusion
+            assert err < 2e-3, f"clean-audit frame differs by {err}"
+        else:
+            leak_frames += 1
+            # the documented bound: <= leaks out-of-shaft samples, each
+            # biasing one omm's S-sample mean by <= the per-sample wall
+            # light term (1.5x slack for GGX variation across the wall)
+            bound = leaks / S * lw * 1.5 + 2e-3
+            assert err <= bound, (
+                f"leak {err} exceeds bound {bound} "
+                f"({leaks} audited out-of-shaft hits)")
+            worst_ratio = max(worst_ratio, err / bound)
+    # the construction must actually exercise the approximation: at least
+    # one of 8 frames crosses the silhouette edge out of a clean shaft
+    assert leak_frames >= 1, "adversarial geometry produced no leak at all"

@@ -260,13 +260,65 @@ def run_affine():
         f"artifacts/tuning.json updated")
 
 
+def run_rebench():
+    """Re-run the full bench protocol with the tuning the A/B stages just
+    adopted (artifacts/tuning.json), so BENCH-facing artifacts (stdout
+    record, bench_detail.json, bench_lkg.json) reflect the tuned config.
+    _adopt_unroll already set mm.UNROLL_B in-process; the affine flag is
+    re-read from tuning.json here."""
+    from compound_ray_tpu.config import RenderConfig, get_config, set_config
+
+    fresh = RenderConfig.from_env()
+    if fresh == get_config():
+        log("REBENCH skipped: adopted tuning == session defaults")
+        return
+    set_config(fresh)
+    jax.clear_caches()  # frame programs traced under the old config
+    log(f"REBENCH with tuning: affine_rays={fresh.affine_rays}")
+    bench.run_protocol()
+
+
+def run_scale():
+    """O(omms)-memory proof at the reference's max sweep point
+    (speedTest.py:31 sweeps to 10,000 samples/omm): one 1000-omm x
+    10,000-sample frame on the real chip, recorded in bench_detail.json
+    (merge, not overwrite — run_bench owns the rest of the file)."""
+    r, name = bench.build_renderer()
+    n_omms = r.get_current_eye_ommatidial_count()
+    r.set_render_size(n_omms, 1)
+    mean_ms, std_ms, pipe_ms = bench.time_frames(r, 10000, 4, warmup=2)
+    rays = n_omms * 10000 / (pipe_ms / 1000.0)
+    log(f"SCALE {name} @10000: {pipe_ms:.2f} ms pipelined "
+        f"({rays:.3e} rays/s; latency {mean_ms:.2f} ms)")
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "bench_detail.json")
+    try:
+        with open(path) as f:
+            detail = json.load(f)
+    except Exception:
+        detail = {}
+    detail["scale_10000"] = {
+        "scene": name, "ommatidia": n_omms, "samples": 10000,
+        "pipelined_ms": pipe_ms, "latency_ms": mean_ms,
+        "rays_per_s": rays,
+    }
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
-        "bench", "anatomy", "lit", "conformance", "unroll", "affine"}
+        "bench", "anatomy", "lit", "conformance", "unroll", "affine",
+        "rebench", "scale"}
     t0 = time.time()
-    for name, fn in (("bench", run_bench), ("anatomy", run_anatomy),
-                     ("lit", run_lit), ("conformance", run_conformance),
-                     ("unroll", run_unroll), ("affine", run_affine)):
+    # adoption stages right after the defaults headline so a late-session
+    # wedge cannot cost the tuned headline; slow diagnostics last
+    for name, fn in (("bench", run_bench),
+                     ("unroll", run_unroll), ("affine", run_affine),
+                     ("rebench", run_rebench),
+                     ("lit", run_lit), ("anatomy", run_anatomy),
+                     ("scale", run_scale),
+                     ("conformance", run_conformance)):
         if name not in which:
             continue
         try:
