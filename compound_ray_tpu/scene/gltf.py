@@ -110,33 +110,60 @@ class GLTFDocument:
         (cuda/LocalGeometry.h:106-171: /255, /65535).
         """
         acc = self.json["accessors"][accessor_idx]
-        if "sparse" in acc:
-            raise NotImplementedError("sparse accessors not supported")
         dtype = np.dtype(_COMPONENT_DTYPES[acc["componentType"]])
         ncomp = _TYPE_COUNTS[acc["type"]]
         count = acc["count"]
         if "bufferView" not in acc:
-            return np.zeros((count, ncomp), dtype=np.float32)
-        view = self.json["bufferViews"][acc["bufferView"]]
-        raw = self.buffers[view.get("buffer", 0)]
-        base = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
-        stride = view.get("byteStride") or dtype.itemsize * ncomp
-        if stride == dtype.itemsize * ncomp:
-            arr = np.frombuffer(raw, dtype=dtype, count=count * ncomp, offset=base)
-            arr = arr.reshape(count, ncomp)
+            arr = np.zeros((count, ncomp), dtype=dtype)
         else:
-            # strided: gather row by row via as_strided on a copy-safe view
-            arr = np.lib.stride_tricks.as_strided(
-                np.frombuffer(raw, dtype=np.uint8, offset=base,
-                              count=stride * (count - 1) + dtype.itemsize * ncomp),
-                shape=(count, dtype.itemsize * ncomp),
-                strides=(stride, 1),
-            )
-            arr = arr.copy().view(dtype).reshape(count, ncomp)
+            view = self.json["bufferViews"][acc["bufferView"]]
+            raw = self.buffers[view.get("buffer", 0)]
+            base = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+            stride = view.get("byteStride") or dtype.itemsize * ncomp
+            if stride == dtype.itemsize * ncomp:
+                arr = np.frombuffer(raw, dtype=dtype, count=count * ncomp,
+                                    offset=base)
+                arr = arr.reshape(count, ncomp)
+            else:
+                # strided: gather row by row via as_strided on a copy-safe view
+                arr = np.lib.stride_tricks.as_strided(
+                    np.frombuffer(raw, dtype=np.uint8, offset=base,
+                                  count=stride * (count - 1) + dtype.itemsize * ncomp),
+                    shape=(count, dtype.itemsize * ncomp),
+                    strides=(stride, 1),
+                )
+                arr = arr.copy().view(dtype).reshape(count, ncomp)
+        if "sparse" in acc:
+            # sparse overlay (glTF 2.0 §3.6.2.4): substitute `count` rows of
+            # tightly-packed `values` at `indices` into the dense base
+            # (zeros when the accessor has no bufferView) BEFORE any
+            # normalization.  The reference's vendored tinygltf decodes
+            # these the same way (base-then-patch).
+            sp = acc["sparse"]
+            scount = sp["count"]
+            ids = self._packed_rows(
+                sp["indices"],
+                np.dtype(_COMPONENT_DTYPES[sp["indices"]["componentType"]]),
+                scount, 1).ravel().astype(np.int64)
+            vals = self._packed_rows(sp["values"], dtype, scount, ncomp)
+            arr = arr.copy()
+            arr[ids] = vals
         if acc.get("normalized") and arr.dtype in _NORMALIZE_DIVISORS:
             div = _NORMALIZE_DIVISORS[arr.dtype]
             arr = np.maximum(arr.astype(np.float32) / div, -1.0)
         return arr
+
+    def _packed_rows(self, ref: dict, dtype: np.dtype, count: int,
+                     ncomp: int) -> np.ndarray:
+        """Tightly-packed (count, ncomp) rows from a {bufferView,
+        byteOffset?} reference (sparse indices/values blocks have no
+        byteStride by spec)."""
+        view = self.json["bufferViews"][ref["bufferView"]]
+        raw = self.buffers[view.get("buffer", 0)]
+        base = view.get("byteOffset", 0) + ref.get("byteOffset", 0)
+        arr = np.frombuffer(raw, dtype=dtype, count=count * ncomp,
+                            offset=base)
+        return arr.reshape(count, ncomp)
 
     def image(self, image_idx: int) -> GLTFImage:
         """Decode image `image_idx` to RGBA uint8 (cached)."""

@@ -261,3 +261,38 @@ def test_mr_and_normal_texture_slots(tmp_path):
     # device dict carries the conditional modulation keys
     dev = scene.device_triangles()
     assert "mat_mr_tex" in dev and "mat_normal_tex" in dev
+
+
+def test_sparse_position_accessor(tmp_path):
+    """Sparse accessor overlay (glTF 2.0 3.6.2.4): a sparse POSITION
+    accessor substitutes vertex 2, and a bufferView-less sparse accessor
+    starts from zeros."""
+    doc, blob = _tri_gltf_json()
+    # sparse block: replace vertex 2 -> (0, 2, 0)
+    ids = struct.pack("<H", 2)
+    vals = struct.pack("<fff", 0.0, 2.0, 0.0)
+    off = len(blob)
+    blob = blob + ids + b"\0\0" + vals  # 2B pad aligns values to 4
+    doc["bufferViews"] += [
+        {"buffer": 0, "byteOffset": off, "byteLength": 2},
+        {"buffer": 0, "byteOffset": off + 4, "byteLength": 12},
+    ]
+    doc["accessors"][0]["sparse"] = {
+        "count": 1,
+        "indices": {"bufferView": 2, "componentType": 5123},
+        "values": {"bufferView": 3},
+    }
+    doc["buffers"][0]["byteLength"] = len(blob)
+    doc["buffers"][0]["uri"] = (
+        "data:application/octet-stream;base64,"
+        + base64.b64encode(blob).decode()
+    )
+    p = tmp_path / "t.gltf"
+    p.write_text(json.dumps(doc))
+    scene = load_scene(str(p))
+    assert scene.num_triangles == 1
+    # v0 + e2 = third vertex = the sparse substitution
+    np.testing.assert_allclose(scene.v0[0] + scene.e2[0], [0, 2, 0])
+    # base vertices untouched
+    np.testing.assert_allclose(scene.v0[0], [0, 0, 0])
+    np.testing.assert_allclose(scene.v0[0] + scene.e1[0], [1, 0, 0])
