@@ -99,6 +99,36 @@ def _default_unroll() -> int:
 
 UNROLL_B = _default_unroll()
 
+# intersection math precision.  "highest" is the f32 contract (six bf16
+# MXU passes + exact divides — what every CPU oracle test pins);
+# "default" is ONE bf16 matmul pass (~6x less MXU work — the matmul
+# measured ~12.9 ms of the 34.5 ms @3200 natural kernel at HIGHEST,
+# docs/performance.md) plus the VPU's approximate reciprocal on the
+# u/v/t divide, at a measured median ~2e-3 relative t error and rare
+# hit/miss flips on edge-grazing rays.  "default" is therefore adopted
+# only by the tools/tpu_session.py precision A/B, which gates on the
+# conformance headline staying <1% — never by hand.  (Mosaic lowers only
+# DEFAULT and HIGHEST; Precision.HIGH does not lower.)
+_PRECISIONS = ("highest", "default")
+
+
+def _default_precision() -> str:
+    """Env override > measured-on-TPU tuning file > "highest"."""
+    v = os.environ.get("CR_TPU_PRECISION", "").strip().lower()
+    if v:
+        assert v in _PRECISIONS, (
+            f"CR_TPU_PRECISION={v!r} must be one of {_PRECISIONS}")
+        return v
+    t = str(load_tuning().get("precision", "highest")).lower()
+    return t if t in _PRECISIONS else "highest"
+
+
+PRECISION = _default_precision()
+_PREC_MAP = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
 
 def build_mm_features(cluster_set, uv=None, texid=None, rgb=None) -> np.ndarray:
     """(C*128 + 128, 4, 16) per-slot matmul feature columns.
@@ -271,19 +301,23 @@ _EMIT_NEG_INIT = {"bary": (3,), "uv": (3, 4), "uvs": (), "flat": (4, 5)}
 _EMIT_NBUFS = {"bary": 4, "uv": 5, "uvs": 3, "flat": 6}
 
 
-def _row_candidates(p, hi1, hi2, emit):
+def _row_candidates(p, hi1, hi2, emit, approx_inv=False):
     """Per-row candidate quantities from the matmul product p (RS, 512) and
     the payload's high feature rows (sublane-aligned (8, 128) ref loads).
     Returns (ok, vals): vals[0] is t and the tuple matches the emit mode's
     winner-state layout (run_packed_tracer docstring).
 
     den == 0 (parallel ray or all-zero padding column) -> inv inf -> u/v/t
-    inf or NaN -> every comparison False: compaction padding self-masks."""
+    inf or NaN -> every comparison False: compaction padding self-masks.
+
+    approx_inv uses the VPU's fast approximate reciprocal (part of the
+    precision="default" mode — the divide feeds every candidate's u/v/t,
+    so it sits on the latency-bound dependent chain)."""
     w1 = p[:, 0:KERNEL_LEAF]
     w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
     den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
     tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
-    inv = 1.0 / den
+    inv = pl.reciprocal(den, approx=True) if approx_inv else 1.0 / den
     u = w1 * inv
     v = w2 * inv
     t = tnum * inv
@@ -310,7 +344,8 @@ def _row_candidates(p, hi1, hi2, emit):
     return ok, (t, a0, a1, a2, tex, hi1[2:3, :])
 
 
-def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS):
+def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
+                        precision: str = "highest"):
     """Build the packed tracer kernel for an output mode and batch-unroll
     factor.
 
@@ -326,9 +361,14 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS):
     Different batches touch disjoint rays, so results are bit-identical to
     ub=1 for every ub.  Carried state grows ub x (nbufs x (RS, 128) f32);
     keep ub * nbufs modest — Mosaic has hung compiling loops carrying many
-    wide registers (CLAUDE.md)."""
+    wide registers (CLAUDE.md).
+
+    precision selects the intersection matmul's MXU mode (module-level
+    PRECISION notes: "highest" = exact f32 contract, "default" = one bf16
+    pass, A/B-adopted only under the conformance gate)."""
     neg = _EMIT_NEG_INIT[emit]
     nbufs = _EMIT_NBUFS[emit]
+    prec = _PREC_MAP[precision]
 
     def kernel(counts_ref, tri_ref, rays_ref, out_ref):
         g = pl.program_id(0)
@@ -367,12 +407,9 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS):
 
             def row_step(j, states):
                 # one payload load per row, shared by every chain.
-                # Precision must be explicit: the TPU DEFAULT is one bf16
-                # pass, which measured median 2e-3 relative t error and
-                # hit/miss flips; HIGHEST restores the f32 contract.
-                # (Mosaic only lowers DEFAULT and HIGHEST.)  Register-
-                # carried winner state: a VMEM-scratch variant measured
-                # +69% on the primary frame.
+                # Precision is explicit and caller-selected (module
+                # PRECISION notes); register-carried winner state: a
+                # VMEM-scratch variant measured +69% on the primary frame.
                 mm = (tri_ref[0, j] if ray_feats == RAY_FEATS
                       else tri_ref[0, j, 0:8, :])  # (ray_feats, 512)
                 hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]
@@ -383,9 +420,11 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS):
                     p = jax.lax.dot_general(
                         ft, mm, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=prec,
                     )  # (RS, 512)
-                    ok, vals = _row_candidates(p, hi1, hi2, emit)
+                    ok, vals = _row_candidates(
+                        p, hi1, hi2, emit,
+                        approx_inv=(precision == "default"))
                     okk = ok & (vals[0] < states[k][0])
                     new.append(tuple(
                         jnp.where(okk, v, s)
@@ -426,7 +465,7 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS):
     return kernel
 
 
-def _make_rows_occlusion_kernel(ub: int):
+def _make_rows_occlusion_kernel(ub: int, precision: str = "highest"):
     """Row-major shadow traversal: grid = (NRB, T) over the ACTUAL rows of
     the shared ragged payload table — step (rb, r) tests row r against its
     own (light, group) virtual group's ray block, so total work equals the
@@ -439,7 +478,9 @@ def _make_rows_occlusion_kernel(ub: int):
     (uninitialised) lanes to +inf via the counts table.
 
     ub independent ray-batch chains run per loop step (same latency
-    rationale and bit-identical argument as _make_packed_kernel)."""
+    rationale and bit-identical argument as _make_packed_kernel);
+    precision as in _make_packed_kernel."""
+    prec = _PREC_MAP[precision]
 
     def kernel(r2v_ref, flag_ref, tri_ref, rays_ref, out_ref):
         r = pl.program_id(1)
@@ -461,13 +502,14 @@ def _make_rows_occlusion_kernel(ub: int):
                 p = jax.lax.dot_general(
                     ft, mm, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=prec,
                 )  # (RS, 512)
                 w1 = p[:, 0:KERNEL_LEAF]
                 w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
                 den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
                 tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
-                inv = 1.0 / den
+                inv = (pl.reciprocal(den, approx=True)
+                       if precision == "default" else 1.0 / den)
                 u = w1 * inv
                 v = w2 * inv
                 t = tnum * inv
@@ -499,7 +541,7 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nrb", "rb_size", "unroll_b"))
+    jax.jit, static_argnames=("nrb", "rb_size", "unroll_b", "precision"))
 def run_rows_occlusion(
     r2v: jnp.ndarray,  # (T,) int32 row -> virtual group (light*NG + group)
     flag: jnp.ndarray,  # (T,) int32: 2 first-of-group, 1 live, 0 padding
@@ -508,6 +550,7 @@ def run_rows_occlusion(
     nrb: int,
     rb_size: int,
     unroll_b: Optional[int] = None,
+    precision: Optional[str] = None,
 ) -> jnp.ndarray:
     """Closest-t along shadow rays, (1, R) planar; +inf = unobstructed.
     The caller compares t against the ray-to-light distance to decide
@@ -520,6 +563,8 @@ def run_rows_occlusion(
         f"rb_size={rb_size} must be a multiple of BATCH_RAYS={BATCH_RAYS}")
     if unroll_b is None:
         unroll_b = UNROLL_B
+    if precision is None:
+        precision = PRECISION
     t_pad = flat_rows.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -543,7 +588,7 @@ def run_rows_occlusion(
         ),
     )
     return pl.pallas_call(
-        _make_rows_occlusion_kernel(unroll_b),
+        _make_rows_occlusion_kernel(unroll_b, precision),
         out_shape=jax.ShapeDtypeStruct((1, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
@@ -553,7 +598,7 @@ def run_rows_occlusion(
 @functools.partial(
     jax.jit,
     static_argnames=("ng", "nrb", "rb_size", "rmax", "emit", "unroll_b",
-                     "ray_feats"),
+                     "ray_feats", "precision"),
 )
 def run_packed_tracer(
     row_counts: jnp.ndarray,  # (NG,) int32 payload rows per group
@@ -566,6 +611,7 @@ def run_packed_tracer(
     emit: str = "bary",
     unroll_b: Optional[int] = None,
     ray_feats: int = RAY_FEATS,
+    precision: Optional[str] = None,
 ) -> jnp.ndarray:
     """Returns PLANAR (8, R) rows; t = +inf on miss.  Row layout by emit:
     "bary": [t, u, v, slot-id, 0...] (barycentrics; the epilogue resolves
@@ -591,7 +637,11 @@ def run_packed_tracer(
     UNROLL_B env default.
 
     ray_feats = 8: `rays` is pack_rays_affine features ([d, 1, 0 x 4]) and
-    `packed_mm` has been transform_payload_affine'd for this pose."""
+    `packed_mm` has been transform_payload_affine'd for this pose.
+
+    precision: "highest" (exact f32) or "default" (one bf16 MXU pass);
+    None uses the module PRECISION default (tuning-adopted — see the
+    module-level notes on the accuracy contract)."""
     # the payload's affine-ness is tracked only by the flag the callers
     # thread through — catch the forgotten-flag mix-up structurally (shapes
     # are static under jit, so this is free)
@@ -603,6 +653,8 @@ def run_packed_tracer(
         f"would go untraced)")
     if unroll_b is None:
         unroll_b = UNROLL_B
+    if precision is None:
+        precision = PRECISION
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ng, nrb),
@@ -625,7 +677,7 @@ def run_packed_tracer(
         ),
     )
     return pl.pallas_call(
-        _make_packed_kernel(emit, unroll_b, ray_feats),
+        _make_packed_kernel(emit, unroll_b, ray_feats, precision),
         out_shape=jax.ShapeDtypeStruct((OUT_COMPS, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),

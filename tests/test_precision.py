@@ -1,0 +1,100 @@
+"""Intersection-matmul precision knob (trace/mm_tracer PRECISION).
+
+"default" (one bf16 MXU pass) is a TPU-only approximation adopted by the
+tools/tpu_session.py precision A/B under a conformance gate; on CPU the
+interpreted kernel computes exact f32 either way, so these tests pin the
+PLUMBING (static-arg threading, env/tuning precedence) — the accuracy
+contract itself is measured on hardware (reference exactness analog:
+OptiX traversal is always full f32, shaders.cu __intersection__ built-in).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compound_ray_tpu.eye import pipeline as P
+from compound_ray_tpu.scene.eye_io import ommatidia_to_array
+from compound_ray_tpu.testing import make_big_scene, make_sphere_eye
+
+
+def _kernel_inputs(samples=640, seed=3):
+    scene = make_big_scene(n_boxes=60, seed=5)
+    splan = P.scene_plan(scene)
+    omms_np = ommatidia_to_array(make_sphere_eye(16, acceptance_deg=4.0))
+    eplan = P.eye_plan(omms_np, samples)
+    omms_p = jnp.asarray(omms_np[eplan.perm])
+    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    kcand, rmax = P._plan_widths(
+        splan, eplan, omms_p, pos, ls, (eplan.sig, samples, b"prec-test"))
+    rc, pmm, _, _ = P._pack_fused(
+        splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+        splan.half_center, splan.half_radius, omms_p, pos, ls,
+        g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=4.0,
+        tri_cl=splan.slot_tri_cl)
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+    splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
+    spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
+    rays, _, _ = P._gen_ray_features(
+        omms_p, pos, ls, splay, spin, samples=samples,
+        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+    return eplan, rc, pmm, rays, rmax
+
+
+@pytest.mark.parametrize("emit", ["bary", "uvs"])
+def test_packed_tracer_precision_plumbing(emit):
+    """precision="default" must thread through to a runnable kernel whose
+    output matches "highest" to the mode's documented tolerance.  The CPU
+    interpreter emulates the approximate reciprocal (measured median
+    ~1.5e-3 relative t error — the same order as the bf16 matmul on
+    hardware), so this pins the accuracy CONTRACT, not bit-identity:
+    identical hit/miss mask and t within 1e-2 relative on this
+    well-separated test scene."""
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    eplan, rc, pmm, rays, rmax = _kernel_inputs()
+
+    def run(prec):
+        return np.asarray(run_packed_tracer(
+            rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
+            rb_size=eplan.rb_size, rmax=rmax, emit=emit, precision=prec))
+
+    base = run("highest")
+    assert np.isfinite(base[0]).any(), "test must produce real hits"
+    # None resolves the module default ("highest" in every test process)
+    np.testing.assert_array_equal(base, run(None))
+    fast = run("default")
+    hit_b, hit_f = np.isfinite(base[0]), np.isfinite(fast[0])
+    np.testing.assert_array_equal(hit_b, hit_f)
+    t_b, t_f = base[0][hit_b], fast[0][hit_b]
+    rel = np.abs(t_b - t_f) / np.maximum(np.abs(t_b), 1e-6)
+    assert float(rel.max()) < 1e-2, f"t rel err {rel.max():.2e}"
+
+
+def test_default_precision_precedence(monkeypatch):
+    """Env override > tuning.json > "highest"; invalid values fail loudly
+    (env) or fall back (tuning file — it is machine-written)."""
+    import compound_ray_tpu.trace.mm_tracer as mm
+
+    monkeypatch.delenv("CR_TPU_PRECISION", raising=False)
+    monkeypatch.setattr(
+        "compound_ray_tpu.trace.mm_tracer.load_tuning", lambda: {})
+    assert mm._default_precision() == "highest"
+    monkeypatch.setattr(
+        "compound_ray_tpu.trace.mm_tracer.load_tuning",
+        lambda: {"precision": "default"})
+    assert mm._default_precision() == "default"
+    monkeypatch.setattr(
+        "compound_ray_tpu.trace.mm_tracer.load_tuning",
+        lambda: {"precision": "bogus"})
+    assert mm._default_precision() == "highest"
+    monkeypatch.setenv("CR_TPU_PRECISION", "HIGHEST")
+    assert mm._default_precision() == "highest"
+    monkeypatch.setenv("CR_TPU_PRECISION", "default")
+    assert mm._default_precision() == "default"
+    monkeypatch.setenv("CR_TPU_PRECISION", "high")
+    with pytest.raises(AssertionError):
+        mm._default_precision()

@@ -31,6 +31,11 @@ def log(msg):
     print(msg, flush=True)
 
 
+# set by adoption stages whose knob lives outside RenderConfig (kernel
+# precision) so run_rebench knows the bench artifacts are stale
+_TUNING_DIRTY = False
+
+
 def run_bench():
     """The bench.py protocol inline (same process/session).  run_protocol,
     NOT main: main's probe subprocess would be a second live tunnel session
@@ -186,6 +191,8 @@ def _adopt_unroll(results):
             f" tuning.json records the measurement")
         mm.UNROLL_B = 1
         return
+    global _TUNING_DIRTY
+    _TUNING_DIRTY = True  # unroll lives outside RenderConfig too
     mm.UNROLL_B = best_ub
     # the fused frame programs traced unroll_b=None at ub=1 — drop them so
     # the re-measure below compiles the winning kernel into the frame
@@ -260,16 +267,96 @@ def run_affine():
         f"artifacts/tuning.json updated")
 
 
+def run_precision():
+    """Intersection-matmul precision A/B (mm_tracer module PRECISION
+    notes): full-frame pipelined @3200 at "highest" (exact f32, six bf16
+    MXU passes) vs "default" (ONE pass) on both bench scenes.  "default"
+    is NOT exact (median ~2e-3 relative t error, rare edge hit flips), so
+    a speed win alone does not adopt it: the quick conformance report must
+    keep worst headline MAE < 1% with "default" active (the ofstad configs
+    are fully reproducible end-to-end, so the gate is a real renderer-
+    accuracy check, not a sky-only one).  Writes the measurement to
+    artifacts/tuning.json either way; the adopted value governs every
+    later process via mm_tracer._default_precision."""
+    global _TUNING_DIRTY
+    import compound_ray_tpu.trace.mm_tracer as mm
+
+    results = {}
+    for prec in ("highest", "default"):
+        if mm.PRECISION != prec:
+            mm.PRECISION = prec
+            jax.clear_caches()  # frame programs traced the old precision
+        for name, build in (("natural", bench.build_renderer),
+                            ("ofstad", bench.build_ofstad_renderer)):
+            built = build()
+            r = built[0] if isinstance(built, tuple) else built
+            if r is None:
+                continue
+            r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+            mean_ms, _std, pipe = bench.time_frames(r, 3200, 5)
+            results.setdefault(name, {})[prec] = pipe
+            log(f"PRECISION {name} @3200 {prec}: {pipe:.2f} ms pipelined "
+                f"(latency {mean_ms:.2f} ms)")
+    ratios = [t["default"] / t["highest"] for t in results.values()
+              if "default" in t and "highest" in t]
+    if not ratios:
+        return
+    g = float(np.exp(np.mean(np.log(ratios))))
+    log(f"PRECISION geomean frame ratio {g:.3f}x (default vs highest)")
+    adopt = g < 0.95
+    gate_headline = None
+    if adopt:
+        # conformance gate: PRECISION is still "default" here
+        from tools import conformance_report
+
+        gate_out = "/tmp/conformance_precision_gate.json"
+        try:
+            conformance_report.main(
+                ["--quick", "--out", gate_out,
+                 "--error-maps", "/tmp/precision-gate-error-maps"])
+            with open(gate_out) as f:
+                gate_headline = float(
+                    json.load(f)["worst_headline_mae_pct"])
+        except Exception as e:
+            log(f"PRECISION conformance gate failed to run: {e!r}; "
+                f"NOT adopting default")
+            adopt = False
+        else:
+            adopt = gate_headline < 1.0
+            log(f"PRECISION gate: worst headline MAE {gate_headline:.3f}% "
+                f"with default ({'PASS' if adopt else 'FAIL'} vs <1%)")
+    chosen = "default" if adopt else "highest"
+    from compound_ray_tpu.config import load_tuning
+
+    # read-merge-update; the measurement governs either way (a stale
+    # adoption must not outlive a re-measured regression)
+    tuning = load_tuning()
+    tuning["precision"] = chosen
+    tuning["precision_frame_ms"] = results
+    if gate_headline is not None:
+        tuning["precision_gate_headline_mae_pct"] = gate_headline
+    with open(mm.TUNING_PATH, "w") as f:
+        json.dump(tuning, f, indent=1)
+    log(f"PRECISION {'ADOPTED default' if adopt else 'keeping highest'} "
+        f"({g:.3f}x): artifacts/tuning.json updated")
+    if mm.PRECISION != chosen:
+        mm.PRECISION = chosen
+        jax.clear_caches()
+    if chosen != "highest":
+        _TUNING_DIRTY = True
+
+
 def run_rebench():
     """Re-run the full bench protocol with the tuning the A/B stages just
     adopted (artifacts/tuning.json), so BENCH-facing artifacts (stdout
     record, bench_detail.json, bench_lkg.json) reflect the tuned config.
     _adopt_unroll already set mm.UNROLL_B in-process; the affine flag is
-    re-read from tuning.json here."""
+    re-read from tuning.json here; _TUNING_DIRTY covers adoptions that
+    live outside RenderConfig (kernel precision)."""
     from compound_ray_tpu.config import RenderConfig, get_config, set_config
 
     fresh = RenderConfig.from_env()
-    if fresh == get_config():
+    if fresh == get_config() and not _TUNING_DIRTY:
         log("REBENCH skipped: adopted tuning == session defaults")
         return
     set_config(fresh)
@@ -309,12 +396,13 @@ def run_scale():
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
         "bench", "anatomy", "lit", "conformance", "unroll", "affine",
-        "rebench", "scale"}
+        "precision", "rebench", "scale"}
     t0 = time.time()
     # adoption stages right after the defaults headline so a late-session
     # wedge cannot cost the tuned headline; slow diagnostics last
     for name, fn in (("bench", run_bench),
                      ("unroll", run_unroll), ("affine", run_affine),
+                     ("precision", run_precision),
                      ("rebench", run_rebench),
                      ("lit", run_lit), ("anatomy", run_anatomy),
                      ("scale", run_scale),
