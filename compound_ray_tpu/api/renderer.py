@@ -112,8 +112,9 @@ class EyeRenderer:
 
     def load_gltf_scene(self, filepath: str, root_transform=None) -> None:
         if filepath.endswith(".blend"):
-            # geometry-only extraction straight from Blender files
-            # (compound_ray_tpu.scene.blend); cameras must be added via the API
+            # direct Blender-file extraction (compound_ray_tpu.scene.blend):
+            # geometry, materials, AND the cameras/compound-eye markup the
+            # glTF exporter would have carried over as extras
             from compound_ray_tpu.scene.blend import load_blend_scene
 
             self.scene = load_blend_scene(filepath)

@@ -9,8 +9,13 @@ list, parses the embedded SDNA (the file's own struct catalogue), and pulls
 triangulating polygons into the FlatScene soup.  Materials contribute their
 diffuse r/g/b as flat base colours.
 
-Scope: geometry + flat colours (enough for the unlit render path the
-benchmarks use).  Cameras/custom-properties still come from glTF exports.
+Scope: geometry + flat material colours/textures AND cameras.  Camera
+objects carry the reference's compound-eye markup as Blender custom
+properties (ID properties on the Camera datablock: "compound-eye",
+"compound-projection", "compound-structure", "panoramic" — the same
+key/value strings the glTF exporter writes into camera `extras`, which
+MulticamScene.cpp:241-319 consumes), so a .blend loads with the same
+camera set its glTF export would have.
 """
 
 from __future__ import annotations
@@ -374,10 +379,221 @@ def _node_base_color(fb: BlendFile, mat_block, lay_mat):
     return None
 
 
+# ---- cameras -----------------------------------------------------------
+
+# IDProperty.type values (Blender DNA_ID.h)
+_IDP_STRING, _IDP_INT, _IDP_FLOAT, _IDP_GROUP, _IDP_DOUBLE = 0, 1, 2, 6, 8
+
+
+def _id_properties(fb: BlendFile, data: bytes, id_off: int,
+                   lay_id) -> Dict[str, object]:
+    """Flat dict of an ID datablock's custom properties (the root
+    IDP_GROUP's direct children; `_RNA_UI` metadata skipped).  These are
+    exactly the key/value pairs the glTF exporter emits as `extras`."""
+    out: Dict[str, object] = {}
+    if "properties" not in lay_id or "IDProperty" not in fb.struct_by_type:
+        return out
+    root_ptr = fb.read_ptr(data, id_off + lay_id["properties"][0])
+    # NULL must not hit by_ptr: the ENDB sentinel block has old_ptr == 0
+    root = fb.by_ptr.get(root_ptr) if root_ptr else None
+    if root is None:
+        return out
+    lay_idp = fb.layout("IDProperty")
+    lay_idpd = fb.layout("IDPropertyData")
+    d_off = lay_idp["data"][0]
+    ptr = fb.read_ptr(root.data, d_off + lay_idpd["group"][0])  # ListBase.first
+    while ptr:
+        blk = fb.by_ptr.get(ptr)
+        if blk is None:
+            break
+        d = blk.data
+        t = d[lay_idp["type"][0]]
+        name = d[lay_idp["name"][0]:lay_idp["name"][0] + 64].split(
+            b"\0", 1)[0].decode("utf-8", "replace")
+        if name != "_RNA_UI":
+            if t == _IDP_STRING:
+                sb = fb.by_ptr.get(fb.read_ptr(d, d_off + lay_idpd["pointer"][0]))
+                ln = struct.unpack_from("<i", d, lay_idp["len"][0])[0]
+                if sb is not None:
+                    out[name] = sb.data[:max(0, ln - 1)].decode(
+                        "utf-8", "replace")
+            elif t == _IDP_INT:
+                out[name] = struct.unpack_from(
+                    "<i", d, d_off + lay_idpd["val"][0])[0]
+            elif t == _IDP_FLOAT:
+                out[name] = struct.unpack_from(
+                    "<f", d, d_off + lay_idpd["val"][0])[0]
+            elif t == _IDP_DOUBLE:
+                out[name] = struct.unpack_from(
+                    "<d", d, d_off + lay_idpd["val"][0])[0]
+        ptr = fb.read_ptr(d, lay_idp["next"][0])
+    return out
+
+
+def _render_aspect(fb: BlendFile) -> float:
+    """Render aspect ratio (xsch*xasp)/(ysch*yasp) from the first Scene
+    block — the aspect the glTF exporter bakes into camera yfov."""
+    try:
+        lay_sc = fb.layout("Scene")
+        lay_rd = fb.layout("RenderData")
+        for b in fb.blocks:
+            if b.code != "SC":
+                continue
+            r = lay_sc["r"][0]
+            xsch, = struct.unpack_from("<i", b.data, r + lay_rd["xsch"][0])
+            ysch, = struct.unpack_from("<i", b.data, r + lay_rd["ysch"][0])
+            xasp, = struct.unpack_from("<f", b.data, r + lay_rd["xasp"][0])
+            yasp, = struct.unpack_from("<f", b.data, r + lay_rd["yasp"][0])
+            if xsch > 0 and ysch > 0 and xasp > 0 and yasp > 0:
+                return (xsch * xasp) / (ysch * yasp)
+    except Exception:
+        pass
+    return 16.0 / 9.0
+
+
+def load_blend_cameras(path: str) -> List[dict]:
+    """Extract camera objects: name, world matrix, lens parameters, and the
+    custom-property `extras` dict (compound-eye markup lives on the Camera
+    DATABLOCK, not the object — matching where Blender's UI adds custom
+    properties in the reference's authoring workflow)."""
+    fb = BlendFile(path)
+    lay_ob = fb.layout("Object")
+    lay_id = fb.layout("ID")
+    lay_ca = fb.layout("Camera")
+    aspect = _render_aspect(fb)
+    out = []
+    for b in fb.blocks:
+        if b.code != "OB":
+            continue
+        ob_type = struct.unpack_from("<h", b.data, lay_ob["type"][0])[0]
+        if ob_type != 11:  # OB_CAMERA
+            continue
+        name = _object_name(fb, b.data, lay_ob, lay_id)
+        obmat = np.frombuffer(
+            b.data, np.float32, 16, lay_ob["obmat"][0]).reshape(4, 4).T
+        ca = fb.by_ptr.get(fb.read_ptr(b.data, lay_ob["data"][0]))
+        if ca is None:
+            continue
+        ca_id_off = lay_ca["id"][0] if "id" in lay_ca else 0
+        extras = _id_properties(fb, ca.data, ca_id_off, lay_id)
+        # object-level custom properties override datablock ones if present
+        extras.update(_id_properties(fb, b.data, lay_ob["id"][0], lay_id))
+
+        def _f(key, default=0.0):
+            if key in lay_ca:
+                return struct.unpack_from("<f", ca.data, lay_ca[key][0])[0]
+            return default
+
+        cam = {
+            "name": name,
+            "obmat": obmat,
+            "extras": extras,
+            "aspect": aspect,
+            "lens": _f("lens", 50.0),
+            "sensor_x": _f("sensor_x", 36.0),
+            "sensor_y": _f("sensor_y", 24.0),
+            "ortho_scale": _f("ortho_scale", 6.0),
+            "type": ca.data[lay_ca["type"][0]] if "type" in lay_ca else 0,
+            "sensor_fit": (ca.data[lay_ca["sensor_fit"][0]]
+                           if "sensor_fit" in lay_ca else 0),
+        }
+        out.append(cam)
+    return out
+
+
+def _resolve_blend_eye_path(eye_path: str, blend_dir: str):
+    """resolve_eye_path semantics (absolute/cwd, then the .blend's dir),
+    plus the export-layout fallbacks a .blend needs: the reference keeps
+    .eye files in a sibling `eyes/` directory of `blend-files/`, and some
+    blends carry authoring-machine absolute paths — fall back to the
+    basename under ../ and ../eyes/."""
+    import os
+
+    from compound_ray_tpu.scene.eye_io import resolve_eye_path
+
+    found = resolve_eye_path(eye_path, blend_dir)
+    if found is not None:
+        return found
+    base = os.path.basename(eye_path.replace("\\", "/"))
+    for cand in (
+        os.path.join(blend_dir, "..", eye_path),
+        os.path.join(blend_dir, "..", "eyes", base),
+        os.path.join(blend_dir, "eyes", base),
+    ):
+        if os.path.isfile(cand):
+            return os.path.normpath(cand)
+    return None
+
+
+def _build_blend_cameras(scene, path: str, y_up: bool) -> None:
+    """Append Camera objects for the .blend's camera objects, mirroring the
+    glTF builder's extras handling (scene/flat.py _process_camera)."""
+    import os
+
+    from compound_ray_tpu.cameras.types import (
+        CompoundEyeCamera,
+        OrthographicCamera,
+        PanoramicCamera,
+        PerspectiveCamera,
+    )
+    from compound_ray_tpu.scene.eye_io import read_eye_file
+    from compound_ray_tpu.scene.flat import extra_is_true
+
+    blend_dir = os.path.dirname(os.path.abspath(path))
+    for cd in load_blend_cameras(path):
+        m = cd["obmat"].astype(np.float64)
+        right, up, back, eye = m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3]
+        forward = -back
+        if y_up:  # Blender Z-up -> glTF Y-up: (x, y, z) -> (x, z, -y)
+            def cvt(v):
+                return np.array([v[0], v[2], -v[1]])
+            right, up, forward, eye = cvt(right), cvt(up), cvt(forward), cvt(eye)
+        extras = cd["extras"]
+        if cd["type"] == 1:  # CAM_ORTHO
+            # the 2.8-era exporter the reference data was produced with
+            # writes xmag = ymag = ortho_scale verbatim (test-scene.gltf
+            # ortho-camera: 16.0143 both axes for ortho_scale 16.0143);
+            # mirror that so .blend loads match the shipped exports
+            c = OrthographicCamera(cd["name"])
+            c.set_xy_scale(cd["ortho_scale"], cd["ortho_scale"])
+        elif extra_is_true(extras, "panoramic"):
+            c = PanoramicCamera(cd["name"])
+        elif extra_is_true(extras, "compound-eye"):
+            eye_path = str(extras.get("compound-structure", ""))
+            projection = str(extras.get("compound-projection", ""))
+            if not eye_path or not projection:
+                continue  # matches MulticamScene.cpp:310-319 (log + skip)
+            resolved = _resolve_blend_eye_path(eye_path, blend_dir)
+            if resolved is None:
+                scene.eye_data_path = os.path.join(blend_dir, eye_path)
+                continue
+            omms = read_eye_file(resolved)
+            if not omms:
+                continue
+            scene.eye_data_path = resolved
+            c = CompoundEyeCamera(cd["name"], projection, omms,
+                                  eye_data_path=resolved)
+        else:
+            # glTF exporter yfov: horizontal-fit sensors bake the render
+            # aspect in (yfov = 2*atan(sensor_x / (2*lens*aspect)))
+            c = PerspectiveCamera(cd["name"])
+            if cd["sensor_fit"] == 2 or (cd["sensor_fit"] == 0
+                                         and cd["aspect"] < 1.0):
+                yfov = 2.0 * np.arctan(cd["sensor_y"] / (2.0 * cd["lens"]))
+            else:
+                yfov = 2.0 * np.arctan(
+                    cd["sensor_x"] / (2.0 * cd["lens"] * cd["aspect"]))
+            c.set_y_fov(float(np.degrees(yfov)))
+        c.set_position(eye)
+        c.set_local_space(right, up, forward)
+        scene.cameras.append(c)
+
+
 def load_blend_scene(path: str, background: str = "simple_sky",
                      y_up: bool = True,
-                     textures: Optional[Dict[str, str]] = None):
-    """FlatScene from a .blend (geometry + flat material colours).
+                     textures: Optional[Dict[str, str]] = None,
+                     cameras: bool = True):
+    """FlatScene from a .blend (geometry + material colours + cameras).
 
     `y_up` applies the glTF exporter's axis conversion (Blender Z-up ->
     Y-up: (x, y, z) -> (x, z, -y)) so .blend extractions line up with the
@@ -414,6 +630,11 @@ def load_blend_scene(path: str, background: str = "simple_sky",
 
     if textures:
         _apply_textures(scene, meshes, textures)
+    if cameras:
+        try:
+            _build_blend_cameras(scene, path, y_up)
+        except Exception as e:  # camera markup must not sink the geometry
+            print(f"[PyEye] .blend camera extraction failed: {e!r}")
     return scene
 
 
