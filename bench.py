@@ -302,7 +302,7 @@ def run_protocol():
                   f"(latency {mean_ms:.3f} ms)", file=sys.stderr)
 
     from compound_ray_tpu.config import get_config
-    from compound_ray_tpu.trace.mm_tracer import UNROLL_B
+    from compound_ray_tpu.trace.mm_tracer import PRECISION, UNROLL_B
 
     detail["notes"] = (
         "single v5e chip through the axon tunnel; pipelined_ms is the "
@@ -313,7 +313,8 @@ def run_protocol():
     )
     # measured-on-TPU adoptions active for this run (tools/tpu_session.py)
     detail["tuning"] = {"unroll_b": UNROLL_B,
-                        "affine_rays": get_config().affine_rays}
+                        "affine_rays": get_config().affine_rays,
+                        "precision": PRECISION}
     with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
