@@ -70,7 +70,10 @@ class BlendFile:
 
     # ---- SDNA ------------------------------------------------------------------
     def _parse_dna(self) -> None:
-        dna = next(b for b in self.blocks if b.code == "DNA1").data
+        dna_block = next((b for b in self.blocks if b.code == "DNA1"), None)
+        if dna_block is None:  # truncated/corrupt file: no struct catalogue
+            raise ValueError("truncated .blend: no DNA1 block")
+        dna = dna_block.data
         o = 0
         assert dna[o:o + 4] == b"SDNA"
         o += 4

@@ -143,3 +143,31 @@ def test_multi_camera_blends(blend, expected_compound):
     scene = load_blend_scene(f"{BLEND_DIR}/{blend}")
     comp = [c for c in scene.cameras if hasattr(c, "projection")]
     assert len(comp) == expected_compound
+
+
+def test_garbage_file_raises_cleanly(tmp_path):
+    p = tmp_path / "junk.blend"
+    p.write_bytes(b"definitely not a blender file" * 10)
+    with pytest.raises(ValueError, match="not a .blend"):
+        load_blend_scene(str(p))
+
+
+def test_truncated_blend_raises_cleanly(tmp_path):
+    whole = open(STANDIN_BLEND, "rb").read()
+    p = tmp_path / "trunc.blend"
+    p.write_bytes(whole[: 16 * 1024])  # header + some blocks, no DNA1
+    with pytest.raises(ValueError, match="DNA1|no mesh"):
+        load_blend_scene(str(p))
+
+
+def test_gzipped_blend_loads(tmp_path):
+    """Blender 'compress' saves gzip the whole file; the loader inflates."""
+    import gzip
+
+    p = tmp_path / "gz.blend"
+    p.write_bytes(gzip.compress(open(STANDIN_BLEND, "rb").read()))
+    scene = load_blend_scene(str(p))
+    assert scene.num_triangles > 0
+    # compound cameras skip (the .eye paths don't resolve from tmp_path —
+    # reference skip semantics); the panoramic one needs no external file
+    assert [type(c).__name__ for c in scene.cameras] == ["PanoramicCamera"]
