@@ -269,6 +269,23 @@ def run_protocol():
 
     headline = detail["sweep"]["3200"]["rays_per_s"]
 
+    # interactive-regime asymptote: at samples=1 the stacked-burst path
+    # folds many frames into ONE kernel dispatch (frames ride the sample
+    # axis), so the steady-state ms/frame keeps dropping with burst size;
+    # n=10 above is dispatch-bound.  256 frames ~ a GA/animation batch.
+    if os.environ.get("BENCH_BURST", "1") != "0":
+        r.set_current_eye_samples_per_ommatidium(1)
+        n_burst = 256
+        r.render_frames_pipelined(n_burst)  # compile + warm
+        burst_ms = r.render_frames_pipelined(n_burst) / n_burst
+        detail["burst_samples1"] = {
+            "frames": n_burst,
+            "ms_per_frame": burst_ms,
+            "fps": 1000.0 / burst_ms if burst_ms > 0 else None,
+        }
+        print(f"# samples=1 burst x{n_burst}: {burst_ms:.4f} ms/frame "
+              f"({1000.0 / burst_ms:.0f} FPS equivalent)", file=sys.stderr)
+
     # GA pose-loop protocol (new pose every frame; plan/pack cost included)
     if (os.environ.get("BENCH_POSES", "1") != "0"
             and time.time() - t_start < budget_s):
