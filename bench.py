@@ -146,6 +146,35 @@ LKG_PATH = os.path.join(os.path.dirname(__file__), "artifacts",
                         "bench_lkg.json")
 
 
+# The axon client reaches the TPU through loopback-relay terminal ports
+# (observed via connect() tracing, round 4: 8083/8093/8103/8113).  When the
+# remote endpoint is down they all ECONNREFUSED and a python probe would
+# hang its full timeout inside PJRT init retrying them — so check them
+# first with a bare TCP SYN and fail the attempt in milliseconds instead.
+RELAY_PORTS = tuple(
+    int(p) for p in os.environ.get(
+        "BENCH_RELAY_PORTS", "8083,8093,8103,8113").split(",") if p)
+
+
+def _relay_status() -> str:
+    """'refused' iff every relay port actively refuses connections (remote
+    endpoint down — a python probe cannot possibly succeed); 'maybe'
+    otherwise (open, filtered, or the check itself failed — run the real
+    probe, which remains the source of truth)."""
+    import socket
+
+    refused = 0
+    for port in RELAY_PORTS:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return "maybe"
+        except ConnectionRefusedError:
+            refused += 1
+        except Exception:
+            return "maybe"
+    return "refused" if refused == len(RELAY_PORTS) else "maybe"
+
+
 def _probe_tpu(timeout_s: int) -> bool:
     """Fresh-shape matmul compiled+run in a SUBPROCESS: True iff the axon
     tunnel is healthy.  A subprocess so that the two wedge modes — backend
@@ -212,7 +241,16 @@ def main():
     attempt = 0
     while probe_budget > 0:
         attempt += 1
-        if _probe_tpu(probe_timeout):
+        if _relay_status() == "refused":
+            # remote endpoint down: every relay port actively refuses, so
+            # skip the (hanging) python probe and poll again cheaply
+            probe_ok = False
+            if attempt == 1:
+                print("# relay ports all ECONNREFUSED (remote tunnel "
+                      "endpoint down); polling cheaply", file=sys.stderr)
+        else:
+            probe_ok = _probe_tpu(probe_timeout)
+        if probe_ok:
             print(f"# probe ok (attempt {attempt}, "
                   f"{time.time() - t0:.0f}s)", file=sys.stderr)
             break
@@ -222,9 +260,14 @@ def main():
                 f"axon tunnel unhealthy after {attempt} probes / "
                 f"{time.time() - t0:.0f}s")
             return
-        delay = min(60.0 * min(attempt, 4), remaining)
-        print(f"# probe {attempt} failed; retrying in {delay:.0f}s "
-              f"({remaining:.0f}s of probe budget left)", file=sys.stderr)
+        # refused-mode attempts cost milliseconds, so poll often; real
+        # probe failures back off (each one held a tunnel session)
+        delay = min(30.0 if _relay_status() == "refused"
+                    else 60.0 * min(attempt, 4), remaining)
+        if attempt <= 3 or attempt % 10 == 0:
+            print(f"# probe {attempt} failed; retrying in {delay:.0f}s "
+                  f"({remaining:.0f}s of probe budget left)",
+                  file=sys.stderr)
         time.sleep(delay)
     try:
         run_protocol()
