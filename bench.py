@@ -175,13 +175,15 @@ def _relay_status() -> str:
     return "refused" if refused == len(RELAY_PORTS) else "maybe"
 
 
-def _probe_tpu(timeout_s: int) -> bool:
+def _probe_tpu(timeout_s: int, pool_ips: str) -> bool:
     """Fresh-shape matmul compiled+run in a SUBPROCESS: True iff the axon
     tunnel is healthy.  A subprocess so that the two wedge modes — backend
     init raising UNAVAILABLE and a compile hanging at ~0 CPU — are both
     killable without poisoning this process's jax state.  The shape varies
     per attempt so a cached executable can never mask a wedged remote
-    compile helper."""
+    compile helper.  The caller (main's guarded probe phase) holds no
+    session of its own, so the subprocess — launched UNguarded via
+    ``pool_ips`` — is the only live one."""
     import subprocess
 
     n = 131 + int(time.time()) % 797
@@ -193,7 +195,8 @@ def _probe_tpu(timeout_s: int) -> bool:
     try:
         p = subprocess.run(
             [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True)
+            capture_output=True,
+            env=dict(os.environ, PALLAS_AXON_POOL_IPS=pool_ips))
         return p.returncode == 0 and b"probe-ok" in p.stdout
     except subprocess.TimeoutExpired:
         return False
@@ -230,18 +233,45 @@ def _emit_failure(error: str) -> None:
 def main():
     """Wedge-proof wrapper: probe (with backoff) -> protocol -> LKG update.
 
-    The axon tunnel self-heals from its wedged state in ~30-50 min
-    (CLAUDE.md), so the default probe budget rides that out.  Callers that
-    already hold a live tunnel session (tools/tpu_session.py) must call
-    run_protocol() directly — a probe subprocess would be a SECOND live
-    session, which is itself the documented wedge trigger."""
+    The axon sitecustomize registers a tunnel session in EVERY unguarded
+    python process at interpreter start (CLAUDE.md), so an unguarded
+    `python bench.py` parent + an unguarded probe subprocess = TWO live
+    sessions — the documented wedge trigger.  To serialize sessions, the
+    probe phase re-execs itself GUARDED (PALLAS_AXON_POOL_IPS= skips
+    registration): while probing, the only live session is the probe
+    subprocess; once a probe succeeds, re-exec unguarded into the protocol
+    phase (again one session).  Callers that already hold a live session
+    (tools/tpu_session.py) must call run_protocol() directly."""
+    phase = os.environ.get("_BENCH_PHASE", "")
+    if phase == "protocol":
+        try:
+            run_protocol()
+        except Exception:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            _emit_failure(f"protocol failed: "
+                          f"{traceback.format_exc(limit=1).splitlines()[-1]}")
+        return
+    if phase != "probe" and os.environ.get("PALLAS_AXON_POOL_IPS", "x"):
+        # unguarded start: this process already registered a session —
+        # replace it with a guarded copy of ourselves for the probe loop
+        env = dict(os.environ,
+                   _BENCH_PHASE="probe",
+                   _BENCH_POOL_IPS=os.environ["PALLAS_AXON_POOL_IPS"],
+                   PALLAS_AXON_POOL_IPS="")
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+                  env)
     probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "3600"))
     probe_timeout = int(float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240")))
+    pool_ips = os.environ.get("_BENCH_POOL_IPS",
+                              os.environ.get("PALLAS_AXON_POOL_IPS", ""))
     t0 = time.time()
     attempt = 0
     while probe_budget > 0:
         attempt += 1
-        if _relay_status() == "refused":
+        status = _relay_status()
+        if status == "refused":
             # remote endpoint down: every relay port actively refuses, so
             # skip the (hanging) python probe and poll again cheaply
             probe_ok = False
@@ -249,11 +279,14 @@ def main():
                 print("# relay ports all ECONNREFUSED (remote tunnel "
                       "endpoint down); polling cheaply", file=sys.stderr)
         else:
-            probe_ok = _probe_tpu(probe_timeout)
+            probe_ok = _probe_tpu(probe_timeout, pool_ips)
         if probe_ok:
             print(f"# probe ok (attempt {attempt}, "
                   f"{time.time() - t0:.0f}s)", file=sys.stderr)
-            break
+            env = dict(os.environ, _BENCH_PHASE="protocol",
+                       PALLAS_AXON_POOL_IPS=pool_ips)
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
         remaining = probe_budget - (time.time() - t0)
         if remaining <= 0:
             _emit_failure(
@@ -262,21 +295,13 @@ def main():
             return
         # refused-mode attempts cost milliseconds, so poll often; real
         # probe failures back off (each one held a tunnel session)
-        delay = min(30.0 if _relay_status() == "refused"
+        delay = min(30.0 if status == "refused"
                     else 60.0 * min(attempt, 4), remaining)
         if attempt <= 3 or attempt % 10 == 0:
             print(f"# probe {attempt} failed; retrying in {delay:.0f}s "
                   f"({remaining:.0f}s of probe budget left)",
                   file=sys.stderr)
         time.sleep(delay)
-    try:
-        run_protocol()
-    except Exception:
-        import traceback
-
-        traceback.print_exc(file=sys.stderr)
-        _emit_failure(f"protocol failed: "
-                      f"{traceback.format_exc(limit=1).splitlines()[-1]}")
 
 
 def run_protocol():

@@ -247,8 +247,7 @@ class EyeRenderer:
             # reliably wait under tunneled transports — this is the analogue
             # of the reference's CUDA_SYNC_CHECK after launch
             # (libEyeRenderer.cpp:243).
-            jax.device_get(outputs[-1].ravel()[0])
-            self._check_shadow_audit()
+            self._sync_one(outputs[-1])
         self._last_outputs = outputs
         ms = (time.perf_counter() - t0) * 1000.0
         self.frame_times_ms.append(ms)
@@ -261,22 +260,35 @@ class EyeRenderer:
         """Block until every dispatched frame has completed on the device."""
         outs = getattr(self, "_last_outputs", None)
         if outs:
-            jax.device_get(outs[-1].ravel()[0])
-            self._check_shadow_audit()
+            self._sync_one(outs[-1])
 
-    def _check_shadow_audit(self) -> None:
+    def _sync_one(self, out) -> None:
+        """One terminal sync: fetch a single element — and the pending
+        shadow audit, if any, in the SAME transfer, so a synced lit frame
+        pays exactly one tunnel round trip (~26 ms each)."""
+        audit = getattr(self, "_pending_shadow_audit", None)
+        if audit is None:
+            jax.device_get(out.ravel()[0])
+            return
+        self._pending_shadow_audit = None
+        _, audit_host = jax.device_get((out.ravel()[0], audit))
+        self._check_shadow_audit(audit_host)
+
+    def _check_shadow_audit(self, audit_host=None) -> None:
         """Surface the lit-frame shadow-shaft audit (ADVICE r3): hits
         outside their group's memoised shaft saw only shaft-local occluders
         (the silhouette-edge approximation, pipeline.SHADOW_BOUND_INFLATE)
         — scene-dependent partial light leak that would otherwise be
-        silent.  Fetched at an existing sync point (no extra round trip in
-        the pipelined path); warns once per distinct leak fraction decade
-        to stay quiet in steady state."""
-        audit = getattr(self, "_pending_shadow_audit", None)
-        if audit is None:
-            return
-        self._pending_shadow_audit = None
-        leaked, total = (int(x) for x in np.asarray(jax.device_get(audit)))
+        silent.  Fetched at an existing sync point, folded into the same
+        transfer (_sync_one) so it costs no extra round trip; warns once
+        per distinct leak fraction decade to stay quiet in steady state."""
+        if audit_host is None:
+            audit = getattr(self, "_pending_shadow_audit", None)
+            if audit is None:
+                return
+            self._pending_shadow_audit = None
+            audit_host = jax.device_get(audit)
+        leaked, total = (int(x) for x in np.asarray(audit_host))
         if leaked <= 0 or total <= 0:
             return
         frac = leaked / total

@@ -533,6 +533,20 @@ def _build_blend_cameras(scene, path: str, y_up: bool) -> None:
     glTF builder's extras handling (scene/flat.py _process_camera)."""
     import os
 
+    blend_dir = os.path.dirname(os.path.abspath(path))
+    for cd in load_blend_cameras(path):
+        try:
+            _append_blend_camera(scene, cd, blend_dir, y_up)
+        except Exception as e:
+            # one camera's bad markup / unreadable .eye must not sink the
+            # others — mirror MulticamScene.cpp:310-319 (log + skip)
+            print(f"[PyEye] skipping .blend camera "
+                  f"{cd.get('name', '?')!r}: {e!r}")
+
+
+def _append_blend_camera(scene, cd, blend_dir: str, y_up: bool) -> None:
+    import os
+
     from compound_ray_tpu.cameras.types import (
         CompoundEyeCamera,
         OrthographicCamera,
@@ -542,54 +556,57 @@ def _build_blend_cameras(scene, path: str, y_up: bool) -> None:
     from compound_ray_tpu.scene.eye_io import read_eye_file
     from compound_ray_tpu.scene.flat import extra_is_true
 
-    blend_dir = os.path.dirname(os.path.abspath(path))
-    for cd in load_blend_cameras(path):
-        m = cd["obmat"].astype(np.float64)
-        right, up, back, eye = m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3]
-        forward = -back
-        if y_up:  # Blender Z-up -> glTF Y-up: (x, y, z) -> (x, z, -y)
-            def cvt(v):
-                return np.array([v[0], v[2], -v[1]])
-            right, up, forward, eye = cvt(right), cvt(up), cvt(forward), cvt(eye)
-        extras = cd["extras"]
-        if cd["type"] == 1:  # CAM_ORTHO
-            # the 2.8-era exporter the reference data was produced with
-            # writes xmag = ymag = ortho_scale verbatim (test-scene.gltf
-            # ortho-camera: 16.0143 both axes for ortho_scale 16.0143);
-            # mirror that so .blend loads match the shipped exports
-            c = OrthographicCamera(cd["name"])
-            c.set_xy_scale(cd["ortho_scale"], cd["ortho_scale"])
-        elif extra_is_true(extras, "panoramic"):
-            c = PanoramicCamera(cd["name"])
-        elif extra_is_true(extras, "compound-eye"):
-            eye_path = str(extras.get("compound-structure", ""))
-            projection = str(extras.get("compound-projection", ""))
-            if not eye_path or not projection:
-                continue  # matches MulticamScene.cpp:310-319 (log + skip)
-            resolved = _resolve_blend_eye_path(eye_path, blend_dir)
-            if resolved is None:
-                scene.eye_data_path = os.path.join(blend_dir, eye_path)
-                continue
-            omms = read_eye_file(resolved)
-            if not omms:
-                continue
-            scene.eye_data_path = resolved
-            c = CompoundEyeCamera(cd["name"], projection, omms,
-                                  eye_data_path=resolved)
+    m = cd["obmat"].astype(np.float64)
+    right, up, back, eye = m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3]
+    forward = -back
+    if y_up:  # Blender Z-up -> glTF Y-up: (x, y, z) -> (x, z, -y)
+        def cvt(v):
+            return np.array([v[0], v[2], -v[1]])
+        right, up, forward, eye = cvt(right), cvt(up), cvt(forward), cvt(eye)
+    extras = cd["extras"]
+    if cd["type"] == 1:  # CAM_ORTHO
+        # the 2.8-era exporter the reference data was produced with
+        # writes xmag = ymag = ortho_scale verbatim (test-scene.gltf
+        # ortho-camera: 16.0143 both axes for ortho_scale 16.0143);
+        # mirror that so .blend loads match the shipped exports
+        c = OrthographicCamera(cd["name"])
+        c.set_xy_scale(cd["ortho_scale"], cd["ortho_scale"])
+    elif extra_is_true(extras, "panoramic"):
+        c = PanoramicCamera(cd["name"])
+    elif extra_is_true(extras, "compound-eye"):
+        eye_path = str(extras.get("compound-structure", ""))
+        projection = str(extras.get("compound-projection", ""))
+        if not eye_path or not projection:
+            return  # matches MulticamScene.cpp:310-319 (log + skip)
+        resolved = _resolve_blend_eye_path(eye_path, blend_dir)
+        if resolved is None:
+            scene.eye_data_path = os.path.join(blend_dir, eye_path)
+            return
+        omms = read_eye_file(resolved)
+        if not omms:
+            return
+        scene.eye_data_path = resolved
+        c = CompoundEyeCamera(cd["name"], projection, omms,
+                              eye_data_path=resolved)
+    else:
+        # glTF exporter yfov.  Which sensor dimension governs the vertical
+        # axis follows Blender's BKE_camera_sensor_size: VERTICAL fit ->
+        # sensor_y; AUTO fits sensor_x to the LARGER render dimension, so
+        # portrait AUTO puts sensor_x on the vertical axis; otherwise
+        # (HORIZONTAL, landscape AUTO) sensor_x is horizontal and the
+        # render aspect bakes in (yfov = 2*atan(sensor_x/(2*lens*aspect))).
+        c = PerspectiveCamera(cd["name"])
+        if cd["sensor_fit"] == 2:  # VERTICAL
+            yfov = 2.0 * np.arctan(cd["sensor_y"] / (2.0 * cd["lens"]))
+        elif cd["sensor_fit"] == 0 and cd["aspect"] < 1.0:  # AUTO portrait
+            yfov = 2.0 * np.arctan(cd["sensor_x"] / (2.0 * cd["lens"]))
         else:
-            # glTF exporter yfov: horizontal-fit sensors bake the render
-            # aspect in (yfov = 2*atan(sensor_x / (2*lens*aspect)))
-            c = PerspectiveCamera(cd["name"])
-            if cd["sensor_fit"] == 2 or (cd["sensor_fit"] == 0
-                                         and cd["aspect"] < 1.0):
-                yfov = 2.0 * np.arctan(cd["sensor_y"] / (2.0 * cd["lens"]))
-            else:
-                yfov = 2.0 * np.arctan(
-                    cd["sensor_x"] / (2.0 * cd["lens"] * cd["aspect"]))
-            c.set_y_fov(float(np.degrees(yfov)))
-        c.set_position(eye)
-        c.set_local_space(right, up, forward)
-        scene.cameras.append(c)
+            yfov = 2.0 * np.arctan(
+                cd["sensor_x"] / (2.0 * cd["lens"] * cd["aspect"]))
+        c.set_y_fov(float(np.degrees(yfov)))
+    c.set_position(eye)
+    c.set_local_space(right, up, forward)
+    scene.cameras.append(c)
 
 
 def load_blend_scene(path: str, background: str = "simple_sky",

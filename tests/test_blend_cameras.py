@@ -171,3 +171,63 @@ def test_gzipped_blend_loads(tmp_path):
     # compound cameras skip (the .eye paths don't resolve from tmp_path —
     # reference skip semantics); the panoramic one needs no external file
     assert [type(c).__name__ for c in scene.cameras] == ["PanoramicCamera"]
+
+
+def _fake_cd(**over):
+    cd = {
+        "name": "p", "obmat": np.eye(4), "extras": {}, "aspect": 16 / 9,
+        "lens": 50.0, "sensor_x": 36.0, "sensor_y": 24.0,
+        "ortho_scale": 6.0, "type": 0, "sensor_fit": 0,
+    }
+    cd.update(over)
+    return cd
+
+
+class _CamScene:
+    def __init__(self):
+        self.cameras = []
+
+
+@pytest.mark.parametrize("fit,aspect,sensor,div_aspect", [
+    (2, 16 / 9, 24.0, False),   # VERTICAL: sensor_y vertical, any aspect
+    (2, 9 / 16, 24.0, False),
+    (0, 9 / 16, 36.0, False),   # AUTO portrait: sensor_x IS the vertical
+    (0, 16 / 9, 36.0, True),    # AUTO landscape: sensor_x horizontal
+    (1, 16 / 9, 36.0, True),    # HORIZONTAL: always horizontal
+    (1, 9 / 16, 36.0, True),
+])
+def test_perspective_yfov_sensor_fit(fit, aspect, sensor, div_aspect):
+    """yfov per Blender's BKE_camera_sensor_size: the sensor dimension the
+    fit mode puts on the vertical axis (AUTO fits sensor_x to the LARGER
+    render dimension) — the value the 2.8-era glTF exporter bakes."""
+    from compound_ray_tpu.scene.blend import _append_blend_camera
+
+    scene = _CamScene()
+    _append_blend_camera(
+        scene, _fake_cd(sensor_fit=fit, aspect=aspect), "/tmp", True)
+    (cam,) = scene.cameras
+    denom = 2.0 * 50.0 * (aspect if div_aspect else 1.0)
+    # set_y_fov bakes tan(yfov/2)*scale_z into scale[1] (types.py:116)
+    expect = (sensor / denom) * cam.scale[2]
+    np.testing.assert_allclose(cam.scale[1], expect, rtol=1e-6)
+
+
+def test_bad_camera_markup_skips_only_that_camera(tmp_path, monkeypatch, capsys):
+    """One camera whose .eye file is corrupt must not sink the extraction
+    of the remaining cameras (MulticamScene.cpp:310-319 skip semantics)."""
+    import compound_ray_tpu.scene.blend as B
+
+    bad_eye = tmp_path / "bad.eye"
+    bad_eye.write_text("not an eye file at all\n")
+    cds = [
+        _fake_cd(name="broken", extras={
+            "compound-eye": "true",
+            "compound-projection": "spherical_orientationwise",
+            "compound-structure": str(bad_eye)}),
+        _fake_cd(name="survivor"),
+    ]
+    monkeypatch.setattr(B, "load_blend_cameras", lambda path: cds)
+    scene = _CamScene()
+    B._build_blend_cameras(scene, str(tmp_path / "x.blend"), True)
+    assert [c.name for c in scene.cameras] == ["survivor"]
+    assert "skipping .blend camera 'broken'" in capsys.readouterr().out

@@ -32,8 +32,17 @@ def log(msg):
 
 
 # set by adoption stages whose knob lives outside RenderConfig (kernel
-# precision) so run_rebench knows the bench artifacts are stale
+# precision, unroll) so run_rebench knows the bench artifacts are stale.
+# Staleness is relative to the values ACTIVE while run_bench measured —
+# i.e. the session-start values below, not the built-in defaults: a
+# regression-REVERT (stale tuning.json adopted at import, re-measure
+# rejects it) must re-bench just as an adoption must.
 _TUNING_DIRTY = False
+
+import compound_ray_tpu.trace.mm_tracer as _mm  # noqa: E402
+
+_SESSION_START_UNROLL = _mm.UNROLL_B
+_SESSION_START_PRECISION = _mm.PRECISION
 
 
 def run_bench():
@@ -186,17 +195,19 @@ def _adopt_unroll(results):
                                          time.gmtime()))
     with open(mm.TUNING_PATH, "w") as f:
         json.dump(tuning, f, indent=1)
+    global _TUNING_DIRTY
+    if mm.UNROLL_B != best_ub:
+        # frame programs already traced the old unroll (an adoption OR a
+        # regression-revert of a stale tuning.json value) — drop them so
+        # every later stage compiles the measured winner
+        mm.UNROLL_B = best_ub
+        jax.clear_caches()
+    if best_ub != _SESSION_START_UNROLL:
+        _TUNING_DIRTY = True  # run_bench's artifacts used the old ub
     if best_ub == 1:
         log(f"UNROLL: keeping ub=1 (best alternative ratio {best_ratio:.3f});"
             f" tuning.json records the measurement")
-        mm.UNROLL_B = 1
         return
-    global _TUNING_DIRTY
-    _TUNING_DIRTY = True  # unroll lives outside RenderConfig too
-    mm.UNROLL_B = best_ub
-    # the fused frame programs traced unroll_b=None at ub=1 — drop them so
-    # the re-measure below compiles the winning kernel into the frame
-    jax.clear_caches()
     log(f"UNROLL-ADOPTED ub={best_ub} ({best_ratio:.3f}x kernel); "
         f"re-measuring full-frame headline")
     for name, build in (("natural", bench.build_renderer),
@@ -342,7 +353,9 @@ def run_precision():
     if mm.PRECISION != chosen:
         mm.PRECISION = chosen
         jax.clear_caches()
-    if chosen != "highest":
+    if chosen != _SESSION_START_PRECISION:
+        # covers both adoption AND a regression-revert of a stale
+        # tuning.json precision: run_bench's artifacts are stale either way
         _TUNING_DIRTY = True
 
 
