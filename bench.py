@@ -156,6 +156,20 @@ RELAY_PORTS = tuple(
         "BENCH_RELAY_PORTS", "8083,8093,8103,8113").split(",") if p)
 
 
+SESSION_LOCK = "/tmp/cr_tpu_session.lock"
+
+
+def _session_lock_alive() -> bool:
+    """True iff a tools/tpu_session.py batch advertises a live pid."""
+    try:
+        with open(SESSION_LOCK) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 def _relay_status() -> str:
     """'refused' iff every relay port actively refuses connections (remote
     endpoint down — a python probe cannot possibly succeed); 'maybe'
@@ -270,6 +284,19 @@ def main():
     attempt = 0
     while probe_budget > 0:
         attempt += 1
+        if _session_lock_alive():
+            # a tools/tpu_session.py batch holds the tunnel: probing now
+            # would be a second live session (the wedge trigger) — wait it
+            # out; it warms the compile cache and writes tuning.json for us
+            if attempt <= 3 or attempt % 20 == 0:
+                print("# tpu_session batch live (lock); waiting",
+                      file=sys.stderr)
+            if probe_budget - (time.time() - t0) <= 0:
+                _emit_failure("tpu_session batch still running at budget "
+                              "end; its artifacts carry the measurements")
+                return
+            time.sleep(30)
+            continue
         status = _relay_status()
         if status == "refused":
             # remote endpoint down: every relay port actively refuses, so

@@ -44,6 +44,20 @@ import compound_ray_tpu.trace.mm_tracer as _mm  # noqa: E402
 _SESSION_START_UNROLL = _mm.UNROLL_B
 _SESSION_START_PRECISION = _mm.PRECISION
 
+# Advertise the live session so a concurrently-launched bench.py (e.g. the
+# round driver's) WAITS instead of opening a second tunnel session — the
+# documented wedge trigger.  bench.py polls this lock in its probe phase.
+SESSION_LOCK = "/tmp/cr_tpu_session.lock"
+
+
+def _hold_session_lock():
+    import atexit
+
+    with open(SESSION_LOCK, "w") as f:
+        f.write(str(os.getpid()))
+    atexit.register(lambda: os.path.exists(SESSION_LOCK)
+                    and os.remove(SESSION_LOCK))
+
 
 def run_bench():
     """The bench.py protocol inline (same process/session).  run_protocol,
@@ -407,6 +421,7 @@ def run_scale():
 
 
 if __name__ == "__main__":
+    _hold_session_lock()
     which = set(sys.argv[1:]) or {
         "bench", "anatomy", "lit", "conformance", "unroll", "affine",
         "precision", "rebench", "scale"}
