@@ -16,6 +16,22 @@ import os
 import sys
 import time
 
+# Session serialization, part 1 — BEFORE the heavy imports: the axon
+# sitecustomize registers a tunnel session in EVERY unguarded python
+# process at interpreter start, so an unguarded `python bench.py` holds a
+# session the moment it exists.  Re-exec into a guarded (no-registration)
+# copy of ourselves AS EARLY AS POSSIBLE to shrink the two-session window
+# next to a probe subprocess or a live tpu_session batch to interpreter
+# startup only (~100 ms) instead of startup + jax import (seconds).
+if (__name__ == "__main__" and "_BENCH_PHASE" not in os.environ
+        and os.environ.get("PALLAS_AXON_POOL_IPS", "")):
+    _env = dict(os.environ,
+                _BENCH_PHASE="probe",
+                _BENCH_POOL_IPS=os.environ["PALLAS_AXON_POOL_IPS"],
+                PALLAS_AXON_POOL_IPS="")
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)], _env)
+
 import numpy as np
 
 import jax
@@ -177,6 +193,8 @@ def _relay_status() -> str:
     probe, which remains the source of truth)."""
     import socket
 
+    if not RELAY_PORTS:  # check disabled: always run the real probe
+        return "maybe"
     refused = 0
     for port in RELAY_PORTS:
         try:
@@ -247,17 +265,13 @@ def _emit_failure(error: str) -> None:
 def main():
     """Wedge-proof wrapper: probe (with backoff) -> protocol -> LKG update.
 
-    The axon sitecustomize registers a tunnel session in EVERY unguarded
-    python process at interpreter start (CLAUDE.md), so an unguarded
-    `python bench.py` parent + an unguarded probe subprocess = TWO live
-    sessions — the documented wedge trigger.  To serialize sessions, the
-    probe phase re-execs itself GUARDED (PALLAS_AXON_POOL_IPS= skips
-    registration): while probing, the only live session is the probe
-    subprocess; once a probe succeeds, re-exec unguarded into the protocol
-    phase (again one session).  Callers that already hold a live session
-    (tools/tpu_session.py) must call run_protocol() directly."""
-    phase = os.environ.get("_BENCH_PHASE", "")
-    if phase == "protocol":
+    Session serialization (part 2 — part 1 is the module-top re-exec):
+    while probing, this process is GUARDED (holds no tunnel session), so
+    the only live session is the probe subprocess; once a probe succeeds,
+    re-exec unguarded into the protocol phase (again one session).
+    Callers that already hold a live session (tools/tpu_session.py) must
+    call run_protocol() directly."""
+    if os.environ.get("_BENCH_PHASE", "") == "protocol":
         try:
             run_protocol()
         except Exception:
@@ -267,28 +281,34 @@ def main():
             _emit_failure(f"protocol failed: "
                           f"{traceback.format_exc(limit=1).splitlines()[-1]}")
         return
-    if phase != "probe" and os.environ.get("PALLAS_AXON_POOL_IPS", "x"):
-        # unguarded start: this process already registered a session —
-        # replace it with a guarded copy of ourselves for the probe loop
-        env = dict(os.environ,
-                   _BENCH_PHASE="probe",
-                   _BENCH_POOL_IPS=os.environ["PALLAS_AXON_POOL_IPS"],
-                   PALLAS_AXON_POOL_IPS="")
-        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
-                  env)
+    # probe phase (the module-top re-exec guarded us; a guarded or
+    # unset-env launch lands here directly and holds no session either)
     probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "3600"))
     probe_timeout = int(float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240")))
-    pool_ips = os.environ.get("_BENCH_POOL_IPS",
-                              os.environ.get("PALLAS_AXON_POOL_IPS", ""))
+    # what the probe subprocess / protocol phase should register with:
+    # the stashed pre-guard value, an explicit override, or the axon host
+    # profile's loopback relay (a guarded launch has no other source)
+    pool_ips = (os.environ.get("_BENCH_POOL_IPS")
+                or os.environ.get("BENCH_POOL_IPS")
+                or "127.0.0.1")
+
+    def _go_protocol():
+        env = dict(os.environ, _BENCH_PHASE="protocol",
+                   PALLAS_AXON_POOL_IPS=pool_ips)
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
+
     t0 = time.time()
-    attempt = 0
-    while probe_budget > 0:
-        attempt += 1
+    if probe_budget <= 0:  # probe disabled: straight to the protocol
+        _go_protocol()
+    attempt = waited = 0
+    while True:
         if _session_lock_alive():
             # a tools/tpu_session.py batch holds the tunnel: probing now
             # would be a second live session (the wedge trigger) — wait it
             # out; it warms the compile cache and writes tuning.json for us
-            if attempt <= 3 or attempt % 20 == 0:
+            waited += 1
+            if waited <= 3 or waited % 20 == 0:
                 print("# tpu_session batch live (lock); waiting",
                       file=sys.stderr)
             if probe_budget - (time.time() - t0) <= 0:
@@ -297,6 +317,7 @@ def main():
                 return
             time.sleep(30)
             continue
+        attempt += 1
         status = _relay_status()
         if status == "refused":
             # remote endpoint down: every relay port actively refuses, so
@@ -310,10 +331,7 @@ def main():
         if probe_ok:
             print(f"# probe ok (attempt {attempt}, "
                   f"{time.time() - t0:.0f}s)", file=sys.stderr)
-            env = dict(os.environ, _BENCH_PHASE="protocol",
-                       PALLAS_AXON_POOL_IPS=pool_ips)
-            os.execve(sys.executable,
-                      [sys.executable, os.path.abspath(__file__)], env)
+            _go_protocol()
         remaining = probe_budget - (time.time() - t0)
         if remaining <= 0:
             _emit_failure(

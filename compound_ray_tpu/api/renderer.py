@@ -274,7 +274,7 @@ class EyeRenderer:
         _, audit_host = jax.device_get((out.ravel()[0], audit))
         self._check_shadow_audit(audit_host)
 
-    def _check_shadow_audit(self, audit_host=None) -> None:
+    def _check_shadow_audit(self, audit_host) -> None:
         """Surface the lit-frame shadow-shaft audit (ADVICE r3): hits
         outside their group's memoised shaft saw only shaft-local occluders
         (the silhouette-edge approximation, pipeline.SHADOW_BOUND_INFLATE)
@@ -282,12 +282,6 @@ class EyeRenderer:
         silent.  Fetched at an existing sync point, folded into the same
         transfer (_sync_one) so it costs no extra round trip; warns once
         per distinct leak fraction decade to stay quiet in steady state."""
-        if audit_host is None:
-            audit = getattr(self, "_pending_shadow_audit", None)
-            if audit is None:
-                return
-            self._pending_shadow_audit = None
-            audit_host = jax.device_get(audit)
         leaked, total = (int(x) for x in np.asarray(audit_host))
         if leaked <= 0 or total <= 0:
             return

@@ -15,16 +15,44 @@ import os
 import sys
 import time
 
-import numpy as np
+# Advertise the live session so a concurrently-launched bench.py (e.g. the
+# round driver's) WAITS instead of opening a second tunnel session — the
+# documented wedge trigger.  bench.py polls this lock in its probe phase.
+# Written BEFORE the heavy imports: the tunnel session registers at
+# interpreter start (sitecustomize), so the lock must exist before the
+# multi-second jax/bench import window, not after.  Must equal
+# bench.SESSION_LOCK — asserted below once bench is imported.
+SESSION_LOCK = "/tmp/cr_tpu_session.lock"
 
-import jax
-import jax.numpy as jnp
+if __name__ == "__main__":
+    import atexit
+
+    with open(SESSION_LOCK, "w") as _f:
+        _f.write(str(os.getpid()))
+
+    def _drop_session_lock():
+        # only remove OUR lock: a newer batch may have overwritten it
+        try:
+            with open(SESSION_LOCK) as f:
+                if int(f.read().strip()) == os.getpid():
+                    os.remove(SESSION_LOCK)
+        except (OSError, ValueError):
+            pass
+
+    atexit.register(_drop_session_lock)
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/cr_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, "/root/repo")
 import bench  # noqa: E402
+
+assert SESSION_LOCK == bench.SESSION_LOCK, "lock path diverged from bench.py"
 
 
 def log(msg):
@@ -43,21 +71,6 @@ import compound_ray_tpu.trace.mm_tracer as _mm  # noqa: E402
 
 _SESSION_START_UNROLL = _mm.UNROLL_B
 _SESSION_START_PRECISION = _mm.PRECISION
-
-# Advertise the live session so a concurrently-launched bench.py (e.g. the
-# round driver's) WAITS instead of opening a second tunnel session — the
-# documented wedge trigger.  bench.py polls this lock in its probe phase.
-SESSION_LOCK = "/tmp/cr_tpu_session.lock"
-
-
-def _hold_session_lock():
-    import atexit
-
-    with open(SESSION_LOCK, "w") as f:
-        f.write(str(os.getpid()))
-    atexit.register(lambda: os.path.exists(SESSION_LOCK)
-                    and os.remove(SESSION_LOCK))
-
 
 def run_bench():
     """The bench.py protocol inline (same process/session).  run_protocol,
@@ -421,7 +434,6 @@ def run_scale():
 
 
 if __name__ == "__main__":
-    _hold_session_lock()
     which = set(sys.argv[1:]) or {
         "bench", "anatomy", "lit", "conformance", "unroll", "affine",
         "precision", "rebench", "scale"}
