@@ -352,7 +352,10 @@ def main():
 def run_protocol():
     t_start = time.time()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
-    sweep = [1, 100, 1000, 3200]
+    # BENCH_SWEEP overrides for smoke dry-runs (tools/tpu_session.py SMOKE);
+    # the headline derives from the LAST (largest) entry
+    sweep = [int(s) for s in os.environ.get(
+        "BENCH_SWEEP", "1,100,1000,3200").split(",") if s]
     n_frames = int(os.environ.get("BENCH_FRAMES", "10"))
 
     r, scene_name = build_renderer()
@@ -380,7 +383,7 @@ def run_protocol():
               f"({rays:.3e} rays/s; latency {mean_ms:.3f} ms)",
               file=sys.stderr)
 
-    headline = detail["sweep"]["3200"]["rays_per_s"]
+    headline = detail["sweep"][str(sweep[-1])]["rays_per_s"]
 
     # interactive-regime asymptote: at samples=1 the stacked-burst path
     # folds many frames into ONE kernel dispatch (frames ride the sample
@@ -388,7 +391,7 @@ def run_protocol():
     # n=10 above is dispatch-bound.  256 frames ~ a GA/animation batch.
     if os.environ.get("BENCH_BURST", "1") != "0":
         r.set_current_eye_samples_per_ommatidium(1)
-        n_burst = 256
+        n_burst = int(os.environ.get("BENCH_BURST_N", "256"))
         r.render_frames_pipelined(n_burst)  # compile + warm
         burst_ms = r.render_frames_pipelined(n_burst) / n_burst
         detail["burst_samples1"] = {
@@ -402,11 +405,10 @@ def run_protocol():
     # GA pose-loop protocol (new pose every frame; plan/pack cost included)
     if (os.environ.get("BENCH_POSES", "1") != "0"
             and time.time() - t_start < budget_s):
-        seq_ms, bat_ms = pose_sweep(r, samples=100,
-                                    n_poses=int(os.environ.get(
-                                        "BENCH_N_POSES", "20")))
+        n_poses = int(os.environ.get("BENCH_N_POSES", "20"))
+        seq_ms, bat_ms = pose_sweep(r, samples=100, n_poses=n_poses)
         detail["pose_sweep"] = {
-            "samples": 100, "poses": 20,
+            "samples": 100, "poses": n_poses,
             "sequential_ms_per_pose": round(seq_ms, 3),
             "batched_ms_per_pose": round(bat_ms, 3),
         }
@@ -420,7 +422,7 @@ def run_protocol():
     if r2 is not None:
         r2.set_render_size(r2.get_current_eye_ommatidial_count(), 1)
         detail["ofstad"] = {}
-        for s in (1, 1000, 3200):
+        for s in [s for s in sweep if s != 100]:
             mean_ms, std_ms, pipe_ms = time_frames(r2, s, max(3, n_frames // 2))
             detail["ofstad"][str(s)] = {
                 "frame_ms": mean_ms,
@@ -432,6 +434,7 @@ def run_protocol():
                   f"(latency {mean_ms:.3f} ms)", file=sys.stderr)
 
     from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.eye.pipeline import FAST_EQUIRECT
     from compound_ray_tpu.trace.mm_tracer import PRECISION, UNROLL_B
 
     detail["notes"] = (
@@ -444,13 +447,14 @@ def run_protocol():
     # measured-on-TPU adoptions active for this run (tools/tpu_session.py)
     detail["tuning"] = {"unroll_b": UNROLL_B,
                         "affine_rays": get_config().affine_rays,
-                        "precision": PRECISION}
+                        "precision": PRECISION,
+                        "fast_equirect": FAST_EQUIRECT}
     with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
     record = {
-        "metric": "ommatidial rays/s (1000-omm eye, 3200 samples/omm, "
-                  f"{scene_name}, speedTest.py protocol)",
+        "metric": f"ommatidial rays/s ({n_omms}-omm eye, {sweep[-1]} "
+                  f"samples/omm, {scene_name}, speedTest.py protocol)",
         "value": headline,
         "unit": "rays/s",
         "vs_baseline": headline / BASELINE_RAYS_PER_S,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -34,7 +35,7 @@ import numpy as np
 
 from compound_ray_tpu.accel.clusters import ClusterSet, build_clusters
 from compound_ray_tpu.accel.cull import eye_world_geometry
-from compound_ray_tpu.config import get_config
+from compound_ray_tpu.config import get_config, load_tuning
 from compound_ray_tpu.eye.sampling import (
     FWHM_SD_RATIO,
     cone_offset_components,
@@ -2241,10 +2242,68 @@ def _equirect_coords(h, w, dirs):
     return _equirect_coords_c(h, w, dirs[:, 0], dirs[:, 1], dirs[:, 2])
 
 
-def _equirect_coords_c(h, w, dx, dy, dz):
+def _default_fast_equirect() -> bool:
+    """Env override > measured-on-TPU tuning file > False."""
+    v = os.environ.get("CR_TPU_FAST_EQUIRECT", "").strip().lower()
+    if v:
+        return v not in ("0", "false", "off")
+    return bool(load_tuning().get("fast_equirect", False))
+
+
+# Short-polynomial equirect addressing (tools/tpu_session.py "equirect"
+# A/B adopts it via artifacts/tuning.json).  XLA's f32-exact atan2/asin
+# lowerings are long VPU transcendental chains; cache addressing only
+# needs half-texel accuracy (2*pi/width/2 ~ 3.1e-3 rad at width 1024),
+# so a degree-11 atan / sqrt-damped degree-4 asin fit is 200-700x inside
+# tolerance (max err 4.0e-6 / 1.4e-5 rad, pinned by
+# tests/test_fast_equirect.py).  Index flips only happen within poly-err
+# of a texel boundary, where quad-bilinear continuity makes them
+# invisible.
+FAST_EQUIRECT = _default_fast_equirect()
+
+# near-minimax fits (Chebyshev-reweighted lsq, f64, hard-coded)
+_ATAN_COEFFS = (9.9997935596e-01, -3.3267634549e-01, 1.9389718930e-01,
+                -1.1736619303e-01, 5.3705611032e-02, -1.2145273844e-02)
+_ASIN_COEFFS = (1.5707821176e+00, -2.1406855895e-01, 8.4577511495e-02,
+                -3.5808514564e-02, 8.7517029102e-03)
+
+
+def _fast_atan2(z, x):
+    """atan2(z, x) to 4.0e-6 rad via octant reduction + odd deg-11 poly."""
+    az, ax = jnp.abs(z), jnp.abs(x)
+    mx = jnp.maximum(az, ax)
+    t = jnp.minimum(az, ax) / jnp.maximum(mx, 1e-30)
+    t2 = t * t
+    r = jnp.float32(_ATAN_COEFFS[-1])
+    for c in _ATAN_COEFFS[-2::-1]:
+        r = r * t2 + c
+    r = r * t
+    r = jnp.where(az > ax, jnp.float32(jnp.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(jnp.pi) - r, r)
+    return jnp.where(z < 0, -r, r)
+
+
+def _fast_asin(y):
+    """asin(y), y in [-1, 1], to 1.4e-5 rad: pi/2 - sqrt(1-|y|)*poly(|y|),
+    odd-extended (exact at both poles where equirect rows clamp)."""
+    a = jnp.abs(y)
+    p = jnp.float32(_ASIN_COEFFS[-1])
+    for c in _ASIN_COEFFS[-2::-1]:
+        p = p * a + c
+    r = jnp.float32(jnp.pi / 2) - jnp.sqrt(jnp.maximum(1.0 - a, 0.0)) * p
+    return jnp.where(y < 0, -r, r)
+
+
+def _equirect_coords_c(h, w, dx, dy, dz, fast: Optional[bool] = None):
     """Component-planar _equirect_coords (unit direction components (R,))."""
-    ax = jnp.arctan2(dz, dx)
-    ay = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
+    if fast is None:
+        fast = FAST_EQUIRECT  # trace-time read; adoption clears jit caches
+    if fast:
+        ax = _fast_atan2(dz, dx)
+        ay = _fast_asin(jnp.clip(dy, -1.0, 1.0))
+    else:
+        ax = jnp.arctan2(dz, dx)
+        ay = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
     u = 0.5 + (jnp.pi / 2.0 - ax) / (2.0 * jnp.pi)
     v = 0.5 + ay / jnp.pi
     x = u * w - 0.5

@@ -8,6 +8,7 @@ than the fused frame (no cross-stage fusion), which is fine for ranking.
 Usage:  python tools/frame_anatomy.py [natural|ofstad] [samples]
 """
 
+import os
 import sys
 import time
 
@@ -16,10 +17,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/cr_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("CR_SESSION_CACHE_DIR",
+                                 "/tmp/cr_tpu_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 
@@ -212,7 +215,15 @@ def main():
     def f_equirect(dx, dy, dz):
         ch = cfg.farfield_cache_width // 2
         i, fx, fy = P._equirect_coords_c(ch, cfg.farfield_cache_width,
-                                         dx, dy, dz)
+                                         dx, dy, dz, fast=False)
+        return jnp.sum(i) + jnp.sum(fx + fy)
+
+    @jax.jit
+    def f_equirect_fast(dx, dy, dz):
+        # short-polynomial addressing (tools/tpu_session.py equirect A/B)
+        ch = cfg.farfield_cache_width // 2
+        i, fx, fy = P._equirect_coords_c(ch, cfg.farfield_cache_width,
+                                         dx, dy, dz, fast=True)
         return jnp.sum(i) + jnp.sum(fx + fy)
 
     @jax.jit
@@ -237,6 +248,7 @@ def main():
                 + jnp.sum(qg.ravel()[0] + qb.ravel()[0]))
 
     timeit("  equirect coords", f_equirect, dxs, dys, dzs)
+    timeit("  equirect coords (fast)", f_equirect_fast, dxs, dys, dzs)
     timeit("  tex addressing", f_texaddr, dxs, dys)
     timeit("  row gather+bilinear+mean", f_gather_mean, table, idx_s,
            dxs, dys)

@@ -8,12 +8,32 @@ numbers on disk.
 
 Usage: python tools/tpu_session.py [bench] [anatomy] [lit] [conformance]
 (no args = all).
+
+Smoke mode (CR_SESSION_SMOKE=1): the ENTIRE batch control flow at toy
+sizes, suitable for a guarded CPU dry-run (PALLAS_AXON_POOL_IPS= empty +
+jax_platforms=cpu) — the batch runs unattended in the one tunnel window,
+so every stage's Python path must have executed end-to-end beforehand.
+Run it in a sandbox COPY of the repo: the stages write real artifact
+paths (tuning.json, bench_detail.json, conformance.json) relative to
+this file.
 """
 
 import json
 import os
 import sys
 import time
+
+SMOKE = os.environ.get("CR_SESSION_SMOKE", "") == "1"
+SAMPLES = 128 if SMOKE else 3200  # >=128 keeps g==1 (affine path live)
+LIT_SAMPLES = 128 if SMOKE else 1000
+SCALE_SAMPLES = 256 if SMOKE else 10000
+REPS = 2 if SMOKE else 5
+LIT_FRAMES = 2 if SMOKE else 6
+if SMOKE:  # shrink the bench-protocol stages too (setdefault: env wins)
+    os.environ.setdefault("BENCH_FRAMES", "2")
+    os.environ.setdefault("BENCH_SWEEP", "1,128")
+    os.environ.setdefault("BENCH_BURST_N", "16")
+    os.environ.setdefault("BENCH_N_POSES", "3")
 
 # Advertise the live session so a concurrently-launched bench.py (e.g. the
 # round driver's) WAITS instead of opening a second tunnel session — the
@@ -22,7 +42,10 @@ import time
 # interpreter start (sitecustomize), so the lock must exist before the
 # multi-second jax/bench import window, not after.  Must equal
 # bench.SESSION_LOCK — asserted below once bench is imported.
-SESSION_LOCK = "/tmp/cr_tpu_session.lock"
+# A smoke run holds NO tunnel session, so it must not make a real bench
+# wait on the real lock — it advertises on a parallel path instead.
+SESSION_LOCK = ("/tmp/cr_tpu_session_smoke.lock" if SMOKE
+                else "/tmp/cr_tpu_session.lock")
 
 if __name__ == "__main__":
     import atexit
@@ -46,13 +69,20 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/cr_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("CR_SESSION_CACHE_DIR",
+                                 "/tmp/cr_tpu_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if SMOKE:
+    # XLA:CPU AOT artifacts reloaded across machine-feature pseudo-flags
+    # warn about SIGILL-class miscompiles (see tests/conftest.py)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
-assert SESSION_LOCK == bench.SESSION_LOCK, "lock path diverged from bench.py"
+assert SMOKE or SESSION_LOCK == bench.SESSION_LOCK, \
+    "lock path diverged from bench.py"
 
 
 def log(msg):
@@ -68,9 +98,11 @@ def log(msg):
 _TUNING_DIRTY = False
 
 import compound_ray_tpu.trace.mm_tracer as _mm  # noqa: E402
+import compound_ray_tpu.eye.pipeline as _pl  # noqa: E402
 
 _SESSION_START_UNROLL = _mm.UNROLL_B
 _SESSION_START_PRECISION = _mm.PRECISION
+_SESSION_START_FAST_EQUIRECT = _pl.FAST_EQUIRECT
 
 def run_bench():
     """The bench.py protocol inline (same process/session).  run_protocol,
@@ -83,7 +115,8 @@ def run_bench():
 def run_anatomy():
     from tools import frame_anatomy  # noqa: F401  (it self-runs via main)
     for which in ("natural", "ofstad"):
-        sys.argv = ["frame_anatomy.py", which, "3200"]
+        sys.argv = (["frame_anatomy.py", which, str(SAMPLES)]
+                    + (["2"] if SMOKE else []))
         try:
             frame_anatomy.main()
         except Exception as e:
@@ -94,23 +127,23 @@ def run_lit():
     """Lit-vs-unlit factor at 1000 samples on the natural scene."""
     r, name = bench.build_renderer()
     r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
-    r.set_current_eye_samples_per_ommatidium(1000)
+    r.set_current_eye_samples_per_ommatidium(LIT_SAMPLES)
     for _ in range(3):
         r.render_frame()
-    n = 6
+    n = LIT_FRAMES
     unlit = r.render_frames_pipelined(n) / n
     r.set_lighting(True)
     for _ in range(3):
         r.render_frame()
     lit = r.render_frames_pipelined(n) / n
     r.set_lighting(False)
-    log(f"LIT natural @1000: unlit {unlit:.2f} ms, lit {lit:.2f} ms, "
+    log(f"LIT natural @{LIT_SAMPLES}: unlit {unlit:.2f} ms, lit {lit:.2f} ms, "
         f"factor {lit / unlit:.2f}x")
 
 
 def run_conformance():
     from tools import conformance_report
-    conformance_report.main([])
+    conformance_report.main(["--quick"] if SMOKE else [])
 
 
 def run_unroll():
@@ -142,7 +175,7 @@ def run_unroll():
         cam = r.current_camera()
         splan = P.scene_plan(scene)
         omms_np = cam.ommatidia
-        samples = 3200
+        samples = SAMPLES
         eplan = P.eye_plan(omms_np, samples)
         omms_p = jnp.asarray(omms_np[eplan.perm])
         pos = jnp.asarray(np.asarray(cam.position, np.float32))
@@ -176,7 +209,7 @@ def run_unroll():
             out = go()
             _ = jax.device_get(out[0, :8])  # tunnel-safe sync
             times = []
-            for _i in range(5):
+            for _i in range(REPS):
                 t0 = time.perf_counter()
                 out = go()
                 _ = jax.device_get(out[0, :8])
@@ -188,7 +221,11 @@ def run_unroll():
             if ub == 1:
                 base = np.asarray(out)
             else:
-                same = np.array_equal(base, np.asarray(out))
+                # NaN-safe: miss rays carry NaN payload fields, and
+                # NaN != NaN would report false non-identity
+                o = np.asarray(out)
+                same = bool(((base == o)
+                             | (np.isnan(base) & np.isnan(o))).all())
                 log(f"  bit-identical vs ub=1: {same}")
     _adopt_unroll(results)
 
@@ -244,10 +281,10 @@ def _adopt_unroll(results):
         if r is None:
             continue
         r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
-        mean_ms, _std, pipe = bench.time_frames(r, 3200, 5)
+        mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
         n_omms = r.get_current_eye_ommatidial_count()
-        log(f"UNROLL-HEADLINE {name} @3200: {pipe:.2f} ms pipelined "
-            f"({n_omms * 3200 / pipe * 1000.0:.3e} rays/s; "
+        log(f"UNROLL-HEADLINE {name} @{SAMPLES}: {pipe:.2f} ms pipelined "
+            f"({n_omms * SAMPLES / pipe * 1000.0:.3e} rays/s; "
             f"latency {mean_ms:.2f} ms)")
 
 
@@ -277,9 +314,9 @@ def run_affine():
                 if r is None:
                     continue
                 r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
-                mean_ms, _std, pipe = bench.time_frames(r, 3200, 5)
+                mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
                 results.setdefault(name, {})[affine] = pipe
-                log(f"AFFINE {name} @3200 affine={affine}: {pipe:.2f} ms "
+                log(f"AFFINE {name} @{SAMPLES} affine={affine}: {pipe:.2f} ms "
                     f"pipelined (latency {mean_ms:.2f} ms)")
     finally:
         set_config(base_cfg)
@@ -331,9 +368,9 @@ def run_precision():
             if r is None:
                 continue
             r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
-            mean_ms, _std, pipe = bench.time_frames(r, 3200, 5)
+            mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
             results.setdefault(name, {})[prec] = pipe
-            log(f"PRECISION {name} @3200 {prec}: {pipe:.2f} ms pipelined "
+            log(f"PRECISION {name} @{SAMPLES} {prec}: {pipe:.2f} ms pipelined "
                 f"(latency {mean_ms:.2f} ms)")
     ratios = [t["default"] / t["highest"] for t in results.values()
               if "default" in t and "highest" in t]
@@ -386,6 +423,61 @@ def run_precision():
         _TUNING_DIRTY = True
 
 
+def run_equirect():
+    """Fast-equirect A/B (eye/pipeline._fast_atan2/_fast_asin): full-frame
+    pipelined time with FAST_EQUIRECT off vs on, both bench scenes.  The
+    short-polynomial addressing is half-texel exact with 200-700x margin
+    (tests/test_fast_equirect.py pins the bounds), so adoption is on speed
+    alone: a >=2% geomean win writes "fast_equirect": true to
+    artifacts/tuning.json (pipeline._default_fast_equirect reads it in
+    every later process).  Expected to matter on sky-heavy scenes whose
+    rays route through the equirect far-field cache (the natural
+    headline); a closed arena (ofstad) should be a wash."""
+    global _TUNING_DIRTY
+
+    results = {}
+    for fast in (False, True):
+        if _pl.FAST_EQUIRECT != fast:
+            _pl.FAST_EQUIRECT = fast
+            jax.clear_caches()  # frame programs traced the old addressing
+        for name, build in (("natural", bench.build_renderer),
+                            ("ofstad", bench.build_ofstad_renderer)):
+            built = build()
+            r = built[0] if isinstance(built, tuple) else built
+            if r is None:
+                continue
+            r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+            mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
+            results.setdefault(name, {})["fast" if fast else "exact"] = pipe
+            log(f"EQUIRECT {name} @{SAMPLES} "
+                f"{'fast' if fast else 'exact'}: {pipe:.2f} ms pipelined "
+                f"(latency {mean_ms:.2f} ms)")
+    ratios = [t["fast"] / t["exact"] for t in results.values()
+              if "fast" in t and "exact" in t]
+    if not ratios:
+        return
+    g = float(np.exp(np.mean(np.log(ratios))))
+    log(f"EQUIRECT geomean frame ratio {g:.3f}x (fast vs exact)")
+    adopt = g < 0.98
+    from compound_ray_tpu.config import load_tuning
+
+    # read-merge-update; the measurement governs either way (a stale
+    # adoption must not outlive a re-measured regression)
+    tuning = load_tuning()
+    tuning["fast_equirect"] = adopt
+    tuning["equirect_frame_ms"] = results
+    with open(_mm.TUNING_PATH, "w") as f:
+        json.dump(tuning, f, indent=1)
+    log(f"EQUIRECT {'ADOPTED fast' if adopt else 'keeping exact'} "
+        f"({g:.3f}x): artifacts/tuning.json updated")
+    if _pl.FAST_EQUIRECT != adopt:
+        _pl.FAST_EQUIRECT = adopt
+        jax.clear_caches()
+    if adopt != _SESSION_START_FAST_EQUIRECT:
+        # run_bench's artifacts were measured under the other addressing
+        _TUNING_DIRTY = True
+
+
 def run_rebench():
     """Re-run the full bench protocol with the tuning the A/B stages just
     adopted (artifacts/tuning.json), so BENCH-facing artifacts (stdout
@@ -413,9 +505,10 @@ def run_scale():
     r, name = bench.build_renderer()
     n_omms = r.get_current_eye_ommatidial_count()
     r.set_render_size(n_omms, 1)
-    mean_ms, std_ms, pipe_ms = bench.time_frames(r, 10000, 4, warmup=2)
-    rays = n_omms * 10000 / (pipe_ms / 1000.0)
-    log(f"SCALE {name} @10000: {pipe_ms:.2f} ms pipelined "
+    mean_ms, std_ms, pipe_ms = bench.time_frames(
+        r, SCALE_SAMPLES, 2 if SMOKE else 4, warmup=1 if SMOKE else 2)
+    rays = n_omms * SCALE_SAMPLES / (pipe_ms / 1000.0)
+    log(f"SCALE {name} @{SCALE_SAMPLES}: {pipe_ms:.2f} ms pipelined "
         f"({rays:.3e} rays/s; latency {mean_ms:.2f} ms)")
     path = os.path.join(os.path.dirname(__file__), "..",
                         "bench_detail.json")
@@ -425,7 +518,7 @@ def run_scale():
     except Exception:
         detail = {}
     detail["scale_10000"] = {
-        "scene": name, "ommatidia": n_omms, "samples": 10000,
+        "scene": name, "ommatidia": n_omms, "samples": SCALE_SAMPLES,
         "pipelined_ms": pipe_ms, "latency_ms": mean_ms,
         "rays_per_s": rays,
     }
@@ -436,13 +529,14 @@ def run_scale():
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
         "bench", "anatomy", "lit", "conformance", "unroll", "affine",
-        "precision", "rebench", "scale"}
+        "precision", "equirect", "rebench", "scale"}
     t0 = time.time()
     # adoption stages right after the defaults headline so a late-session
     # wedge cannot cost the tuned headline; slow diagnostics last
     for name, fn in (("bench", run_bench),
                      ("unroll", run_unroll), ("affine", run_affine),
                      ("precision", run_precision),
+                     ("equirect", run_equirect),
                      ("rebench", run_rebench),
                      ("lit", run_lit), ("anatomy", run_anatomy),
                      ("scale", run_scale),
