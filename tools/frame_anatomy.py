@@ -137,6 +137,8 @@ def main():
         # ONE element through the tunnel — never the whole array
         jax.device_get(out.ravel()[0] if hasattr(out, "ravel") else out)
 
+    stage_ms = {}  # label -> ms, dumped to artifacts/anatomy.json at the end
+
     def timeit(label, fn, *args):
         sync1(fn(*args))  # warm
         t0 = time.perf_counter()
@@ -144,6 +146,7 @@ def main():
         sync1(outs[-1])
         ms = (time.perf_counter() - t0) * 1000.0 / reps
         print(f"  {label:28s} {ms:8.2f} ms", flush=True)
+        stage_ms[label.strip()] = round(ms, 3)
         return ms
 
     @jax.jit
@@ -257,6 +260,40 @@ def main():
     # descriptor-rate-bound (no change) or memory-bound (faster)
     timeit("  ..same, sorted indices", f_gather_mean, table,
            jnp.sort(idx_s), dxs, dys)
+
+    stage_ms["epilogue (full-kern-rays)"] = round(t_full - t_kern - t_rays, 3)
+    _dump_anatomy(which, samples, stage_ms)
+
+
+def _dump_anatomy(which, samples, stage_ms):
+    """Merge this scene's staged timings into artifacts/anatomy.json so
+    tools/post_batch_report.py can render the docs table without parsing
+    the session log."""
+    import json
+
+    from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.eye.pipeline import FAST_EQUIRECT
+    from compound_ray_tpu.trace.mm_tracer import PRECISION, UNROLL_B
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "anatomy.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {}
+    doc[which] = {
+        "samples": samples,
+        "platform": jax.devices()[0].platform,
+        "measured": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        "tuning": {"unroll_b": UNROLL_B, "precision": PRECISION,
+                   "fast_equirect": FAST_EQUIRECT,
+                   "affine_rays": get_config().affine_rays},
+        "stages_ms": stage_ms,
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -139,6 +139,26 @@ def run_lit():
     r.set_lighting(False)
     log(f"LIT natural @{LIT_SAMPLES}: unlit {unlit:.2f} ms, lit {lit:.2f} ms, "
         f"factor {lit / unlit:.2f}x")
+    _merge_bench_detail("lit_natural", {
+        "scene": name, "samples": LIT_SAMPLES, "frames": n,
+        "unlit_pipelined_ms": round(float(unlit), 3),
+        "lit_pipelined_ms": round(float(lit), 3),
+        "factor": round(float(lit / unlit), 3),
+    })
+
+
+def _merge_bench_detail(key, entry):
+    """Merge one entry into bench_detail.json (run_bench owns the rest of
+    the file; stages that run after it — lit, scale — must not clobber it)."""
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_detail.json")
+    try:
+        with open(path) as f:
+            detail = json.load(f)
+    except Exception:
+        detail = {}
+    detail[key] = entry
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1)
 
 
 def run_conformance():
@@ -510,20 +530,11 @@ def run_scale():
     rays = n_omms * SCALE_SAMPLES / (pipe_ms / 1000.0)
     log(f"SCALE {name} @{SCALE_SAMPLES}: {pipe_ms:.2f} ms pipelined "
         f"({rays:.3e} rays/s; latency {mean_ms:.2f} ms)")
-    path = os.path.join(os.path.dirname(__file__), "..",
-                        "bench_detail.json")
-    try:
-        with open(path) as f:
-            detail = json.load(f)
-    except Exception:
-        detail = {}
-    detail["scale_10000"] = {
+    _merge_bench_detail("scale_10000", {
         "scene": name, "ommatidia": n_omms, "samples": SCALE_SAMPLES,
         "pipelined_ms": pipe_ms, "latency_ms": mean_ms,
         "rays_per_s": rays,
-    }
-    with open(path, "w") as f:
-        json.dump(detail, f, indent=1)
+    })
 
 
 if __name__ == "__main__":
