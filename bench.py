@@ -353,9 +353,12 @@ def run_protocol():
     t_start = time.time()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     # BENCH_SWEEP overrides for smoke dry-runs (tools/tpu_session.py SMOKE);
-    # the headline derives from the LAST (largest) entry
-    sweep = [int(s) for s in os.environ.get(
-        "BENCH_SWEEP", "1,100,1000,3200").split(",") if s]
+    # sorted so the headline (last entry) is always the LARGEST sample count
+    # and downstream consumers (post_batch_report max-of-sweep) agree
+    sweep = sorted({int(s) for s in os.environ.get(
+        "BENCH_SWEEP", "1,100,1000,3200").split(",") if s.strip()})
+    if not sweep:
+        raise ValueError("BENCH_SWEEP parsed to an empty sweep")
     n_frames = int(os.environ.get("BENCH_FRAMES", "10"))
 
     r, scene_name = build_renderer()

@@ -1,0 +1,119 @@
+"""tools/tpu_session.py A/B stages: module-global toggles must never leak.
+
+The batch runs unattended in the one tunnel window and its driver loop
+catches per-stage exceptions, so a stage that dies mid-A/B with a module
+global half-flipped (FAST_EQUIRECT / PRECISION) would silently poison
+every LATER stage's measurement.  These tests pin the try/finally
+restore-or-adopt contract with fake renderers (no real frames rendered).
+"""
+
+import json
+import os
+
+import pytest
+
+import jax
+
+import tools.tpu_session as ts  # noqa: E402  (imports bench -> jax config)
+
+# importing bench re-points the persistent compile cache at the TPU dir;
+# restore the CPU-only dir conftest.py set (cache separation gotcha)
+jax.config.update("jax_compilation_cache_dir", "/tmp/cr_tpu_jax_cache_cpu")
+
+import compound_ray_tpu.config as cfg  # noqa: E402
+import compound_ray_tpu.eye.pipeline as pl  # noqa: E402
+import compound_ray_tpu.trace.mm_tracer as mm  # noqa: E402
+
+
+class _FakeRenderer:
+    def set_render_size(self, w, h):
+        pass
+
+    def get_current_eye_ommatidial_count(self):
+        return 8
+
+
+@pytest.fixture()
+def sandbox(tmp_path, monkeypatch):
+    """Isolate tuning.json, pin the toggles, and stub the heavy bits."""
+    p = str(tmp_path / "tuning.json")
+    monkeypatch.setattr(cfg, "TUNING_PATH", p)
+    monkeypatch.setattr(mm, "TUNING_PATH", p)
+    monkeypatch.setattr(pl, "FAST_EQUIRECT", False)
+    monkeypatch.setattr(mm, "PRECISION", "highest")
+    monkeypatch.setattr(ts, "_TUNING_DIRTY", False)
+    monkeypatch.setattr(ts, "_SESSION_START_FAST_EQUIRECT", False)
+    monkeypatch.setattr(ts, "_SESSION_START_PRECISION", "highest")
+    # clearing jit caches is pointless with fake renderers and slows the
+    # suite; the stages' calls to it are not under test
+    monkeypatch.setattr(ts.jax, "clear_caches", lambda: None)
+    monkeypatch.setattr(ts.bench, "build_renderer",
+                        lambda: (_FakeRenderer(), "natural"))
+    monkeypatch.setattr(ts.bench, "build_ofstad_renderer", lambda: None)
+    return p
+
+
+def test_equirect_restores_on_mid_ab_failure(sandbox, monkeypatch):
+    def time_frames(r, samples, reps, warmup=3):
+        if pl.FAST_EQUIRECT:
+            raise RuntimeError("mosaic ICE on the fast variant")
+        return 1.0, 0.0, 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+    with pytest.raises(RuntimeError):
+        ts.run_equirect()
+    assert pl.FAST_EQUIRECT is False  # restored, not stuck True
+    assert not os.path.exists(sandbox)  # nothing adopted
+    assert ts._TUNING_DIRTY is False
+
+
+def test_equirect_adopts_measured_win(sandbox, monkeypatch):
+    def time_frames(r, samples, reps, warmup=3):
+        return 1.0, 0.0, 0.5 if pl.FAST_EQUIRECT else 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+    ts.run_equirect()
+    assert pl.FAST_EQUIRECT is True  # the finally keeps the adopted winner
+    tuning = json.load(open(sandbox))
+    assert tuning["fast_equirect"] is True
+    assert tuning["equirect_frame_ms"]["natural"] == {"exact": 1.0,
+                                                      "fast": 0.5}
+    assert ts._TUNING_DIRTY is True  # run_rebench must re-measure
+
+
+def test_equirect_rejects_wash(sandbox, monkeypatch):
+    def time_frames(r, samples, reps, warmup=3):
+        return 1.0, 0.0, 0.99 if pl.FAST_EQUIRECT else 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+    ts.run_equirect()
+    assert pl.FAST_EQUIRECT is False
+    assert json.load(open(sandbox))["fast_equirect"] is False
+    assert ts._TUNING_DIRTY is False
+
+
+def test_precision_restores_on_mid_ab_failure(sandbox, monkeypatch):
+    def time_frames(r, samples, reps, warmup=3):
+        if mm.PRECISION == "default":
+            raise RuntimeError("wedged compile on the default variant")
+        return 1.0, 0.0, 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+    with pytest.raises(RuntimeError):
+        ts.run_precision()
+    assert mm.PRECISION == "highest"  # later stages keep the exact path
+    assert not os.path.exists(sandbox)
+
+
+def test_precision_no_win_records_highest(sandbox, monkeypatch):
+    # a wash (>0.95 ratio) must skip the conformance gate entirely and
+    # still write the measurement with precision=highest
+    def time_frames(r, samples, reps, warmup=3):
+        return 1.0, 0.0, 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+    ts.run_precision()
+    assert mm.PRECISION == "highest"
+    tuning = json.load(open(sandbox))
+    assert tuning["precision"] == "highest"
+    assert "precision_gate_headline_mae_pct" not in tuning

@@ -190,7 +190,12 @@ def _ab_detail(per_scene):
 
     def order(k):
         k = str(k)
-        return (base_first.index(k) if k in base_first else 99, k)
+        if k in base_first:
+            return (base_first.index(k), 0, k)
+        try:  # numeric variants (unroll factors) sort numerically
+            return (99, int(k), k)
+        except ValueError:
+            return (99, 0, k)
 
     parts = []
     for scene, variants in sorted(per_scene.items()):
@@ -223,10 +228,8 @@ def build_readme_headline():
         f"{rps:.2e} ommatidial rays/s** "
         f"({rps / BASELINE_RAYS_PER_S:.1%} of the RTX 2080 Ti reference "
         f"per chip"]
-    per_chip_ms = row.get("pipelined_ms")
-    if isinstance(per_chip_ms, (int, float)) and per_chip_ms > 0:
-        v5e8 = 8 * rps
-        bits.append(f"; v5e-8 linear-scaling projection {v5e8:.1e} rays/s")
+    if rps > 0:
+        bits.append(f"; v5e-8 linear-scaling projection {8 * rps:.1e} rays/s")
     bits.append(").")
     txt = "".join(bits)
     of = detail.get("ofstad", {})
@@ -256,7 +259,10 @@ def splice(path, begin, end, body, dry_run=False):
     if not pat.search(text):
         print(f"[post_batch_report] markers missing in {path}; skipped")
         return False
-    new = pat.sub(begin + "\n" + body.rstrip() + "\n" + end, text, count=1)
+    # replacement via a callable: artifact-derived text may contain
+    # backslashes, which re.sub would interpret as template escapes
+    new = pat.sub(lambda _m: begin + "\n" + body.rstrip() + "\n" + end,
+                  text, count=1)
     if new == text:
         print(f"[post_batch_report] {path} unchanged")
         return False

@@ -24,6 +24,18 @@ import sys
 import time
 
 SMOKE = os.environ.get("CR_SESSION_SMOKE", "") == "1"
+if SMOKE:
+    # the smoke stages write the REAL artifact paths relative to this file
+    # (tuning.json, bench_lkg.json, bench_detail.json, conformance.json) and
+    # every production process adopts tuning.json at import — toy CPU
+    # measurements must never land in the live repo.  The sandbox-copy
+    # protocol (PLAN.md) strips .git; use that as the sentinel.
+    _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.exists(os.path.join(_root, ".git")):
+        sys.exit("CR_SESSION_SMOKE=1 must run from a sandbox COPY of the "
+                 "repo with .git removed (cp -r repo /tmp/cr_smoke && "
+                 "rm -rf /tmp/cr_smoke/.git): smoke stages write real "
+                 "artifact paths that production processes would adopt.")
 SAMPLES = 128 if SMOKE else 3200  # >=128 keeps g==1 (affine path live)
 LIT_SAMPLES = 128 if SMOKE else 1000
 SCALE_SAMPLES = 256 if SMOKE else 10000
@@ -377,70 +389,79 @@ def run_precision():
     import compound_ray_tpu.trace.mm_tracer as mm
 
     results = {}
-    for prec in ("highest", "default"):
-        if mm.PRECISION != prec:
-            mm.PRECISION = prec
-            jax.clear_caches()  # frame programs traced the old precision
-        for name, build in (("natural", bench.build_renderer),
-                            ("ofstad", bench.build_ofstad_renderer)):
-            built = build()
-            r = built[0] if isinstance(built, tuple) else built
-            if r is None:
-                continue
-            r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
-            mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
-            results.setdefault(name, {})[prec] = pipe
-            log(f"PRECISION {name} @{SAMPLES} {prec}: {pipe:.2f} ms pipelined "
-                f"(latency {mean_ms:.2f} ms)")
-    ratios = [t["default"] / t["highest"] for t in results.values()
-              if "default" in t and "highest" in t]
-    if not ratios:
-        return
-    g = float(np.exp(np.mean(np.log(ratios))))
-    log(f"PRECISION geomean frame ratio {g:.3f}x (default vs highest)")
-    adopt = g < 0.95
-    gate_headline = None
-    if adopt:
-        # conformance gate: PRECISION is still "default" here
-        from tools import conformance_report
+    chosen = None  # decided after the gate; None = restore pre-stage state
+    try:
+        for prec in ("highest", "default"):
+            if mm.PRECISION != prec:
+                mm.PRECISION = prec
+                jax.clear_caches()  # frame programs traced the old precision
+            for name, build in (("natural", bench.build_renderer),
+                                ("ofstad", bench.build_ofstad_renderer)):
+                built = build()
+                r = built[0] if isinstance(built, tuple) else built
+                if r is None:
+                    continue
+                r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+                mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
+                results.setdefault(name, {})[prec] = pipe
+                log(f"PRECISION {name} @{SAMPLES} {prec}: {pipe:.2f} ms "
+                    f"pipelined (latency {mean_ms:.2f} ms)")
+        ratios = [t["default"] / t["highest"] for t in results.values()
+                  if "default" in t and "highest" in t]
+        if not ratios:
+            return
+        g = float(np.exp(np.mean(np.log(ratios))))
+        log(f"PRECISION geomean frame ratio {g:.3f}x (default vs highest)")
+        adopt = g < 0.95
+        gate_headline = None
+        if adopt:
+            # conformance gate: PRECISION is still "default" here
+            from tools import conformance_report
 
-        gate_out = "/tmp/conformance_precision_gate.json"
-        try:
-            conformance_report.main(
-                ["--quick", "--out", gate_out,
-                 "--error-maps", "/tmp/precision-gate-error-maps"])
-            with open(gate_out) as f:
-                gate_headline = float(
-                    json.load(f)["worst_headline_mae_pct"])
-        except Exception as e:
-            log(f"PRECISION conformance gate failed to run: {e!r}; "
-                f"NOT adopting default")
-            adopt = False
-        else:
-            adopt = gate_headline < 1.0
-            log(f"PRECISION gate: worst headline MAE {gate_headline:.3f}% "
-                f"with default ({'PASS' if adopt else 'FAIL'} vs <1%)")
-    chosen = "default" if adopt else "highest"
-    from compound_ray_tpu.config import load_tuning
+            gate_out = "/tmp/conformance_precision_gate.json"
+            try:
+                conformance_report.main(
+                    ["--quick", "--out", gate_out,
+                     "--error-maps", "/tmp/precision-gate-error-maps"])
+                with open(gate_out) as f:
+                    gate_headline = float(
+                        json.load(f)["worst_headline_mae_pct"])
+            except Exception as e:
+                log(f"PRECISION conformance gate failed to run: {e!r}; "
+                    f"NOT adopting default")
+                adopt = False
+            else:
+                adopt = gate_headline < 1.0
+                log(f"PRECISION gate: worst headline MAE "
+                    f"{gate_headline:.3f}% with default "
+                    f"({'PASS' if adopt else 'FAIL'} vs <1%)")
+        chosen = "default" if adopt else "highest"
+        from compound_ray_tpu.config import load_tuning
 
-    # read-merge-update; the measurement governs either way (a stale
-    # adoption must not outlive a re-measured regression)
-    tuning = load_tuning()
-    tuning["precision"] = chosen
-    tuning["precision_frame_ms"] = results
-    if gate_headline is not None:
-        tuning["precision_gate_headline_mae_pct"] = gate_headline
-    with open(mm.TUNING_PATH, "w") as f:
-        json.dump(tuning, f, indent=1)
-    log(f"PRECISION {'ADOPTED default' if adopt else 'keeping highest'} "
-        f"({g:.3f}x): artifacts/tuning.json updated")
-    if mm.PRECISION != chosen:
-        mm.PRECISION = chosen
-        jax.clear_caches()
-    if chosen != _SESSION_START_PRECISION:
-        # covers both adoption AND a regression-revert of a stale
-        # tuning.json precision: run_bench's artifacts are stale either way
-        _TUNING_DIRTY = True
+        # read-merge-update; the measurement governs either way (a stale
+        # adoption must not outlive a re-measured regression)
+        tuning = load_tuning()
+        tuning["precision"] = chosen
+        tuning["precision_frame_ms"] = results
+        if gate_headline is not None:
+            tuning["precision_gate_headline_mae_pct"] = gate_headline
+        with open(mm.TUNING_PATH, "w") as f:
+            json.dump(tuning, f, indent=1)
+        log(f"PRECISION {'ADOPTED default' if adopt else 'keeping highest'} "
+            f"({g:.3f}x): artifacts/tuning.json updated")
+        if chosen != _SESSION_START_PRECISION:
+            # covers both adoption AND a regression-revert of a stale
+            # tuning.json precision: run_bench's artifacts are stale either
+            # way
+            _TUNING_DIRTY = True
+    finally:
+        # an exception mid-A/B (or a gate crash) must not leave later
+        # stages running the unvalidated "default" path: restore the
+        # pre-stage precision unless a measured+gated choice was written
+        want = _SESSION_START_PRECISION if chosen is None else chosen
+        if mm.PRECISION != want:
+            mm.PRECISION = want
+            jax.clear_caches()
 
 
 def run_equirect():
@@ -456,46 +477,54 @@ def run_equirect():
     global _TUNING_DIRTY
 
     results = {}
-    for fast in (False, True):
-        if _pl.FAST_EQUIRECT != fast:
-            _pl.FAST_EQUIRECT = fast
-            jax.clear_caches()  # frame programs traced the old addressing
-        for name, build in (("natural", bench.build_renderer),
-                            ("ofstad", bench.build_ofstad_renderer)):
-            built = build()
-            r = built[0] if isinstance(built, tuple) else built
-            if r is None:
-                continue
-            r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
-            mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
-            results.setdefault(name, {})["fast" if fast else "exact"] = pipe
-            log(f"EQUIRECT {name} @{SAMPLES} "
-                f"{'fast' if fast else 'exact'}: {pipe:.2f} ms pipelined "
-                f"(latency {mean_ms:.2f} ms)")
-    ratios = [t["fast"] / t["exact"] for t in results.values()
-              if "fast" in t and "exact" in t]
-    if not ratios:
-        return
-    g = float(np.exp(np.mean(np.log(ratios))))
-    log(f"EQUIRECT geomean frame ratio {g:.3f}x (fast vs exact)")
-    adopt = g < 0.98
-    from compound_ray_tpu.config import load_tuning
+    adopt = None  # decided after measurement; None = restore pre-stage state
+    try:
+        for fast in (False, True):
+            if _pl.FAST_EQUIRECT != fast:
+                _pl.FAST_EQUIRECT = fast
+                jax.clear_caches()  # frame programs traced the old addressing
+            for name, build in (("natural", bench.build_renderer),
+                                ("ofstad", bench.build_ofstad_renderer)):
+                built = build()
+                r = built[0] if isinstance(built, tuple) else built
+                if r is None:
+                    continue
+                r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+                mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
+                results.setdefault(name, {})[
+                    "fast" if fast else "exact"] = pipe
+                log(f"EQUIRECT {name} @{SAMPLES} "
+                    f"{'fast' if fast else 'exact'}: {pipe:.2f} ms pipelined "
+                    f"(latency {mean_ms:.2f} ms)")
+        ratios = [t["fast"] / t["exact"] for t in results.values()
+                  if "fast" in t and "exact" in t]
+        if not ratios:
+            return
+        g = float(np.exp(np.mean(np.log(ratios))))
+        log(f"EQUIRECT geomean frame ratio {g:.3f}x (fast vs exact)")
+        adopt = g < 0.98
+        from compound_ray_tpu.config import load_tuning
 
-    # read-merge-update; the measurement governs either way (a stale
-    # adoption must not outlive a re-measured regression)
-    tuning = load_tuning()
-    tuning["fast_equirect"] = adopt
-    tuning["equirect_frame_ms"] = results
-    with open(_mm.TUNING_PATH, "w") as f:
-        json.dump(tuning, f, indent=1)
-    log(f"EQUIRECT {'ADOPTED fast' if adopt else 'keeping exact'} "
-        f"({g:.3f}x): artifacts/tuning.json updated")
-    if _pl.FAST_EQUIRECT != adopt:
-        _pl.FAST_EQUIRECT = adopt
-        jax.clear_caches()
-    if adopt != _SESSION_START_FAST_EQUIRECT:
-        # run_bench's artifacts were measured under the other addressing
-        _TUNING_DIRTY = True
+        # read-merge-update; the measurement governs either way (a stale
+        # adoption must not outlive a re-measured regression)
+        tuning = load_tuning()
+        tuning["fast_equirect"] = adopt
+        tuning["equirect_frame_ms"] = results
+        with open(_mm.TUNING_PATH, "w") as f:
+            json.dump(tuning, f, indent=1)
+        log(f"EQUIRECT {'ADOPTED fast' if adopt else 'keeping exact'} "
+            f"({g:.3f}x): artifacts/tuning.json updated")
+        if adopt != _SESSION_START_FAST_EQUIRECT:
+            # run_bench's artifacts were measured under the other addressing
+            _TUNING_DIRTY = True
+    finally:
+        # an exception mid-A/B must not leave the toggle half-flipped for
+        # every later stage of the unattended batch: restore the pre-stage
+        # addressing unless a measured adoption was written
+        want = (_SESSION_START_FAST_EQUIRECT if adopt is None else adopt)
+        if _pl.FAST_EQUIRECT != want:
+            _pl.FAST_EQUIRECT = want
+            jax.clear_caches()
 
 
 def run_rebench():
