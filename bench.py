@@ -162,6 +162,31 @@ LKG_PATH = os.path.join(os.path.dirname(__file__), "artifacts",
                         "bench_lkg.json")
 
 
+# bench_detail.json keys run_protocol produces; everything else in the file
+# belongs to other tools/tpu_session.py stages (lit_natural, scale_10000 —
+# each stamped with the tuning it was measured under)
+DETAIL_OWNED_KEYS = frozenset({
+    "scene", "ommatidia", "frames", "sweep", "burst_samples1",
+    "pose_sweep", "ofstad", "notes", "tuning"})
+
+
+def write_detail(detail: dict, path: str) -> None:
+    """Merge-preserve write of bench_detail.json: a late re-run of the
+    protocol (tpu_session run_rebench, run_unroll8 adoption) must refresh
+    the bench-owned keys without clobbering other stages' entries.  Owned
+    keys THIS run did not produce (e.g. "ofstad" under a spent budget) are
+    dropped rather than inherited from a stale config."""
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = {}
+    merged = {**{k: v for k, v in prev.items()
+                 if k not in DETAIL_OWNED_KEYS}, **detail}
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+
+
 # The axon client reaches the TPU through loopback-relay terminal ports
 # (observed via connect() tracing, round 4: 8083/8093/8103/8113).  When the
 # remote endpoint is down they all ECONNREFUSED and a python probe would
@@ -452,8 +477,9 @@ def run_protocol():
                         "affine_rays": get_config().affine_rays,
                         "precision": PRECISION,
                         "fast_equirect": FAST_EQUIRECT}
-    with open(os.path.join(os.path.dirname(__file__), "bench_detail.json"), "w") as f:
-        json.dump(detail, f, indent=1)
+    write_detail(detail,
+                 os.path.join(os.path.dirname(__file__),
+                              "bench_detail.json"))
 
     record = {
         "metric": f"ommatidial rays/s ({n_omms}-omm eye, {sweep[-1]} "

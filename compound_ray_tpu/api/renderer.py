@@ -147,6 +147,27 @@ class EyeRenderer:
         """Extension: toggles the GGX direct-lighting path (params.lighting)."""
         self.lighting = bool(enabled)
 
+    def set_lights(self, lights) -> None:
+        """Extension: replace the reference's 4 hard-coded point lights
+        (initLaunchParams, libEyeRenderer.cpp:123-160; re-created by
+        trace/lighting.default_lights at scene load) with an (L, 7)
+        [color rgb, intensity, position xyz] float32 array.  The lit
+        frame's shadow plan is memoised per lights-content, so switching
+        light sets re-probes occluders once and then renders at steady
+        state."""
+        arr = np.ascontiguousarray(np.asarray(lights, np.float32))
+        if arr.ndim != 2 or arr.shape[1] != 7 or arr.shape[0] < 1:
+            raise ValueError(
+                "lights must be an (L>=1, 7) array: [r, g, b, intensity, "
+                "x, y, z] per row")
+        self._lights = arr
+
+    def get_lights(self) -> np.ndarray:
+        """Extension: a copy of the active point-light array (L, 7)."""
+        if self._lights is None:
+            raise RuntimeError("no scene loaded (lights are created at load)")
+        return np.array(self._lights)
+
     # ------------------------------------------------------------------ render
     def _scene_dev(self):
         if self.scene is None:

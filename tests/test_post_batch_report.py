@@ -36,8 +36,11 @@ def sandbox(tmp_path, monkeypatch):
                        "sequential_ms_per_pose": 60.0,
                        "batched_ms_per_pose": 8.0},
         "lit_natural": {"scene": "natural-standin-sky", "samples": 1000,
-                        "frames": 6, "unlit_pipelined_ms": 19.0,
-                        "lit_pipelined_ms": 47.5, "factor": 2.5},
+                        "frames": 6, "lights": 4,
+                        "unlit_pipelined_ms": 19.0,
+                        "lit_pipelined_ms": 47.5, "factor": 2.5,
+                        "lit_1light_pipelined_ms": 26.5,
+                        "per_light_ms": 7.0, "lit_fixed_ms": 0.5},
         "scale_10000": {"scene": "natural-standin-sky", "ommatidia": 1000,
                         "samples": 10000, "pipelined_ms": 120.0,
                         "latency_ms": 150.0, "rays_per_s": 8.3e7},
@@ -55,6 +58,7 @@ def sandbox(tmp_path, monkeypatch):
         "precision_gate_headline_mae_pct": 1.7,
         "fast_equirect": True,
         "equirect_frame_ms": {"natural": {"exact": 47.0, "fast": 44.0}},
+        "unroll8_frame_ms": {"natural": {"4": 47.0, "8": 46.5}},
         "measured": "2026-08-18 15:00 UTC",
     }
     (tmp_path / "artifacts" / "tuning.json").write_text(json.dumps(tuning))
@@ -99,9 +103,15 @@ def test_full_render_and_splice(sandbox):
     assert "pending" not in perf and "history" in perf
     assert "| natural-standin-sky @3200 | 40.00" in perf
     assert "2.5× lighting factor" in perf
+    # light-count split renders marginal + fixed from the lit entry
+    assert "marginal **7.00 ms/light**" in perf
+    assert "**0.50 ms fixed**" in perf
     assert "O(omms) memory" in perf
     assert "unroll_b=2" in perf
     assert "natural 23.0→18.0→19.0 (1/2/4)" in perf
+    # ub=8 escalation row: measured but not adopted (unroll_b stayed 2)
+    assert "| ub=8 escalation (full frame) | **off** " in perf
+    assert "natural 47.0→46.5 (4/8)" in perf
     assert "natural 52.0→47.0 (off/on)" in perf
     # precision stayed at highest because the gate failed: both facts shown
     assert "**highest**" in perf and "gate worst headline MAE 1.700%" in perf
@@ -132,3 +142,26 @@ def test_missing_markers_skip(sandbox):
     (sandbox / "README.md").write_text("no markers here\n")
     pbr.main([])  # must not raise
     assert (sandbox / "README.md").read_text() == "no markers here\n"
+
+
+def test_bench_write_detail_preserves_foreign_keys(tmp_path):
+    """bench.run_protocol's detail write must refresh its own keys without
+    clobbering other stages' merged entries (lit/scale), and must not
+    inherit stale OWNED keys a re-run did not produce."""
+    import bench
+
+    path = str(tmp_path / "bench_detail.json")
+    with open(path, "w") as f:
+        json.dump({
+            "sweep": {"3200": {"pipelined_ms": 50.0}},
+            "ofstad": {"3200": {"pipelined_ms": 120.0}},
+            "lit_natural": {"factor": 2.5, "tuning": {"unroll_b": 4}},
+            "scale_10000": {"pipelined_ms": 120.0},
+        }, f)
+    bench.write_detail({"sweep": {"3200": {"pipelined_ms": 45.0}},
+                        "tuning": {"unroll_b": 8}}, path)
+    out = json.load(open(path))
+    assert out["sweep"]["3200"]["pipelined_ms"] == 45.0  # refreshed
+    assert out["lit_natural"]["factor"] == 2.5  # preserved
+    assert out["scale_10000"]["pipelined_ms"] == 120.0  # preserved
+    assert "ofstad" not in out  # stale owned key dropped, not inherited

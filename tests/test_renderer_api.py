@@ -126,3 +126,24 @@ def test_save_ppm(tmp_path):
     blob = p.read_bytes()
     assert blob.startswith(b"P6\n8 4\n255\n")
     assert len(blob) == len(b"P6\n8 4\n255\n") + 8 * 4 * 3
+
+
+def test_set_get_lights_roundtrip_and_validation():
+    r = _renderer_with_box_scene()
+    full = r.get_lights()
+    assert full.shape == (4, 7) and full.dtype == np.float32
+    full[0, 3] = 99.0  # the getter returns a copy, not the live array
+    assert r._lights[0, 3] != 99.0
+    r.set_lights(r.get_lights()[:2])
+    assert r.get_lights().shape == (2, 7)
+    with pytest.raises(ValueError):
+        r.set_lights(np.zeros((3, 6), np.float32))
+    with pytest.raises(ValueError):
+        r.set_lights(np.zeros((0, 7), np.float32))
+    # a lit frame renders under the reduced light set
+    r.set_lights(np.asarray(
+        [[1.0, 1.0, 1.0, 5.0, 0.0, 50.0, 0.0]], np.float32))
+    r.set_lighting(True)
+    r.current_camera().set_position((0.0, 100.0, 0.0))
+    r.render_frame()
+    assert r.get_camera_data().shape == (64, 3)

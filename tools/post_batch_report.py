@@ -107,6 +107,14 @@ def build_perf_section():
             f"{_fmt_ms(lit.get('lit_pipelined_ms'))} ms pipelined = "
             f"**{lit.get('factor')}× lighting factor** "
             f"(round-2 baseline was 29×; target ≤3×).")
+        if isinstance(lit.get("per_light_ms"), (int, float)):
+            lines.append(
+                f"  Light-count split ({lit.get('lights')} lights vs 1): "
+                f"1-light frame {_fmt_ms(lit.get('lit_1light_pipelined_ms'))}"
+                f" ms → marginal **{_fmt_ms(lit.get('per_light_ms'))} "
+                f"ms/light** (occlusion rows + GGX) over a "
+                f"**{_fmt_ms(lit.get('lit_fixed_ms'))} ms fixed** lit "
+                f"overhead (shadow raygen + shading basis).")
     scale = detail.get("scale_10000")
     if scale:
         lines.append(
@@ -117,7 +125,16 @@ def build_perf_section():
             f"({scale.get('rays_per_s', 0.0):.2e} rays/s) — the fused "
             f"pipeline is O(omms) memory, no OOM at the reference "
             f"speedTest.py maximum.")
-    if burst or pose or lit or scale:
+    s10k = detail.get("scale_10k_omms")
+    if s10k:
+        lines.append(
+            f"Scale point @{s10k.get('ommatidia')} ommatidia × "
+            f"{s10k.get('samples')} samples (same rays/frame as the "
+            f"headline, 10× the kernel grid): "
+            f"{_fmt_ms(s10k.get('pipelined_ms'))} ms pipelined "
+            f"({s10k.get('rays_per_s', 0.0):.2e} rays/s) — the "
+            f"BASELINE.json 10k-ommatidia axis.")
+    if burst or pose or lit or scale or s10k:
         lines.append("")
 
     # --- A/B adoptions
@@ -126,6 +143,11 @@ def build_perf_section():
     if "unroll_b" in tuning:
         ab.append(f"| kernel batch-unroll | **unroll_b={tuning['unroll_b']}** "
                   f"| {_ab_detail(ukm)} |")
+    u8 = tuning.get("unroll8_frame_ms")
+    if u8:
+        ab.append(f"| ub=8 escalation (full frame) | "
+                  f"**{'ON' if tuning.get('unroll_b') == 8 else 'off'}** "
+                  f"| {_ab_detail(u8)} |")
     afm = tuning.get("affine_frame_ms")
     if "affine_rays" in tuning:
         ab.append(f"| affine ray factorisation | "

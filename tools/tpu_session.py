@@ -136,7 +136,14 @@ def run_anatomy():
 
 
 def run_lit():
-    """Lit-vs-unlit factor at 1000 samples on the natural scene."""
+    """Lit-vs-unlit factor at 1000 samples on the natural scene, plus a
+    light-count differential (all 4 reference lights vs 1) that splits the
+    lit premium into a per-light marginal (one light's occlusion-kernel
+    rows + its GGX term) and a fixed lit overhead (shadow raygen, hit
+    reshaping, shading basis) — the round-5 lit lever is picked from this
+    split, not intuition (docs/performance.md protocol).  The headline
+    4-light factor lands in bench_detail BEFORE the 1-light diagnostic so
+    a fresh-compile hang on the smaller shadow table cannot cost it."""
     r, name = bench.build_renderer()
     r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
     r.set_current_eye_samples_per_ommatidium(LIT_SAMPLES)
@@ -144,24 +151,54 @@ def run_lit():
         r.render_frame()
     n = LIT_FRAMES
     unlit = r.render_frames_pipelined(n) / n
+    lights_full = r.get_lights()
     r.set_lighting(True)
     for _ in range(3):
         r.render_frame()
     lit = r.render_frames_pipelined(n) / n
-    r.set_lighting(False)
     log(f"LIT natural @{LIT_SAMPLES}: unlit {unlit:.2f} ms, lit {lit:.2f} ms, "
-        f"factor {lit / unlit:.2f}x")
-    _merge_bench_detail("lit_natural", {
+        f"factor {lit / unlit:.2f}x ({lights_full.shape[0]} lights)")
+    entry = {
         "scene": name, "samples": LIT_SAMPLES, "frames": n,
+        "lights": int(lights_full.shape[0]),
         "unlit_pipelined_ms": round(float(unlit), 3),
         "lit_pipelined_ms": round(float(lit), 3),
         "factor": round(float(lit / unlit), 3),
-    })
+    }
+    _merge_bench_detail("lit_natural", entry)
+    if lights_full.shape[0] > 1:
+        r.set_lights(lights_full[:1])
+        for _ in range(3):
+            r.render_frame()
+        lit1 = r.render_frames_pipelined(n) / n
+        r.set_lights(lights_full)
+        per_light = (lit - lit1) / (lights_full.shape[0] - 1)
+        fixed = lit1 - per_light - unlit
+        log(f"LIT split natural @{LIT_SAMPLES}: 1-light {lit1:.2f} ms -> "
+            f"marginal {per_light:.2f} ms/light, lit fixed overhead "
+            f"{fixed:.2f} ms over the {unlit:.2f} ms unlit frame")
+        entry.update(
+            lit_1light_pipelined_ms=round(float(lit1), 3),
+            per_light_ms=round(float(per_light), 3),
+            lit_fixed_ms=round(float(fixed), 3),
+        )
+        _merge_bench_detail("lit_natural", entry)
+    r.set_lighting(False)
 
 
 def _merge_bench_detail(key, entry):
     """Merge one entry into bench_detail.json (run_bench owns the rest of
-    the file; stages that run after it — lit, scale — must not clobber it)."""
+    the file; stages that run after it — lit, scale — must not clobber it).
+    Each entry is stamped with the tuning active WHEN IT WAS MEASURED: the
+    file-level "tuning" key only describes the last run_protocol pass, and
+    a late adoption (run_unroll8) can change it after lit/scale landed."""
+    from compound_ray_tpu.config import get_config
+
+    entry = dict(entry)
+    entry.setdefault("tuning", {
+        "unroll_b": _mm.UNROLL_B, "precision": _mm.PRECISION,
+        "fast_equirect": _pl.FAST_EQUIRECT,
+        "affine_rays": get_config().affine_rays})
     path = os.path.join(os.path.dirname(__file__), "..", "bench_detail.json")
     try:
         with open(path) as f:
@@ -182,8 +219,10 @@ def run_unroll():
     """Kernel batch-unroll A/B: time run_packed_tracer directly at
     unroll_b in {1, 2, 4} on the two bench scenes' real payloads/rays.
     The row step is latency-bound (~1.4 us dependent chain,
-    mm_tracer.py:68); independent chains should overlap it.  Runs LAST:
-    a Mosaic compile hang here must not block the headline numbers.
+    mm_tracer.py:68); independent chains should overlap it.  Runs right
+    after run_bench, so the defaults headline is already on record if a
+    Mosaic compile hangs here; ub=8 is deliberately NOT in this set (2x
+    the carried registers — see run_unroll8, which runs last).
 
     If an ub > 1 wins, it is ADOPTED in the same session: written to
     artifacts/tuning.json (mm_tracer._default_unroll picks it up in every
@@ -546,6 +585,77 @@ def run_rebench():
     bench.run_protocol()
 
 
+def run_unroll8():
+    """ub=8 escalation of the kernel batch-unroll, gated on the main A/B
+    having adopted ub=4 (the PLAN.md follow-up: if 4 beats 1 decisively
+    the latency-bound row step may still have issue slots free).  Measured
+    at FULL-FRAME level under the final adopted tuning — the kernel-level
+    harness builds 16-feature rays, which would misrepresent an adopted
+    affine config.  Runs LAST in the batch: ub=8 doubles the fori_loop's
+    carried (256, 128) register set vs ub=4, the documented Mosaic
+    compile-hang risk (CLAUDE.md), so a hang here costs nothing but this
+    stage — every other artifact is already on disk.  A >=3% geomean win
+    adopts unroll_b=8 into tuning.json and re-runs the bench protocol so
+    the committed headline reflects it (run_protocol merge-preserves the
+    lit/scale entries, which keep their own per-entry tuning stamps)."""
+    import compound_ray_tpu.trace.mm_tracer as mm
+    from compound_ray_tpu.config import load_tuning
+
+    if int(load_tuning().get("unroll_b", 1)) != 4:
+        log("UNROLL8 skipped: the main unroll A/B did not adopt ub=4")
+        return
+    results = {}
+    adopt = None  # decided after measurement; None = restore pre-stage ub
+    start_ub = mm.UNROLL_B
+    try:
+        for ub in (4, 8):
+            if mm.UNROLL_B != ub:
+                mm.UNROLL_B = ub
+                jax.clear_caches()  # frame programs traced the old unroll
+            for name, build in (("natural", bench.build_renderer),
+                                ("ofstad", bench.build_ofstad_renderer)):
+                built = build()
+                r = built[0] if isinstance(built, tuple) else built
+                if r is None:
+                    continue
+                r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+                mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
+                results.setdefault(name, {})[ub] = pipe
+                log(f"UNROLL8 {name} @{SAMPLES} ub={ub}: {pipe:.2f} ms "
+                    f"pipelined (latency {mean_ms:.2f} ms)")
+        ratios = [t[8] / t[4] for t in results.values()
+                  if 4 in t and 8 in t]
+        if not ratios:
+            return
+        g = float(np.exp(np.mean(np.log(ratios))))
+        log(f"UNROLL8 geomean frame ratio {g:.3f}x (ub=8 vs ub=4)")
+        adopt = g < 0.97
+        # read-merge-update; the measurement governs either way (a stale
+        # unroll_b=8 from an earlier batch must not outlive a re-measured
+        # regression — the skip-gate above only passes unroll_b==4, so a
+        # previously-adopted 8 that regressed is reverted by run_unroll)
+        tuning = load_tuning()
+        tuning["unroll8_frame_ms"] = results
+        if adopt:
+            tuning["unroll_b"] = 8
+        with open(mm.TUNING_PATH, "w") as f:
+            json.dump(tuning, f, indent=1)
+        log(f"UNROLL8 {'ADOPTED ub=8' if adopt else 'keeping ub=4'} "
+            f"({g:.3f}x): artifacts/tuning.json updated")
+    finally:
+        # an exception mid-A/B must not leave ub=8 half-adopted for any
+        # later run in this process; on adoption the winner stays active
+        want = start_ub if adopt is None else (8 if adopt else start_ub)
+        if mm.UNROLL_B != want:
+            mm.UNROLL_B = want
+            jax.clear_caches()
+    if adopt:
+        # refresh the bench-owned artifacts (sweep, bursts, lkg headline)
+        # under the adopted ub; lit/scale entries persist via the merge
+        log("UNROLL8 re-running bench protocol under ub=8")
+        bench.run_protocol()
+
+
 def run_scale():
     """O(omms)-memory proof at the reference's max sweep point
     (speedTest.py:31 sweeps to 10,000 samples/omm): one 1000-omm x
@@ -564,12 +674,39 @@ def run_scale():
         "pipelined_ms": pipe_ms, "latency_ms": mean_ms,
         "rays_per_s": rays,
     })
+    # BASELINE.json's metric also names "frame ms at 10k ommatidia": a
+    # 10,000-omm eye at 320 samples carries the same 3.2M rays/frame as
+    # the @3200 headline but on the GROUP axis (10x the kernel grid, 10x
+    # the plan) — the axis the sample sweep never stresses.
+    from compound_ray_tpu.cameras.types import CompoundEyeCamera
+    from compound_ray_tpu.testing import make_sphere_eye
+
+    n10k = 256 if SMOKE else 10000
+    s10k = 64 if SMOKE else 320
+    cam = CompoundEyeCamera("bench-eye-10k", "single_dimension_fast",
+                            make_sphere_eye(n10k, acceptance_deg=2.6))
+    r.scene.cameras.append(cam)
+    r.goto_camera(len(r.scene.cameras) - 1)
+    center = r.scene.aabb_center()
+    cam.set_position((float(center[0]), float(center[1]) + 1.0,
+                      float(center[2])))
+    r.set_render_size(n10k, 1)
+    mean_ms, _std, pipe_ms = bench.time_frames(
+        r, s10k, 2 if SMOKE else 4, warmup=1 if SMOKE else 2)
+    rays = n10k * s10k / (pipe_ms / 1000.0)
+    log(f"SCALE {name} {n10k} omms @{s10k}: {pipe_ms:.2f} ms pipelined "
+        f"({rays:.3e} rays/s; latency {mean_ms:.2f} ms)")
+    _merge_bench_detail("scale_10k_omms", {
+        "scene": name, "ommatidia": n10k, "samples": s10k,
+        "pipelined_ms": pipe_ms, "latency_ms": mean_ms,
+        "rays_per_s": rays,
+    })
 
 
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
         "bench", "anatomy", "lit", "conformance", "unroll", "affine",
-        "precision", "equirect", "rebench", "scale"}
+        "precision", "equirect", "rebench", "scale", "unroll8"}
     t0 = time.time()
     # adoption stages right after the defaults headline so a late-session
     # wedge cannot cost the tuned headline; slow diagnostics last
@@ -580,7 +717,10 @@ if __name__ == "__main__":
                      ("rebench", run_rebench),
                      ("lit", run_lit), ("anatomy", run_anatomy),
                      ("scale", run_scale),
-                     ("conformance", run_conformance)):
+                     ("conformance", run_conformance),
+                     # LAST on purpose: fresh ub=8 Mosaic compile is the
+                     # batch's highest hang risk (see run_unroll8 docstring)
+                     ("unroll8", run_unroll8)):
         if name not in which:
             continue
         try:
