@@ -150,6 +150,16 @@ def test_bench_write_detail_preserves_foreign_keys(tmp_path):
     inherit stale OWNED keys a re-run did not produce."""
     import bench
 
+    # importing bench re-points the persistent compile cache at the TPU
+    # dir as an import side effect; restore the CPU-only dir conftest.py
+    # set (cache-separation gotcha — mirrors test_tpu_session_toggles.py).
+    # Usually a no-op (bench is already imported at collection time via
+    # test_tpu_session_toggles -> tools.tpu_session), but a solo run of
+    # this file would otherwise leak the TPU cache dir into later jits.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/cr_tpu_jax_cache_cpu")
+
     path = str(tmp_path / "bench_detail.json")
     with open(path, "w") as f:
         json.dump({

@@ -130,6 +130,23 @@ def test_unroll8_skips_without_ub4_adoption(sandbox, monkeypatch):
     assert not os.path.exists(sandbox)
 
 
+def test_unroll8_skip_drops_stale_measurement(sandbox, monkeypatch):
+    # batch N measured the escalation under ub=4; batch N+1's main A/B
+    # adopts ub=2, so the gate skips — the prior numbers must not linger
+    # for post_batch_report to render under batch N+1's measured stamp
+    with open(sandbox, "w") as f:
+        json.dump({"unroll_b": 2,
+                   "unroll8_frame_ms": {"natural": {"4": 47.0, "8": 45.0}}},
+                  f)
+    monkeypatch.setattr(mm, "UNROLL_B", 2)
+    monkeypatch.setattr(ts.bench, "time_frames",
+                        lambda *a, **k: pytest.fail("gate must not measure"))
+    ts.run_unroll8()
+    tuning = json.load(open(sandbox))
+    assert "unroll8_frame_ms" not in tuning
+    assert tuning["unroll_b"] == 2  # everything else untouched
+
+
 def test_unroll8_adopts_and_rebenches(sandbox, monkeypatch):
     with open(sandbox, "w") as f:
         json.dump({"unroll_b": 4}, f)

@@ -602,6 +602,13 @@ def run_unroll8():
     from compound_ray_tpu.config import load_tuning
 
     if int(load_tuning().get("unroll_b", 1)) != 4:
+        # drop any PRIOR batch's escalation measurement: nothing re-measures
+        # it this batch, and post_batch_report would otherwise render the
+        # stale numbers under this batch's "Measured <date>" header
+        tuning = load_tuning()
+        if tuning.pop("unroll8_frame_ms", None) is not None:
+            with open(mm.TUNING_PATH, "w") as f:
+                json.dump(tuning, f, indent=1)
         log("UNROLL8 skipped: the main unroll A/B did not adopt ub=4")
         return
     results = {}

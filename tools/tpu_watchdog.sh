@@ -44,11 +44,17 @@ print('probe ok', float((x @ x.T).sum()), flush=True)
     echo "BATCH EXIT at $(date)"
     cd /root/repo
     PALLAS_AXON_POOL_IPS= python tools/post_batch_report.py
-    git add artifacts/tuning.json artifacts/tpu_session_r4.log \
-            artifacts/bench_lkg.json artifacts/conformance.json \
-            artifacts/conformance_quick.json artifacts/anatomy.json \
-            bench_detail.json artifacts/error-maps \
-            docs/performance.md README.md 2>/dev/null
+    # one add per path: 'git add a b c' is ATOMIC on pathspec mismatch
+    # (one missing file -> fatal, NOTHING staged) and a partially-failed
+    # batch legitimately leaves some artifacts unwritten — the ones that
+    # DID land must still be committed
+    for f in artifacts/tuning.json artifacts/tpu_session_r4.log \
+             artifacts/bench_lkg.json artifacts/conformance.json \
+             artifacts/conformance_quick.json artifacts/anatomy.json \
+             bench_detail.json artifacts/error-maps \
+             docs/performance.md README.md; do
+      git add -- "$f" 2>/dev/null || true
+    done
     git diff --cached --quiet || git commit -m "Round-4 TPU measurement batch: bench, A/B tuning adoption, lit, anatomy, scale, conformance + regenerated docs"
     echo "BATCH COMMITTED; poller exiting"
     exit 0
