@@ -262,6 +262,72 @@ def main():
            jnp.sort(idx_s), dxs, dys)
 
     stage_ms["epilogue (full-kern-rays)"] = round(t_full - t_kern - t_rays, 3)
+
+    # ---- lit sub-split (natural only — the lit stage's target metric):
+    # splits the lit premium one level deeper than tpu_session run_lit's
+    # light-count differential: occlusion KERNEL vs the GGX/shading-basis
+    # epilogue vs the unlit base, all at the lit stage's 1000 samples.
+    # Skipped on CPU (interpret-mode occlusion is ~100x slower — the same
+    # reason run_lit is not smoke-run); CR_ANATOMY_LIT=1 forces it for a
+    # hand-driven check at small sizes.
+    lit_on = (which == "natural"
+              and (jax.devices()[0].platform != "cpu"
+                   or os.environ.get("CR_ANATOMY_LIT") == "1"))
+    if lit_on and getattr(r, "_lights", None) is not None:
+        from compound_ray_tpu.trace.mm_tracer import run_rows_occlusion
+
+        s_lit = min(samples,
+                    int(os.environ.get("CR_ANATOMY_LIT_SAMPLES", "1000")))
+        lights_np = np.asarray(r._lights, np.float32)
+        pos_np = np.asarray(cam.position, np.float32)
+        ls_np = np.asarray(cam.local_space, np.float32)
+        kw_lit, ep_l, _ = P._plan_frame(
+            scene, scene.device_triangles(), cam.ommatidia, pos_np, ls_np,
+            key, s_lit, 0, lights=lights_np)
+        kw_unl, _, _ = P._plan_frame(
+            scene, scene.device_triangles(), cam.ommatidia, pos_np, ls_np,
+            key, s_lit, 0)
+        # comparable baseline: lit frames always run with the far-field
+        # cache off (cached radiance is unlit), so the unlit baseline must
+        # too — otherwise the derived GGX number absorbs the cache-vs-miss
+        # -shader difference
+        kw_unl["use_cache"] = False
+        kw_unl["cache"] = None
+        n_lights = int(lights_np.shape[0])
+        t_rows = int(kw_lit["shadow_flat"].shape[0])
+        print(f"  lit split @{s_lit}: {n_lights} lights, "
+              f"{t_rows} shadow table rows")
+
+        def f_lit_full():
+            return P._render_frame(key=key, **kw_lit)
+
+        def f_unlit_s():
+            return P._render_frame(key=key, **kw_unl)
+
+        # the occlusion kernel's WORK is fixed by the table's flag/row
+        # layout (every live row is traversed regardless of ray values),
+        # so synthetic rays time it faithfully
+        rgp = ep_l.nrb * ep_l.rb_size
+        rays_syn = jax.random.normal(
+            jax.random.fold_in(key, 11),
+            (16, n_lights * ep_l.ng * rgp), jnp.float32)
+
+        @jax.jit
+        def f_occ(r2v, flag, flat, rays):
+            out = run_rows_occlusion(r2v, flag, flat, rays,
+                                     nrb=ep_l.nrb, rb_size=ep_l.rb_size)
+            return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+        t_unl = timeit(f"unlit frame @{s_lit} (cache off)", f_unlit_s)
+        t_lit = timeit(f"lit frame @{s_lit}", f_lit_full)
+        t_occ = timeit("  occlusion kernel (all lights)", f_occ,
+                       kw_lit["shadow_r2v"], kw_lit["shadow_flag"],
+                       kw_lit["shadow_flat"], rays_syn)
+        ggx = t_lit - t_unl - t_occ
+        print(f"  {'ggx+basis+shadow raygen':28s} {ggx:8.2f} ms (derived)")
+        stage_ms["lit: ggx+basis (derived)"] = round(ggx, 3)
+        stage_ms["lit: shadow table rows"] = float(t_rows)
+
     _dump_anatomy(which, samples, stage_ms)
 
 
