@@ -41,6 +41,7 @@ from compound_ray_tpu.eye.sampling import (
     cone_offset_components,
     cone_offset_directions,
     sample_angles,
+    sample_angles_ns,
 )
 from compound_ray_tpu.trace.pallas_tracer import (
     ATTR_COMPS_FLAT,
@@ -291,8 +292,17 @@ _eye_plans: Dict[Tuple, EyePlan] = {}
 def eye_plan(ommatidia: np.ndarray, samples: int,
              ng_multiple: int = 1) -> EyePlan:
     """Static layout for an (eye, samples) pair.  ng_multiple pads the
-    GROUP count (with empty groups — row_counts 0, near-zero kernel cost)
-    so the group axis shards evenly over a device mesh."""
+    GROUP count so the group axis shards evenly over a device mesh.
+
+    Padding replicates the last ommatidium in the scan order (perm can
+    only index real rows), so padded groups cull and trace like real
+    ones — up to g*ng_multiple - 1 duplicate ommatidia of full-cost work
+    on the last shard.  The bench/BASELINE configs pad zero (1000 omms,
+    g == 1 at >=128 samples, 8 shards divides evenly); if a config with
+    large padding matters, the fix is zero-row pad groups, which needs
+    every reader of uninitialised out-blocks audited first (audit lanes,
+    overflow confirm) — do not flip it casually.  Outputs of padded
+    lanes are discarded via inv_valid either way."""
     h = hashlib.blake2b(np.ascontiguousarray(ommatidia).tobytes(),
                         digest_size=12).hexdigest()
     key = (h, samples, ng_multiple)
@@ -344,8 +354,8 @@ def _cull_groups(
     omms_p: jnp.ndarray,  # (Np,8) permuted+padded
     position: jnp.ndarray,
     local_space: jnp.ndarray,
-    centers: jnp.ndarray,  # (C,3)
-    radii: jnp.ndarray,  # (C,)
+    centers: jnp.ndarray,  # (C, H, 3) half-sphere (or sub-sphere) table
+    radii: jnp.ndarray,  # (C, H)
     cull_sigmas: float,
     g: int,
 ):
@@ -739,8 +749,8 @@ def _pack_fused(
     mm_flat: jnp.ndarray,  # (S+128, 64) matmul feature columns
     slot_center_cl: jnp.ndarray,  # (C, 128, 3)
     slot_radius_cl: jnp.ndarray,  # (C, 128)
-    sphere_center: jnp.ndarray,
-    sphere_radius: jnp.ndarray,
+    half_center: jnp.ndarray,  # (C, H, 3) HALF-sphere table, not (C, 3)
+    half_radius: jnp.ndarray,  # (C, H) — _cull_groups flattens C*H lanes
     omms_p: jnp.ndarray,  # (Np,8)
     position: jnp.ndarray,
     local_space: jnp.ndarray,
@@ -769,7 +779,7 @@ def _pack_fused(
     speculative-widths path checks them with one host sync instead of
     running the two-dispatch width measure."""
     gmask, counts, dmin_all = _cull_groups(
-        omms_p, position, local_space, sphere_center, sphere_radius,
+        omms_p, position, local_space, half_center, half_radius,
         cull_sigmas, g,
     )
     if use_cache:
@@ -841,10 +851,8 @@ def _render_frame(
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
     n_pad = omms_p.shape[0]
-    k_splay, k_spin = jax.random.split(key)
-    sd = omms_p[:, 6] / FWHM_SD_RATIO
-    splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
-    spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
+    splay, spin = sample_angles_ns(key, omms_p[:, 6] / FWHM_SD_RATIO,
+                                   samples)
     return _trace_shade_angles(
         packed_mm, row_counts, attr_table, scene_dev, quad_table, omms_p,
         position, local_space, splay, spin,
@@ -1302,10 +1310,7 @@ def _trace_shade_angles(
 
 
 # NOTE: plan/kmax/cache stores live on the FlatScene/ScenePlan objects (see
-# scene_plan) to avoid id-recycling aliasing; these module dicts remain only
-# for tests that clear state between configurations.
-_kmax_cache: Dict[Tuple, int] = {}
-_cache_store: Dict[Tuple, jnp.ndarray] = {}
+# scene_plan) to avoid id-recycling aliasing.
 
 
 def _plan_widths(splan, eplan, omms_p, position, local_space, cache_key):
@@ -1596,10 +1601,8 @@ def _shadow_probe(
     rg_sph (NG,)); the spheres feed _shadow_pack_one so the widths are
     measured on exactly the spheres that get packed."""
     n_pad = omms_p.shape[0]
-    k_splay, k_spin = jax.random.split(key)
-    sd = omms_p[:, 6] / FWHM_SD_RATIO
-    splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
-    spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
+    splay, spin = sample_angles_ns(key, omms_p[:, 6] / FWHM_SD_RATIO,
+                                   samples)
     rays, (dx, dy, dz), neg_o = _gen_ray_features(
         omms_p, position, local_space, splay, spin,
         samples=samples, ng=ng, g=g, nrb=nrb, rb_size=rb_size,
@@ -1830,6 +1833,7 @@ def _plan_frame(
     use_cache = False
     near_mask = None
     cache = None
+    d_thresh = 0.0
     # quad_gray scenes skip the combined tex+cache table (it is built on
     # the 16-wide colour quads, which the gray path deliberately never
     # materialises); closed arenas — the gray path's target — have no far
@@ -1838,6 +1842,8 @@ def _plan_frame(
             and splan.quad_gray is None and splan.num_clusters > 8):
         cache_px = cfg.farfield_cache_width * (cfg.farfield_cache_width // 2)
         if samples * eplan.n >= cache_px:
+            # reused below at the _plan_widths_pack call — the O(N) host
+            # pass over the ommatidia must run once per frame, not twice
             d_thresh = _farfield_threshold(ommatidia_np, cfg.farfield_tolerance)
             # eye centre in world space (the cache viewpoint)
             rel_c = ommatidia_np[:, 0:3].mean(axis=0)
@@ -1904,10 +1910,7 @@ def _plan_frame(
     kcand, rmax, (row_counts, packed_mm), pending = _plan_widths_pack(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
         near_mask=near_mask, use_cache=use_cache,
-        d_thresh=(
-            _farfield_threshold(ommatidia_np, cfg.farfield_tolerance)
-            if use_cache else 0.0
-        ),
+        d_thresh=d_thresh if use_cache else 0.0,
         defer=(defer_check and lights is None),
         force_exact=force_exact,
         affine=affine,
@@ -2021,9 +2024,7 @@ def _render_frames_scanned(
     sd = omms_p[:, 6] / FWHM_SD_RATIO
 
     def body(carry, key):
-        k_splay, k_spin = jax.random.split(key)
-        splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
-        spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
+        splay, spin = sample_angles_ns(key, sd, samples)
         means = _trace_shade_angles(
             packed_mm, row_counts, attr_table, scene_dev, quad_table,
             omms_p, position, local_space, splay, spin,
@@ -2079,10 +2080,7 @@ def _render_frames_stacked(
     sd = omms_p[:, 6] / FWHM_SD_RATIO
 
     def draw(key):
-        k_splay, k_spin = jax.random.split(key)
-        splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
-        spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
-        return splay, spin
+        return sample_angles_ns(key, sd, samples)
 
     splay_f, spin_f = jax.vmap(draw)(keys)  # (F, Np, S)
     splay = jnp.transpose(splay_f, (1, 0, 2)).reshape(n_pad, f * samples)
@@ -2353,7 +2351,15 @@ def _render_cache(
     # tile as 16x16 pixel BLOCKS (not scanline strips): a block subtends a
     # small solid angle, so its bounding cone culls tightly
     bs = 16
-    assert width % bs == 0 and height % bs == 0
+    assert width % bs == 0 and height % bs == 0, (
+        f"farfield cache width {width} needs width and width//2 to be "
+        f"multiples of {bs}")
+    # the tile grouping below also needs the total pixel count to divide
+    # into 256-direction tiles (ng = n // tile, then a hard reshape): fail
+    # with the constraint named instead of a reshape-size error mid-trace
+    assert n % tile == 0, (
+        f"farfield cache width {width}: width * (width // 2) = {n} must "
+        f"be a multiple of {tile}")
     blocked = (
         dirs.reshape(height // bs, bs, width // bs, bs, 3)
         .transpose(0, 2, 1, 3, 4)

@@ -71,6 +71,27 @@ def sample_angles(
     return splay, spin
 
 
+def sample_angles_ns(
+    key: jax.Array,
+    sd: jnp.ndarray,  # (N,) acceptance / FWHM_SD_RATIO, precomputed
+    samples: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, S)-layout cone-jitter draw — the frame pipeline's native layout
+    (drawing (S, N) and transposing cost a measurable fraction of the
+    frame on three 38 MB tensors).  `sd` comes in precomputed so scan/vmap
+    frame bodies don't rebuild it per frame.
+
+    Every production draw site (single frame, shadow probe, scanned and
+    stacked multi-frame) and the sharded path's global draw delegate here:
+    the sharded-vs-dense and stacked-vs-sequential bit-identity tests rely
+    on there being exactly ONE (N, S) draw implementation."""
+    k_splay, k_spin = jax.random.split(key)
+    n = sd.shape[0]
+    splay = jax.random.normal(k_splay, (n, samples)) * sd[:, None]
+    spin = jax.random.uniform(k_spin, (n, samples)) * jnp.pi
+    return splay, spin
+
+
 def rodrigues_c(px, py, pz, angle, ax, ay, az):
     """Component-planar axis-angle rotation (same math as `rodrigues`).
 

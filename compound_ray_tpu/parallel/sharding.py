@@ -63,17 +63,13 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _draw_angles(key: jax.Array, omms_p: jnp.ndarray, samples: int):
-    """Global (Np, S) cone-jitter draw — identical to the dense frame's, so
-    sharded results can be validated exactly against the dense kernel path
-    (the same angles sliced over the mesh)."""
-    from compound_ray_tpu.eye.sampling import FWHM_SD_RATIO
+    """Global (Np, S) cone-jitter draw — the dense frame's exact
+    implementation (eye.sampling.sample_angles_ns), so sharded results can
+    be validated bit-exactly against the dense kernel path (the same
+    angles sliced over the mesh)."""
+    from compound_ray_tpu.eye.sampling import FWHM_SD_RATIO, sample_angles_ns
 
-    n_pad = omms_p.shape[0]
-    k_splay, k_spin = jax.random.split(key)
-    sd = omms_p[:, 6] / FWHM_SD_RATIO
-    splay = jax.random.normal(k_splay, (n_pad, samples)) * sd[:, None]
-    spin = jax.random.uniform(k_spin, (n_pad, samples)) * jnp.pi
-    return splay, spin
+    return sample_angles_ns(key, omms_p[:, 6] / FWHM_SD_RATIO, samples)
 
 
 def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,

@@ -93,8 +93,24 @@ def _default_unroll() -> int:
     here changes speed only."""
     v = os.environ.get("CR_TPU_UNROLL_B")
     if v is not None:
-        return int(v)
-    return int(load_tuning().get("unroll_b", 1))
+        ub = int(v)
+        # ub < 1 makes both kernels trace ZERO ray batches (nb // ub and
+        # the range(nb % ub) tail are empty for negatives) and emit
+        # uninitialised-VMEM frames with no error — same silent-garbage
+        # class the BATCH_RAYS assert above guards.  Fail loudly.
+        assert ub >= 1, f"CR_TPU_UNROLL_B={ub} must be >= 1"
+        return ub
+    try:
+        ub = int(load_tuning().get("unroll_b", 1))
+    except (TypeError, ValueError):
+        ub = 0
+    if ub < 1:
+        # tuning.json is a machine-written artifact: a corrupt value must
+        # not brick every process at import — warn and run the default
+        print(f"[PyEye] warning: ignoring invalid unroll_b in tuning.json "
+              f"({load_tuning().get('unroll_b')!r}); using 1")
+        return 1
+    return ub
 
 
 UNROLL_B = _default_unroll()
@@ -563,6 +579,9 @@ def run_rows_occlusion(
         f"rb_size={rb_size} must be a multiple of BATCH_RAYS={BATCH_RAYS}")
     if unroll_b is None:
         unroll_b = UNROLL_B
+    assert unroll_b >= 1, (
+        f"unroll_b={unroll_b} must be >= 1 (ub < 1 traces zero ray "
+        f"batches and emits uninitialised frames)")
     if precision is None:
         precision = PRECISION
     t_pad = flat_rows.shape[0]
@@ -653,6 +672,9 @@ def run_packed_tracer(
         f"would go untraced)")
     if unroll_b is None:
         unroll_b = UNROLL_B
+    assert unroll_b >= 1, (
+        f"unroll_b={unroll_b} must be >= 1 (ub < 1 traces zero ray "
+        f"batches and emits uninitialised frames)")
     if precision is None:
         precision = PRECISION
     grid_spec = pltpu.PrefetchScalarGridSpec(
