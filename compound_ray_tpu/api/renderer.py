@@ -35,8 +35,7 @@ from compound_ray_tpu.cameras.types import (
     PerspectiveCamera,
 )
 from compound_ray_tpu.eye.render import render_compound_means, render_compound_samples
-from compound_ray_tpu.projection.project import PROJECTIONS, project_frame
-from compound_ray_tpu.scene.eye_io import Ommatidium, ommatidia_to_array
+from compound_ray_tpu.projection.project import project_frame
 from compound_ray_tpu.scene.flat import FlatScene, load_scene
 from compound_ray_tpu.trace.lighting import default_lights
 from compound_ray_tpu.trace.shade import miss_id
@@ -134,6 +133,12 @@ class EyeRenderer:
         self._camera_data = None
         self._raw_samples = None
         self._device_means = None
+        # device-resident state too: a stale _device_frame would keep the
+        # old scene's frame alive AND be served by get_frame_pointer after
+        # teardown; pending outputs/audit hold device buffers likewise
+        self._device_frame = None
+        self._last_outputs = None
+        self._pending_shadow_audit = None
 
     def set_render_size(self, w: int, h: int) -> None:
         self.width = int(w)
@@ -244,16 +249,20 @@ class EyeRenderer:
                 self._frame_buffer = None  # fetched lazily by get_frame_pointer
         else:
             if self.require_noncompound_pipeline and self.width * self.height > 0:
+                # param stays host-side: the Pallas fast path plans its
+                # tiles from it on the host (np.asarray on a device array
+                # is a blocking per-frame fetch); the XLA path wraps it in
+                # jnp.asarray at its call below
                 if isinstance(cam, PerspectiveCamera):
-                    kind, param = "pinhole", jnp.asarray(cam.scale, jnp.float32)
+                    kind, param = "pinhole", np.asarray(cam.scale, np.float32)
                 elif isinstance(cam, PanoramicCamera):
-                    kind, param = "panoramic", jnp.asarray(
-                        [cam.start_radius], jnp.float32
+                    kind, param = "panoramic", np.asarray(
+                        [cam.start_radius], np.float32
                     )
                 elif isinstance(cam, OrthographicCamera):
-                    kind, param = "orthographic", jnp.asarray(cam.scale, jnp.float32)
+                    kind, param = "orthographic", np.asarray(cam.scale, np.float32)
                 else:
-                    kind, param = "pinhole", jnp.asarray([10.0, 10.0, 1.0], jnp.float32)
+                    kind, param = "pinhole", np.asarray([10.0, 10.0, 1.0], np.float32)
                 frame = self._render_camera_frame(
                     scene_dev, kind, cam, param, background, lights
                 )
@@ -355,11 +364,13 @@ class EyeRenderer:
 
                 samples = cam.samples_per_ommatidium
                 sp = pick_sample_parallel(samples)
+                # pose stays host-side (see _render_raw_samples sharded
+                # note); lights was already gated by self.lighting above
                 means = render_means_sharded_packed_frames(
                     self.scene, scene_dev, cam.ommatidia,
-                    jnp.asarray(pos), jnp.asarray(ls), keys, samples,
+                    pos, ls, keys, samples,
                     background, make_eye_mesh(sample_parallel=sp),
-                    lights=(lights if self.lighting else None),
+                    lights=lights,
                 )
             else:
                 from compound_ray_tpu.eye.pipeline import (
@@ -369,7 +380,7 @@ class EyeRenderer:
                 means = render_means_pallas_frames(
                     self.scene, scene_dev, cam.ommatidia, pos, ls, keys,
                     cam.samples_per_ommatidium, background,
-                    lights=(lights if self.lighting else None),
+                    lights=lights,
                 )
             self._raw_samples = None
             self._device_means = means[-1]
@@ -490,9 +501,13 @@ class EyeRenderer:
 
                 sp = pick_sample_parallel(samples)
                 mesh = make_eye_mesh(sample_parallel=sp)
+                # pose stays host-side: the sharded planner hashes it on
+                # the host (sharding._plan_for_mesh device_gets its input,
+                # so a jnp wrap here costs a blocking ~26 ms round trip
+                # per frame)
                 return render_samples_sharded_packed(
                     self.scene, scene_dev, omms_np,
-                    jnp.asarray(pos), jnp.asarray(ls), key, samples,
+                    pos, ls, key, samples,
                     background, mesh,
                 )
             from compound_ray_tpu.eye.pipeline import render_samples_pallas
@@ -523,11 +538,12 @@ class EyeRenderer:
 
             sp = pick_sample_parallel(samples)
             mesh = make_eye_mesh(sample_parallel=sp)
+            # pose stays host-side (see _render_raw_samples sharded note)
             return render_means_sharded_packed(
                 self.scene, scene_dev, omms_np,
-                jnp.asarray(pos), jnp.asarray(ls), key, samples, background,
+                pos, ls, key, samples, background,
                 mesh,
-                lights=(np.asarray(lights) if self.lighting else None),
+                lights=(np.asarray(lights) if lights is not None else None),
             )
         if backend in ("auto", "pallas"):
             from compound_ray_tpu.eye.pipeline import render_means_pallas
@@ -540,7 +556,7 @@ class EyeRenderer:
             out = render_means_pallas(
                 self.scene, scene_dev, omms_np, pos, ls, key, samples,
                 background,
-                lights=(lights if self.lighting else None),
+                lights=(lights if lit else None),
                 shadow_audit=lit,
             )
             if lit:
@@ -597,10 +613,14 @@ class EyeRenderer:
         return self.scene.cameras[self._current_camera]
 
     def next_camera(self) -> None:
-        self._current_camera = (self._current_camera + 1) % self.get_camera_count()
+        # max(1, ...): cycling an empty scene is a no-op, not a ZeroDivision
+        # (matches goto_camera's guard)
+        self._current_camera = (self._current_camera + 1) % max(
+            1, self.get_camera_count())
 
     def previous_camera(self) -> None:
-        self._current_camera = (self._current_camera - 1) % self.get_camera_count()
+        self._current_camera = (self._current_camera - 1) % max(
+            1, self.get_camera_count())
 
     def get_current_camera_index(self) -> int:
         return self._current_camera
@@ -759,7 +779,7 @@ class EyeRenderer:
         self._frame_number += 1
         means = self._render_means(
             scene_dev, all_omms,
-            jnp.zeros(3, jnp.float32), jnp.eye(3, dtype=jnp.float32),
+            np.zeros(3, np.float32), np.eye(3, dtype=np.float32),
             key, cam.samples_per_ommatidium, background,
             self._lights if self.lighting else None,
         )
@@ -805,9 +825,13 @@ class EyeRenderer:
         for hb in self.scene.hitboxes:
             if hb.name == name:
                 return self._hitbox_world_aabb(hb)[1]
-        for rec in self.scene.mesh_records:
-            if rec.name == name:
-                return np.asarray(rec.world_aabb_max, np.float64)
+        # a multi-primitive glTF mesh stores one record PER PRIMITIVE, all
+        # sharing the mesh name — the reference reports the whole-mesh
+        # world AABB (MulticamScene.cpp:449-461), so aggregate every match
+        maxs = [rec.world_aabb_max for rec in self.scene.mesh_records
+                if rec.name == name]
+        if maxs:
+            return np.max(np.asarray(maxs, np.float64), axis=0)
         return np.zeros(3)
 
     def get_geometry_min_bounds(self, name: str) -> np.ndarray:
@@ -815,7 +839,8 @@ class EyeRenderer:
         for hb in self.scene.hitboxes:
             if hb.name == name:
                 return self._hitbox_world_aabb(hb)[0]
-        for rec in self.scene.mesh_records:
-            if rec.name == name:
-                return np.asarray(rec.world_aabb_min, np.float64)
+        mins = [rec.world_aabb_min for rec in self.scene.mesh_records
+                if rec.name == name]
+        if mins:
+            return np.min(np.asarray(mins, np.float64), axis=0)
         return np.zeros(3)

@@ -209,11 +209,6 @@ def ggx_direct(
             scene, tri, uv_interp, n, metallic, roughness
         )
 
-    f0 = 0.04
-    diff_color = base_color * (1.0 - f0) * (1.0 - metallic[:, None])
-    spec_color = f0 * (1.0 - metallic[:, None]) + base_color * metallic[:, None]
-    alpha = roughness * roughness
-
     view = -dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-20)
     result = base_color
 
@@ -225,25 +220,16 @@ def ggx_direct(
         to_l = lpos[None, :] - p
         l_dist = jnp.linalg.norm(to_l, axis=-1)
         l = to_l / jnp.maximum(l_dist[:, None], 1e-20)
-        h = l + view
-        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
-        _hi = jax.lax.Precision.HIGHEST
-        n_dot_l = jnp.einsum("rc,rc->r", n, l, precision=_hi)
-        n_dot_v = jnp.einsum("rc,rc->r", n, view, precision=_hi)
-        n_dot_h = jnp.einsum("rc,rc->r", n, h, precision=_hi)
-        v_dot_h = jnp.einsum("rc,rc->r", view, h, precision=_hi)
-
-        facing = (n_dot_l > 0.0) & (n_dot_v > 0.0)
         occluded = occlusion_test(
             p, l, scene["v0"], scene["e1"], scene["e2"],
             jnp.float32(0.001), l_dist - 0.001,
         )
-        f = _schlick(spec_color, v_dot_h)
-        g_vis = _vis(n_dot_l, n_dot_v, alpha)[:, None]
-        d = _ggx_normal(n_dot_h, alpha)[:, None]
-        diff = (1.0 - f) * diff_color / jnp.pi
-        spec = f * g_vis * d
-        contrib = lcol[None, :] * lint * n_dot_l[:, None] * (diff + spec)
+        # one BRDF implementation for both lit paths: the packed-kernel
+        # epilogue calls the same function, so the cross-validation between
+        # this XLA fallback and the deferred pipeline tests one maths
+        contrib, facing = ggx_light_contrib(
+            n, view, l, base_color, metallic, roughness, lcol, lint
+        )
         result = result + jnp.where(
             (facing & ~occluded)[:, None] & hit["hit"][:, None], contrib, 0.0
         )

@@ -93,6 +93,38 @@ def miss_color_c(dx, dy, dz, which: int):
     return (jnp.where(on_axis, 0.0, u), jnp.where(on_axis, 0.0, v), zero)
 
 
+def _addr_dynamic(coord, n, mode):
+    """Wrap/clamp/mirror texel addressing with PER-RAY sizes and modes
+    (continuous texel space in, clamped int32 texel index out).  The one
+    implementation behind sample_texture and texture_quad_coords_c — the
+    quad-table and four-gather texture paths agree bit-for-bit only while
+    they share this function (see _addr_static for the static-mode
+    variant)."""
+    nf = n.astype(jnp.float32)
+    wrapped = coord - jnp.floor(coord / nf) * nf  # repeat
+    clamped = jnp.clip(coord, 0.0, nf - 1.0)
+    period = 2.0 * nf
+    m = coord - jnp.floor(coord / period) * period
+    mirrored = jnp.where(m < nf, m, period - 1.0 - m)
+    out = jnp.where(mode == 1, clamped, jnp.where(mode == 2, mirrored, wrapped))
+    return jnp.clip(out, 0.0, nf - 1.0).astype(jnp.int32)
+
+
+def _wrap_index_np(i, n, mode):
+    """Integer texel wrap (numpy, build time): the quad tables bake each
+    texel's +1 neighbours with this — one implementation for the colour
+    and grayscale builders."""
+    import numpy as np
+
+    if mode == 1:  # clamp
+        return np.clip(i, 0, n - 1)
+    if mode == 2:  # mirror
+        p = 2 * n
+        m = i % p
+        return np.where(m < n, m, p - 1 - m)
+    return i % n  # repeat
+
+
 def sample_texture(scene: Dict[str, Any], tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear/nearest texture fetch from the flat atlas, per-ray.
 
@@ -109,16 +141,7 @@ def sample_texture(scene: Dict[str, Any], tex_id: jnp.ndarray, uv: jnp.ndarray) 
     wrap_t = scene["tex_wrap_t"][safe_tex]
     filt = scene["tex_filter"][safe_tex]
 
-    def addr(coord, n, mode):
-        # coord is in continuous texel space; n texels.
-        nf = n.astype(jnp.float32)
-        wrapped = coord - jnp.floor(coord / nf) * nf  # repeat
-        clamped = jnp.clip(coord, 0.0, nf - 1.0)
-        period = 2.0 * nf
-        m = coord - jnp.floor(coord / period) * period
-        mirrored = jnp.where(m < nf, m, period - 1.0 - m)
-        out = jnp.where(mode == 1, clamped, jnp.where(mode == 2, mirrored, wrapped))
-        return jnp.clip(out, 0.0, nf - 1.0).astype(jnp.int32)
+    addr = _addr_dynamic
 
     x = uv[:, 0] * w.astype(jnp.float32) - 0.5
     y = uv[:, 1] * h.astype(jnp.float32) - 0.5
@@ -164,14 +187,7 @@ def build_quad_table(scene: Dict[str, Any]) -> jnp.ndarray:
     wrap_t = np.asarray(scene["tex_wrap_t"])
     out = np.zeros((tex_data.shape[0], 16), np.float32)
 
-    def wrap(i, n, mode):
-        if mode == 1:  # clamp
-            return np.clip(i, 0, n - 1)
-        if mode == 2:  # mirror
-            p = 2 * n
-            m = i % p
-            return np.where(m < n, m, p - 1 - m)
-        return i % n  # repeat
+    wrap = _wrap_index_np
 
     for t in range(len(offs)):
         o, w, h = int(offs[t]), int(ws[t]), int(hs[t])
@@ -205,14 +221,7 @@ def build_quad_table_gray(scene: Dict[str, Any]) -> jnp.ndarray:
     wrap_t = np.asarray(scene["tex_wrap_t"])
     out = np.zeros((tex_data.shape[0], 4), np.float32)
 
-    def wrap(i, n, mode):
-        if mode == 1:  # clamp
-            return np.clip(i, 0, n - 1)
-        if mode == 2:  # mirror
-            p = 2 * n
-            m = i % p
-            return np.where(m < n, m, p - 1 - m)
-        return i % n  # repeat
+    wrap = _wrap_index_np
 
     for t in range(len(offs)):
         o, w, h = int(offs[t]), int(ws[t]), int(hs[t])
@@ -262,15 +271,7 @@ def texture_quad_coords_c(
     wrap_t = scene["tex_wrap_t"][safe_tex]
     filt = scene["tex_filter"][safe_tex]
 
-    def addr(coord, n, mode):
-        nf = n.astype(jnp.float32)
-        wrapped = coord - jnp.floor(coord / nf) * nf
-        clamped = jnp.clip(coord, 0.0, nf - 1.0)
-        period = 2.0 * nf
-        m = coord - jnp.floor(coord / period) * period
-        mirrored = jnp.where(m < nf, m, period - 1.0 - m)
-        out = jnp.where(mode == 1, clamped, jnp.where(mode == 2, mirrored, wrapped))
-        return jnp.clip(out, 0.0, nf - 1.0).astype(jnp.int32)
+    addr = _addr_dynamic
 
     x = cu * w.astype(jnp.float32) - 0.5
     y = cv * h.astype(jnp.float32) - 0.5

@@ -147,3 +147,34 @@ def test_set_get_lights_roundtrip_and_validation():
     r.current_camera().set_position((0.0, 100.0, 0.0))
     r.render_frame()
     assert r.get_camera_data().shape == (64, 3)
+
+
+def test_geometry_bounds_multi_primitive_mesh():
+    # a multi-primitive glTF mesh stores one MeshRecord per primitive, all
+    # sharing the mesh name; the reported bounds must cover ALL of them
+    # (reference computes the whole-mesh world AABB)
+    from compound_ray_tpu.scene.flat import MeshRecord
+
+    r = _renderer_with_box_scene()
+    r.scene.mesh_records = [
+        MeshRecord("tree", np.array([0.0, 0.0, 0.0]),
+                   np.array([1.0, 2.0, 1.0])),
+        MeshRecord("tree", np.array([-1.0, 1.0, 0.0]),
+                   np.array([0.5, 5.0, 1.0])),
+    ]
+    np.testing.assert_allclose(r.get_geometry_min_bounds("tree"),
+                               [-1.0, 0.0, 0.0])
+    np.testing.assert_allclose(r.get_geometry_max_bounds("tree"),
+                               [1.0, 5.0, 1.0])
+    np.testing.assert_allclose(r.get_geometry_min_bounds("absent"), 0.0)
+
+
+def test_camera_cycling_empty_scene_is_noop():
+    from compound_ray_tpu.api.renderer import EyeRenderer
+
+    r = EyeRenderer(verbose=False)
+    r.scene = make_box_scene()
+    r.scene.cameras = []
+    r.next_camera()  # must not raise ZeroDivisionError
+    r.previous_camera()
+    assert r.get_current_camera_index() == 0
