@@ -70,8 +70,16 @@ def _image_fused(
     def pad(x, fill=0.0):
         return jnp.full((n_pad,) + x.shape[1:], fill, x.dtype).at[:n].set(x)
 
-    dirs_p = pad(dirs_n)
-    orig_p = pad(jnp.broadcast_to(origins, (n, 3)))
+    def pad_edge(x):
+        # replicate the LAST real ray into the tail: zero-filled padding
+        # rays would blow the last tile's bounding cone to >= 90 deg
+        # (dot(0, centroid) = 0) and skew its apex/spread, disabling
+        # culling for that tile on any width*height not a TILE multiple
+        return jnp.broadcast_to(x[n - 1], (n_pad,) + x.shape[1:]
+                                ).astype(x.dtype).at[:n].set(x)
+
+    dirs_p = pad_edge(dirs_n)
+    orig_p = pad_edge(jnp.broadcast_to(origins, (n, 3)))
     tmin_p = pad(tmin_w)
 
     ng = n_pad // TILE
@@ -158,6 +166,17 @@ def render_camera_image_fast(
     # allow the full cluster list up to a VMEM-bounded cap; beyond that the
     # nearest-first shortlist truncates the farthest clusters per tile
     kmax = min(splan.num_clusters, 256)
+    if splan.num_clusters > 256 and not getattr(splan, "_fastimg_cap_warned",
+                                                False):
+        # no silent caps: on >256-cluster scenes a tile whose cone admits
+        # more keeps the 256 NEAREST — geometry visible only through a
+        # dropped farther cluster renders as background in that tile.  The
+        # slow path (CR_TPU_BACKEND=xla) is exact.
+        splan._fastimg_cap_warned = True
+        print(f"[PyEye] fast image path: per-tile cluster shortlist capped "
+              f"at 256 of {splan.num_clusters} (nearest-first); distant "
+              f"geometry may drop in wide-view tiles — set "
+              f"CR_TPU_BACKEND=xla for the exact (slower) camera path")
     return _image_fused(
         splan.payload, splan.attr_table, scene_dev, splan.quad_table,
         splan.sphere_center, splan.sphere_radius,

@@ -165,7 +165,15 @@ def render_means_sharded_packed(
     lights: Optional[np.ndarray] = None,  # (L,7) host rows enable lighting
 ) -> jnp.ndarray:
     """Production multi-chip frame on the packed MXU tracer: per-ommatidium
-    means, lit or unlit, over an ("omm", "sample") mesh."""
+    means, lit or unlit, over an ("omm", "sample") mesh.
+
+    Known gap vs the dense path: the out-of-shaft shadow AUDIT
+    (pipeline shadow_audit -> renderer '[PyEye] warning: ... hit outside
+    their memoised shadow shaft') is not threaded through the shard_fn, so
+    multi-device lit frames render the same documented shaft approximation
+    WITHOUT the runtime leak warning.  Plumb shadow_sph + the audit
+    reduction through the shard signature if multi-chip lit accuracy
+    monitoring is needed."""
     splan_args = _plan_for_mesh(
         scene_flat, ommatidia, position, local_space, samples, mesh,
         lights_np=(np.asarray(lights, np.float32)

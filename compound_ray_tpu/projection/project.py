@@ -66,6 +66,11 @@ def _angles_to(ref_vectors: jnp.ndarray, sphere_dirs: jnp.ndarray) -> jnp.ndarra
     return jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
 
 
+# single-chunk budget for the voronoi map's (H, W, chunk) angle tensor
+# (elements, f32): 2^29 = 2 GB keeps every realistic config monolithic
+_VORONOI_CHUNK_ELEMS = 1 << 29
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "split"))
 def voronoi_index_map(
     ref_vectors: jnp.ndarray,  # (N,3) positions or directions
@@ -80,18 +85,47 @@ def voronoi_index_map(
     position.x < 0 and right-half pixels only position.x > 0 — except
     ommatidium 0, which the reference's scan always starts from
     (shaders.cu:519-534)."""
+    return _voronoi_index_map_impl(ref_vectors, width, height, split,
+                                   positions_x, _VORONOI_CHUNK_ELEMS)
+
+
+def _voronoi_index_map_impl(ref_vectors, width, height, split,
+                            positions_x, chunk_elems):
     sphere = _pixel_sphere_dirs(width, height)
-    ang = _angles_to(ref_vectors, sphere)  # (H,W,N)
+    n = ref_vectors.shape[0]
+    # chunk the ommatidium axis: the full (H, W, N) angle tensor is
+    # H*W*N*4 bytes (twice over — dots then angles), which is ~12 GB for a
+    # 640x480 buffer against a 10k-ommatidium eye.  A running min over
+    # index-ordered chunks bounds memory at O(H*W*chunk); strict `<`
+    # across chunks preserves argmin's first-occurrence tie-breaking.
+    # The 2^29-element budget (2 GB/chunk) keeps every realistic config
+    # in ONE chunk — the historical monolithic path, bit-identical — and
+    # chunks only where the old code would have OOMed.  (Chunked results
+    # can flip razor-thin Voronoi-boundary ties by an XLA tiling ulp:
+    # measured 1 px per 262k at equal angle to 6 decimals.)
+    chunk = max(1, min(n, chunk_elems // max(1, width * height)))
     if split:
         xs = jnp.arange(width, dtype=jnp.float32) / width  # uv.x per column
         left = (xs < 0.5)[None, :, None]  # (1,W,1)
-        px = positions_x[None, None, :]  # (1,1,N)
-        eligible = ((px > 0) & ~left) | ((px < 0) & left)
-        n = ref_vectors.shape[0]
-        always0 = jnp.arange(n) == 0
-        eligible = eligible | always0[None, None, :]
-        ang = jnp.where(eligible, ang, jnp.inf)
-    return jnp.argmin(ang, axis=-1).astype(jnp.int32)
+    best_ang = jnp.full((height, width), jnp.inf, jnp.float32)
+    best_idx = jnp.zeros((height, width), jnp.int32)
+    for c0 in range(0, n, chunk):
+        sub = ref_vectors[c0:c0 + chunk]
+        ang = _angles_to(sub, sphere)  # (H,W,chunk)
+        if split:
+            px = positions_x[c0:c0 + chunk][None, None, :]  # (1,1,chunk)
+            eligible = ((px > 0) & ~left) | ((px < 0) & left)
+            # ommatidium 0 is globally always eligible (the reference's
+            # scan starts from it, shaders.cu:519-534)
+            always0 = (jnp.arange(sub.shape[0]) + c0) == 0
+            eligible = eligible | always0[None, None, :]
+            ang = jnp.where(eligible, ang, jnp.inf)
+        idx = jnp.argmin(ang, axis=-1).astype(jnp.int32)
+        amin = jnp.min(ang, axis=-1)
+        upd = amin < best_ang
+        best_idx = jnp.where(upd, idx + c0, best_idx)
+        best_ang = jnp.where(upd, amin, best_ang)
+    return best_idx
 
 
 def _encode_ids(idx_map: jnp.ndarray) -> jnp.ndarray:

@@ -157,12 +157,6 @@ class BlendFile:
     def read_ptr(self, data: bytes, off: int) -> int:
         return struct.unpack_from("<Q", data, off)[0]
 
-    def iter_struct(self, block: _Block, struct_name: str):
-        size = self.tlens[self.struct_by_type[struct_name] and
-                          self.structs[self.struct_by_type[struct_name]][0]]
-        size = self.tlens[self.structs[self.struct_by_type[struct_name]][0]]
-        for i in range(block.count):
-            yield block.data[i * size : (i + 1) * size]
 
 
 def _object_name(fb: BlendFile, data: bytes, lay_ob, lay_id) -> str:
@@ -221,27 +215,29 @@ def load_blend_meshes(path: str):
         if not (vb and pb and lb):
             continue
 
+        def bulk_field(buf, count, stride, off, nbytes, dtype):
+            # fixed-stride bulk decode (one numpy pass, not one
+            # frombuffer/unpack call per element — interpreter-bound on
+            # million-vertex meshes): slice the field bytes out of the
+            # (count, stride) row view, then reinterpret
+            raw = np.frombuffer(buf, np.uint8, count * stride)
+            rows = raw.reshape(count, stride)[:, off:off + nbytes]
+            return np.ascontiguousarray(rows).view(dtype)
+
         co_off = lay_mvert["co"][0]
-        verts = np.stack([
-            np.frombuffer(vb.data, np.float32, 3, i * mvert_size + co_off)
-            for i in range(totvert)
-        ])
+        verts = bulk_field(vb.data, totvert, mvert_size, co_off, 12,
+                           np.float32)
         loop_v_off = lay_mloop["v"][0]
-        loops = np.array([
-            struct.unpack_from("<i", lb.data, i * mloop_size + loop_v_off)[0]
-            for i in range(totloop)
-        ], np.int64)
+        loops = bulk_field(lb.data, totloop, mloop_size, loop_v_off, 4,
+                           np.int32).ravel().astype(np.int64)
         # optional per-loop UVs
         uvs = None
         if lay_mluv and "mloopuv" in lay_me:
             ub = fb.by_ptr.get(fb.read_ptr(md, lay_me["mloopuv"][0]))
             if ub is not None:
                 uv_off = lay_mluv["uv"][0]
-                uvs = np.stack([
-                    np.frombuffer(ub.data, np.float32, 2,
-                                  i * mluv_size + uv_off)
-                    for i in range(totloop)
-                ])
+                uvs = bulk_field(ub.data, totloop, mluv_size, uv_off, 8,
+                                 np.float32)
                 # Blender UV origin is bottom-left; glTF's is top-left —
                 # exporters flip V, and the texture pipeline here follows
                 # the glTF convention (image row 0 at v=0)
@@ -249,21 +245,43 @@ def load_blend_meshes(path: str):
 
         ls_off = lay_mpoly["loopstart"][0]
         tl_off = lay_mpoly["totloop"][0]
-        faces = []
-        face_uvs = [] if uvs is not None else None
-        for i in range(totpoly):
-            base = i * mpoly_size
-            lstart = struct.unpack_from("<i", pb.data, base + ls_off)[0]
-            ltot = struct.unpack_from("<i", pb.data, base + tl_off)[0]
-            poly = loops[lstart : lstart + ltot]
-            for k in range(1, ltot - 1):  # fan triangulation
-                faces.append((poly[0], poly[k], poly[k + 1]))
-                if face_uvs is not None:
-                    face_uvs.append((uvs[lstart], uvs[lstart + k],
-                                     uvs[lstart + k + 1]))
-        faces = np.array(faces, np.int64)
-        face_uvs = (np.asarray(face_uvs, np.float32)
-                    if face_uvs is not None else None)
+        lstarts = bulk_field(pb.data, totpoly, mpoly_size, ls_off, 4,
+                             np.int32).ravel()
+        ltots = bulk_field(pb.data, totpoly, mpoly_size, tl_off, 4,
+                           np.int32).ravel()
+        if totpoly and ltots.min() >= 3 and np.all(ltots == ltots[0]):
+            # uniform polygon size (all-tri / all-quad meshes — the common
+            # case): vectorised fan triangulation, SAME face order as the
+            # sequential loop (poly-major, fan-corner-minor)
+            t = int(ltots[0])
+            k = np.arange(1, t - 1)
+            ka = lstarts[:, None] + k[None, :]  # (P, t-2)
+            i0 = np.broadcast_to(loops[lstarts][:, None], ka.shape)
+            faces = np.stack([i0, loops[ka], loops[ka + 1]],
+                             axis=-1).reshape(-1, 3)
+            if uvs is not None:
+                u0 = np.broadcast_to(uvs[lstarts][:, None, :],
+                                     ka.shape + (2,))
+                face_uvs = np.stack([u0, uvs[ka], uvs[ka + 1]],
+                                    axis=2).reshape(-1, 3, 2)
+            else:
+                face_uvs = None
+        else:  # mixed polygon sizes: sequential fan (bulk-decoded fields)
+            faces = []
+            face_uvs = [] if uvs is not None else None
+            for i in range(totpoly):
+                lstart = int(lstarts[i])
+                ltot = int(ltots[i])
+                poly = loops[lstart : lstart + ltot]
+                for k in range(1, ltot - 1):  # fan triangulation
+                    faces.append((poly[0], poly[k], poly[k + 1]))
+                    if face_uvs is not None:
+                        face_uvs.append((uvs[lstart], uvs[lstart + k],
+                                         uvs[lstart + k + 1]))
+            faces = np.array(faces, np.int64)
+            face_uvs = (np.asarray(face_uvs, np.float32)
+                        if face_uvs is not None else None)
+        faces = faces.astype(np.int64)
 
         # meshes without a material export with the glTF DEFAULT material:
         # baseColorFactor (1,1,1) white — not Blender's 0.8 viewport gray
@@ -339,44 +357,27 @@ def _node_base_color(fb: BlendFile, mat_block, lay_mat):
     Material.nodetree -> nodes listbase -> inputs listbase; returns None
     when anything along the chain is absent."""
     try:
-        if ("use_nodes" not in lay_mat or "nodetree" not in lay_mat
-                or not mat_block.data[lay_mat["use_nodes"][0]]):
-            return None
-        tree = fb.by_ptr.get(
-            fb.read_ptr(mat_block.data, lay_mat["nodetree"][0])
-        )
-        if tree is None or "bNode" not in fb.struct_by_type:
-            return None
-        lay_tree = fb.layout("bNodeTree")
-        lay_node = fb.layout("bNode")
-        lay_sock = fb.layout("bNodeSocket")
-        node_ptr = fb.read_ptr(tree.data, lay_tree["nodes"][0])  # first
-        while node_ptr:
-            node = fb.by_ptr.get(node_ptr)
-            if node is None:
-                return None
-            idname = node.data[
-                lay_node["idname"][0]:lay_node["idname"][0] + 64
-            ].split(b"\0", 1)[0]
-            if idname == b"ShaderNodeBsdfPrincipled":
-                sock_ptr = fb.read_ptr(node.data, lay_node["inputs"][0])
-                while sock_ptr:
-                    sock = fb.by_ptr.get(sock_ptr)
-                    if sock is None:
+        for idname, node, lay_node in _walk_nodes(fb, mat_block, lay_mat):
+            if idname != b"ShaderNodeBsdfPrincipled":
+                continue
+            lay_sock = fb.layout("bNodeSocket")
+            sock_ptr = fb.read_ptr(node.data, lay_node["inputs"][0])
+            while sock_ptr:
+                sock = fb.by_ptr.get(sock_ptr)
+                if sock is None:
+                    return None
+                sname = sock.data[
+                    lay_sock["name"][0]:lay_sock["name"][0] + 64
+                ].split(b"\0", 1)[0]
+                if sname == b"Base Color":
+                    val = fb.by_ptr.get(fb.read_ptr(
+                        sock.data, lay_sock["default_value"][0]
+                    ))
+                    if val is None or len(val.data) < 12:
                         return None
-                    sname = sock.data[
-                        lay_sock["name"][0]:lay_sock["name"][0] + 64
-                    ].split(b"\0", 1)[0]
-                    if sname == b"Base Color":
-                        val = fb.by_ptr.get(fb.read_ptr(
-                            sock.data, lay_sock["default_value"][0]
-                        ))
-                        if val is None or len(val.data) < 12:
-                            return None
-                        return np.frombuffer(val.data, np.float32, 3)
-                    sock_ptr = fb.read_ptr(sock.data, lay_sock["next"][0])
-                return None
-            node_ptr = fb.read_ptr(node.data, lay_node["next"][0])
+                    return np.frombuffer(val.data, np.float32, 3)
+                sock_ptr = fb.read_ptr(sock.data, lay_sock["next"][0])
+            return None
     except Exception:
         return None
     return None
@@ -648,8 +649,13 @@ def load_blend_scene(path: str, background: str = "simple_sky",
     )
     scene.source_path = path
 
-    if textures:
-        _apply_textures(scene, meshes, textures)
+    # ALWAYS route colours through per-mesh materials (raw, like a glTF
+    # export's baseColorFactor): the vertex-colour fallback built above is
+    # linear data that trace/shade.py would pow-2.2 a SECOND time,
+    # double-darkening every untextured load (0.8 gray -> 0.8^2.2 = 0.61).
+    # _apply_textures zeroes has_color and builds mat_base_color whether
+    # or not any texture is supplied.
+    _apply_textures(scene, meshes, textures or {})
     if cameras:
         try:
             _build_blend_cameras(scene, path, y_up)

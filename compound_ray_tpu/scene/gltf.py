@@ -206,8 +206,8 @@ def load_gltf(path: str) -> GLTFDocument:
         head = f.read(4)
         f.seek(0)
         if head == b"glTF":
-            magic, version, _length = struct.unpack("<III", f.read(12))
-            assert magic == 0x46546C67 or True
+            # the b"glTF" sniff above IS the magic check (0x46546C67 LE)
+            _magic, version, _length = struct.unpack("<III", f.read(12))
             doc_json = None
             glb_bin = None
             data = f.read()

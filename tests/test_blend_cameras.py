@@ -231,3 +231,20 @@ def test_bad_camera_markup_skips_only_that_camera(tmp_path, monkeypatch, capsys)
     B._build_blend_cameras(scene, str(tmp_path / "x.blend"), True)
     assert [c.name for c in scene.cameras] == ["survivor"]
     assert "skipping .blend camera 'broken'" in capsys.readouterr().out
+
+
+def test_untextured_blend_routes_colors_through_materials():
+    """Double-gamma regression: an untextured .blend load must carry its
+    material colours RAW in mat_base_color (like a glTF baseColorFactor),
+    never as vertex colours — trace/shade.py pow-2.2s vertex colours, so
+    the old vertex-colour fallback double-darkened every untextured load
+    (0.8 gray rendered as 0.8^2.2 = 0.61)."""
+    import numpy as np
+
+    scene = load_blend_scene(OFSTAD_BLEND, cameras=False)  # no textures
+    assert not scene.has_color.any()
+    assert scene.mat_base_color.shape[1] == 4
+    # the arena walls carry a non-default material colour, raw
+    assert scene.mat_base_color[:, :3].max() <= 1.0
+    assert scene.mat_id.shape[0] == scene.num_triangles
+    assert np.all(scene.mat_tex == -1)

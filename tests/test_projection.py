@@ -110,3 +110,44 @@ def test_split_projection_sides():
     right_ids = np.unique(idx[:, 16:])
     for i in right_ids:
         assert pos_x[i] > 0 or i == 0
+
+
+def test_voronoi_chunked_matches_monolithic():
+    """The chunked ommatidium-axis path (memory bound for huge eye x frame
+    products) must match the monolithic computation; disagreements are only
+    permitted on razor-thin Voronoi-boundary ties (XLA tiling ulps)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from compound_ray_tpu.projection import project as P
+
+    rng = np.random.default_rng(0)
+    refs = rng.normal(size=(700, 3)).astype(np.float32)
+    px = refs[:, 0].copy()
+    W = H = 96
+    mono = np.asarray(P._voronoi_index_map_impl(
+        jnp.asarray(refs), W, H, True, jnp.asarray(px), 1 << 62))
+    for chunk_elems in (W * H * 97, W * H * 256):  # 8 and 3 chunks
+        chunked = np.asarray(P._voronoi_index_map_impl(
+            jnp.asarray(refs), W, H, True, jnp.asarray(px), chunk_elems))
+        diff = chunked != mono
+        assert diff.mean() < 1e-4, f"{diff.sum()} disagreements"
+        if diff.any():
+            # every disagreement must be an equal-angle boundary tie
+            sphere = np.asarray(P._pixel_sphere_dirs(W, H))
+            for y, x in zip(*np.nonzero(diff)):
+                a = refs[chunked[y, x]] / np.linalg.norm(refs[chunked[y, x]])
+                b = refs[mono[y, x]] / np.linalg.norm(refs[mono[y, x]])
+                d = sphere[y, x] / np.linalg.norm(sphere[y, x])
+                ang_a = np.arccos(np.clip(np.dot(a, d), -1, 1))
+                ang_b = np.arccos(np.clip(np.dot(b, d), -1, 1))
+                assert abs(ang_a - ang_b) < 1e-4
+
+
+def test_voronoi_default_budget_is_single_chunk():
+    # every realistic config must ride the historical monolithic path
+    # (bit-identical goldens): 400x400 display x 3000 omms fits one chunk
+    from compound_ray_tpu.projection import project as P
+
+    assert 400 * 400 * 3000 <= P._VORONOI_CHUNK_ELEMS
