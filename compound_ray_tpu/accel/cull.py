@@ -2,8 +2,9 @@
 
 Each ommatidium's Gaussian splay (sigma = acceptance/FWHM_SD_RATIO,
 shaders.cu:693-696) is truncated at `cull_sigmas` standard deviations to get
-a hard cone half-angle; the probability mass outside 5 sigma is ~6e-7, far
-below the <1% fidelity budget (BASELINE.md).  The cone-vs-cluster test is a
+a hard cone half-angle.  Production runs config.py's default of 4.0 sigma
+(mass outside ~6.3e-5, comfortably below the <1% fidelity budget,
+BASELINE.md); CR_TPU_CULL_SIGMAS widens it.  The cone-vs-cluster test is a
 conservative apex/axis/half-angle vs bounding-sphere comparison: intersect if
 
     angle(axis, c - apex) <= half_angle + angular_radius(sphere)
@@ -51,9 +52,14 @@ def cone_cull_clusters(
     local_space: jnp.ndarray,
     sphere_center: jnp.ndarray,  # (C,3)
     sphere_radius: jnp.ndarray,  # (C,)
-    cull_sigmas: float = 5.0,
+    cull_sigmas: float = 4.0,  # matches RenderConfig.cull_sigmas
 ) -> Dict[str, jnp.ndarray]:
-    """Returns {'mask': (N,C) bool, 'count': (N,) int32}."""
+    """Returns {'mask': (N,C) bool, 'count': (N,) int32}.
+
+    `count` is UNclamped: callers that shortlist into k slots must clamp
+    (or size k >= count.max()) — shortlist_from_mask silently drops
+    clusters past k and marks all k slots valid, so an oversized count is
+    otherwise indistinguishable from an exact fit."""
     apex, axis = eye_world_geometry(ommatidia, position, local_space)
     half_angle = jnp.minimum(
         ommatidia[:, 6] / FWHM_SD_RATIO * cull_sigmas, jnp.pi

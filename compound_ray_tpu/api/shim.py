@@ -202,7 +202,11 @@ class EyeRendererShim:
         # accepts a ctypes array of c_ommatidiumPacket, a numpy (N,8) array,
         # or a list of Ommatidium objects
         if isinstance(omms, np.ndarray):
-            arr = omms
+            # honor count like the reference C ABI (and the ctypes branch
+            # below): scripts reuse one oversized buffer and pass the live
+            # record count — taking every row would add stale ommatidia
+            arr = (omms[: int(_unwrap(count))] if count is not None
+                   else omms)
         elif hasattr(omms, "_length_"):  # ctypes array
             n = int(_unwrap(count)) if count is not None else omms._length_
             arr = np.zeros((n, 8), np.float32)

@@ -23,6 +23,14 @@ TUNING_PATH = os.path.join(
     os.path.dirname(__file__), "..", "artifacts", "tuning.json")
 
 
+def _env_bool(s: str) -> bool:
+    """Case-insensitive boolean env parsing where the EMPTY string is
+    false: `CR_TPU_AFFINE_RAYS=` must disable the feature (the repo's own
+    empty-means-off convention, e.g. PALLAS_AXON_POOL_IPS=), and "False"/
+    "OFF" must not silently enable it."""
+    return s.strip().lower() not in ("", "0", "false", "off", "no")
+
+
 def load_tuning() -> dict:
     try:
         with open(TUNING_PATH) as f:
@@ -113,10 +121,8 @@ class RenderConfig:
             "CR_TPU_SHADOW_STORE": ("shadow_store_size", int),
             "CR_TPU_REFINE": ("refine_mode", str),
             "CR_TPU_BF16_TABLE": ("big_table_bf16_bytes", int),
-            "CR_TPU_SPEC_WIDTHS": ("speculative_widths",
-                                   lambda s: s not in ("0", "false", "off")),
-            "CR_TPU_AFFINE_RAYS": ("affine_rays",
-                                   lambda s: s not in ("0", "false", "off")),
+            "CR_TPU_SPEC_WIDTHS": ("speculative_widths", _env_bool),
+            "CR_TPU_AFFINE_RAYS": ("affine_rays", _env_bool),
         }
         # measured-on-TPU adoptions apply below env defaults: an explicit
         # CR_TPU_* always wins

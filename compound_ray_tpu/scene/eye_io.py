@@ -10,10 +10,15 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
 import numpy as np
+
+# a C strtof-acceptable float prefix (decimal forms; the .eye format never
+# carries inf/nan/hex floats) — see read_eye_file's fallback tokenizer
+_FLOAT_PREFIX = re.compile(r"^[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
 
 
 @dataclass
@@ -85,8 +90,19 @@ def read_eye_file(path: str) -> List[Ommatidium]:
             for tok in line.split():
                 try:
                     vals.append(float(tok))
+                    continue
                 except ValueError:
-                    break  # stop at the first non-numeric token, like strtof
+                    pass
+                # strtof semantics (the native parser): a numeric PREFIX
+                # parses ("0.5x" -> 0.5) and consumption stops there — the
+                # leftover suffix makes the NEXT strtof fail, ending the
+                # row.  A token with no numeric prefix ends the row with
+                # no value.  Without this, the same .eye file parsed
+                # differently depending on whether native/ was built.
+                m = _FLOAT_PREFIX.match(tok)
+                if m:
+                    vals.append(float(m.group(0)))
+                break
             if len(vals) < 7:
                 raise ValueError(
                     f"{path}: line {line_no} is not a valid .eye row "

@@ -216,13 +216,18 @@ def _tracer_kernel_body(
         cp_ids.wait()
         cp_dmin.wait()
 
+        # clamp ONCE: tri_vmem/sem_tri are kmax-sized, so an unclamped
+        # cnt would DMA out of scratch bounds (the compute loop's per-step
+        # jc guard cannot protect these loops)
+        cnt_c = jnp.minimum(cnt, kmax)
+
         def dma_start(j, _):
             pltpu.make_async_copy(
                 tri_hbm.at[ids_smem[0, j]], tri_vmem.at[j], sem_tri.at[j]
             ).start()
             return 0
 
-        jax.lax.fori_loop(0, cnt, dma_start, 0)
+        jax.lax.fori_loop(0, cnt_c, dma_start, 0)
 
         def dma_wait(j, _):
             pltpu.make_async_copy(
@@ -230,7 +235,7 @@ def _tracer_kernel_body(
             ).wait()
             return 0
 
-        jax.lax.fori_loop(0, cnt, dma_wait, 0)
+        jax.lax.fori_loop(0, cnt_c, dma_wait, 0)
 
     big = jnp.float32(jnp.inf)
     RS = BATCH_RAYS  # rays per batch (loop/winner overhead amortiser)
@@ -305,7 +310,12 @@ def _tracer_kernel_body(
 
             def cluster_cond(j):
                 jd = jnp.minimum(j, kp - 1)
-                return (j < cnt) & (jnp.max(best_vmem[0]) > dmin_smem[0, jd])
+                # worst ray's CURRENT winner = max over rays of min over
+                # lanes (never-hit lanes hold +inf, so a plain max over the
+                # whole buffer is +inf until every lane hits — i.e. never —
+                # which silently disabled the early exit entirely)
+                worst = jnp.max(jnp.min(best_vmem[0], axis=1))
+                return (j < cnt) & (worst > dmin_smem[0, jd])
 
             jax.lax.while_loop(cluster_cond, cluster_body, jnp.int32(0))
             final = tuple(best_vmem[i] for i in range(NB))
@@ -360,8 +370,16 @@ def run_tracer_kernel(
     kmax: int,
     early_exit: bool = False,
 ) -> jnp.ndarray:
-    """Returns (R, 8) rows [t, u, v, cluster-id, lane, 0, 0, 0];
-    t = +inf on miss.  Resolve attributes with eye.pipeline's epilogue."""
+    """Returns (R, 8) rows [t, u, v, cluster-id, lane, ?, ?, ?];
+    t = +inf on miss.  Columns 5-7 are UNDEFINED (never written — the CPU
+    interpreter happens to zero them, compiled TPU VMEM does not), as are
+    all columns of cnt==0 groups; the epilogue masks by group count and
+    reads columns 0-4 only.  Resolve attributes with eye.pipeline's
+    epilogue."""
+    assert rb_size % BATCH_RAYS == 0, (
+        f"rb_size={rb_size} must be a multiple of BATCH_RAYS={BATCH_RAYS} "
+        f"(the kernel traces rb_size // {BATCH_RAYS} batches — a remainder "
+        f"would leave tail rays with uninitialised output)")
     # (NG, 1, KP): the tiled last-two dims stay whole; only the untiled
     # leading group dim is sliced by the per-group DMA
     ids = ids.reshape(ids.shape[0], 1, ids.shape[1])

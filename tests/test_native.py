@@ -174,3 +174,64 @@ def test_hitbox_contains_consistency():
     )
     assert hb2.contains((2.3, 2.1, 3.2))  # obj (1.15, 2.1, 3.2): inside
     assert not hb2.contains((6.5, 2.1, 3.2))  # obj (3.25, ...): outside
+
+
+def test_eye_parser_native_and_fallback_agree_on_strtof_rows(tmp_path):
+    """The pure-Python fallback promises 'identical behaviour' to the
+    native strtof parser — including numeric-PREFIX tokens ('0.5x' parses
+    as 0.5 and ends the row; '8.0mm' as focal 8.0)."""
+    import numpy as np
+    import pytest
+
+    from compound_ray_tpu.scene import eye_io
+
+    p = tmp_path / "tricky.eye"
+    p.write_text(
+        "1 2 3 4 5 6 0.5x\n"          # prefix on the acceptance field
+        "1 2 3 4 5 6 0.7 8.0mm\n"     # prefix on the focal field
+        "1 2 3 4 5 6 0.7 0.1 junk\n"  # trailing junk after valid fields
+    )
+    try:
+        from compound_ray_tpu import native_ext
+        native = native_ext.parse_eye_file(str(p))
+    except Exception:
+        native = None
+    # force the fallback by parsing with the native module masked
+    import unittest.mock as mock
+
+    with mock.patch.dict("sys.modules",
+                         {"compound_ray_tpu.native_ext": None}):
+        fb = eye_io.read_eye_file(str(p))
+    assert len(fb) == 3
+    assert fb[0].acceptance_angle == pytest.approx(0.5)
+    assert fb[0].focal_point_offset == 0.0
+    assert fb[1].focal_point_offset == pytest.approx(8.0)
+    assert fb[2].focal_point_offset == pytest.approx(0.1)
+    if native is not None:
+        got = np.asarray(
+            eye_io.ommatidia_to_array(eye_io.array_to_ommatidia(native)))
+        want = np.asarray(eye_io.ommatidia_to_array(fb))
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_shim_set_ommatidia_numpy_honors_count():
+    import ctypes
+
+    import numpy as np
+
+    from compound_ray_tpu.api import shim
+    from compound_ray_tpu.api.renderer import EyeRenderer
+    from compound_ray_tpu.cameras.types import CompoundEyeCamera
+    from compound_ray_tpu.testing import make_box_scene, make_sphere_eye
+
+    r = EyeRenderer(verbose=False)
+    lib = shim.EyeRendererShim(r)
+    r.scene = make_box_scene()
+    cam = CompoundEyeCamera("eye", "single_dimension_fast",
+                            make_sphere_eye(8))
+    r.scene.cameras.append(cam)
+    buf = np.zeros((16, 8), np.float32)  # oversized reuse buffer
+    buf[:5, 3] = 1.0  # live rows have a valid direction
+    buf[:5, 6] = 0.1
+    lib.setOmmatidia(buf, ctypes.c_size_t(5))
+    assert r.current_camera().ommatidia.shape[0] == 5
