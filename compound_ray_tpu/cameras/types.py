@@ -23,8 +23,12 @@ def rotate_point(point: np.ndarray, angle: float, axis: np.ndarray) -> np.ndarra
     (DataRecordCamera.h:96-100)."""
     axis = np.asarray(axis, dtype=np.float64)
     n = np.linalg.norm(axis)
-    if n > 0:
-        axis = axis / n
+    if n == 0:
+        # ill-defined input: rotating about a zero axis is identity here
+        # (the reference's unconditional normalize NaNs the whole basis;
+        # skipping normalisation would silently SCALE point by cos(angle))
+        return np.asarray(point, dtype=np.float64)
+    axis = axis / n
     c, s = math.cos(angle), math.sin(angle)
     return (
         c * point
@@ -121,7 +125,9 @@ class PerspectiveCamera(Camera):
     def set_x_fov(self, xfov_deg: float) -> None:
         xfov = math.radians(xfov_deg)
         self.scale[0] = math.tan(xfov / 2.0) * self.scale[2]
-        self.scale[1] = self.scale[1] / self.aspect_ratio
+        # y tracks the NEW x extent (mirror of set_y_fov); deriving it
+        # from the old scale[1] shrank y on every call
+        self.scale[1] = self.scale[0] / self.aspect_ratio
 
     def set_aspect_ratio(self, r: float) -> None:
         self.aspect_ratio = r

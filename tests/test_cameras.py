@@ -26,6 +26,15 @@ def test_rotate_point_unnormalised_axis():
     np.testing.assert_allclose(a, b, atol=1e-12)
 
 
+def test_rotate_point_zero_axis_is_identity():
+    # a zero axis is ill-defined; we return the point unchanged rather than
+    # NaN-ing (reference divides by 0) or scaling by cos(angle)
+    p = np.array([1.0, 2.0, 3.0])
+    out = rotate_point(p, 0.7, np.zeros(3))
+    np.testing.assert_allclose(out, p, atol=0)
+    assert np.all(np.isfinite(out))
+
+
 def test_camera_rotate_preserves_orthonormal():
     cam = PerspectiveCamera("c")
     cam.rotate_around(0.7, (1.0, 2.0, 0.5))
@@ -63,6 +72,22 @@ def test_fov_math():
     cam.set_aspect_ratio(2.0)
     assert np.isclose(cam.scale[0], 2.0)
     assert np.isclose(cam.scale[1], 1.0)
+
+
+def test_set_x_fov_mirrors_set_y_fov():
+    cam = PerspectiveCamera("c")
+    cam.set_aspect_ratio(2.0)
+    cam.set_x_fov(90.0)
+    assert np.isclose(cam.scale[0], 1.0)
+    assert np.isclose(cam.scale[1], 0.5)  # y = x / aspect
+    # idempotent: repeated calls must not keep shrinking y
+    cam.set_x_fov(90.0)
+    assert np.isclose(cam.scale[1], 0.5)
+    # round-trips with set_y_fov at the same implied fov pair
+    other = PerspectiveCamera("o")
+    other.set_aspect_ratio(2.0)
+    other.set_y_fov(math.degrees(2.0 * math.atan(0.5)))
+    np.testing.assert_allclose(cam.scale, other.scale, atol=1e-12)
 
 
 def test_compound_sample_reset():
