@@ -86,7 +86,6 @@ class EyeRenderer:
         self.lighting = False  # params.lighting (libEyeRenderer.cpp:127)
         self._lights: Optional[np.ndarray] = None
         self._current_camera = 0
-        self._frame_number = 0
         self._frame_buffer: Optional[np.ndarray] = None  # (H,W,4) uint8
         self._device_frame = None  # device-resident frame (lazy host copy)
         self._camera_data: Optional[np.ndarray] = None  # (N,3) float32 means
@@ -120,7 +119,6 @@ class EyeRenderer:
         else:
             self.scene = load_scene(filepath, root_transform)
         self._current_camera = 0
-        self._frame_number = 0
         self._lights = default_lights(self.scene.aabb_min, self.scene.aabb_max)
         self._log(f"Loaded scene '{filepath}' "
                   f"({self.scene.num_triangles} triangles, "
@@ -205,7 +203,11 @@ class EyeRenderer:
 
         outputs = []
         if isinstance(cam, CompoundEyeCamera):
-            key = _frame_key(self._frame_number)
+            # RNG stream is PER EYE and restarts when the sample count (or
+            # ommatidial layout) changes — the reference's curand re-init
+            # semantics (CompoundEye.cpp:271-280); cameras/types.py owns the
+            # resets, this is the only advance site besides the burst path
+            key = _frame_key(cam.rng_frame)
             omms_np = cam.ommatidia
             omms, omm_pos, omm_dir = cam.device_ommatidia()
             # pose stays host-side: the pipeline hashes it for plan caching
@@ -227,7 +229,7 @@ class EyeRenderer:
                 )
             outputs.append(self._device_means)
             self._camera_data = None  # lazily fetched in get_camera_data
-            self._frame_number += 1
+            cam.rng_frame += 1
 
             if self.require_noncompound_pipeline and self.width * self.height > 0:
                 raw_in = (
@@ -352,7 +354,7 @@ class EyeRenderer:
             scene_dev = self._scene_dev()
             background = miss_id(self.scene.background_shader)
             lights = self._lights if self.lighting else None
-            keys = _frame_keys(self._frame_number, n)
+            keys = _frame_keys(cam.rng_frame, n)
             pos = np.asarray(cam.position, np.float32)
             ls = np.asarray(cam.local_space, np.float32)
             if route == "sharded":
@@ -385,7 +387,7 @@ class EyeRenderer:
             self._raw_samples = None
             self._device_means = means[-1]
             self._camera_data = None
-            self._frame_number += n
+            cam.rng_frame += n
             outputs = [self._device_means]
             if self.require_noncompound_pipeline and self.width * self.height > 0:
                 omms, omm_pos, omm_dir = cam.device_ommatidia()
@@ -775,8 +777,8 @@ class EyeRenderer:
 
         scene_dev = self._scene_dev()
         background = miss_id(self.scene.background_shader)
-        key = _frame_key(self._frame_number)
-        self._frame_number += 1
+        key = _frame_key(cam.rng_frame)
+        cam.rng_frame += 1
         means = self._render_means(
             scene_dev, all_omms,
             np.zeros(3, np.float32), np.eye(3, dtype=np.float32),

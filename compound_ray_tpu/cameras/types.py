@@ -198,9 +198,11 @@ class CompoundEyeCamera(Camera):
         self.eye_data_path = eye_data_path
         self.ommatidia = ommatidia_to_array(ommatidia)  # (N, 8) float32
         self.samples_per_ommatidium = 1
-        # Analogue of randomsConfigured/frame for RNG reproducibility: a frame
-        # counter folded into the counter-based PRNG key.  Sample-count changes
-        # reset it (reference resets curand states: CompoundEye.cpp:271-280).
+        # Analogue of randomsConfigured for RNG reproducibility: a per-eye
+        # frame counter folded into the counter-based PRNG key by the render
+        # paths.  set_samples_per_ommatidium resets it (the reference
+        # re-inits curand states there: CompoundEye.cpp:271-280), as does an
+        # ommatidial-count change.
         self.rng_frame = 0
         self._dev_cache = None  # (omms, positions, directions) device copies
 
@@ -223,17 +225,23 @@ class CompoundEyeCamera(Camera):
     def set_ommatidia(self, omms) -> None:
         from compound_ray_tpu.scene.eye_io import ommatidia_to_array
 
+        old_count = self.ommatidia.shape[0]
         if isinstance(omms, np.ndarray):
             self.ommatidia = np.asarray(omms, dtype=np.float32).reshape(-1, 8)
         else:
             self.ommatidia = ommatidia_to_array(list(omms))
         self._dev_cache = None
+        if self.ommatidia.shape[0] != old_count:
+            # reference reallocates the curand states only when the count
+            # changes (reconfigureOmmatidialCount, CompoundEye.cpp:35-49)
+            self.rng_frame = 0
 
     def set_samples_per_ommatidium(self, s: int) -> None:
-        s = max(1, int(s))
-        if s != self.samples_per_ommatidium:
-            self.samples_per_ommatidium = s
-            self.rng_frame = 0  # reference resets random streams here
+        # resets the random streams UNCONDITIONALLY, even at the same count —
+        # the reference re-allocates its curand states on every call
+        # (setSamplesPerOmmatidium, CompoundEye.cpp:271-277)
+        self.samples_per_ommatidium = max(1, int(s))
+        self.rng_frame = 0
 
     def change_samples_per_ommatidium_by(self, delta: int) -> None:
         self.set_samples_per_ommatidium(self.samples_per_ommatidium + delta)

@@ -96,11 +96,26 @@ def test_compound_sample_reset():
     cam.set_samples_per_ommatidium(32)
     assert cam.samples_per_ommatidium == 32
     assert cam.rng_frame == 0
+    # reference re-inits curand on EVERY setSamplesPerOmmatidium call, even
+    # at the unchanged count (CompoundEye.cpp:271-277)
+    cam.rng_frame = 7
+    cam.set_samples_per_ommatidium(32)
+    assert cam.rng_frame == 0
     cam.change_samples_per_ommatidium_by(-31)
     assert cam.samples_per_ommatidium == 1
     # floor at 1
     cam.change_samples_per_ommatidium_by(-10)
     assert cam.samples_per_ommatidium == 1
+
+
+def test_set_ommatidia_resets_rng_only_on_count_change():
+    cam = CompoundEyeCamera("e", "single_dimension_fast", icosphere_eye())
+    same = cam.ommatidia.copy()
+    cam.rng_frame = 3
+    cam.set_ommatidia(same)  # same count: streams keep running
+    assert cam.rng_frame == 3
+    cam.set_ommatidia(same[: len(same) // 2])  # count change: reset
+    assert cam.rng_frame == 0
 
 
 def test_set_pose_matrix_columns():

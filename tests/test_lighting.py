@@ -125,7 +125,7 @@ def test_renderer_lighting_flag():
     r.render_frame()
     unlit = r.get_camera_data().copy()
     r.set_lighting(True)
-    r._frame_number = 0
+    r.current_camera().rng_frame = 0  # rewind the RNG stream
     r._camera_data = None
     r.render_frame()
     lit = r.get_camera_data()

@@ -125,7 +125,7 @@ def test_pallas_renderer_api_backend():
     r.render_frame()
     d_pallas = r.get_camera_data().copy()
     r._backend = "xla"
-    r._frame_number = 0
+    r.current_camera().rng_frame = 0  # rewind the RNG stream
     r._camera_data = None
     r.render_frame()
     d_xla = r.get_camera_data()

@@ -36,7 +36,8 @@ def test_scanned_burst_matches_sequential_frames():
     burst.render_frames_pipelined(3)
     d_burst = np.asarray(burst.get_camera_data())
     np.testing.assert_array_equal(d_seq, d_burst)
-    assert burst._frame_number == seq._frame_number == 3
+    assert (burst.current_camera().rng_frame
+            == seq.current_camera().rng_frame == 3)
 
 
 def test_scanned_burst_matches_sequential_lit():

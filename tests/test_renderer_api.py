@@ -87,7 +87,9 @@ def test_rng_stability_and_frames():
     r.set_current_eye_samples_per_ommatidium(4)
     r.render_frame()
     d1 = r.get_camera_data().copy()
-    r._frame_number = 0  # rewind the RNG counter
+    # re-setting the sample count rewinds the RNG stream (reference re-inits
+    # its curand states on every setSamplesPerOmmatidium call)
+    r.set_current_eye_samples_per_ommatidium(4)
     r.render_frame()
     d2 = r.get_camera_data().copy()
     np.testing.assert_array_equal(d1, d2)
