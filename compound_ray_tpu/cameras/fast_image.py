@@ -119,7 +119,7 @@ def _image_fused(
             [masked, jnp.full((ng, kp - c), jnp.inf, masked.dtype)], axis=-1
         )
     order = jnp.argsort(masked, axis=-1)[:, :kp].astype(jnp.int32)
-    dmin_s = jnp.take_along_axis(masked, order.astype(jnp.int64), axis=-1)
+    dmin_s = jnp.take_along_axis(masked, order, axis=-1)
     dmin_s = jnp.where(jnp.isfinite(dmin_s), dmin_s, 3e38).astype(jnp.float32)
     ids = jnp.where(order < c, order, 0)
 

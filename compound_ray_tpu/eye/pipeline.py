@@ -413,7 +413,7 @@ def _shortlist_sorted(gmask, dmin_all, kmax: int):
             [masked, jnp.full((ng, kp - c), jnp.inf, masked.dtype)], axis=-1
         )
     order = jnp.argsort(masked, axis=-1)[:, :kp].astype(jnp.int32)
-    dmin_s = jnp.take_along_axis(masked, order.astype(jnp.int64), axis=-1)
+    dmin_s = jnp.take_along_axis(masked, order, axis=-1)
     dmin_s = jnp.where(jnp.isfinite(dmin_s), dmin_s, 3e38).astype(jnp.float32)
     # out-of-range padding ids point at cluster 0 (never dereferenced: counts
     # bound the kernel loop)
