@@ -154,6 +154,36 @@ def test_minimum_sample_rate_finder_smoke():
     assert len(sds) >= 1
 
 
+def test_variance_mapper_grid():
+    from compound_ray_tpu.api.renderer import EyeRenderer
+    from compound_ray_tpu.cameras.types import CompoundEyeCamera
+    from compound_ray_tpu.scene.eye_io import icosphere_eye
+    from compound_ray_tpu.testing import make_box_scene
+    from compound_ray_tpu.tools.variance_mapper import (
+        map_variance_over_grid,
+        per_ommatidium_sd,
+    )
+
+    r = EyeRenderer(verbose=False)
+    r.scene = make_box_scene(background="default_background")
+    r.scene.cameras.append(
+        CompoundEyeCamera("eye", "single_dimension_fast", icosphere_eye())
+    )
+    from compound_ray_tpu.trace.lighting import default_lights
+
+    r._lights = default_lights(r.scene.aabb_min, r.scene.aabb_max)
+    sd = per_ommatidium_sd(r, samples=2, repeat=4)
+    assert sd.shape == (12,)
+    # repeated renders must carry DIFFERENT jitter (advancing per-eye RNG
+    # stream): a dead stream would zero every sd
+    assert sd.max() > 0.0
+    vmap = map_variance_over_grid(
+        r, [(0.0, 0.0, 0.0), (0.1, 0.0, 0.0)], samples=2, repeat=3
+    )
+    assert vmap.shape == (2, 12)
+    assert np.all(np.isfinite(vmap))
+
+
 def test_obj_centerer(tmp_path):
     from compound_ray_tpu.tools.obj_centerer import center_obj
 
