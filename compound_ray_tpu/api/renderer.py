@@ -40,8 +40,6 @@ from compound_ray_tpu.scene.flat import FlatScene, load_scene
 from compound_ray_tpu.trace.lighting import default_lights
 from compound_ray_tpu.trace.shade import miss_id
 
-_BASE_SEED = 42  # curand_init(42, id, 0) in shaders.cu:689
-
 _base_key = None
 _fold_jit = None
 _fold_many_jit = None
@@ -50,10 +48,16 @@ _fold_many_jit = None
 def _frame_key(frame_number: int):
     """PRNG key for a frame: fold_in under jit.  The eager fold_in issued
     ~8 per-primitive dispatches per frame — the dominant host cost of the
-    small-frame regime (samples=1 profile: ~105 of 113 ms on CPU)."""
+    small-frame regime (samples=1 profile: ~105 of 113 ms on CPU).
+
+    The base key seeds from config.base_seed (CR_TPU_SEED, default 42 —
+    the reference's curand_init(42, id, 0), shaders.cu:689), read once on
+    first use."""
     global _base_key, _fold_jit
     if _base_key is None:
-        _base_key = jax.random.PRNGKey(_BASE_SEED)
+        from compound_ray_tpu.config import get_config
+
+        _base_key = jax.random.PRNGKey(get_config().base_seed)
         _fold_jit = jax.jit(jax.random.fold_in)
     return _fold_jit(_base_key, np.uint32(frame_number))
 

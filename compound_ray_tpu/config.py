@@ -130,8 +130,15 @@ class RenderConfig:
         if "affine_rays" in tuning and "CR_TPU_AFFINE_RAYS" not in os.environ:
             cfg.affine_rays = bool(tuning["affine_rays"])
         for env, (field, typ) in mapping.items():
-            if env in os.environ:
-                setattr(cfg, field, typ(os.environ[env]))
+            raw = os.environ.get(env)
+            if not raw:
+                continue  # absent or empty (`CR_TPU_X= cmd` means "unset")
+            try:
+                setattr(cfg, field, typ(raw))
+            except ValueError:
+                raise ValueError(
+                    f"{env}={raw!r} is not a valid {typ.__name__}"
+                ) from None
         return cfg
 
     @classmethod

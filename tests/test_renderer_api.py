@@ -81,6 +81,43 @@ def test_geometry_bounds():
     assert (r.get_geometry_max_bounds("missing") == 0).all()
 
 
+def test_config_env_parsing(monkeypatch):
+    from compound_ray_tpu.config import RenderConfig
+
+    # empty value = unset (the `CR_TPU_X= cmd` shell idiom must not crash)
+    monkeypatch.setenv("CR_TPU_SEED", "")
+    assert RenderConfig.from_env().base_seed == RenderConfig().base_seed
+    monkeypatch.setenv("CR_TPU_SEED", "7")
+    assert RenderConfig.from_env().base_seed == 7
+    monkeypatch.setenv("CR_TPU_SEED", "banana")
+    with pytest.raises(ValueError, match="CR_TPU_SEED"):
+        RenderConfig.from_env()
+
+
+def test_base_seed_comes_from_config():
+    # CR_TPU_SEED -> config.base_seed must reach the frame keys (it is the
+    # analogue of the reference's curand_init seed)
+    import dataclasses
+
+    import jax
+    from compound_ray_tpu import config as config_mod
+    from compound_ray_tpu.api import renderer as renderer_mod
+
+    saved_key = renderer_mod._base_key
+    saved_cfg = config_mod._global_config
+    try:
+        renderer_mod._base_key = None
+        config_mod._global_config = dataclasses.replace(
+            config_mod.RenderConfig(), base_seed=7
+        )
+        got = renderer_mod._frame_key(3)
+        want = jax.random.fold_in(jax.random.PRNGKey(7), np.uint32(3))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    finally:
+        renderer_mod._base_key = saved_key
+        config_mod._global_config = saved_cfg
+
+
 def test_rng_stability_and_frames():
     # frame counter changes samples; same frame twice gives identical output
     r = _renderer_with_box_scene(background="default_background")
