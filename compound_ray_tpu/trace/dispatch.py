@@ -54,10 +54,13 @@ def render_means_fast(
     background: int,
     use_lighting: bool = False,
     lights: Optional[jnp.ndarray] = None,
-    omm_chunk: int = 64,
-    sample_chunk: int = 64,
+    omm_chunk: Optional[int] = None,
+    sample_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     cfg = get_config()
+    # chunking defaults come from config (CR_TPU_OMM_CHUNK/CR_TPU_SAMPLE_CHUNK)
+    omm_chunk = cfg.omm_chunk if omm_chunk is None else omm_chunk
+    sample_chunk = cfg.sample_chunk if sample_chunk is None else sample_chunk
     if use_lighting or scene_flat.num_triangles < cfg.min_triangles_for_culling:
         return render_compound_means(
             scene_dev, ommatidia, position, local_space, key, samples, background,
