@@ -100,6 +100,12 @@ class RenderConfig:
     # ~26 ms transport round trip on the tunnelled TPU, the dominant cost of
     # GA-style pose sweeps)
     speculative_widths: bool = True
+    # lit shadow planning: the per-light probe refine and dense pack
+    # materialise ~(groups, clusters*128) temporaries; at full probe width
+    # on a 256-cluster scene the unchunked forms want >15 GB of HBM (the
+    # round-4 lit OOM).  Both are chunked over the group axis in blocks of
+    # this many groups — peak plan-time HBM scales linearly with it.
+    shadow_pack_chunk: int = 128
     # verbosity of the [PyEye] log lines
     verbose: bool = True
 
@@ -122,6 +128,7 @@ class RenderConfig:
             "CR_TPU_REFINE": ("refine_mode", str),
             "CR_TPU_BF16_TABLE": ("big_table_bf16_bytes", int),
             "CR_TPU_SPEC_WIDTHS": ("speculative_widths", _env_bool),
+            "CR_TPU_SHADOW_CHUNK": ("shadow_pack_chunk", int),
             "CR_TPU_AFFINE_RAYS": ("affine_rays", _env_bool),
         }
         # measured-on-TPU adoptions apply below env defaults: an explicit

@@ -1584,7 +1584,7 @@ def _shadow_pack_one(
     jax.jit,
     static_argnames=(
         "samples", "ng", "g", "nrb", "rb_size", "rmax", "cull_sigmas",
-        "kcand_probe", "affine",
+        "kcand_probe", "affine", "probe_chunk",
     ),
 )
 def _shadow_probe(
@@ -1592,6 +1592,7 @@ def _shadow_probe(
     half_center, half_radius, slot_center_cl, slot_radius_cl, tri_cl,
     samples: int, ng: int, g: int, nrb: int, rb_size: int, rmax: int,
     cull_sigmas: float, kcand_probe: int, affine: bool = False,
+    probe_chunk: int = 128,
 ):
     """Planning dispatch for the lit frame's shadow plan: trace the
     primary rays once, bound each group's hit points (inflated by
@@ -1640,6 +1641,19 @@ def _shadow_probe(
     ratio = FWHM_SD_RATIO / cull_sigmas
     zero3 = jnp.zeros((3,), jnp.float32)
     eye3 = jnp.eye(3, dtype=jnp.float32)
+    # the exact refine materialises ~(groups, kcand*128) f32 temporaries; at
+    # full probe width (kcand = all clusters) that is GBs per temp — chunk
+    # the group axis through lax.map so peak HBM scales with probe_chunk
+    cs = max(8, min(probe_chunk, ng))
+    nch = -(-ng // cs)
+    pad = nch * cs - ng
+
+    def _chunked(x, fill=0.0):
+        if pad:
+            width = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+            x = jnp.pad(x, width, constant_values=fill)
+        return x.reshape((nch, cs) + x.shape[1:])
+
     kc_list, row_list = [], []
     for li in range(lights.shape[0]):
         ps, dm = _shadow_pseudo_omms(cg, rg_sph, lights[li, 4:7], ratio)
@@ -1649,15 +1663,25 @@ def _shadow_probe(
         gmask = gmask & (dmin_all <= dm[:, None])
         counts = jnp.sum(gmask, axis=-1).astype(jnp.int32)
         ids, _ = _shortlist_sorted(gmask, dmin_all, kcand_probe)
-        mask, _, _ = _refine_mask(
-            ps, zero3, eye3, ids[:, :kcand_probe],
-            jnp.minimum(counts, kcand_probe),
-            slot_center_cl, slot_radius_cl, 1, cull_sigmas,
-            dmax=dm, tri_cl=tri_cl,
-        )
-        rows = (jnp.sum(mask, axis=-1) + KERNEL_LEAF - 1) // KERNEL_LEAF
+
+        def _rows_chunk(args):
+            psn, idsn, cln, dmn = args
+            mask, _, _ = _refine_mask(
+                psn, zero3, eye3, idsn[:, :kcand_probe], cln,
+                slot_center_cl, slot_radius_cl, 1, cull_sigmas,
+                dmax=dmn, tri_cl=tri_cl,
+            )
+            rows = (jnp.sum(mask, axis=-1) + KERNEL_LEAF - 1) // KERNEL_LEAF
+            return jnp.max(rows)
+
+        # padding groups carry cl_counts 0 -> cand_valid all-False -> 0 rows
+        row_max = jnp.max(jax.lax.map(_rows_chunk, (
+            _chunked(ps), _chunked(ids),
+            _chunked(jnp.minimum(counts, kcand_probe)),
+            _chunked(dm, fill=-1.0),
+        )))
         kc_list.append(jnp.max(counts))
-        row_list.append(jnp.max(rows))
+        row_list.append(row_max)
     return jnp.stack(kc_list), jnp.stack(row_list), cg, rg_sph
 
 
@@ -1710,7 +1734,7 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
         samples=samples, ng=eplan.ng, g=eplan.g, nrb=eplan.nrb,
         rb_size=eplan.rb_size, rmax=rmax,
         cull_sigmas=cfg.cull_sigmas, kcand_probe=kcand_probe,
-        affine=affine,
+        affine=affine, probe_chunk=cfg.shadow_pack_chunk,
     )
     kc = int(np.asarray(jax.device_get(jnp.max(kc_need))))
     rw_all = np.asarray(jax.device_get(rows_need))
@@ -1721,31 +1745,54 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     cnts_np = np.zeros((n_lights, ng), np.int32)
     shard_parts = [[] for _ in range(shards)]  # device row chunks, in order
     shard_rc = [[] for _ in range(shards)]  # per light: local (ngl,) counts
+    # the dense per-light transient ((groups, rmax_li, 16, 512)) and the
+    # full-width refine temporaries behind it scale with groups * clusters;
+    # unchunked on a 256-cluster scene they want >15 GB of HBM (the round-4
+    # lit OOM).  Chunk the group axis so peak plan-time HBM is bounded by
+    # cfg.shadow_pack_chunk; the last chunk pads with rg < 0 groups (which
+    # cull to zero rows), so each light compiles ONE chunk shape.
+    cs = max(8, min(cfg.shadow_pack_chunk, ngl))
+    nch = -(-ngl // cs)
     for li in range(n_lights):
         rmax_li = min(shadow_kmax, _ceil_to(max(int(rw_all[li]), 1), 2))
-        rc_s, packed_s = _shadow_pack_one(
-            cg, rg_sph, jnp.asarray(lights_np[li, 4:7]),
-            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
-            splan.half_center, splan.half_radius, tri_cl,
-            kcand_s=shadow_kmax, rmax_s=rmax_li, sig=cfg.cull_sigmas,
-        )
-        rc_np = np.minimum(np.asarray(jax.device_get(rc_s), np.int64),
-                           rmax_li)
-        cnts_np[li] = rc_np
-        flat2 = packed_s.reshape(ng * rmax_li, MM_FEATS, MM_COLS)
+        light = jnp.asarray(lights_np[li, 4:7])
         for k in range(shards):
-            rck = rc_np[k * ngl:(k + 1) * ngl]
-            # live-row gather indices into the dense transient, group-major
-            src = np.concatenate([
-                (k * ngl + gl) * rmax_li + np.arange(rck[gl])
-                for gl in range(ngl)
-            ]) if rck.sum() else np.zeros((0,), np.int64)
-            if src.size:
-                shard_parts[k].append(
-                    jnp.take(flat2, jnp.asarray(src, jnp.int32), axis=0)
+            rc_k = np.zeros((ngl,), np.int64)
+            for ci in range(nch):
+                lo = ci * cs
+                n_in = min(cs, ngl - lo)
+                gsl = slice(k * ngl + lo, k * ngl + lo + n_in)
+                cgc, rgc = cg[gsl], rg_sph[gsl]
+                if n_in < cs:
+                    cgc = jnp.pad(cgc, ((0, cs - n_in), (0, 0)))
+                    rgc = jnp.pad(rgc, (0, cs - n_in),
+                                  constant_values=-1.0)
+                rc_s, packed_s = _shadow_pack_one(
+                    cgc, rgc, light,
+                    splan.mm_flat, splan.slot_center_cl,
+                    splan.slot_radius_cl, splan.half_center,
+                    splan.half_radius, tri_cl,
+                    kcand_s=shadow_kmax, rmax_s=rmax_li,
+                    sig=cfg.cull_sigmas,
                 )
-            shard_rc[k].append(rck)
-        del packed_s, flat2  # transient dense pack: freed per light
+                rc_np = np.minimum(
+                    np.asarray(jax.device_get(rc_s), np.int64), rmax_li,
+                )[:n_in]
+                rc_k[lo:lo + n_in] = rc_np
+                if rc_np.sum():
+                    # live-row gather indices into the chunk's dense
+                    # transient, group-major
+                    src = np.concatenate([
+                        gl * rmax_li + np.arange(rc_np[gl])
+                        for gl in range(n_in)
+                    ])
+                    flat2 = packed_s.reshape(
+                        cs * rmax_li, MM_FEATS, MM_COLS)
+                    shard_parts[k].append(jnp.take(
+                        flat2, jnp.asarray(src, jnp.int32), axis=0))
+                del packed_s  # transient dense pack: freed per chunk
+            cnts_np[li, k * ngl:(k + 1) * ngl] = rc_k
+            shard_rc[k].append(rc_k)
     # equal per-shard padding (SPMD needs one static grid), 64-row buckets
     # so nearby poses reuse the compiled kernel
     t_shard = _ceil_to(max(

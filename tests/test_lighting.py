@@ -250,3 +250,54 @@ def test_packed_mr_normal_matches_brute_oracle():
     ))
     assert ref.max() > 0.1
     np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_shadow_plan_chunk_invariance():
+    """The lit shadow plan chunks its probe refine and per-light pack over
+    the group axis (pipeline._shadow_plan / _shadow_probe) so plan-time HBM
+    is bounded; the chunking must be invisible in the output — frames
+    rendered under a tiny chunk (many chunks + tail padding) and a huge one
+    (single chunk) must be BIT-identical.  Fresh scene objects per setting:
+    the shadow plan is memoised on the scene and its key does not (and
+    should not) include the chunk size."""
+    import dataclasses
+
+    import jax
+
+    from compound_ray_tpu import config as C
+    from compound_ray_tpu.eye.pipeline import render_means_pallas
+    from compound_ray_tpu.scene.eye_io import Ommatidium, ommatidia_to_array
+
+    v1, f1 = box_mesh((0.0, -1.0, 0.0), (20.0, 0.2, 20.0))
+    v2, f2 = box_mesh((3.0, 3.0, 0.0), (4.0, 0.2, 4.0))
+    verts = np.concatenate([v1, v2])
+    faces = np.concatenate([f1, f2 + len(v1)])
+
+    omms = []
+    for ix in range(6):
+        for iz in range(5):
+            p = np.array([ix - 2.5, 2.0, iz - 2.0])
+            d = np.array([0.15 * (ix - 2.5), -1.0, 0.1 * (iz - 2.0)])
+            omms.append(Ommatidium(p, d / np.linalg.norm(d), 1e-6, 0.0))
+    omms_np = ommatidia_to_array(omms)
+    pos = jnp.zeros(3)
+    ls = jnp.eye(3)
+    key = jax.random.PRNGKey(11)
+
+    base = C.get_config()
+    outs = []
+    try:
+        for chunk in (8, 1 << 20):
+            C.set_config(dataclasses.replace(base, shadow_pack_chunk=chunk))
+            scene = build_scene_from_arrays(
+                verts, faces, base_color=(0.4, 0.5, 0.6),
+                background_shader="black")
+            dev = scene.device_triangles()
+            lights = default_lights(scene.aabb_min, scene.aabb_max)
+            outs.append(np.asarray(render_means_pallas(
+                scene, dev, omms_np, pos, ls, key, 2, 2, lights=lights,
+            )))
+    finally:
+        C.set_config(base)
+    assert outs[0].max() > 0.0
+    np.testing.assert_array_equal(outs[0], outs[1])
