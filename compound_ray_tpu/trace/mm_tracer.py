@@ -121,11 +121,15 @@ UNROLL_B = _default_unroll()
 # measured ~12.9 ms of the 34.5 ms @3200 natural kernel at HIGHEST,
 # docs/performance.md) plus the VPU's approximate reciprocal on the
 # u/v/t divide, at a measured median ~2e-3 relative t error and rare
-# hit/miss flips on edge-grazing rays.  "default" is therefore adopted
+# hit/miss flips on edge-grazing rays.  "mixed" takes only the matmul
+# half of that bargain (one bf16 pass, EXACT divides) — built because
+# the round-4 A/B measured "default" 0.925x but its conformance gate
+# failed at 1.42% on the ofstad arena; mixed separates which
+# approximation the error came from.  Both lossy modes are adopted
 # only by the tools/tpu_session.py precision A/B, which gates on the
 # conformance headline staying <1% — never by hand.  (Mosaic lowers only
 # DEFAULT and HIGHEST; Precision.HIGH does not lower.)
-_PRECISIONS = ("highest", "default")
+_PRECISIONS = ("highest", "mixed", "default")
 
 
 def _default_precision() -> str:
@@ -142,6 +146,7 @@ def _default_precision() -> str:
 PRECISION = _default_precision()
 _PREC_MAP = {
     "highest": jax.lax.Precision.HIGHEST,
+    "mixed": jax.lax.Precision.DEFAULT,  # bf16 matmul, exact divides
     "default": jax.lax.Precision.DEFAULT,
 }
 

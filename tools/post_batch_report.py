@@ -155,8 +155,13 @@ def build_perf_section():
                   f"| {_ab_detail(afm)} |")
     if "precision" in tuning:
         gate = tuning.get("precision_gate_headline_mae_pct")
-        extra = (f"; conformance gate worst headline MAE {gate:.3f}%"
-                 if isinstance(gate, (int, float)) else "")
+        if isinstance(gate, dict):  # per-candidate gate results (round 4+)
+            extra = ("; conformance gate worst headline MAE " + ", ".join(
+                f"{k} {v:.3f}%" for k, v in gate.items()))
+        elif isinstance(gate, (int, float)):
+            extra = f"; conformance gate worst headline MAE {gate:.3f}%"
+        else:
+            extra = ""
         ab.append(f"| intersection matmul precision | "
                   f"**{tuning['precision']}** "
                   f"| {_ab_detail(tuning.get('precision_frame_ms'))}{extra} |")

@@ -415,22 +415,26 @@ def run_affine():
 
 def run_precision():
     """Intersection-matmul precision A/B (mm_tracer module PRECISION
-    notes): full-frame pipelined @3200 at "highest" (exact f32, six bf16
-    MXU passes) vs "default" (ONE pass) on both bench scenes.  "default"
-    is NOT exact (median ~2e-3 relative t error, rare edge hit flips), so
-    a speed win alone does not adopt it: the quick conformance report must
-    keep worst headline MAE < 1% with "default" active (the ofstad configs
-    are fully reproducible end-to-end, so the gate is a real renderer-
-    accuracy check, not a sky-only one).  Writes the measurement to
-    artifacts/tuning.json either way; the adopted value governs every
-    later process via mm_tracer._default_precision."""
+    notes): full-frame pipelined @3200 on both bench scenes at "highest"
+    (exact f32, six bf16 MXU passes), "mixed" (ONE bf16 pass, exact
+    divides) and "default" (one pass + approximate reciprocal).  The lossy
+    modes are NOT exact, so a speed win alone does not adopt one: the
+    quick conformance report must keep worst headline MAE < 1% with the
+    candidate active (the ofstad configs are fully reproducible
+    end-to-end, so the gate is a real renderer-accuracy check, not a
+    sky-only one).  Candidates are gated fastest-first — round 4 measured
+    "default" 0.925x but its gate FAILED at 1.42% on ofstad, which is why
+    "mixed" exists: it isolates whether the error came from the matmul or
+    the reciprocal.  Writes the measurement to artifacts/tuning.json
+    either way; the adopted value governs every later process via
+    mm_tracer._default_precision."""
     global _TUNING_DIRTY
     import compound_ray_tpu.trace.mm_tracer as mm
 
     results = {}
     chosen = None  # decided after the gate; None = restore pre-stage state
     try:
-        for prec in ("highest", "default"):
+        for prec in ("highest", "mixed", "default"):
             if mm.PRECISION != prec:
                 mm.PRECISION = prec
                 jax.clear_caches()  # frame programs traced the old precision
@@ -445,36 +449,52 @@ def run_precision():
                 results.setdefault(name, {})[prec] = pipe
                 log(f"PRECISION {name} @{SAMPLES} {prec}: {pipe:.2f} ms "
                     f"pipelined (latency {mean_ms:.2f} ms)")
-        ratios = [t["default"] / t["highest"] for t in results.values()
-                  if "default" in t and "highest" in t]
-        if not ratios:
-            return
-        g = float(np.exp(np.mean(np.log(ratios))))
-        log(f"PRECISION geomean frame ratio {g:.3f}x (default vs highest)")
-        adopt = g < 0.95
-        gate_headline = None
-        if adopt:
-            # conformance gate: PRECISION is still "default" here
-            from tools import conformance_report
 
-            gate_out = "/tmp/conformance_precision_gate.json"
+        def geomean(prec):
+            ratios = [t[prec] / t["highest"] for t in results.values()
+                      if prec in t and "highest" in t]
+            return (float(np.exp(np.mean(np.log(ratios))))
+                    if ratios else None)
+
+        gains = {p: geomean(p) for p in ("mixed", "default")}
+        for p, g in gains.items():
+            if g is not None:
+                log(f"PRECISION geomean frame ratio {g:.3f}x "
+                    f"({p} vs highest)")
+        # gate candidates fastest-first; adopt the first that passes
+        candidates = sorted(
+            (p for p, g in gains.items() if g is not None and g < 0.95),
+            key=lambda p: gains[p])
+        gate_headline = None
+        gate_results = {}
+        from tools import conformance_report
+
+        for cand in candidates:
+            if mm.PRECISION != cand:
+                mm.PRECISION = cand
+                jax.clear_caches()
+            gate_out = f"/tmp/conformance_precision_gate_{cand}.json"
             try:
                 conformance_report.main(
                     ["--quick", "--out", gate_out,
-                     "--error-maps", "/tmp/precision-gate-error-maps"])
+                     "--error-maps", f"/tmp/precision-gate-maps-{cand}"])
                 with open(gate_out) as f:
-                    gate_headline = float(
+                    headline = float(
                         json.load(f)["worst_headline_mae_pct"])
             except Exception as e:
-                log(f"PRECISION conformance gate failed to run: {e!r}; "
-                    f"NOT adopting default")
-                adopt = False
-            else:
-                adopt = gate_headline < 1.0
-                log(f"PRECISION gate: worst headline MAE "
-                    f"{gate_headline:.3f}% with default "
-                    f"({'PASS' if adopt else 'FAIL'} vs <1%)")
-        chosen = "default" if adopt else "highest"
+                log(f"PRECISION conformance gate failed to run for "
+                    f"{cand}: {e!r}; not adopting it")
+                continue
+            gate_results[cand] = headline
+            ok = headline < 1.0
+            log(f"PRECISION gate [{cand}]: worst headline MAE "
+                f"{headline:.3f}% ({'PASS' if ok else 'FAIL'} vs <1%)")
+            if ok:
+                chosen = cand
+                gate_headline = headline
+                break
+        if chosen is None:
+            chosen = "highest"
         from compound_ray_tpu.config import load_tuning
 
         # read-merge-update; the measurement governs either way (a stale
@@ -482,12 +502,12 @@ def run_precision():
         tuning = load_tuning()
         tuning["precision"] = chosen
         tuning["precision_frame_ms"] = results
-        if gate_headline is not None:
-            tuning["precision_gate_headline_mae_pct"] = gate_headline
+        if gate_results:
+            tuning["precision_gate_headline_mae_pct"] = gate_results
         with open(mm.TUNING_PATH, "w") as f:
             json.dump(tuning, f, indent=1)
-        log(f"PRECISION {'ADOPTED default' if adopt else 'keeping highest'} "
-            f"({g:.3f}x): artifacts/tuning.json updated")
+        log(f"PRECISION {'ADOPTED ' + chosen if chosen != 'highest' else 'keeping highest'}"
+            f": artifacts/tuning.json updated")
         if chosen != _SESSION_START_PRECISION:
             # covers both adoption AND a regression-revert of a stale
             # tuning.json precision: run_bench's artifacts are stale either
