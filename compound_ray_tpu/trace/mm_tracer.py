@@ -66,22 +66,48 @@ MM_BLOCKS = 4  # w1 | w2 | den | tnum
 MM_COLS = MM_BLOCKS * KERNEL_LEAF  # 512 columns per payload row
 RAY_FEATS = 16  # [d, m, -o, 1, 0 x 6]
 AUX_COMPS = 8  # [tmin, 0 x 7]
-# rays per in-kernel step.  The loop body is a short dependent chain
-# (matmul -> divide/compare -> select), so small steps are LATENCY-bound:
-# at 128 rays/step the natural scene ran ~23k steps x ~1.4 us = 32 ms for
-# ~8 ms of VPU work.  256 rays halves the step count; the carried winner
-# state (4 x (256, 128) f32 = 512 KB) still fits registers/VMEM.
-BATCH_RAYS = int(os.environ.get("CR_TPU_BATCH_RAYS", "256"))
-# the kernel loops run rb_size // BATCH_RAYS, so a non-dividing value would
-# silently leave ray tails untraced; non-256-multiple blocks are also a
-# known Mosaic ICE risk (CLAUDE.md).  Fail loudly at import instead.
-assert BATCH_RAYS > 0 and BATCH_RAYS % 128 == 0, (
-    f"CR_TPU_BATCH_RAYS={BATCH_RAYS} must be a positive multiple of 128 "
-    f"(the lane tile; 256-multiples are safest for Mosaic)")
 # independent ray-batch chains per row-loop step (see _make_packed_kernel):
 # the row step is latency-bound, so independent chains overlap their
 # matmul->divide->select dependency chains.  Bit-identical to 1.
 from compound_ray_tpu.config import TUNING_PATH, load_tuning  # noqa: E402
+
+
+def _default_batch_rays() -> int:
+    """Rays per in-kernel step: env override > measured-on-TPU tuning > 256.
+
+    The loop body is a short dependent chain (matmul -> divide/compare ->
+    select), so small steps are LATENCY-bound: at 128 rays/step the natural
+    scene ran ~23k steps x ~1.4 us = 32 ms for ~8 ms of VPU work; 256
+    halved the step count.  512 halves it again at the cost of ~8% more
+    padded rays (rb_size rounds up to BATCH_RAYS) and 2x the carried
+    winner-state registers — the same budget that made unroll_b=2 regress
+    2.6x — so it is adopted only by the tools/tpu_session.py batch_rays
+    A/B (every value is bit-identical for real rays; speed-only).
+
+    The kernel loops run rb_size // BATCH_RAYS, so a non-dividing value
+    would silently leave ray tails untraced; non-256-multiple blocks are
+    also a known Mosaic ICE risk (CLAUDE.md).  Env misuse fails loudly; a
+    corrupt machine-written tuning.json warns and falls back (it must not
+    brick every process at import — same contract as _default_unroll)."""
+    v = os.environ.get("CR_TPU_BATCH_RAYS")
+    if v is not None:
+        rs = int(v)
+        assert rs > 0 and rs % 128 == 0, (
+            f"CR_TPU_BATCH_RAYS={rs} must be a positive multiple of 128 "
+            f"(the lane tile; 256-multiples are safest for Mosaic)")
+        return rs
+    try:
+        rs = int(load_tuning().get("batch_rays", 256))
+    except (TypeError, ValueError):
+        rs = 0
+    if rs <= 0 or rs % 128:
+        print(f"[PyEye] warning: ignoring invalid batch_rays in tuning.json "
+              f"({load_tuning().get('batch_rays')!r}); using 256")
+        return 256
+    return rs
+
+
+BATCH_RAYS = _default_batch_rays()
 
 
 def _default_unroll() -> int:

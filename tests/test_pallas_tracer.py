@@ -383,6 +383,65 @@ def test_packed_tracer_unroll_bit_identical(emit):
         np.testing.assert_array_equal(base, run(ub))
 
 
+def test_packed_tracer_batch_rays_bit_identical(monkeypatch):
+    """BATCH_RAYS only regroups rays into in-kernel step sizes (rb_size
+    rounds up to it, so plans differ); every REAL ray's winner sequence is
+    unchanged, so its outputs must be bit-identical across batch sizes —
+    the contract that lets tools/tpu_session.py's batch_rays A/B adopt on
+    speed alone.  Padded tail rays differ between layouts and are sliced
+    off before comparing (the epilogue discards them the same way)."""
+    import compound_ray_tpu.trace.mm_tracer as mm
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    scene = make_big_scene(n_boxes=60, seed=5)
+    omms_np = ommatidia_to_array(make_sphere_eye(16, acceptance_deg=4.0))
+    samples = 640  # rs=256 -> rb_size 768 (3 steps); rs=512 -> 1024 (2)
+    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+
+    def _ceil(x, m):
+        return -(-x // m) * m
+
+    def run(rs):
+        monkeypatch.setattr(mm, "BATCH_RAYS", rs)
+        monkeypatch.setattr(P, "MM_BATCH_RAYS", rs)
+        P._eye_plans.clear()  # plan keys exclude rb_size
+        splan = P.scene_plan(scene)
+        eplan = P.eye_plan(omms_np, samples)
+        assert eplan.rb_size == _ceil(640, rs)
+        omms_p = jnp.asarray(omms_np[eplan.perm])
+        kcand, rmax = P._plan_widths(
+            splan, eplan, omms_p, pos, ls,
+            (eplan.sig, samples, b"batch-rays-test"))
+        rc, pmm, _, _ = P._pack_fused(
+            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+            splan.half_center, splan.half_radius, omms_p, pos, ls,
+            g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=4.0,
+            tri_cl=splan.slot_tri_cl)
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+        splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
+        spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
+        rays, _, _ = P._gen_ray_features(
+            omms_p, pos, ls, splay, spin, samples=samples,
+            ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+        out = np.asarray(run_packed_tracer(
+            rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
+            rb_size=eplan.rb_size, rmax=rmax, emit="bary"))
+        # keep only real rays: planar (8, NG*rb_size), group-major
+        rg = eplan.g * samples
+        return out.reshape(out.shape[0], eplan.ng, eplan.rb_size)[:, :, :rg]
+
+    try:
+        base = run(256)
+        assert np.isfinite(base[0]).any(), "test must produce real hits"
+        np.testing.assert_array_equal(base, run(512))
+    finally:
+        P._eye_plans.clear()  # stale rs-keyed plans must not leak out
+
+
 def test_occlusion_unroll_bit_identical():
     """run_rows_occlusion with unroll_b > 1 must equal the single-chain
     kernel (chains cover disjoint ray batches; min accumulation per batch

@@ -119,6 +119,90 @@ def test_precision_no_win_records_highest(sandbox, monkeypatch):
     assert "precision_gate_headline_mae_pct" not in tuning
 
 
+def _fake_conformance(monkeypatch, control_headline=1.42,
+                      cand_headline=1.423, vs_control=0.004,
+                      fail_control=False):
+    """Stub tools.conformance_report.main for gate tests: writes the
+    --out JSON a real run would, keyed off --save-frames (control pass)
+    vs --ref-frames (candidate pass)."""
+    import tools.conformance_report as cr
+
+    calls = []
+
+    def fake_main(argv):
+        calls.append(list(argv))
+        out = argv[argv.index("--out") + 1]
+        if "--save-frames" in argv:
+            if fail_control:
+                raise RuntimeError("control render died")
+            payload = {"worst_headline_mae_pct": control_headline}
+        else:
+            assert "--ref-frames" in argv  # candidates must score the diff
+            payload = {"worst_headline_mae_pct": cand_headline,
+                       "worst_vs_control_mae_pct": vs_control}
+        with open(out, "w") as f:
+            json.dump(payload, f)
+
+    monkeypatch.setattr(cr, "main", fake_main)
+    return calls
+
+
+def _default_wins(monkeypatch):
+    def time_frames(r, samples, reps, warmup=3):
+        return 1.0, 0.0, 0.5 if mm.PRECISION == "default" else 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+
+
+def test_precision_gate_adopts_on_small_control_diff(sandbox, monkeypatch):
+    # the quick conformance's MAE vs goldens sits ABOVE 1% (sample noise)
+    # for control and candidate alike; the same-seed vs-control diff is
+    # tiny -> the candidate must be adopted (the old absolute <1% bar
+    # wrongly rejected exactly this case in round-4 session 6)
+    _default_wins(monkeypatch)
+    calls = _fake_conformance(monkeypatch, control_headline=1.42,
+                              cand_headline=1.423, vs_control=0.004)
+    ts.run_precision()
+    assert mm.PRECISION == "default"
+    tuning = json.load(open(sandbox))
+    assert tuning["precision"] == "default"
+    assert tuning["precision_gate_vs_control_mae_pct"] == {"default": 0.004}
+    assert tuning["precision_gate_headline_mae_pct"]["highest"] == 1.42
+    assert ts._TUNING_DIRTY is True
+    assert len(calls) == 2  # one control render, one candidate render
+
+
+def test_precision_gate_rejects_big_control_diff(sandbox, monkeypatch):
+    _default_wins(monkeypatch)
+    _fake_conformance(monkeypatch, vs_control=0.5)  # > 0.25% bar
+    ts.run_precision()
+    assert mm.PRECISION == "highest"
+    assert json.load(open(sandbox))["precision"] == "highest"
+    assert ts._TUNING_DIRTY is False
+
+
+def test_precision_gate_rejects_headline_degradation(sandbox, monkeypatch):
+    # diff small on average but the headline-vs-golden MAE grew past the
+    # slack: error concentrated in the scored region -> reject
+    _default_wins(monkeypatch)
+    _fake_conformance(monkeypatch, control_headline=0.6,
+                      cand_headline=0.75, vs_control=0.01)
+    ts.run_precision()
+    assert mm.PRECISION == "highest"
+    assert json.load(open(sandbox))["precision"] == "highest"
+
+
+def test_precision_control_failure_adopts_nothing(sandbox, monkeypatch):
+    _default_wins(monkeypatch)
+    _fake_conformance(monkeypatch, fail_control=True)
+    ts.run_precision()
+    assert mm.PRECISION == "highest"
+    tuning = json.load(open(sandbox))
+    assert tuning["precision"] == "highest"
+    # the speed measurement is still on record
+    assert tuning["precision_frame_ms"]["natural"]["default"] == 0.5
+
+
 def test_unroll8_skips_without_ub4_adoption(sandbox, monkeypatch):
     monkeypatch.setattr(mm, "UNROLL_B", 1)
     called = []
@@ -200,6 +284,82 @@ def test_unroll8_restores_on_mid_ab_failure(sandbox, monkeypatch):
         ts.run_unroll8()
     assert mm.UNROLL_B == 4  # restored, not stuck at 8
     assert "unroll8_frame_ms" not in json.load(open(sandbox))
+
+
+def _batch_rays_sandbox(monkeypatch, start=256):
+    import compound_ray_tpu.eye.pipeline as pl_mod
+
+    monkeypatch.setattr(mm, "BATCH_RAYS", start)
+    monkeypatch.setattr(pl_mod, "MM_BATCH_RAYS", start)
+
+
+def test_batch_rays_adopts_and_rebenches(sandbox, monkeypatch):
+    _batch_rays_sandbox(monkeypatch)
+
+    def time_frames(r, samples, reps, warmup=3):
+        return 1.0, 0.0, 0.5 if mm.BATCH_RAYS == 512 else 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+    rebenched = []
+    monkeypatch.setattr(ts.bench, "run_protocol",
+                        lambda: rebenched.append(mm.BATCH_RAYS))
+    ts.run_batch_rays()
+    assert mm.BATCH_RAYS == 512  # the finally keeps the adopted winner
+    tuning = json.load(open(sandbox))
+    assert tuning["batch_rays"] == 512
+    assert tuning["batch_rays_frame_ms"]["natural"] == {"256": 1.0,
+                                                        "512": 0.5}
+    assert rebenched == [512]
+
+
+def test_batch_rays_rejects_wash(sandbox, monkeypatch):
+    _batch_rays_sandbox(monkeypatch)
+
+    def time_frames(r, samples, reps, warmup=3):
+        return 1.0, 0.0, 0.99 if mm.BATCH_RAYS == 512 else 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+    monkeypatch.setattr(ts.bench, "run_protocol",
+                        lambda: pytest.fail("wash must not rebench"))
+    ts.run_batch_rays()
+    assert mm.BATCH_RAYS == 256
+    tuning = json.load(open(sandbox))
+    assert tuning["batch_rays"] == 256  # measurement recorded, not adopted
+
+
+def test_batch_rays_reverts_stale_adoption(sandbox, monkeypatch):
+    # a previous batch adopted 512; this batch measures it a wash -> the
+    # measurement governs (revert to 256) and the bench artifacts refresh
+    _batch_rays_sandbox(monkeypatch, start=512)
+    with open(sandbox, "w") as f:
+        json.dump({"batch_rays": 512}, f)
+
+    def time_frames(r, samples, reps, warmup=3):
+        return 1.0, 0.0, 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+    rebenched = []
+    monkeypatch.setattr(ts.bench, "run_protocol",
+                        lambda: rebenched.append(mm.BATCH_RAYS))
+    ts.run_batch_rays()
+    assert mm.BATCH_RAYS == 256
+    assert json.load(open(sandbox))["batch_rays"] == 256
+    assert rebenched == [256]
+
+
+def test_batch_rays_restores_on_mid_ab_failure(sandbox, monkeypatch):
+    _batch_rays_sandbox(monkeypatch)
+
+    def time_frames(r, samples, reps, warmup=3):
+        if mm.BATCH_RAYS == 512:
+            raise RuntimeError("mosaic hang on the doubled winner state")
+        return 1.0, 0.0, 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+    with pytest.raises(RuntimeError):
+        ts.run_batch_rays()
+    assert mm.BATCH_RAYS == 256  # restored, not stuck at 512
+    assert not os.path.exists(sandbox)
 
 
 class _FakeLitRenderer:

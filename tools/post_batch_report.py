@@ -162,6 +162,10 @@ def build_perf_section():
             extra = f"; conformance gate worst headline MAE {gate:.3f}%"
         else:
             extra = ""
+        vsc = tuning.get("precision_gate_vs_control_mae_pct")
+        if isinstance(vsc, dict) and vsc:
+            extra += ("; same-seed diff vs highest " + ", ".join(
+                f"{k} {v:.4f}%" for k, v in vsc.items()))
         ab.append(f"| intersection matmul precision | "
                   f"**{tuning['precision']}** "
                   f"| {_ab_detail(tuning.get('precision_frame_ms'))}{extra} |")
