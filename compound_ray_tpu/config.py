@@ -93,6 +93,24 @@ class RenderConfig:
     # default-off until the TPU A/B (tools/tpu_session.py) adopts it via
     # artifacts/tuning.json.
     affine_rays: bool = False
+    # sky split (eye/pipeline SKY SPLIT notes): steady-state frames at a
+    # MEMOISED pose compact the planned-live groups (row_counts > 0) and
+    # serve every zero-row group — a shaft the conservative cull proved
+    # empty of near geometry, whose samples are pure far-field cache
+    # lookups — its pose-memoised acceptance-distribution EXPECTATION
+    # (deterministic quadrature over the same cache).  At the natural
+    # bench pose only 386/1000 groups are live, so raygen, the RNG draw,
+    # and the count-bound epilogue gathers all shrink ~2.6x.  The sky
+    # value is the exact mean the sample estimator converges to, but
+    # frames are NOT bit-identical to the dense path (live groups draw
+    # different RNG rows; sky groups lose their sampling noise), so it
+    # ships default-off until the TPU A/B (tools/tpu_session.py "sky"
+    # stage) adopts it under the full-conformance gate.
+    sky_split: bool = False
+    # sky-split quadrature nodes (splay quantiles x spin grid) for the
+    # per-ommatidium cache expectation — plan-time cost only
+    sky_quad_splay: int = 16
+    sky_quad_spin: int = 8
     # unseen-pose planning: True packs speculatively at the eye's high-water
     # widths and validates the pack's own need counters with ONE host sync
     # (overflow re-measures exactly); False always measures widths first
@@ -130,12 +148,17 @@ class RenderConfig:
             "CR_TPU_SPEC_WIDTHS": ("speculative_widths", _env_bool),
             "CR_TPU_SHADOW_CHUNK": ("shadow_pack_chunk", int),
             "CR_TPU_AFFINE_RAYS": ("affine_rays", _env_bool),
+            "CR_TPU_SKY_SPLIT": ("sky_split", _env_bool),
+            "CR_TPU_SKY_QUAD_SPLAY": ("sky_quad_splay", int),
+            "CR_TPU_SKY_QUAD_SPIN": ("sky_quad_spin", int),
         }
         # measured-on-TPU adoptions apply below env defaults: an explicit
         # CR_TPU_* always wins
         tuning = load_tuning()
         if "affine_rays" in tuning and "CR_TPU_AFFINE_RAYS" not in os.environ:
             cfg.affine_rays = bool(tuning["affine_rays"])
+        if "sky_split" in tuning and "CR_TPU_SKY_SPLIT" not in os.environ:
+            cfg.sky_split = bool(tuning["sky_split"])
         for env, (field, typ) in mapping.items():
             raw = os.environ.get(env)
             if not raw:

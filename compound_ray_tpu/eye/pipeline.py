@@ -134,6 +134,7 @@ class ScenePlan:
     cache_store: Dict = None
     packed_store: Dict = None  # pose -> (row_counts, packed_mm), bounded
     shadow_store: Dict = None  # (pose, lights) -> per-light shadow payloads
+    sky_store: Dict = None  # pose -> sky-split plan (_sky_plan), bounded
 
 
 def scene_plan(scene_flat) -> ScenePlan:
@@ -261,6 +262,7 @@ def scene_plan(scene_flat) -> ScenePlan:
             cache_store={},
             packed_store={},
             shadow_store={},
+            sky_store={},
         )
         scene_flat._kernel_plan = plan
     return plan
@@ -847,6 +849,8 @@ def _render_frame(
     affine: bool = False,  # packed_mm is transform_payload_affine'd
     shadow_sph=None,  # (NG, 4) memoised shaft spheres (lit frames)
     shadow_audit: bool = False,  # lit frames also return leak counts
+    sky_means=None,  # sky-split base output (SKY SPLIT notes)
+    sky_scatter=None,
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
@@ -865,6 +869,7 @@ def _render_frame(
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         tex_static=tex_static, quad_gray=quad_gray, affine=affine,
         shadow_sph=shadow_sph, shadow_audit=shadow_audit,
+        sky_means=sky_means, sky_scatter=sky_scatter,
     )
 
 
@@ -1002,6 +1007,8 @@ def _trace_shade_angles(
     affine: bool = False,  # packed_mm is transform_payload_affine'd
     shadow_sph=None,  # (NG, 4) memoised shaft spheres [c, r] (lit frames)
     shadow_audit: bool = False,  # also return the out-of-shaft hit counts
+    sky_means=None,  # (N0, 3) sky-split base output (SKY SPLIT notes)
+    sky_scatter=None,  # (Np,) int32 live -> original group; N0 = padding
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
     path draws angles GLOBALLY and feeds per-device slices here, so results
@@ -1294,16 +1301,25 @@ def _trace_shade_angles(
         # reshape away — same S-length contiguous reductions as a
         # sequential frame, hence bit-identical means
         s1 = samples // frames
-        return jnp.stack(
+        out = jnp.stack(
             [jnp.mean(rr.reshape(n_pad, frames, s1), axis=2),
              jnp.mean(gg.reshape(n_pad, frames, s1), axis=2),
              jnp.mean(bb.reshape(n_pad, frames, s1), axis=2)],
             axis=-1,
         )  # (Np, F, 3)
+        if sky_means is not None:
+            # sky-split: Np here is the compacted live count; scatter the
+            # live means over the (frame-invariant) sky expectations
+            base = jnp.broadcast_to(
+                sky_means[:, None, :], (sky_means.shape[0], frames, 3))
+            out = base.at[sky_scatter].set(out, mode="drop")
+        return out
     means = jnp.stack(
         [jnp.mean(rr, axis=1), jnp.mean(gg, axis=1), jnp.mean(bb, axis=1)],
         axis=-1,
     )  # (Np, 3)
+    if sky_means is not None:
+        means = sky_means.at[sky_scatter].set(means, mode="drop")
     if shadow_audit and lights is not None:
         return means, audit  # audit = [out-of-shaft hits, total hits]
     return means
@@ -1491,6 +1507,148 @@ def _plan_widths_pack(splan, eplan, omms_p, position, local_space,
         d_thresh=d_thresh, affine=affine,
     )
     return kcand, rmax, out, None
+
+
+# ----------------------------------------------------------------- SKY SPLIT
+# A zero-row group is a shaft the CONSERVATIVE cull proved empty of near
+# geometry: every one of its samples misses the kernel and its radiance is a
+# pure far-field-cache lookup along the sample direction.  At the natural
+# bench pose that is 614/1000 groups — which still pay the RNG draw, the
+# planar raygen stack, and (dominating the epilogue) one count-bound table
+# gather PER SAMPLE.  The split serves those groups their pose-memoised
+# acceptance-distribution EXPECTATION of the cache instead (a deterministic
+# quadrature, ~128 lookups per group ONCE per pose), and compacts the live
+# groups with STATIC pose-memoised index arrays so raygen/kernel/epilogue
+# shrink to the live fraction — no dynamic shapes, one recompile per
+# 64-rounded live-count high-water mark.
+#
+# Semantics: the sky value is the exact mean the per-sample estimator
+# converges to, so frames are statistically interchangeable with the dense
+# path but NOT bit-identical (live groups draw different RNG rows; sky
+# groups lose their sampling noise).  Config-gated off by default;
+# tools/tpu_session.py's "sky" stage adopts it only under the
+# full-conformance gate.  Unlit single-chip means paths only (raw samples,
+# lit frames, and the sharded path stay dense).
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nq_splay", "nq_spin", "cache_shape", "row_offset"))
+def _sky_expectation(
+    cache: jnp.ndarray,  # (rows, 16) unified table or (H, W, 16) equirect
+    omms_p: jnp.ndarray,  # (Np, 8)
+    local_space: jnp.ndarray,
+    nq_splay: int,
+    nq_spin: int,
+    cache_shape: Tuple[int, int],
+    row_offset: int,
+) -> jnp.ndarray:
+    """(Np, 3) expectation of the far-field cache radiance under the
+    acceptance sampling distribution (sample_angles_ns: splay ~ N(0, sd),
+    spin ~ U[0, pi)), by quantile-midpoint quadrature: splay nodes
+    sd * Phi^-1((i+0.5)/n), spin nodes pi*(j+0.5)/m.  The node directions
+    go through the same cone_offset_components -> world transform ->
+    equirect-bilinear path as real samples, so the only error is the
+    quadrature rule's on a smooth cache (tests/test_sky_split.py pins it
+    against a high-S Monte-Carlo mean)."""
+    n_pad = omms_p.shape[0]
+    sd = omms_p[:, 6] / FWHM_SD_RATIO  # (Np,)
+    p = (jnp.arange(nq_splay, dtype=jnp.float32) + 0.5) / nq_splay
+    z = jnp.sqrt(jnp.float32(2.0)) * jax.scipy.special.erfinv(2.0 * p - 1.0)
+    nq = nq_splay * nq_spin
+    splay = jnp.broadcast_to(
+        (sd[:, None] * z[None, :])[:, :, None], (n_pad, nq_splay, nq_spin)
+    ).reshape(n_pad, nq)
+    spin_nodes = jnp.pi * (jnp.arange(nq_spin, dtype=jnp.float32) + 0.5) / nq_spin
+    spin = jnp.broadcast_to(
+        spin_nodes[None, None, :], (n_pad, nq_splay, nq_spin)
+    ).reshape(n_pad, nq)
+    ax, ay, az = omms_p[:, 3:4], omms_p[:, 4:5], omms_p[:, 5:6]
+    rdx, rdy, rdz = cone_offset_components(ax, ay, az, splay, spin)
+    L = local_space
+    wdx = rdx * L[0, 0] + rdy * L[1, 0] + rdz * L[2, 0]
+    wdy = rdx * L[0, 1] + rdy * L[1, 1] + rdz * L[2, 1]
+    wdz = rdx * L[0, 2] + rdy * L[1, 2] + rdz * L[2, 2]
+    inv_n = jax.lax.rsqrt(
+        jnp.maximum(wdx * wdx + wdy * wdy + wdz * wdz, 1e-60))
+    ch, cw = cache_shape
+    c_idx, fx, fy = _equirect_coords_c(
+        ch, cw,
+        (wdx * inv_n).reshape(-1), (wdy * inv_n).reshape(-1),
+        (wdz * inv_n).reshape(-1))
+    rows = cache.reshape(-1, cache.shape[-1])[row_offset + c_idx]
+    r, g, b = quad_bilinear_c(rows, fx, fy)
+    return jnp.stack(
+        [r.reshape(n_pad, nq).mean(axis=1),
+         g.reshape(n_pad, nq).mean(axis=1),
+         b.reshape(n_pad, nq).mean(axis=1)], axis=-1).astype(jnp.float32)
+
+
+@jax.jit
+def _compact_live(packed_mm, row_counts, omms_p, gidx, real):
+    """Gather the live groups' plan rows (coherent group-axis gathers, one
+    plan-time dispatch).  Padding entries (real == 0) duplicate a live
+    group but get row_counts 0 — the kernel skips them and their means are
+    scatter-dropped (out-of-range scatter index)."""
+    return packed_mm[gidx], row_counts[gidx] * real, omms_p[gidx]
+
+
+def _sky_plan(splan, eplan, omms_p, local_space, pose_sig, samples,
+              kcand, rmax, d_thresh, affine, cache, row_counts, packed_mm):
+    """Memoised sky-split plan for a pose (SKY SPLIT notes above).
+
+    Returns (packed_live, rc_live, omms_live, scatter_idx, sky_means, ngl)
+    or None when the pose isn't worth splitting (live fraction > 0.9 — a
+    closed arena would only add the scatter).  The liveness fetch is ONE
+    host sync per unseen pose; memoised poses (the steady-state serving
+    regime) pay nothing.  Liveness is overflow-invariant: a speculative
+    pack's kcand/rmax truncation clamps row magnitudes, never whether a
+    group's count is zero, and an overflow re-plan changes (kcand, rmax)
+    which re-keys this memo."""
+    cfg = get_config()
+    sk = ("sky", eplan.sig, samples, pose_sig, kcand, rmax,
+          cfg.cull_sigmas, cfg.refine_mode, d_thresh, affine,
+          cfg.sky_quad_splay, cfg.sky_quad_spin)
+    if sk in splan.sky_store:
+        hit = splan.sky_store.pop(sk)  # LRU refresh
+        splan.sky_store[sk] = hit
+        return hit  # may be None: memoised not-worth-splitting
+    rc_np = np.asarray(jax.device_get(row_counts))
+    ng = rc_np.shape[0]
+    live = np.flatnonzero(rc_np > 0)
+    out = None
+    if live.size <= 0.9 * ng:
+        # 64-rounded high-water live count: nearby poses reuse the compile
+        hint_key = ("sky_ngl", eplan.sig, samples)
+        ngl = max(_ceil_to(max(int(live.size), 1), 64),
+                  splan.kmax_cache.get(hint_key, 0))
+        ngl = min(ngl, ng)
+        splan.kmax_cache[hint_key] = ngl
+        pad = ngl - live.size
+        gather = np.concatenate([live, np.zeros(pad, np.int64)])
+        # padding scatters out of range -> mode="drop" discards it
+        scatter = np.concatenate([live, np.full(pad, ng, np.int64)])
+        packed_live, rc_live, omms_live = _compact_live(
+            packed_mm, row_counts, omms_p,
+            jnp.asarray(gather, jnp.int32),
+            jnp.asarray((scatter < ng).astype(np.int32)))
+        if cache.ndim == 2:  # unified (tex_quads | cache_quads) table
+            ch = cfg.farfield_cache_width // 2
+            cw = cfg.farfield_cache_width
+            row_offset = cache.shape[0] - ch * cw
+        else:  # plain (H, W, 16) equirect quad cache
+            ch, cw = int(cache.shape[0]), int(cache.shape[1])
+            row_offset = 0
+        sky_means = _sky_expectation(
+            cache, omms_p, local_space,
+            nq_splay=cfg.sky_quad_splay, nq_spin=cfg.sky_quad_spin,
+            cache_shape=(ch, cw), row_offset=row_offset)
+        out = (packed_live, rc_live, omms_live,
+               jnp.asarray(scatter, jnp.int32), sky_means, ngl)
+    while len(splan.sky_store) >= max(1, cfg.packed_store_size):
+        splan.sky_store.pop(next(iter(splan.sky_store)))
+    splan.sky_store[sk] = out
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("ratio",))
@@ -1979,14 +2137,29 @@ def _plan_frame(
         shadow_counts, shadow_r2v = None, None
         shadow_flag, shadow_flat, lights_dev = None, None, None
         shadow_sph = None
+    # sky split (SKY SPLIT notes): compact the live groups, serve zero-row
+    # groups their memoised cache expectation.  Unlit single-chip means
+    # paths only; when the plan is speculative-pending the liveness fetch
+    # below forces its need counters too (same sync), so a later overflow
+    # re-plan simply rebuilds under the new (kcand, rmax) key.
+    sky = None
+    ng_out = eplan.ng
+    if (cfg.sky_split and use_cache and lights is None and eplan.g == 1):
+        sky = _sky_plan(
+            splan, eplan, omms_p, local_space, pose_sig, samples,
+            kcand, rmax, d_thresh, affine, cache, row_counts, packed_mm)
+    sky_means = sky_scatter = None
+    if sky is not None:
+        packed_mm, row_counts, omms_p, sky_scatter, sky_means, ng_out = sky
     kwargs = dict(
         packed_mm=packed_mm, row_counts=row_counts,
         attr_table=splan.attr_table, scene_dev=scene_dev,
         quad_table=splan.quad_table,
         omms_p=omms_p, position=position, local_space=local_space,
         samples=samples, background=background,
-        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
+        ng=ng_out, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
         rmax=rmax, textured=splan.textured,
+        sky_means=sky_means, sky_scatter=sky_scatter,
         cache=cache, use_cache=use_cache,
         tex_only=splan.tex_only,
         cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
@@ -2059,7 +2232,7 @@ def _render_frames_scanned(
     cache_shape: Tuple[int, int] = (0, 0),
     lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
-    affine: bool = False, shadow_sph=None,
+    affine: bool = False, shadow_sph=None, sky_means=None, sky_scatter=None,
 ):
     """F consecutive frames in ONE dispatch: a lax.scan over the stacked
     per-frame PRNG keys, each step drawing its own jitter and running the
@@ -2082,6 +2255,7 @@ def _render_frames_scanned(
             shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
             shadow_flag=shadow_flag, shadow_flat=shadow_flat,
             tex_static=tex_static, quad_gray=quad_gray, affine=affine,
+            sky_means=sky_means, sky_scatter=sky_scatter,
         )
         return carry, means
 
@@ -2112,7 +2286,7 @@ def _render_frames_stacked(
     cache_shape: Tuple[int, int] = (0, 0),
     lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
-    affine: bool = False, shadow_sph=None,
+    affine: bool = False, shadow_sph=None, sky_means=None, sky_scatter=None,
 ):
     """F consecutive frames in ONE kernel call: per-frame jitter stacked on
     the sample axis (column f*S+s = frame f's sample s), so the packed
@@ -2148,7 +2322,8 @@ def _render_frames_stacked(
         shadow_counts=shadow_counts, shadow_r2v=shadow_r2v,
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         tex_static=tex_static, quad_gray=quad_gray, frames=f, affine=affine,
-    )  # (Np, F, 3)
+        sky_means=sky_means, sky_scatter=sky_scatter,
+    )  # (Np, F, 3) — N0 (the pre-compaction count) under the sky split
     return jnp.transpose(out, (1, 0, 2))
 
 

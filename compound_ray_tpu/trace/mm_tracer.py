@@ -148,13 +148,14 @@ UNROLL_B = _default_unroll()
 # docs/performance.md) plus the VPU's approximate reciprocal on the
 # u/v/t divide, at a measured median ~2e-3 relative t error and rare
 # hit/miss flips on edge-grazing rays.  "mixed" takes only the matmul
-# half of that bargain (one bf16 pass, EXACT divides) — built because
-# the round-4 A/B measured "default" 0.925x but its conformance gate
-# failed at 1.42% on the ofstad arena; mixed separates which
-# approximation the error came from.  Both lossy modes are adopted
-# only by the tools/tpu_session.py precision A/B, which gates on the
-# conformance headline staying <1% — never by hand.  (Mosaic lowers only
-# DEFAULT and HIGHEST; Precision.HIGH does not lower.)
+# half of that bargain (one bf16 pass, EXACT divides) — built to separate
+# which approximation the round-4 conformance-gate failure came from.
+# The answer (session 7b, same-seed control gate on hardware): the BF16
+# MATMUL — both lossy modes show an identical 0.92% vs-control MAE on
+# the ofstad arena (natural only 0.17%), so neither is globally
+# adoptable despite the ~9% frame win.  Both remain A/B-gated via
+# tools/tpu_session.py run_precision — never adopted by hand.  (Mosaic
+# lowers only DEFAULT and HIGHEST; Precision.HIGH does not lower.)
 _PRECISIONS = ("highest", "mixed", "default")
 
 

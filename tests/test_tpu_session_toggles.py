@@ -286,6 +286,82 @@ def test_unroll8_restores_on_mid_ab_failure(sandbox, monkeypatch):
     assert "unroll8_frame_ms" not in json.load(open(sandbox))
 
 
+def _fake_sky_gate(monkeypatch, worst=0.55, fail=False):
+    import tools.conformance_report as cr
+
+    def fake_main(argv):
+        if fail:
+            raise RuntimeError("gate render died")
+        out = argv[argv.index("--out") + 1]
+        with open(out, "w") as f:
+            json.dump({"worst_headline_mae_pct": worst}, f)
+
+    monkeypatch.setattr(cr, "main", fake_main)
+
+
+def _sky_wins(monkeypatch):
+    def time_frames(r, samples, reps, warmup=3):
+        return 1.0, 0.0, 0.5 if cfg.get_config().sky_split else 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+
+
+def test_sky_adopts_on_gate_pass(sandbox, monkeypatch):
+    cfg.set_config(cfg.RenderConfig())
+    _sky_wins(monkeypatch)
+    _fake_sky_gate(monkeypatch, worst=0.55)  # committed baseline is 0.541
+    ts.run_sky()
+    assert cfg.get_config().sky_split is True
+    tuning = json.load(open(sandbox))
+    assert tuning["sky_split"] is True
+    assert tuning["sky_frame_ms"]["natural"] == {"off": 1.0, "on": 0.5}
+    assert tuning["sky_gate"]["pass"] is True
+    assert ts._TUNING_DIRTY is True
+    cfg.set_config(cfg.RenderConfig())
+
+
+def test_sky_rejects_on_gate_fail(sandbox, monkeypatch):
+    cfg.set_config(cfg.RenderConfig())
+    _sky_wins(monkeypatch)
+    _fake_sky_gate(monkeypatch, worst=2.0)  # way past baseline + 0.1pp
+    ts.run_sky()
+    assert cfg.get_config().sky_split is False
+    tuning = json.load(open(sandbox))
+    assert tuning["sky_split"] is False
+    assert tuning["sky_gate"]["pass"] is False
+    assert ts._TUNING_DIRTY is False
+    cfg.set_config(cfg.RenderConfig())
+
+
+def test_sky_wash_skips_gate(sandbox, monkeypatch):
+    cfg.set_config(cfg.RenderConfig())
+    monkeypatch.setattr(ts.bench, "time_frames",
+                        lambda *a, **k: (1.0, 0.0, 1.0))
+    _fake_sky_gate(monkeypatch, fail=True)  # must never be called
+    ts.run_sky()
+    assert cfg.get_config().sky_split is False
+    tuning = json.load(open(sandbox))
+    assert tuning["sky_split"] is False
+    assert "sky_gate" not in tuning
+    cfg.set_config(cfg.RenderConfig())
+
+
+def test_sky_restores_on_mid_ab_failure(sandbox, monkeypatch):
+    cfg.set_config(cfg.RenderConfig())
+
+    def time_frames(r, samples, reps, warmup=3):
+        if cfg.get_config().sky_split:
+            raise RuntimeError("wedged compile on the split variant")
+        return 1.0, 0.0, 1.0
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+    with pytest.raises(RuntimeError):
+        ts.run_sky()
+    assert cfg.get_config().sky_split is False
+    assert not os.path.exists(sandbox)
+    cfg.set_config(cfg.RenderConfig())
+
+
 def _batch_rays_sandbox(monkeypatch, start=256):
     import compound_ray_tpu.eye.pipeline as pl_mod
 

@@ -173,6 +173,20 @@ def build_perf_section():
         ab.append(f"| fast equirect addressing | "
                   f"**{'ON' if tuning['fast_equirect'] else 'off'}** "
                   f"| {_ab_detail(tuning.get('equirect_frame_ms'))} |")
+    if "sky_split" in tuning:
+        sg = tuning.get("sky_gate")
+        extra = ""
+        if isinstance(sg, dict) and "worst_headline_mae_pct" in sg:
+            extra = (f"; full-conformance gate {sg['worst_headline_mae_pct']:.3f}%"
+                     f" vs baseline {sg.get('baseline_headline_mae_pct', 0):.3f}%"
+                     f" ({'PASS' if sg.get('pass') else 'FAIL'})")
+        ab.append(f"| sky split (zero-row group expectation) | "
+                  f"**{'ON' if tuning['sky_split'] else 'off'}** "
+                  f"| {_ab_detail(tuning.get('sky_frame_ms'))}{extra} |")
+    if "batch_rays" in tuning:
+        ab.append(f"| kernel rays per step | "
+                  f"**{tuning['batch_rays']}** "
+                  f"| {_ab_detail(tuning.get('batch_rays_frame_ms'))} |")
     if ab:
         lines.append("A/B-measured tuning (adopted via `artifacts/tuning.json`"
                      " — every later process picks these up):")

@@ -433,13 +433,11 @@ def run_precision():
     notes): full-frame pipelined @3200 on both bench scenes at "highest"
     (exact f32, six bf16 MXU passes), "mixed" (ONE bf16 pass, exact
     divides) and "default" (one pass + approximate reciprocal).  The lossy
-    modes are NOT exact, so a speed win alone does not adopt one — but an
-    absolute MAE-vs-golden bar cannot gate them either: the quick
-    conformance renders at reduced samples whose noise floor vs the
-    goldens is 1.4-2.6% on the ofstad configs, so even "highest" fails a
-    <1% bar there (round-4 session 6 measured an identical 1.423% for
-    BOTH lossy variants — pure sample noise, zero precision signal).  The
-    gate therefore scores each candidate against a SAME-SEED "highest"
+    modes are NOT exact, so a speed win alone does not adopt one — and an
+    absolute MAE-vs-golden bar cannot gate them: the quick conformance
+    renders at reduced samples, where sample noise vs the goldens and
+    real precision error are inseparable in one number.  The gate
+    therefore scores each candidate against a SAME-SEED "highest"
     control: the threefry streams are deterministic per (frame, omm,
     sample), so re-rendering the quick-conformance frames under the
     candidate and diffing against the control isolates the candidate's
@@ -448,7 +446,17 @@ def run_precision():
     clause catches error that happens to concentrate in the scored
     region).  Candidates are gated fastest-first.  Writes the measurement
     to artifacts/tuning.json either way; the adopted value governs every
-    later process via mm_tracer._default_precision."""
+    later process via mm_tracer._default_precision.
+
+    Round-4 verdict (session 7b, on hardware): BOTH lossy modes FAIL —
+    vs-control MAE 0.92% on the ofstad configs (natural only 0.17%),
+    identical for "mixed" and "default", so the error is the ONE-PASS
+    BF16 MATMUL itself, not the approximate reciprocal, and it is real
+    renderer error on closed-arena geometry (control headline 0.94% vs
+    candidates' 1.42% against the same goldens).  The ~9% speed win is
+    not adoptable globally; a per-scene adoption (natural passes the
+    vs-control bar with 0.17%) is the remaining idea — see
+    docs/next-levers.md."""
     global _TUNING_DIRTY
     import compound_ray_tpu.trace.mm_tracer as mm
 
@@ -637,6 +645,119 @@ def run_equirect():
         if _pl.FAST_EQUIRECT != want:
             _pl.FAST_EQUIRECT = want
             jax.clear_caches()
+
+
+def run_sky():
+    """Sky-split A/B (eye/pipeline SKY SPLIT notes): full-frame pipelined
+    @3200 with cfg.sky_split off vs on, both bench scenes.  At the natural
+    bench pose 614/1000 groups cull to zero rows; the split serves them
+    their memoised cache expectation and compacts the live groups, so the
+    RNG draw, raygen, and the count-bound epilogue gathers shrink to the
+    live fraction.  Ofstad (closed arena, every group live, no far-field
+    cache) must measure a wash — it confirms the not-worth-splitting skip
+    costs nothing.
+
+    The split is NOT bit-identical to the dense path (live groups draw
+    different RNG rows; sky groups return the estimator's exact limit
+    instead of a sampled mean), so a speed win alone does not adopt it:
+    the FULL conformance report must hold with the split active.  Quick
+    mode cannot gate it — at reduced samples use_cache never engages and
+    the split is dormant — so this is the one stage that pays a full
+    conformance render.  PASS = worst headline MAE within 0.1pp of the
+    committed artifacts/conformance.json baseline (the natural configs are
+    where the split engages; the ofstad configs have no far field and stay
+    exact)."""
+    global _TUNING_DIRTY
+    import dataclasses
+
+    import compound_ray_tpu.trace.mm_tracer as mm
+    from compound_ray_tpu.config import (
+        RenderConfig,
+        get_config,
+        load_tuning,
+        set_config,
+    )
+
+    results = {}
+    adopt = None  # None = A/B never concluded: restore the pre-stage config
+    base_cfg = get_config()
+    try:
+        for sky in (False, True):
+            set_config(dataclasses.replace(RenderConfig.from_env(),
+                                           sky_split=sky))
+            for name, build in (("natural", bench.build_renderer),
+                                ("ofstad", bench.build_ofstad_renderer)):
+                built = build()
+                r = built[0] if isinstance(built, tuple) else built
+                if r is None:
+                    continue
+                r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+                mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
+                results.setdefault(name, {})[sky] = pipe
+                log(f"SKY {name} @{SAMPLES} sky_split={sky}: {pipe:.2f} ms "
+                    f"pipelined (latency {mean_ms:.2f} ms)")
+        ratios = [t[True] / t[False] for t in results.values()
+                  if True in t and False in t]
+        if not ratios:
+            return
+        g = float(np.exp(np.mean(np.log(ratios))))
+        log(f"SKY geomean frame ratio {g:.3f}x (split vs dense)")
+        gate = {}
+        adopt = False
+        if g < 0.97:
+            # conformance gate: full render with the split active (the
+            # config is still sky_split=True from the A/B loop)
+            from tools import conformance_report
+
+            try:
+                with open(os.path.join(os.path.dirname(__file__), "..",
+                                       "artifacts", "conformance.json")) as f:
+                    baseline = float(
+                        json.load(f)["worst_headline_mae_pct"])
+                gate_out = "/tmp/conformance_sky_gate.json"
+                conformance_report.main(
+                    ["--out", gate_out,
+                     "--error-maps", "/tmp/sky-gate-maps"]
+                    # smoke exercises the control flow only: a full CPU
+                    # conformance render would take the better part of an
+                    # hour (and its quick gate is vacuous either way — the
+                    # split never engages below the use_cache threshold)
+                    + (["--quick"] if SMOKE else []))
+                with open(gate_out) as f:
+                    worst = float(json.load(f)["worst_headline_mae_pct"])
+                ok = worst <= baseline + 0.1
+                gate = {"worst_headline_mae_pct": worst,
+                        "baseline_headline_mae_pct": baseline,
+                        "pass": ok}
+                log(f"SKY gate: full-conformance worst headline MAE "
+                    f"{worst:.3f}% vs committed baseline {baseline:.3f}% "
+                    f"(+0.1pp slack) -> {'PASS' if ok else 'FAIL'}")
+                adopt = ok
+            except Exception as e:
+                log(f"SKY conformance gate failed to run: {e!r}; "
+                    f"not adopting")
+        # read-merge-update; the measurement governs either way (a stale
+        # sky_split=true must not outlive a re-measured regression)
+        tuning = load_tuning()
+        tuning["sky_split"] = bool(adopt)
+        tuning["sky_frame_ms"] = {
+            k: {("on" if s else "off"): ms for s, ms in v.items()}
+            for k, v in results.items()}
+        if gate:
+            tuning["sky_gate"] = gate
+        with open(mm.TUNING_PATH, "w") as f:
+            json.dump(tuning, f, indent=1)
+        log(f"SKY {'ADOPTED' if adopt else 'NOT adopted'} ({g:.3f}x): "
+            f"artifacts/tuning.json updated")
+        if bool(adopt) != bool(base_cfg.sky_split):
+            _TUNING_DIRTY = True  # run_rebench refreshes the bench record
+    finally:
+        # from_env() re-merges tuning.json, so an adoption sticks and a
+        # mid-A/B failure (adopt None) restores the pre-stage state
+        if adopt is None:
+            set_config(base_cfg)
+        else:
+            set_config(RenderConfig.from_env())
 
 
 def run_rebench():
@@ -860,7 +981,7 @@ def run_scale():
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
         "bench", "anatomy", "lit", "conformance", "unroll", "affine",
-        "precision", "equirect", "rebench", "scale", "unroll8",
+        "precision", "equirect", "sky", "rebench", "scale", "unroll8",
         "batch_rays"}
     t0 = time.time()
     # adoption stages right after the defaults headline so a late-session
@@ -869,6 +990,7 @@ if __name__ == "__main__":
                      ("unroll", run_unroll), ("affine", run_affine),
                      ("precision", run_precision),
                      ("equirect", run_equirect),
+                     ("sky", run_sky),
                      ("rebench", run_rebench),
                      ("lit", run_lit), ("anatomy", run_anatomy),
                      ("scale", run_scale),
