@@ -1423,12 +1423,25 @@ def _confirm_pending(splan, pending) -> bool:
     counters (ONE host sync — issued after the frame dispatch, so it
     overlaps frame execution) and commit the width/payload memo entries on
     success.  False = the pack truncated; the caller must re-plan exactly
-    and re-render."""
+    and re-render.
+
+    When the frame was served through a provisional SKY plan
+    (pending["sky_commit"], set by _plan_frame), a validated pack commits
+    the COMPACTED plan instead of the dense payload: the steady state at
+    that pose never touches packed_store again (the short-circuit), so
+    persisting the dense pack would only double the pose's HBM footprint
+    — exactly the round-4 conformance-gate OOM."""
     nk, nr = (int(v) for v in np.asarray(jax.device_get(pending["need"])))
     if nk <= pending["kcand"] and nr <= pending["rmax"]:
         splan.kmax_cache[pending["wkey"]] = (pending["kcand"],
                                              pending["rmax"])
-        _packed_put(splan, pending["pk"], pending["out"], get_config())
+        sky_c = pending.get("sky_commit")
+        if sky_c is not None and sky_c[1] is not None:
+            _sky_put(splan, sky_c[0], sky_c[1], get_config())
+        else:
+            if sky_c is not None:  # memoise the not-worth-splitting call
+                _sky_put(splan, sky_c[0], None, get_config())
+            _packed_put(splan, pending["pk"], pending["out"], get_config())
         return True
     return False
 
@@ -1593,62 +1606,81 @@ def _compact_live(packed_mm, row_counts, omms_p, gidx, real):
     return packed_mm[gidx], row_counts[gidx] * real, omms_p[gidx]
 
 
-def _sky_plan(splan, eplan, omms_p, local_space, pose_sig, samples,
-              kcand, rmax, d_thresh, affine, cache, row_counts, packed_mm):
-    """Memoised sky-split plan for a pose (SKY SPLIT notes above).
+def _sky_key(eplan, samples, pose_sig, d_thresh, affine, cfg):
+    """sky_store key.  Deliberately EXCLUDES (kcand, rmax): the entry is
+    the steady-state serving plan for the pose, and serving it must not
+    require re-deriving the widths (that would need the dense pack, whose
+    eviction is the point — see _plan_frame's short-circuit).  Width
+    consistency is handled at commit time instead: a speculative build is
+    committed only after _confirm_pending validates its pack, and an
+    overflow re-plan rebuilds the entry from the exact pack."""
+    return ("sky", eplan.sig, samples, pose_sig, cfg.cull_sigmas,
+            cfg.refine_mode, d_thresh, affine,
+            cfg.sky_quad_splay, cfg.sky_quad_spin)
 
-    Returns (packed_live, rc_live, omms_live, scatter_idx, sky_means, ngl)
-    or None when the pose isn't worth splitting (live fraction > 0.9 — a
-    closed arena would only add the scatter).  The liveness fetch is ONE
-    host sync per unseen pose; memoised poses (the steady-state serving
-    regime) pay nothing.  Liveness is overflow-invariant: a speculative
-    pack's kcand/rmax truncation clamps row magnitudes, never whether a
-    group's count is zero, and an overflow re-plan changes (kcand, rmax)
-    which re-keys this memo."""
-    cfg = get_config()
-    sk = ("sky", eplan.sig, samples, pose_sig, kcand, rmax,
-          cfg.cull_sigmas, cfg.refine_mode, d_thresh, affine,
-          cfg.sky_quad_splay, cfg.sky_quad_spin)
+
+def _sky_probe(splan, sk):
+    """(hit, entry) with LRU refresh; entry None = memoised
+    not-worth-splitting (the pose stays on the dense path)."""
     if sk in splan.sky_store:
-        hit = splan.sky_store.pop(sk)  # LRU refresh
+        hit = splan.sky_store.pop(sk)
         splan.sky_store[sk] = hit
-        return hit  # may be None: memoised not-worth-splitting
+        return True, hit
+    return False, None
+
+
+def _sky_put(splan, sk, entry, cfg):
+    while len(splan.sky_store) >= max(1, cfg.packed_store_size):
+        splan.sky_store.pop(next(iter(splan.sky_store)))
+    splan.sky_store[sk] = entry
+
+
+def _sky_build(splan, eplan, omms_p, local_space, samples,
+               kcand, rmax, cache, row_counts, packed_mm):
+    """Build a sky-split plan from a validated-or-provisional pack
+    (SKY SPLIT notes above).  Returns
+    (packed_live, rc_live, omms_live, scatter_idx, sky_means, ngl,
+    kcand, rmax) or None when the pose isn't worth splitting (live
+    fraction > 0.9 — a closed arena would only add the scatter).  The
+    liveness fetch is ONE host sync per unseen pose; memoised poses (the
+    steady-state serving regime) pay nothing.  Liveness is
+    overflow-invariant (kcand/rmax truncation clamps row magnitudes,
+    never whether a count is zero) but row CONTENT is not — which is why
+    a speculative build must not be committed before its pack validates
+    (_confirm_pending's sky_commit hook)."""
+    cfg = get_config()
     rc_np = np.asarray(jax.device_get(row_counts))
     ng = rc_np.shape[0]
     live = np.flatnonzero(rc_np > 0)
-    out = None
-    if live.size <= 0.9 * ng:
-        # 64-rounded high-water live count: nearby poses reuse the compile
-        hint_key = ("sky_ngl", eplan.sig, samples)
-        ngl = max(_ceil_to(max(int(live.size), 1), 64),
-                  splan.kmax_cache.get(hint_key, 0))
-        ngl = min(ngl, ng)
-        splan.kmax_cache[hint_key] = ngl
-        pad = ngl - live.size
-        gather = np.concatenate([live, np.zeros(pad, np.int64)])
-        # padding scatters out of range -> mode="drop" discards it
-        scatter = np.concatenate([live, np.full(pad, ng, np.int64)])
-        packed_live, rc_live, omms_live = _compact_live(
-            packed_mm, row_counts, omms_p,
-            jnp.asarray(gather, jnp.int32),
-            jnp.asarray((scatter < ng).astype(np.int32)))
-        if cache.ndim == 2:  # unified (tex_quads | cache_quads) table
-            ch = cfg.farfield_cache_width // 2
-            cw = cfg.farfield_cache_width
-            row_offset = cache.shape[0] - ch * cw
-        else:  # plain (H, W, 16) equirect quad cache
-            ch, cw = int(cache.shape[0]), int(cache.shape[1])
-            row_offset = 0
-        sky_means = _sky_expectation(
-            cache, omms_p, local_space,
-            nq_splay=cfg.sky_quad_splay, nq_spin=cfg.sky_quad_spin,
-            cache_shape=(ch, cw), row_offset=row_offset)
-        out = (packed_live, rc_live, omms_live,
-               jnp.asarray(scatter, jnp.int32), sky_means, ngl)
-    while len(splan.sky_store) >= max(1, cfg.packed_store_size):
-        splan.sky_store.pop(next(iter(splan.sky_store)))
-    splan.sky_store[sk] = out
-    return out
+    if live.size > 0.9 * ng:
+        return None
+    # 64-rounded high-water live count: nearby poses reuse the compile
+    hint_key = ("sky_ngl", eplan.sig, samples)
+    ngl = max(_ceil_to(max(int(live.size), 1), 64),
+              splan.kmax_cache.get(hint_key, 0))
+    ngl = min(ngl, ng)
+    splan.kmax_cache[hint_key] = ngl
+    pad = ngl - live.size
+    gather = np.concatenate([live, np.zeros(pad, np.int64)])
+    # padding scatters out of range -> mode="drop" discards it
+    scatter = np.concatenate([live, np.full(pad, ng, np.int64)])
+    packed_live, rc_live, omms_live = _compact_live(
+        packed_mm, row_counts, omms_p,
+        jnp.asarray(gather, jnp.int32),
+        jnp.asarray((scatter < ng).astype(np.int32)))
+    if cache.ndim == 2:  # unified (tex_quads | cache_quads) table
+        ch = cfg.farfield_cache_width // 2
+        cw = cfg.farfield_cache_width
+        row_offset = cache.shape[0] - ch * cw
+    else:  # plain (H, W, 16) equirect quad cache
+        ch, cw = int(cache.shape[0]), int(cache.shape[1])
+        row_offset = 0
+    sky_means = _sky_expectation(
+        cache, omms_p, local_space,
+        nq_splay=cfg.sky_quad_splay, nq_spin=cfg.sky_quad_spin,
+        cache_shape=(ch, cw), row_offset=row_offset)
+    return (packed_live, rc_live, omms_live,
+            jnp.asarray(scatter, jnp.int32), sky_means, ngl, kcand, rmax)
 
 
 @functools.partial(jax.jit, static_argnames=("ratio",))
@@ -2112,45 +2144,77 @@ def _plan_frame(
     # shadow-ray occlusion kernel keeps its own 16-feature payloads
     # (per-ray origins — the affine trick needs a shared one).
     affine = bool(cfg.affine_rays) and eplan.g == 1
-    kcand, rmax, (row_counts, packed_mm), pending = _plan_widths_pack(
-        splan, eplan, omms_p, position, local_space, pose_sig, samples,
-        near_mask=near_mask, use_cache=use_cache,
-        d_thresh=d_thresh if use_cache else 0.0,
-        defer=(defer_check and lights is None),
-        force_exact=force_exact,
-        affine=affine,
-    )
-    # lighting disables the far-field radiance cache: cached radiance is
-    # unlit, and the reference lights every hit (shaders.cu:826-881).  The
-    # shadow plan probes the PRIMARY hit clouds, so the packed plan must
-    # exist first.
-    if lights is not None:
-        lights_np = np.asarray(lights, np.float32)
-        (shadow_counts, shadow_r2v, shadow_flag, shadow_flat,
-         shadow_sph) = _shadow_plan(
-            splan, eplan, omms_p, position, local_space, pose_sig,
-            lights_np, samples, key, packed_mm, row_counts, rmax,
-            affine=affine,
-        )
-        lights_dev = jnp.asarray(lights_np)
-    else:
-        shadow_counts, shadow_r2v = None, None
-        shadow_flag, shadow_flat, lights_dev = None, None, None
-        shadow_sph = None
     # sky split (SKY SPLIT notes): compact the live groups, serve zero-row
-    # groups their memoised cache expectation.  Unlit single-chip means
-    # paths only; when the plan is speculative-pending the liveness fetch
-    # below forces its need counters too (same sync), so a later overflow
-    # re-plan simply rebuilds under the new (kcand, rmax) key.
+    # groups their memoised cache expectation.  A memoised entry
+    # SHORT-CIRCUITS dense planning entirely — the steady state at a
+    # sky pose holds only the compacted payload (the dense pack is not
+    # committed / is evicted below; keeping both doubled the pose's HBM
+    # footprint and OOM'd the round-4 conformance gate on hetero/big).
+    sky_eligible = (cfg.sky_split and use_cache and lights is None
+                    and eplan.g == 1)
     sky = None
+    sky_sk = None
+    if sky_eligible:
+        sky_sk = _sky_key(eplan, samples, pose_sig, d_thresh, affine, cfg)
+        if not force_exact:
+            hit, sky = _sky_probe(splan, sky_sk)
+            if hit and sky is None:
+                sky_eligible = False  # memoised not-worth-splitting
     ng_out = eplan.ng
-    if (cfg.sky_split and use_cache and lights is None and eplan.g == 1):
-        sky = _sky_plan(
-            splan, eplan, omms_p, local_space, pose_sig, samples,
-            kcand, rmax, d_thresh, affine, cache, row_counts, packed_mm)
     sky_means = sky_scatter = None
     if sky is not None:
-        packed_mm, row_counts, omms_p, sky_scatter, sky_means, ng_out = sky
+        (packed_mm, row_counts, omms_p, sky_scatter, sky_means, ng_out,
+         kcand, rmax) = sky
+        pending = None
+        shadow_counts = shadow_r2v = None
+        shadow_flag = shadow_flat = lights_dev = None
+        shadow_sph = None
+    else:
+        kcand, rmax, (row_counts, packed_mm), pending = _plan_widths_pack(
+            splan, eplan, omms_p, position, local_space, pose_sig, samples,
+            near_mask=near_mask, use_cache=use_cache,
+            d_thresh=d_thresh if use_cache else 0.0,
+            defer=(defer_check and lights is None),
+            force_exact=force_exact,
+            affine=affine,
+        )
+        # lighting disables the far-field radiance cache: cached radiance
+        # is unlit, and the reference lights every hit (shaders.cu:
+        # 826-881).  The shadow plan probes the PRIMARY hit clouds, so the
+        # packed plan must exist first.
+        if lights is not None:
+            lights_np = np.asarray(lights, np.float32)
+            (shadow_counts, shadow_r2v, shadow_flag, shadow_flat,
+             shadow_sph) = _shadow_plan(
+                splan, eplan, omms_p, position, local_space, pose_sig,
+                lights_np, samples, key, packed_mm, row_counts, rmax,
+                affine=affine,
+            )
+            lights_dev = jnp.asarray(lights_np)
+        else:
+            shadow_counts, shadow_r2v = None, None
+            shadow_flag, shadow_flat, lights_dev = None, None, None
+            shadow_sph = None
+        if sky_eligible:
+            sky = _sky_build(
+                splan, eplan, omms_p, local_space, samples,
+                kcand, rmax, cache, row_counts, packed_mm)
+            if pending is not None:
+                # commit only once the speculative pack validates
+                # (_confirm_pending): a truncated pack's compacted COPY
+                # would be missing payload rows
+                pending["sky_commit"] = (sky_sk, sky)
+            else:
+                _sky_put(splan, sky_sk, sky, cfg)
+                if sky is not None:
+                    # the compacted plan supersedes the dense pack at
+                    # this pose (see the short-circuit note above)
+                    splan.packed_store.pop(_packed_key(
+                        eplan, samples, pose_sig, kcand, rmax, use_cache,
+                        d_thresh if use_cache else 0.0, cfg, affine), None)
+            if sky is not None:
+                (packed_mm, row_counts, omms_p, sky_scatter, sky_means,
+                 ng_out, _, _) = sky
     kwargs = dict(
         packed_mm=packed_mm, row_counts=row_counts,
         attr_table=splan.attr_table, scene_dev=scene_dev,

@@ -178,6 +178,37 @@ def test_sky_split_burst_matches_sequential():
     np.testing.assert_array_equal(seq, burst)
 
 
+def test_sky_split_supersedes_dense_pack(monkeypatch):
+    """Memory contract (the round-4 conformance-gate OOM): once a sky
+    plan exists for a pose, the dense packed payload is evicted and
+    steady-state frames short-circuit dense planning entirely — the pose
+    holds ONLY the compacted plan."""
+    scene, dev, omms_np, pos, ls = _setup()
+    try:
+        cr_config.set_config(_cfg(sky_split=True))
+        _clear_plans(scene)
+        render_means_pallas(scene, dev, omms_np, pos, ls,
+                            jax.random.PRNGKey(1), 128, 3)
+        splan = P.scene_plan(scene)
+        assert any(v is not None for v in splan.sky_store.values())
+        assert len(splan.packed_store) == 0  # dense pack evicted
+        calls = []
+        orig = P._plan_widths_pack
+
+        def counting(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(P, "_plan_widths_pack", counting)
+        out = np.asarray(render_means_pallas(
+            scene, dev, omms_np, pos, ls, jax.random.PRNGKey(2), 128, 3))
+        assert not calls  # steady state short-circuits dense planning
+        assert np.isfinite(out).all()
+    finally:
+        cr_config.set_config(cr_config.RenderConfig())
+        _clear_plans(scene)
+
+
 def test_sky_split_gates():
     scene, dev, omms_np, pos, ls = _setup()
     key = jax.random.PRNGKey(7)
