@@ -37,6 +37,17 @@ def main():
         r, _ = bench.build_renderer()
     r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
     r.set_current_eye_samples_per_ommatidium(samples)
+
+    import dataclasses
+
+    from compound_ray_tpu.config import get_config, set_config
+
+    # the dense stages dissect the DENSE plan; with an adopted sky split
+    # the warmup render would compact it and evict the dense pack
+    # (packed_store would be empty below).  Pin sky off here; the sky
+    # stages at the end re-enable it and dissect the compacted plan.
+    base_cfg = get_config()
+    set_config(dataclasses.replace(base_cfg, sky_split=False))
     for _ in range(2):
         r.render_frame()
 
@@ -198,6 +209,29 @@ def main():
     timeit("  raygen math, no stack", f_rays_nostack, omms_p, pos, ls, key)
     t_rays = timeit("raygen+pack", f_rays, omms_p, pos, ls, key)
     t_kern = timeit("raygen-free kernel", f_kern, row_counts, packed_mm, rays)
+
+    # kernel-variant differentials: precision isolates the matmul passes
+    # (HIGHEST = 6 bf16 passes, default = 1), emit isolates the winner
+    # state width + in-register cu/cv math (docs/next-levers.md reads
+    # these to rank the remaining per-step cost)
+    @jax.jit
+    def f_kern_default(row_counts, packed_mm, rays):
+        out = run_packed_tracer(row_counts, packed_mm, rays, ng=ng, nrb=nrb,
+                                rb_size=rb_size, rmax=rmax, emit=emit,
+                                precision="default")
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+    @jax.jit
+    def f_kern_bary(row_counts, packed_mm, rays):
+        out = run_packed_tracer(row_counts, packed_mm, rays, ng=ng, nrb=nrb,
+                                rb_size=rb_size, rmax=rmax, emit="bary")
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+    timeit("  kernel (precision=default)", f_kern_default,
+           row_counts, packed_mm, rays)
+    if emit != "bary":
+        timeit("  kernel (emit=bary)", f_kern_bary,
+               row_counts, packed_mm, rays)
     t_full = timeit("full frame (fused)", f_full)
     print(f"  {'epilogue (full-kern-rays)':28s} {t_full - t_kern - t_rays:8.2f} ms")
 
@@ -328,6 +362,59 @@ def main():
         stage_ms["lit: ggx+basis (derived)"] = round(ggx, 3)
         stage_ms["lit: shadow table rows"] = float(t_rows)
 
+    # ---- sky-split sub-split (pipeline SKY SPLIT notes): dissect the
+    # COMPACTED plan the steady state actually serves when the split is
+    # adopted.  Runs when the session config adopted it (or forced via
+    # CR_ANATOMY_SKY=1); the dense stages above measured the same pose
+    # with the split pinned off, so the rows are directly comparable.
+    if base_cfg.sky_split or os.environ.get("CR_ANATOMY_SKY") == "1":
+        set_config(dataclasses.replace(base_cfg, sky_split=True))
+        splan.sky_store.clear()
+        for _ in range(2):
+            r.render_frame()  # builds + serves the compacted plan
+        entry = next((v for v in splan.sky_store.values()
+                      if v is not None), None)
+        if entry is None:
+            print("  (sky split did not engage at this pose)")
+        else:
+            (pl_live, rc_live, omms_live, _scatter, _sky_means, ngl,
+             _kc_s, rm_s) = entry
+            live = int(np.asarray(jax.device_get(rc_live > 0)).sum())
+            print(f"  sky split: ngl={ngl} (live {live} of {ng})")
+            stage_ms["sky: compacted groups"] = float(ngl)
+            from compound_ray_tpu.eye.sampling import sample_angles_ns
+
+            @jax.jit
+            def f_rays_sky(omms_live, position, local_space, key):
+                splay, spin = sample_angles_ns(
+                    key, omms_live[:, 6] / FWHM_SD_RATIO, samples)
+                rays2, _, _ = P._gen_ray_features(
+                    omms_live, position, local_space, splay, spin,
+                    samples=samples, ng=ngl, g=g, nrb=nrb, rb_size=rb_size)
+                return rays2
+
+            @jax.jit
+            def f_kern_sky(rc, pm, rays2):
+                out = run_packed_tracer(rc, pm, rays2, ng=ngl, nrb=nrb,
+                                        rb_size=rb_size, rmax=rm_s,
+                                        emit=emit)
+                return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+            rays_live = f_rays_sky(omms_live, pos, ls, key)
+            jax.device_get(rays_live.ravel()[0])
+            t_rays_s = timeit("  raygen+pack (sky)", f_rays_sky,
+                              omms_live, pos, ls, key)
+            t_kern_s = timeit("  kernel (sky)", f_kern_sky,
+                              rc_live, pl_live, rays_live)
+            n_burst = max(4, reps)
+            r.render_frames_pipelined(n_burst)  # warm the burst shape
+            ms_pipe = r.render_frames_pipelined(n_burst) / n_burst
+            print(f"  {'full frame (pipelined, sky)':28s} {ms_pipe:8.2f} ms")
+            stage_ms["full frame (pipelined, sky)"] = round(ms_pipe, 3)
+            stage_ms["sky: epilogue (derived)"] = round(
+                ms_pipe - t_kern_s - t_rays_s, 3)
+
+    set_config(base_cfg)
     _dump_anatomy(which, samples, stage_ms)
 
 
@@ -354,7 +441,8 @@ def _dump_anatomy(which, samples, stage_ms):
         "measured": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
         "tuning": {"unroll_b": UNROLL_B, "precision": PRECISION,
                    "fast_equirect": FAST_EQUIRECT,
-                   "affine_rays": get_config().affine_rays},
+                   "affine_rays": get_config().affine_rays,
+                   "sky_split": get_config().sky_split},
         "stages_ms": stage_ms,
     }
     os.makedirs(os.path.dirname(path), exist_ok=True)
