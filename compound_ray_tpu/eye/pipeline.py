@@ -135,6 +135,38 @@ class ScenePlan:
     packed_store: Dict = None  # pose -> (row_counts, packed_mm), bounded
     shadow_store: Dict = None  # (pose, lights) -> per-light shadow payloads
     sky_store: Dict = None  # pose -> sky-split plan (_sky_plan), bounded
+    scene_sig: str = ""  # geometry content hash (per-scene adoptions)
+    precision: Optional[str] = None  # per-scene adopted mode (or None)
+
+
+def scene_sig(scene_flat) -> str:
+    """Stable content signature of the scene geometry — the key for
+    per-SCENE measured adoptions (tuning.json "precision_by_scene").
+    Hashing the triangle soup means any geometry change re-keys the scene
+    to the safe default; materials/textures are deliberately excluded
+    (the intersection math the adoption governs never reads them)."""
+    h = hashlib.blake2b(digest_size=12)
+    for a in (scene_flat.v0, scene_flat.e1, scene_flat.e2):
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
+
+
+def _scene_precision(sig: str) -> Optional[str]:
+    """Per-scene intersection precision from tuning.json, or None (module
+    default).  The tools/tpu_session.py precision stage adopts a lossy
+    mode per scene signature when that scene's conformance configs pass
+    the same-seed gate even though the GLOBAL gate failed (round 4: the
+    one-pass bf16 matmul holds on the natural scene at 0.17% vs-control
+    but errs 0.92% on the ofstad arena).  An explicit CR_TPU_PRECISION
+    env var overrides everything — including this — via the module
+    default, so per-scene resolution must stand down then."""
+    if os.environ.get("CR_TPU_PRECISION", "").strip():
+        return None
+    per_scene = load_tuning().get("precision_by_scene", {})
+    p = per_scene.get(sig) if isinstance(per_scene, dict) else None
+    from compound_ray_tpu.trace.mm_tracer import _PRECISIONS
+
+    return p if p in _PRECISIONS else None
 
 
 def scene_plan(scene_flat) -> ScenePlan:
@@ -264,6 +296,8 @@ def scene_plan(scene_flat) -> ScenePlan:
             shadow_store={},
             sky_store={},
         )
+        plan.scene_sig = scene_sig(scene_flat)
+        plan.precision = _scene_precision(plan.scene_sig)
         scene_flat._kernel_plan = plan
     return plan
 
@@ -812,7 +846,7 @@ def _pack_fused(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
-        "tex_static", "affine", "shadow_audit",
+        "tex_static", "affine", "shadow_audit", "precision",
     ),
 )
 def _render_frame(
@@ -851,6 +885,7 @@ def _render_frame(
     shadow_audit: bool = False,  # lit frames also return leak counts
     sky_means=None,  # sky-split base output (SKY SPLIT notes)
     sky_scatter=None,
+    precision: Optional[str] = None,  # per-scene adopted mode (or module)
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
@@ -870,6 +905,7 @@ def _render_frame(
         tex_static=tex_static, quad_gray=quad_gray, affine=affine,
         shadow_sph=shadow_sph, shadow_audit=shadow_audit,
         sky_means=sky_means, sky_scatter=sky_scatter,
+        precision=precision,
     )
 
 
@@ -1009,6 +1045,7 @@ def _trace_shade_angles(
     shadow_audit: bool = False,  # also return the out-of-shaft hit counts
     sky_means=None,  # (N0, 3) sky-split base output (SKY SPLIT notes)
     sky_scatter=None,  # (Np,) int32 live -> original group; N0 = padding
+    precision: Optional[str] = None,  # per-scene adopted mode (or module)
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
     path draws angles GLOBALLY and feeds per-device slices here, so results
@@ -1049,6 +1086,7 @@ def _trace_shade_angles(
         row_counts, packed_mm, rays,
         ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax,
         emit=emit, ray_feats=(8 if affine else 16),
+        precision=precision,
     )
     t_f, cu_f, cv_f, texid_f, rgb_f = resolve_kernel_hits(
         out, attr_table, tex_only, packed=True, emit=emit,
@@ -2224,6 +2262,11 @@ def _plan_frame(
         ng=ng_out, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
         rmax=rmax, textured=splan.textured,
         sky_means=sky_means, sky_scatter=sky_scatter,
+        # per-scene adopted intersection precision (scene_plan resolves it
+        # from tuning's precision_by_scene under the same-seed gate).
+        # UNLIT frames only: the gate's evidence is the unlit conformance
+        # set; lit frames keep the module default everywhere.
+        precision=(splan.precision if lights is None else None),
         cache=cache, use_cache=use_cache,
         tex_only=splan.tex_only,
         cache_shape=(cfg.farfield_cache_width // 2, cfg.farfield_cache_width),
@@ -2284,7 +2327,7 @@ def render_means_pallas(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "use_cache", "tex_only", "cache_shape", "tex_static",
-        "affine",
+        "affine", "precision",
     ),
 )
 def _render_frames_scanned(
@@ -2297,6 +2340,7 @@ def _render_frames_scanned(
     lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
     affine: bool = False, shadow_sph=None, sky_means=None, sky_scatter=None,
+    precision: Optional[str] = None,
 ):
     """F consecutive frames in ONE dispatch: a lax.scan over the stacked
     per-frame PRNG keys, each step drawing its own jitter and running the
@@ -2320,6 +2364,7 @@ def _render_frames_scanned(
             shadow_flag=shadow_flag, shadow_flat=shadow_flat,
             tex_static=tex_static, quad_gray=quad_gray, affine=affine,
             sky_means=sky_means, sky_scatter=sky_scatter,
+            precision=precision,
         )
         return carry, means
 
@@ -2338,7 +2383,7 @@ STACK_BURST_MAX_SAMPLES = 4096
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "use_cache", "tex_only", "cache_shape", "tex_static",
-        "affine",
+        "affine", "precision",
     ),
 )
 def _render_frames_stacked(
@@ -2351,6 +2396,7 @@ def _render_frames_stacked(
     lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
     affine: bool = False, shadow_sph=None, sky_means=None, sky_scatter=None,
+    precision: Optional[str] = None,
 ):
     """F consecutive frames in ONE kernel call: per-frame jitter stacked on
     the sample axis (column f*S+s = frame f's sample s), so the packed
@@ -2387,6 +2433,7 @@ def _render_frames_stacked(
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         tex_static=tex_static, quad_gray=quad_gray, frames=f, affine=affine,
         sky_means=sky_means, sky_scatter=sky_scatter,
+        precision=precision,
     )  # (Np, F, 3) — N0 (the pre-compaction count) under the sky split
     return jnp.transpose(out, (1, 0, 2))
 

@@ -98,3 +98,59 @@ def test_default_precision_precedence(monkeypatch):
     monkeypatch.setenv("CR_TPU_PRECISION", "high")
     with pytest.raises(AssertionError):
         mm._default_precision()
+
+
+def test_scene_precision_resolution(monkeypatch):
+    """Per-scene precision (pipeline._scene_precision): tuning's
+    precision_by_scene entry for the scene's geometry hash wins over the
+    module default for UNLIT frames; an explicit CR_TPU_PRECISION env var
+    makes it stand down (env governs everything); invalid/missing values
+    fall back to None (module default)."""
+    monkeypatch.delenv("CR_TPU_PRECISION", raising=False)
+    monkeypatch.setattr(
+        "compound_ray_tpu.eye.pipeline.load_tuning", lambda: {})
+    assert P._scene_precision("abc") is None
+    monkeypatch.setattr(
+        "compound_ray_tpu.eye.pipeline.load_tuning",
+        lambda: {"precision_by_scene": {"abc": "default"}})
+    assert P._scene_precision("abc") == "default"
+    assert P._scene_precision("other") is None
+    monkeypatch.setattr(
+        "compound_ray_tpu.eye.pipeline.load_tuning",
+        lambda: {"precision_by_scene": {"abc": "bogus"}})
+    assert P._scene_precision("abc") is None
+    monkeypatch.setenv("CR_TPU_PRECISION", "highest")
+    monkeypatch.setattr(
+        "compound_ray_tpu.eye.pipeline.load_tuning",
+        lambda: {"precision_by_scene": {"abc": "default"}})
+    assert P._scene_precision("abc") is None  # env stands it down
+
+
+def test_scene_precision_threads_into_plan(monkeypatch):
+    """scene_plan stamps the per-scene mode and _plan_frame serves it to
+    unlit frames only (the gate's evidence is the unlit conformance set)."""
+    monkeypatch.delenv("CR_TPU_PRECISION", raising=False)
+    scene = make_big_scene(n_boxes=60, seed=5)
+    sig = P.scene_sig(scene)
+    monkeypatch.setattr(
+        "compound_ray_tpu.eye.pipeline.load_tuning",
+        lambda: {"precision_by_scene": {sig: "default"}})
+    splan = P.scene_plan(scene)
+    assert splan.precision == "default"
+    omms_np = ommatidia_to_array(make_sphere_eye(16, acceptance_deg=4.0))
+    pos = np.asarray([0.0, 2.0, 0.0], np.float32)
+    ls = np.eye(3, dtype=np.float32)
+    kwargs, _, _ = P._plan_frame(
+        scene, scene.device_triangles(), omms_np, pos, ls,
+        jax.random.PRNGKey(0), 64, 0, None)
+    assert kwargs["precision"] == "default"
+    lights = np.zeros((1, 7), np.float32)
+    lights[0, 3] = 1.0
+    lights[0, 4:7] = (0.0, 5.0, 0.0)
+    kwargs_lit, _, _ = P._plan_frame(
+        scene, scene.device_triangles(), omms_np, pos, ls,
+        jax.random.PRNGKey(0), 64, 0, lights)
+    assert kwargs_lit["precision"] is None  # lit frames keep the default
+    # the unlit frame actually runs under the threaded mode
+    out = P._render_frame(key=jax.random.PRNGKey(0), **kwargs)
+    assert np.isfinite(np.asarray(out)).all()

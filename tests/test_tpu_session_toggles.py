@@ -203,6 +203,66 @@ def test_precision_control_failure_adopts_nothing(sandbox, monkeypatch):
     assert tuning["precision_frame_ms"]["natural"]["default"] == 0.5
 
 
+def test_precision_per_scene_salvage(sandbox, monkeypatch):
+    """A candidate that fails the GLOBAL gate (ofstad error) but passes on
+    every natural config is adopted PER SCENE, keyed by the natural
+    scene's geometry hash — and the bench artifacts re-measure."""
+    import tools.conformance_report as cr
+
+    _default_wins(monkeypatch)
+
+    def fake_main(argv):
+        out = argv[argv.index("--out") + 1]
+        if "--save-frames" in argv:
+            payload = {"worst_headline_mae_pct": 0.94, "results": {
+                "overview/uniform": {"headline_mae_pct": 0.04},
+                "ofstad/uniform": {"headline_mae_pct": 0.94}}}
+        else:
+            payload = {"worst_headline_mae_pct": 1.42,
+                       "worst_vs_control_mae_pct": 0.92, "results": {
+                           "overview/uniform": {"headline_mae_pct": 0.04,
+                                                "vs_control_mae_pct": 0.17},
+                           "ofstad/uniform": {"headline_mae_pct": 1.42,
+                                              "vs_control_mae_pct": 0.92}}}
+        with open(out, "w") as f:
+            json.dump(payload, f)
+
+    monkeypatch.setattr(cr, "main", fake_main)
+    monkeypatch.setattr(ts, "_natural_scene_sig", lambda: "cafe01")
+    ts.run_precision()
+    assert mm.PRECISION == "highest"  # the global adoption stays rejected
+    tuning = json.load(open(sandbox))
+    assert tuning["precision"] == "highest"
+    assert tuning["precision_by_scene"] == {"cafe01": "default"}
+    assert ts._TUNING_DIRTY is True
+
+
+def test_precision_per_scene_rejects_natural_error(sandbox, monkeypatch):
+    import tools.conformance_report as cr
+
+    _default_wins(monkeypatch)
+
+    def fake_main(argv):
+        out = argv[argv.index("--out") + 1]
+        if "--save-frames" in argv:
+            payload = {"worst_headline_mae_pct": 0.94, "results": {
+                "overview/uniform": {"headline_mae_pct": 0.04}}}
+        else:
+            payload = {"worst_headline_mae_pct": 1.42,
+                       "worst_vs_control_mae_pct": 0.92, "results": {
+                           "overview/uniform": {"headline_mae_pct": 0.04,
+                                                "vs_control_mae_pct": 0.4}}}
+        with open(out, "w") as f:
+            json.dump(payload, f)
+
+    monkeypatch.setattr(cr, "main", fake_main)
+    monkeypatch.setattr(ts, "_natural_scene_sig", lambda: "cafe01")
+    ts.run_precision()
+    tuning = json.load(open(sandbox))
+    assert tuning["precision_by_scene"] == {}
+    assert ts._TUNING_DIRTY is False
+
+
 def test_unroll8_skips_without_ub4_adoption(sandbox, monkeypatch):
     monkeypatch.setattr(mm, "UNROLL_B", 1)
     called = []

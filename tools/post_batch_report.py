@@ -166,6 +166,10 @@ def build_perf_section():
         if isinstance(vsc, dict) and vsc:
             extra += ("; same-seed diff vs highest " + ", ".join(
                 f"{k} {v:.4f}%" for k, v in vsc.items()))
+        pbs = tuning.get("precision_by_scene")
+        if isinstance(pbs, dict) and pbs:
+            extra += ("; per-scene adoption " + ", ".join(
+                f"{k[:8]}…={v}" for k, v in pbs.items()))
         ab.append(f"| intersection matmul precision | "
                   f"**{tuning['precision']}** "
                   f"| {_ab_detail(tuning.get('precision_frame_ms'))}{extra} |")

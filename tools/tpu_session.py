@@ -428,6 +428,23 @@ def run_affine():
         f"artifacts/tuning.json updated")
 
 
+def _natural_scene_sig():
+    """Geometry hash of the natural bench scene — identical to the
+    conformance natural-standin scene (both load
+    data/natural-standin-sky.gltf), so the per-scene gate evidence
+    transfers.  None when the scene can't be built (the per-scene
+    salvage is then skipped)."""
+    try:
+        from compound_ray_tpu.eye.pipeline import scene_sig
+
+        built = bench.build_renderer()
+        r = built[0] if isinstance(built, tuple) else built
+        return scene_sig(r.scene) if r is not None else None
+    except Exception as e:
+        log(f"PRECISION per-scene: natural scene sig unavailable ({e!r})")
+        return None
+
+
 def run_precision():
     """Intersection-matmul precision A/B (mm_tracer module PRECISION
     notes): full-frame pipelined @3200 on both bench scenes at "highest"
@@ -462,8 +479,14 @@ def run_precision():
 
     results = {}
     chosen = None  # decided after the gate; None = restore pre-stage state
+    env_prec_before = os.environ.get("CR_TPU_PRECISION")
     try:
         for prec in ("highest", "mixed", "default"):
+            # the env var makes scene_plan's PER-SCENE resolution stand
+            # down (pipeline._scene_precision), so the A/B measures the
+            # flipped module mode even when a prior batch adopted a
+            # per-scene value for one of the bench scenes
+            os.environ["CR_TPU_PRECISION"] = prec
             if mm.PRECISION != prec:
                 mm.PRECISION = prec
                 jax.clear_caches()  # frame programs traced the old precision
@@ -502,6 +525,7 @@ def run_precision():
 
         if candidates:
             # same-seed control render at "highest" (see docstring)
+            os.environ["CR_TPU_PRECISION"] = "highest"
             if mm.PRECISION != "highest":
                 mm.PRECISION = "highest"
                 jax.clear_caches()
@@ -523,6 +547,7 @@ def run_precision():
                     f"not adopting any lossy variant")
                 candidates = []
         for cand in candidates:
+            os.environ["CR_TPU_PRECISION"] = cand
             if mm.PRECISION != cand:
                 mm.PRECISION = cand
                 jax.clear_caches()
@@ -554,12 +579,53 @@ def run_precision():
                 break
         if chosen is None:
             chosen = "highest"
+        # per-scene salvage (docstring round-4 verdict): a candidate that
+        # failed GLOBALLY may still hold on the natural scene's configs —
+        # adopt it keyed by the scene's geometry hash (bench natural and
+        # the conformance natural configs load the same gltf, so the gate
+        # evidence transfers; pipeline._scene_precision serves it).
+        per_scene = {}
+        if chosen == "highest" and gate_vs_control:
+            nat_sig = _natural_scene_sig()
+            for cand in candidates:
+                if nat_sig is None or cand not in gate_vs_control:
+                    continue
+                try:
+                    with open("/tmp/conformance_precision_gate_"
+                              f"{cand}.json") as f:
+                        dc = json.load(f)["results"]
+                    with open("/tmp/conformance_precision_gate_"
+                              "highest.json") as f:
+                        dh = json.load(f)["results"]
+                except Exception:
+                    continue
+                nat = [k for k in dc if not k.startswith("ofstad")]
+                ok = bool(nat) and all(
+                    dc[k].get("vs_control_mae_pct", 99.0)
+                    < GATE_VS_CONTROL_PCT
+                    and dc[k]["headline_mae_pct"]
+                    <= dh[k]["headline_mae_pct"] + GATE_HEADLINE_SLACK_PP
+                    for k in nat)
+                worst_nat = max(
+                    (dc[k].get("vs_control_mae_pct", 99.0) for k in nat),
+                    default=99.0)
+                log(f"PRECISION per-scene gate [natural/{cand}]: worst "
+                    f"vs-control MAE {worst_nat:.4f}% over {len(nat)} "
+                    f"configs -> {'PASS' if ok else 'FAIL'}")
+                if ok:
+                    per_scene[nat_sig] = cand
+                    break
         from compound_ray_tpu.config import load_tuning
 
         # read-merge-update; the measurement governs either way (a stale
-        # adoption must not outlive a re-measured regression)
+        # adoption must not outlive a re-measured regression — including
+        # per-scene entries, which are rewritten wholesale)
         tuning = load_tuning()
+        if bool(per_scene) != bool(tuning.get("precision_by_scene")) or (
+                per_scene and per_scene != tuning.get("precision_by_scene")):
+            _TUNING_DIRTY = True  # bench artifacts reflect the old mode
         tuning["precision"] = chosen
+        tuning["precision_by_scene"] = per_scene
         tuning["precision_frame_ms"] = results
         if gate_results:
             tuning["precision_gate_headline_mae_pct"] = gate_results
@@ -578,6 +644,10 @@ def run_precision():
         # an exception mid-A/B (or a gate crash) must not leave later
         # stages running the unvalidated "default" path: restore the
         # pre-stage precision unless a measured+gated choice was written
+        if env_prec_before is None:
+            os.environ.pop("CR_TPU_PRECISION", None)
+        else:
+            os.environ["CR_TPU_PRECISION"] = env_prec_before
         want = _SESSION_START_PRECISION if chosen is None else chosen
         if mm.PRECISION != want:
             mm.PRECISION = want
