@@ -488,9 +488,14 @@ def run_protocol():
         "local PJRT deployment would not pay"
     )
     # measured-on-TPU adoptions active for this run (tools/tpu_session.py)
+    from compound_ray_tpu.config import load_tuning
+
     detail["tuning"] = {"unroll_b": UNROLL_B,
                         "affine_rays": get_config().affine_rays,
                         "precision": PRECISION,
+                        "precision_by_scene":
+                            load_tuning().get("precision_by_scene", {}),
+                        "sky_split": get_config().sky_split,
                         "fast_equirect": FAST_EQUIRECT}
     write_detail(detail,
                  os.path.join(os.path.dirname(__file__),

@@ -210,8 +210,12 @@ def _merge_bench_detail(key, entry):
     from compound_ray_tpu.config import get_config
 
     entry = dict(entry)
+    from compound_ray_tpu.config import load_tuning
+
     entry.setdefault("tuning", {
         "unroll_b": _mm.UNROLL_B, "precision": _mm.PRECISION,
+        "precision_by_scene": load_tuning().get("precision_by_scene", {}),
+        "sky_split": get_config().sky_split,
         "fast_equirect": _pl.FAST_EQUIRECT,
         "affine_rays": get_config().affine_rays})
     path = os.path.join(os.path.dirname(__file__), "..", "bench_detail.json")
