@@ -1674,7 +1674,8 @@ def _sky_put(splan, sk, entry, cfg):
 
 
 def _sky_build(splan, eplan, omms_p, local_space, samples,
-               kcand, rmax, cache, row_counts, packed_mm):
+               kcand, rmax, cache, row_counts, packed_mm,
+               ng_quantum: int = 64):
     """Build a sky-split plan from a validated-or-provisional pack
     (SKY SPLIT notes above).  Returns
     (packed_live, rc_live, omms_live, scatter_idx, sky_means, ngl,
@@ -1692,11 +1693,15 @@ def _sky_build(splan, eplan, omms_p, local_space, samples,
     live = np.flatnonzero(rc_np > 0)
     if live.size > 0.9 * ng:
         return None
-    # 64-rounded high-water live count: nearby poses reuse the compile
-    hint_key = ("sky_ngl", eplan.sig, samples)
-    ngl = max(_ceil_to(max(int(live.size), 1), 64),
+    # quantum-rounded high-water live count: nearby poses reuse the
+    # compile.  The sharded planner passes lcm(64, mesh omm axis) so the
+    # compacted group count splits evenly over the mesh.
+    hint_key = ("sky_ngl", eplan.sig, samples, ng_quantum)
+    ngl = max(_ceil_to(max(int(live.size), 1), ng_quantum),
               splan.kmax_cache.get(hint_key, 0))
     ngl = min(ngl, ng)
+    if ngl % ng_quantum:  # ng itself may not be quantum-aligned
+        ngl = _ceil_to(ngl, ng_quantum)
     splan.kmax_cache[hint_key] = ngl
     pad = ngl - live.size
     gather = np.concatenate([live, np.zeros(pad, np.int64)])
@@ -2065,6 +2070,85 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     return out
 
 
+def _farfield_plan(splan, eplan, scene_dev, ommatidia_np, pos_np, ls_np,
+                   samples, background, lights, cfg):
+    """Far-field radiance-cache planning for a frame: decide the near/far
+    cluster split and build (or fetch) the pose-memoised cache.  Shared by
+    the single-chip (_plan_frame) and sharded (_plan_for_mesh) planners so
+    multi-chip frames ride the same cache + unified epilogue.  Returns
+    (use_cache, near_mask, cache, d_thresh).
+
+    quad_gray scenes skip the combined tex+cache table (it is built on
+    the 16-wide colour quads, which the gray path deliberately never
+    materialises); closed arenas — the gray path's target — have no far
+    clusters anyway."""
+    use_cache = False
+    near_mask = None
+    cache = None
+    d_thresh = 0.0
+    if not (lights is None and cfg.farfield == "auto"
+            and splan.quad_gray is None and splan.num_clusters > 8):
+        return use_cache, near_mask, cache, d_thresh
+    cache_px = cfg.farfield_cache_width * (cfg.farfield_cache_width // 2)
+    if samples * eplan.n < cache_px:
+        return use_cache, near_mask, cache, d_thresh
+    # reused at the pack call — the O(N) host pass over the ommatidia
+    # must run once per frame, not twice
+    d_thresh = _farfield_threshold(ommatidia_np, cfg.farfield_tolerance)
+    # eye centre in world space (the cache viewpoint)
+    rel_c = ommatidia_np[:, 0:3].mean(axis=0)
+    center_np = np.asarray(pos_np, np.float64) + rel_c @ np.asarray(
+        ls_np, np.float64
+    )
+    cdist = np.linalg.norm(
+        splan.sphere_center_np - center_np[None, :], axis=1
+    )
+    far = (cdist - splan.sphere_radius_np) > d_thresh
+    if not far.any():
+        return use_cache, near_mask, cache, d_thresh
+    use_cache = True
+    near_mask = jnp.asarray(~far)
+    # the cache depends only on (scene, eye centre, width, background) —
+    # NOT on samples or the RNG — so it is memoised and reused across
+    # frames at a fixed pose.  big_table_bf16_bytes is in the key: the
+    # cached table's DTYPE depends on it, and a config flip between
+    # frames must not serve a stale-precision table
+    cache_key = (
+        np.asarray(center_np, np.float32).tobytes(),
+        cfg.farfield_cache_width, background, d_thresh,
+        cfg.big_table_bf16_bytes,
+    )
+    cache = splan.cache_store.get(cache_key)
+    if cache is None:
+        cache = _render_cache(
+            splan.payload, splan.attr_table, scene_dev,
+            splan.quad_table,
+            splan.half_center, splan.half_radius,
+            jnp.asarray(np.asarray(center_np, np.float32)),
+            jnp.asarray(far),
+            width=cfg.farfield_cache_width, background=background,
+            kmax=min(splan.num_clusters, 256),
+            textured=splan.textured, tex_only=splan.tex_only,
+        )
+        cache = build_equirect_quads(cache)  # (H, W, 16)
+        if splan.textured:
+            # combined (tex_quads | cache_quads) table for the unified
+            # single-gather epilogue
+            cache = jnp.concatenate(
+                [splan.quad_table, cache.reshape(-1, 16)], axis=0
+            )
+            bf16_at = cfg.big_table_bf16_bytes
+            if bf16_at and cache.nbytes > bf16_at:
+                # past the ~64 MB per-ray-gather cliff the cost grows
+                # with table BYTES (docs/performance.md): halve them;
+                # quad_bilinear_c promotes back to f32 in the blend
+                cache = cache.astype(jnp.bfloat16)
+        if len(splan.cache_store) > 64:  # bound for pose sweeps
+            splan.cache_store.clear()
+        splan.cache_store[cache_key] = cache
+    return use_cache, near_mask, cache, d_thresh
+
+
 def _plan_frame(
     scene_flat,
     scene_dev: Dict[str, Any],
@@ -2105,74 +2189,9 @@ def _plan_frame(
         np.asarray(ls_np, np.float32).tobytes(),
     )
     cfg = get_config()
-    use_cache = False
-    near_mask = None
-    cache = None
-    d_thresh = 0.0
-    # quad_gray scenes skip the combined tex+cache table (it is built on
-    # the 16-wide colour quads, which the gray path deliberately never
-    # materialises); closed arenas — the gray path's target — have no far
-    # clusters anyway
-    if (lights is None and cfg.farfield == "auto"
-            and splan.quad_gray is None and splan.num_clusters > 8):
-        cache_px = cfg.farfield_cache_width * (cfg.farfield_cache_width // 2)
-        if samples * eplan.n >= cache_px:
-            # reused below at the _plan_widths_pack call — the O(N) host
-            # pass over the ommatidia must run once per frame, not twice
-            d_thresh = _farfield_threshold(ommatidia_np, cfg.farfield_tolerance)
-            # eye centre in world space (the cache viewpoint)
-            rel_c = ommatidia_np[:, 0:3].mean(axis=0)
-            center_np = np.asarray(pos_np, np.float64) + rel_c @ np.asarray(
-                ls_np, np.float64
-            )
-            cdist = np.linalg.norm(
-                splan.sphere_center_np - center_np[None, :], axis=1
-            )
-            far = (cdist - splan.sphere_radius_np) > d_thresh
-            if far.any():
-                use_cache = True
-                near_mask = jnp.asarray(~far)
-                # the cache depends only on (scene, eye centre, width,
-                # background) — NOT on samples or the RNG — so it is
-                # memoised and reused across frames at a fixed pose
-                # big_table_bf16_bytes is in the key: the cached table's
-                # DTYPE depends on it, and a config flip between frames
-                # must not serve a stale-precision table
-                cache_key = (
-                    np.asarray(center_np, np.float32).tobytes(),
-                    cfg.farfield_cache_width, background, d_thresh,
-                    cfg.big_table_bf16_bytes,
-                )
-                cache = splan.cache_store.get(cache_key)
-                if cache is None:
-                    cache = _render_cache(
-                        splan.payload, splan.attr_table, scene_dev,
-                        splan.quad_table,
-                        splan.half_center, splan.half_radius,
-                        jnp.asarray(np.asarray(center_np, np.float32)),
-                        jnp.asarray(far),
-                        width=cfg.farfield_cache_width, background=background,
-                        kmax=min(splan.num_clusters, 256),
-                        textured=splan.textured, tex_only=splan.tex_only,
-                    )
-                    cache = build_equirect_quads(cache)  # (H, W, 16)
-                    if splan.textured:
-                        # combined (tex_quads | cache_quads) table for the
-                        # unified single-gather epilogue
-                        cache = jnp.concatenate(
-                            [splan.quad_table,
-                             cache.reshape(-1, 16)], axis=0
-                        )
-                        bf16_at = cfg.big_table_bf16_bytes
-                        if bf16_at and cache.nbytes > bf16_at:
-                            # past the ~64 MB per-ray-gather cliff the cost
-                            # grows with table BYTES (docs/performance.md):
-                            # halve them; quad_bilinear_c promotes back to
-                            # f32 in the blend
-                            cache = cache.astype(jnp.bfloat16)
-                    if len(splan.cache_store) > 64:  # bound for pose sweeps
-                        splan.cache_store.clear()
-                    splan.cache_store[cache_key] = cache
+    (use_cache, near_mask, cache, d_thresh) = _farfield_plan(
+        splan, eplan, scene_dev, ommatidia_np, pos_np, ls_np,
+        samples, background, lights, cfg)
 
     # affine ray factorisation (transform_payload_affine): frames with one
     # ommatidium per group trace [d, 1] rays against an origin-folded

@@ -72,12 +72,23 @@ def _draw_angles(key: jax.Array, omms_p: jnp.ndarray, samples: int):
     return sample_angles_ns(key, omms_p[:, 6] / FWHM_SD_RATIO, samples)
 
 
-def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
-                   mesh: Mesh, lights_np=None, key=None):
+def _plan_for_mesh(scene_flat, scene_dev, ommatidia, position, local_space,
+                   samples, mesh: Mesh, lights_np=None, key=None,
+                   background: int = 0, allow_cache: bool = True):
     """Global planning for a sharded frame: eye layout padded to the mesh,
-    pose-memoised packed payload, optional shadow widths.  Returns a dict of
-    everything the sharded impl needs."""
+    pose-memoised packed payload, far-field cache split, sky-split
+    compaction, optional shadow widths.  Returns a dict of everything the
+    sharded impl needs.
+
+    The cache and sky plans are the SAME pose-memoised machinery the
+    single-chip path uses (pipeline._farfield_plan / _sky_build — the sky
+    quantum is lcm(64, omm axis) so the compacted group count splits
+    evenly over the mesh); each shard then renders its slice of the
+    compacted live groups against the replicated cache, and the impl
+    scatters the shard-gathered means over the replicated sky
+    expectations."""
     from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.eye import pipeline as P_
     from compound_ray_tpu.eye.pipeline import (
         _packed_plan,
         _plan_widths,
@@ -104,6 +115,13 @@ def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
     position = jnp.asarray(pos_np)
     local_space = jnp.asarray(ls_np)
     pose_sig = (pos_np.tobytes(), ls_np.tobytes())
+    cfg = get_config()
+    if allow_cache:
+        use_cache, near_mask, cache, d_thresh = P_._farfield_plan(
+            splan, eplan, scene_dev, omms_np, pos_np, ls_np,
+            samples, background, lights_np, cfg)
+    else:
+        use_cache, near_mask, cache, d_thresh = False, None, None, 0.0
     kcand, rmax = _plan_widths(
         splan, eplan, omms_p, position, local_space,
         (eplan.sig, samples, pose_sig, "mesh"),
@@ -112,18 +130,47 @@ def _plan_for_mesh(scene_flat, ommatidia, position, local_space, samples,
     # per GROUP, and groups shard whole over "omm" — each shard's local
     # payload slice is exactly what its local [d, 1] rays expect (lit
     # frames included; the shadow plan's probe is affine-aware)
-    affine = bool(get_config().affine_rays) and eplan.g == 1
+    affine = bool(cfg.affine_rays) and eplan.g == 1
     row_counts, packed_mm = _packed_plan(
         splan, eplan, omms_p, position, local_space, pose_sig, samples,
-        kcand, rmax, affine=affine,
+        kcand, rmax, near_mask=near_mask, use_cache=use_cache,
+        d_thresh=d_thresh if use_cache else 0.0, affine=affine,
     )
+    # sky split over the mesh: compact live groups globally, shard the
+    # compacted set.  The memoised entry supersedes the dense pack (the
+    # same memory contract as the single-chip short-circuit).
+    sky = None
+    ng_eff = eplan.ng
+    sky_means = sky_scatter = None
+    if (cfg.sky_split and use_cache and lights_np is None
+            and eplan.g == 1):
+        sk = P_._sky_key(eplan, samples, pose_sig, d_thresh, affine,
+                         cfg) + (omm_axis,)
+        hit, sky = P_._sky_probe(splan, sk)
+        if not hit:
+            sky = P_._sky_build(
+                splan, eplan, omms_p, local_space, samples,
+                kcand, rmax, cache, row_counts, packed_mm,
+                ng_quantum=int(np.lcm(64, omm_axis)))
+            P_._sky_put(splan, sk, sky, cfg)
+            if sky is not None:
+                splan.packed_store.pop(P_._packed_key(
+                    eplan, samples, pose_sig, kcand, rmax, use_cache,
+                    d_thresh if use_cache else 0.0, cfg, affine), None)
+    if sky is not None:
+        (packed_mm, row_counts, omms_p, sky_scatter, sky_means,
+         ng_eff, _, _) = sky
     out = dict(
         splan=splan, eplan=eplan, omms_p=omms_p,
         position=position, local_space=local_space,
         row_counts=row_counts, packed_mm=packed_mm, rmax=rmax,
         affine=affine,
+        use_cache=use_cache, cache=cache,
+        cache_shape=(cfg.farfield_cache_width // 2,
+                     cfg.farfield_cache_width),
+        sky_means=sky_means, sky_scatter=sky_scatter,
         s_local=samples // sample_axis,
-        ng_local=eplan.ng // omm_axis,
+        ng_local=ng_eff // omm_axis,
         rb_local=_ceil_to(eplan.g * (samples // sample_axis), BATCH_RAYS),
         lights_dev=None, shadow_counts=None,
         shadow_r2v=None, shadow_flag=None, shadow_flat=None,
@@ -175,10 +222,11 @@ def render_means_sharded_packed(
     reduction through the shard signature if multi-chip lit accuracy
     monitoring is needed."""
     splan_args = _plan_for_mesh(
-        scene_flat, ommatidia, position, local_space, samples, mesh,
+        scene_flat, scene_dev, ommatidia, position, local_space, samples,
+        mesh,
         lights_np=(np.asarray(lights, np.float32)
                    if lights is not None else None),
-        key=key,
+        key=key, background=background,
     )
     eplan = splan_args["eplan"]
     splan = splan_args["splan"]
@@ -199,6 +247,10 @@ def render_means_sharded_packed(
         textured=splan.textured, tex_only=splan.tex_only,
         tex_static=splan.tex_static, mesh=mesh,
         affine=splan_args["affine"],
+        cache=splan_args["cache"], use_cache=splan_args["use_cache"],
+        cache_shape=splan_args["cache_shape"],
+        sky_means=splan_args["sky_means"],
+        sky_scatter=splan_args["sky_scatter"],
     )
     return means_p[eplan.inv_valid_dev]
 
@@ -209,7 +261,7 @@ def _packed_mesh_call(
     attr_table, scene_dev, quad_table, packed_mm, row_counts,
     omms_p, splay, spin, position, local_space, lights, slot_tri,
     shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
-    affine=False,
+    affine=False, cache=None, use_cache=False, cache_shape=(0, 0),
 ):
     """The shard-mapped packed frame core (trace + shade + sample-psum) —
     shared by the single-frame and scanned-burst jitted wrappers.
@@ -222,7 +274,7 @@ def _packed_mesh_call(
 
     def shard_fn(attr_l, sdev_l, quad_l, pmm_l, rc_l, omms_l,
                  splay_l, spin_l, pos_l, ls_l, lights_l, slot_tri_l,
-                 scnt_l, sr2v_l, sflag_l, sflat_l, qgray_l):
+                 scnt_l, sr2v_l, sflag_l, sflat_l, qgray_l, cache_l):
         from compound_ray_tpu.eye.pipeline import _trace_shade_angles
 
         partial = _trace_shade_angles(
@@ -235,6 +287,9 @@ def _packed_mesh_call(
             shadow_counts=scnt_l, shadow_r2v=sr2v_l,
             shadow_flag=sflag_l, shadow_flat=sflat_l, quad_gray=qgray_l,
             affine=affine,
+            # far-field cache: replicated table, same unified epilogue as
+            # the single-chip path (each shard gathers for its own rays)
+            cache=cache_l, use_cache=use_cache, cache_shape=cache_shape,
         )  # (Np_local, 3) mean over the LOCAL sample slice
         # combine sample-axis partial means over ICI (the collective
         # replacement for summing_kernel.cu's warp shuffles)
@@ -252,7 +307,7 @@ def _packed_mesh_call(
             P("omm", "sample"), P("omm", "sample"),
             P(), P(), P(), P(),
             P(None, "omm"), P("omm"), P("omm"), P("omm", None, None),
-            P(),
+            P(), P(),
         ),
         out_specs=P("omm", None),
         check_vma=False,
@@ -261,7 +316,7 @@ def _packed_mesh_call(
         attr_table, scene_dev, quad_table, packed_mm,
         row_counts, omms_p, splay, spin, position, local_space,
         lights, slot_tri, shadow_counts, shadow_r2v, shadow_flag,
-        shadow_flat, quad_gray,
+        shadow_flat, quad_gray, cache,
     )
 
 
@@ -270,6 +325,7 @@ def _packed_mesh_call(
     static_argnames=(
         "samples", "s_local", "background", "ng_local", "g", "rb_local",
         "rmax", "textured", "tex_only", "tex_static", "mesh", "affine",
+        "use_cache", "cache_shape",
     ),
 )
 def _sharded_packed_impl(
@@ -279,19 +335,29 @@ def _sharded_packed_impl(
     samples: int, s_local: int, background: int, ng_local: int, g: int,
     rb_local: int, rmax: int, textured: bool, tex_only: bool,
     tex_static, mesh: Mesh, affine: bool = False,
+    cache=None, use_cache: bool = False, cache_shape=(0, 0),
+    sky_means=None, sky_scatter=None,
 ):
     """jit-of-shard_map: ONE compiled executable per (widths, mesh) combo.
     An eager shard_map runs its body primitive-by-primitive through the
     impl path (~500 separate pjit dispatches per frame — measured 40 s on
-    the 8-device CPU mesh); under jit it lowers to a single SPMD program."""
-    return _packed_mesh_call(
+    the 8-device CPU mesh); under jit it lowers to a single SPMD program.
+
+    With the sky split active, the shard_map covers only the COMPACTED
+    live groups; the scatter over the replicated sky expectations happens
+    here in the enclosing jit (XLA inserts the gather collective)."""
+    out = _packed_mesh_call(
         mesh, samples, s_local, background, ng_local, g, rb_local, rmax,
         textured, tex_only, tex_static,
         attr_table, scene_dev, quad_table, packed_mm, row_counts,
         omms_p, splay, spin, position, local_space, lights, slot_tri,
         shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
-        affine=affine,
+        affine=affine, cache=cache, use_cache=use_cache,
+        cache_shape=cache_shape,
     )
+    if sky_means is not None:
+        out = sky_means.at[sky_scatter].set(out, mode="drop")
+    return out
 
 
 @functools.partial(
@@ -299,6 +365,7 @@ def _sharded_packed_impl(
     static_argnames=(
         "samples", "s_local", "background", "ng_local", "g", "rb_local",
         "rmax", "textured", "tex_only", "tex_static", "mesh", "affine",
+        "use_cache", "cache_shape",
     ),
 )
 def _sharded_packed_frames_impl(
@@ -308,6 +375,8 @@ def _sharded_packed_frames_impl(
     samples: int, s_local: int, background: int, ng_local: int, g: int,
     rb_local: int, rmax: int, textured: bool, tex_only: bool,
     tex_static, mesh: Mesh, affine: bool = False,
+    cache=None, use_cache: bool = False, cache_shape=(0, 0),
+    sky_means=None, sky_scatter=None,
 ):
     """F consecutive frames over the mesh in ONE dispatch: lax.scan over
     the stacked per-frame keys around the shard-mapped frame core — the
@@ -325,8 +394,11 @@ def _sharded_packed_frames_impl(
             attr_table, scene_dev, quad_table, packed_mm, row_counts,
             omms_p, splay, spin, position, local_space, lights, slot_tri,
             shadow_counts, shadow_r2v, shadow_flag, shadow_flat, quad_gray,
-            affine=affine,
+            affine=affine, cache=cache, use_cache=use_cache,
+            cache_shape=cache_shape,
         )
+        if sky_means is not None:
+            means = sky_means.at[sky_scatter].set(means, mode="drop")
         return carry, means
 
     _, out = jax.lax.scan(step, 0, keys)
@@ -349,10 +421,11 @@ def render_means_sharded_packed_frames(
     dispatch — the multi-chip render_frames_pipelined backend (lit or
     unlit); the shared plan is built once per pose."""
     splan_args = _plan_for_mesh(
-        scene_flat, ommatidia, position, local_space, samples, mesh,
+        scene_flat, scene_dev, ommatidia, position, local_space, samples,
+        mesh,
         lights_np=(np.asarray(lights, np.float32)
                    if lights is not None else None),
-        key=keys[0],
+        key=keys[0], background=background,
     )
     eplan = splan_args["eplan"]
     splan = splan_args["splan"]
@@ -372,6 +445,10 @@ def render_means_sharded_packed_frames(
         textured=splan.textured, tex_only=splan.tex_only,
         tex_static=splan.tex_static, mesh=mesh,
         affine=splan_args["affine"],
+        cache=splan_args["cache"], use_cache=splan_args["use_cache"],
+        cache_shape=splan_args["cache_shape"],
+        sky_means=splan_args["sky_means"],
+        sky_scatter=splan_args["sky_scatter"],
     )
     return out[:, eplan.inv_valid_dev]
 
@@ -391,8 +468,12 @@ def render_samples_sharded_packed(
     compound sample buffer layout) — the sharded twin of
     pipeline.render_samples_pallas.  Each (omm, sample) shard emits its
     (Np_local, S_local, 3) slice; shard_map reassembles the global array."""
+    # raw samples keep the dense semantics: no far-field cache (the dense
+    # raw path renders without it) and no sky split (per-sample values
+    # must be actual samples, not expectations)
     args = _plan_for_mesh(
-        scene_flat, ommatidia, position, local_space, samples, mesh,
+        scene_flat, scene_dev, ommatidia, position, local_space, samples,
+        mesh, allow_cache=False,
     )
     eplan = args["eplan"]
     splan = args["splan"]

@@ -234,3 +234,53 @@ def test_sharded_lit_mr_normal_matches_dense(setup):
     ))
     assert dense.max() > 0.1, "lighting must actually contribute"
     np.testing.assert_allclose(sharded, dense, atol=2e-5)
+
+
+def test_sharded_cache_and_sky_matches_dense():
+    """Multi-chip frames ride the same far-field cache + sky split as the
+    single-chip path (round 4: the x8 headline extrapolation assumes the
+    sharded path has the same structure).  Dense and sharded draw the same
+    global angles, the same cache, and the same compacted sky plan, so
+    means agree to psum float-association tolerance; sky groups (exact
+    expectations on both sides) agree bitwise."""
+    import dataclasses
+
+    from compound_ray_tpu import config as cr_config
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.eye.pipeline import render_means_pallas
+
+    scene = make_big_scene(n_boxes=200, seed=11)
+    dev = scene.device_triangles()
+    omms_np = ommatidia_to_array(make_sphere_eye(64, acceptance_deg=4.0))
+    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(7)
+    s = 128  # 64 omms x 128 samples >= cache_px at width 64
+
+    def _clear():
+        if hasattr(scene, "_kernel_plan"):
+            for st in ("kmax_cache", "cache_store", "packed_store",
+                       "shadow_store", "sky_store"):
+                getattr(scene._kernel_plan, st).clear()
+        P._eye_plans.clear()
+
+    try:
+        cr_config.set_config(dataclasses.replace(
+            cr_config.RenderConfig(), farfield="auto",
+            farfield_cache_width=64, sky_split=True))
+        _clear()
+        dense = np.asarray(
+            render_means_pallas(scene, dev, omms_np, pos, ls, key, s, 3))
+        mesh = make_eye_mesh(8, sample_parallel=2)
+        sharded = np.asarray(render_means_sharded_packed(
+            scene, dev, omms_np, pos, ls, key, s, 3, mesh))
+        splan = P.scene_plan(scene)
+        # both the dense and the mesh sky entries must exist and be real
+        plans = [v for v in splan.sky_store.values() if v is not None]
+        assert len(plans) >= 2, "cache+sky must engage on BOTH paths"
+    finally:
+        cr_config.set_config(cr_config.RenderConfig())
+        _clear()
+    # same global angles + same cache: only the sample-axis psum ordering
+    # differs on live groups; sky groups carry exact expectations
+    np.testing.assert_allclose(sharded, dense, atol=2e-5)
