@@ -124,6 +124,16 @@ class RenderConfig:
     # round-4 lit OOM).  Both are chunked over the group axis in blocks of
     # this many groups — peak plan-time HBM scales linearly with it.
     shadow_pack_chunk: int = 128
+    # occlusion-kernel rows per grid step (trace/mm_tracer
+    # run_rows_occlusion): the shadow table packs this many occluder rows
+    # side by side on the slot axis, so one latency-bound grid step tests
+    # rpb rows with ONE wide MXU dot.  Occlusion virtual groups average
+    # tens of contiguous rows (unlike the primary kernel's ~1/group), so
+    # amortising the ~µs step latency is the measured lit lever; padding
+    # rows are all-zero (den == 0 can never pass the any-hit test).  Must
+    # divide 64 (the shard row-padding quantum).  Adopted via tuning.json
+    # after the tpu_session "shadow" A/B; 1 = per-row grid (round-3 shape).
+    shadow_rpb: int = 1
     # verbosity of the [PyEye] log lines
     verbose: bool = True
 
@@ -151,6 +161,7 @@ class RenderConfig:
             "CR_TPU_SKY_SPLIT": ("sky_split", _env_bool),
             "CR_TPU_SKY_QUAD_SPLAY": ("sky_quad_splay", int),
             "CR_TPU_SKY_QUAD_SPIN": ("sky_quad_spin", int),
+            "CR_TPU_SHADOW_RPB": ("shadow_rpb", int),
         }
         # measured-on-TPU adoptions apply below env defaults: an explicit
         # CR_TPU_* always wins
@@ -159,6 +170,8 @@ class RenderConfig:
             cfg.affine_rays = bool(tuning["affine_rays"])
         if "sky_split" in tuning and "CR_TPU_SKY_SPLIT" not in os.environ:
             cfg.sky_split = bool(tuning["sky_split"])
+        if "shadow_rpb" in tuning and "CR_TPU_SHADOW_RPB" not in os.environ:
+            cfg.shadow_rpb = int(tuning["shadow_rpb"])
         for env, (field, typ) in mapping.items():
             raw = os.environ.get(env)
             if not raw:

@@ -1256,7 +1256,7 @@ def _trace_shade_angles(
             result = base
             n_lights = lights.shape[0]
             r_per_light = ng * rg_pad
-            ray_parts, ldirs, ldists = [], [], []
+            ray_parts, ldirs = [], []
             for li in range(n_lights):
                 lpos = lights[li, 4:7]
                 tox = lpos[0] - pxf
@@ -1265,27 +1265,36 @@ def _trace_shade_angles(
                 ldist = jnp.sqrt(tox * tox + toy * toy + toz * toz)
                 inv_ld = 1.0 / jnp.maximum(ldist, 1e-20)
                 lx, ly, lz = tox * inv_ld, toy * inv_ld, toz * inv_ld
-                # shadow ray from p + eps*l toward the light; occluded if
-                # anything lies closer than the light
+                # shadow ray from p + eps*l with UNNORMALISED direction
+                # D = (ldist - 2eps) * l, so "anything strictly between
+                # the origin and the light's epsilon band" is exactly
+                # t in [0, 1] in the ray's own parameterisation — the
+                # any-hit kernel needs no per-ray tmax and no division
+                # (u, v, t are scale-invariant in |D|; run_rows_occlusion).
+                # A hit point within 2eps of the light clamps kd to 0:
+                # D = 0 makes every den == 0, which the kernel's d > 0
+                # guard reports unoccluded — same as the old
+                # t < (negative) comparison.
                 oxs = pxf + eps * lx
                 oys = pyf + eps * ly
                 ozs = pzf + eps * lz
-                sm_x = oys * lz - ozs * ly
-                sm_y = ozs * lx - oxs * lz
-                sm_z = oxs * ly - oys * lx
+                kd = jnp.maximum(ldist - 2.0 * eps, 0.0)
+                dxs, dys, dzs = kd * lx, kd * ly, kd * lz
+                sm_x = oys * dzs - ozs * dys
+                sm_y = ozs * dxs - oxs * dzs
+                sm_z = oxs * dys - oys * dxs
                 one_f = jnp.ones_like(lx)
                 zero_f = jnp.zeros_like(lx)
                 ray_parts.append(jnp.stack(
-                    [lx, ly, lz, sm_x, sm_y, sm_z, -oxs, -oys, -ozs,
+                    [dxs, dys, dzs, sm_x, sm_y, sm_z, -oxs, -oys, -ozs,
                      one_f, zero_f, zero_f, zero_f, zero_f, zero_f, zero_f]
                 ))
                 ldirs.append((lx, ly, lz))
-                ldists.append(ldist)
-            # ONE row-major occlusion dispatch covers every light: the ray
+            # ONE row-block occlusion dispatch covers every light: the ray
             # vector stacks each light's group-major block so virtual group
             # light*NG + g addresses its own rays (trace/mm_tracer.py
             # run_rows_occlusion)
-            t_all = run_rows_occlusion(
+            occ_all = run_rows_occlusion(
                 shadow_r2v, shadow_flag, shadow_flat,
                 jnp.concatenate(ray_parts, axis=1),
                 nrb=nrb, rb_size=rb_size,
@@ -1294,15 +1303,13 @@ def _trace_shade_angles(
                 lcol = lights[li, 0:3]
                 lint = lights[li, 3]
                 lx, ly, lz = ldirs[li]
-                ldist = ldists[li]
-                t_occ = t_all[li * r_per_light:(li + 1) * r_per_light]
+                o_l = occ_all[li * r_per_light:(li + 1) * r_per_light]
                 # zero-row virtual groups are never visited by the kernel:
-                # their lanes hold garbage — mask to +inf (unobstructed)
+                # their lanes hold garbage — mask to unobstructed
                 cnt_ray = jnp.broadcast_to(
                     shadow_counts[li][:, None], (ng, rg_pad)
                 ).reshape(-1)
-                t_occ = jnp.where(cnt_ray > 0, t_occ, jnp.inf)
-                occ = t_occ < ldist - 2.0 * eps
+                occ = (o_l > 0.0) & (cnt_ray > 0)
                 contrib, facing = ggx_light_contrib(
                     n_vec, view,
                     jnp.stack([lx, ly, lz], axis=-1),
@@ -1922,9 +1929,10 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
                  lights_np: np.ndarray, samples: int, key,
                  packed_mm, row_counts, rmax: int, shards: int = 1,
                  affine: bool = False):
-    """Memoised ROW-MAJOR shadow payload
-    (counts (L, NG), r2v (T,), flag (T,), flat_rows (T, 16, 512))
-    for a (eye, pose, lights, samples, mesh-shards) combination.
+    """Memoised ROW-BLOCK shadow payload
+    (counts (L, NG), r2v (TB,), flag (TB,), flat_rows (TB, 16, rpb*512))
+    for a (eye, pose, lights, samples, mesh-shards, rpb) combination,
+    rpb = cfg.shadow_rpb rows per kernel block.
 
     Per light, the probe's hit-bound shafts are exact-refined and packed
     (same triangle granularity as the primary payload — cluster-granular
@@ -1933,23 +1941,32 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     (NG, rmax_s, 16, 512) pack are flattened into one shared table sorted
     by VIRTUAL GROUP (light*NG + group): memory AND kernel grid equal the
     actual total row count (a per-group jmax grid measured ~40 ms/light of
-    masked-step overhead; the dense per-light stack exhausted HBM).  r2v
-    maps each row to its virtual group, flag marks first-of-group (2) /
-    live (1) / padding (0) rows; run_rows_occlusion traces ALL lights in
-    one dispatch.  Padding rows inherit the last live row's virtual group
-    so the revisited out block never changes on dead steps (a block change
-    there would write back a stale buffer).  For `shards` > 1 the table is
-    laid out shard-major with equal per-shard padding, and r2v holds
-    SHARD-LOCAL virtual groups (light*NG_local + g_local), so shard_map
-    can split it with P("omm") on the row axis.  Flatten indices are
-    computed on the HOST at plan time (one sync per light); steady-state
-    lit frames pay one occlusion kernel + the GGX math."""
+    masked-step overhead; the dense per-light stack exhausted HBM), in
+    BLOCKS of rpb rows packed side by side on the slot axis (one wide MXU
+    dot per latency-bound grid step; per-group tails pad with zero rows
+    that can never pass the any-hit test).  r2v maps each block to its
+    virtual group, flag marks first-of-group (2) / live (1) / padding (0)
+    blocks; run_rows_occlusion traces ALL lights in one dispatch.  Padding
+    blocks inherit the last live block's virtual group so the revisited
+    out block never changes on dead steps (a block change there would
+    write back a stale buffer).  For `shards` > 1 the table is laid out
+    shard-major with equal per-shard padding, and r2v holds SHARD-LOCAL
+    virtual groups (light*NG_local + g_local), so shard_map can split it
+    with P("omm") on the block axis.  Flatten indices are computed on the
+    HOST at plan time (one sync per light); steady-state lit frames pay
+    one occlusion kernel + the GGX math."""
     cfg = get_config()
+    rpb = cfg.shadow_rpb
+    if rpb < 1 or 64 % rpb:
+        raise ValueError(
+            f"shadow_rpb={rpb} must be a divisor of 64 (the shard "
+            f"row-padding quantum)")
     # affine in the key: the probe traces the (affine or plain) primary
     # payload, and a config flip at a seen pose must not serve the other
-    # mode's hit-bound shafts
+    # mode's hit-bound shafts.  rpb in the key: the table's block layout
+    # depends on it, and a config flip must not serve stale blocks
     sk = (eplan.sig, samples, pose_sig, lights_np.tobytes(),
-          cfg.cull_sigmas, cfg.refine_mode, shards, affine)
+          cfg.cull_sigmas, cfg.refine_mode, shards, affine, rpb)
     hit = splan.shadow_store.get(sk)
     if hit is not None:
         splan.shadow_store[sk] = splan.shadow_store.pop(sk)  # LRU refresh
@@ -2012,42 +2029,61 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
                     np.asarray(jax.device_get(rc_s), np.int64), rmax_li,
                 )[:n_in]
                 rc_k[lo:lo + n_in] = rc_np
-                if rc_np.sum():
+                # each group's rows pad to an rpb multiple with ZERO rows
+                # (index -1, fill 0.0) so the kernel's rpb-row blocks never
+                # straddle groups; zero rows have den == 0 and can never
+                # pass the any-hit test
+                rp_np = -(-rc_np // rpb) * rpb
+                if rp_np.sum():
                     # live-row gather indices into the chunk's dense
                     # transient, group-major
                     src = np.concatenate([
-                        gl * rmax_li + np.arange(rc_np[gl])
-                        for gl in range(n_in)
+                        np.concatenate([
+                            gl * rmax_li + np.arange(rc_np[gl]),
+                            np.full(rp_np[gl] - rc_np[gl], -1, np.int64),
+                        ])
+                        for gl in range(n_in) if rp_np[gl]
                     ])
                     flat2 = packed_s.reshape(
                         cs * rmax_li, MM_FEATS, MM_COLS)
                     shard_parts[k].append(jnp.take(
-                        flat2, jnp.asarray(src, jnp.int32), axis=0))
+                        flat2, jnp.asarray(src, jnp.int32), axis=0,
+                        mode="fill", fill_value=0.0))
                 del packed_s  # transient dense pack: freed per chunk
             cnts_np[li, k * ngl:(k + 1) * ngl] = rc_k
             shard_rc[k].append(rc_k)
     # equal per-shard padding (SPMD needs one static grid), 64-row buckets
-    # so nearby poses reuse the compiled kernel
+    # so nearby poses reuse the compiled kernel; rpb divides 64, so the
+    # per-shard row count is always a whole number of kernel blocks
+    def _padded_rows(rcl):
+        return int(sum(int(((-(-r // rpb)) * rpb).sum()) for r in rcl))
+
     t_shard = _ceil_to(max(
-        max(int(sum(int(r.sum()) for r in rcl)) for rcl in shard_rc), 1
+        max(_padded_rows(rcl) for rcl in shard_rc), 1
     ), 64)
-    r2v_np = np.zeros((shards * t_shard,), np.int32)
-    flag_np = np.zeros((shards * t_shard,), np.int32)
+    tb_shard = t_shard // rpb
+    r2v_np = np.zeros((shards * tb_shard,), np.int32)
+    flag_np = np.zeros((shards * tb_shard,), np.int32)
     dev_parts = []
     for k in range(shards):
-        base = k * t_shard
+        base = k * tb_shard
+        blocks_k = 0
         rows_k = 0
         for li in range(n_lights):
             rck = shard_rc[k][li]
             for gl in range(ngl):
                 c = int(rck[gl])
                 if c:
-                    r2v_np[base + rows_k:base + rows_k + c] = li * ngl + gl
-                    flag_np[base + rows_k] = 2
-                    flag_np[base + rows_k + 1:base + rows_k + c] = 1
-                    rows_k += c
-        if rows_k:  # padding rows revisit the last live block (see above)
-            r2v_np[base + rows_k:base + t_shard] = r2v_np[base + rows_k - 1]
+                    nb_g = -(-c // rpb)
+                    r2v_np[base + blocks_k:
+                           base + blocks_k + nb_g] = li * ngl + gl
+                    flag_np[base + blocks_k] = 2
+                    flag_np[base + blocks_k + 1:base + blocks_k + nb_g] = 1
+                    blocks_k += nb_g
+                    rows_k += nb_g * rpb
+        if blocks_k:  # padding blocks revisit the last live out block
+            r2v_np[base + blocks_k:
+                   base + tb_shard] = r2v_np[base + blocks_k - 1]
         pad = t_shard - rows_k
         parts = shard_parts[k]
         if pad or not parts:
@@ -2057,6 +2093,12 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
                          else jnp.concatenate(parts, axis=0))
     flat_rows = (dev_parts[0] if shards == 1
                  else jnp.concatenate(dev_parts, axis=0))
+    # pack each block's rpb consecutive rows side by side on the slot axis
+    # — ONE wide (RS, 16) x (16, rpb*512) MXU dot per latency-bound grid
+    # step (run_rows_occlusion block layout)
+    flat_rows = (flat_rows.reshape(-1, rpb, MM_FEATS, MM_COLS)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(-1, MM_FEATS, rpb * MM_COLS))
     # the probed (inflated) per-group shaft spheres ride along so the
     # steady-state lit frame can AUDIT its hits against them: a hit outside
     # its group's sphere saw only shaft-local occluders (the documented

@@ -513,37 +513,51 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
     return kernel
 
 
-def _make_rows_occlusion_kernel(ub: int, precision: str = "highest"):
-    """Row-major shadow traversal: grid = (NRB, T) over the ACTUAL rows of
-    the shared ragged payload table — step (rb, r) tests row r against its
-    own (light, group) virtual group's ray block, so total work equals the
-    table's row count with no per-group jmax padding (a jmax-shaped grid
-    measured ~40 ms/light of masked-step overhead on the natural scene).
-    Rows of one virtual group are contiguous, so the revisited out block
-    stays VMEM-resident and min-t accumulates in place; flag 2 = first row
-    of its group (initialise), 1 = live row, 0 = padding (skip).  Virtual
-    groups with zero rows are never visited — the caller masks their
-    (uninitialised) lanes to +inf via the counts table.
+def _make_rows_occlusion_kernel(ub: int, precision: str = "highest",
+                                rpb: int = 1):
+    """Row-block shadow traversal: grid = (NRB, TB) over BLOCKS of rpb
+    occluder rows packed side by side on the slot axis — step (rb, r)
+    tests block r's rpb rows against its (light, group) virtual group's
+    ray block with ONE (RS, 16) x (16, rpb*512) MXU dot, so the
+    latency-bound grid step count shrinks rpb-fold (occlusion virtual
+    groups average tens of contiguous rows, unlike the primary kernel's
+    ~1/group where this would not pay).  Blocks of one virtual group are
+    contiguous, so the revisited out block stays VMEM-resident; flag 2 =
+    first block of its group (initialise), 1 = live block, 0 = padding
+    (skip).  Virtual groups with zero rows are never visited — the caller
+    masks their (uninitialised) lanes via the counts table.
+
+    ANY-HIT semantics (traceOcclusion, shaders.cu:135-163): out is 1.0
+    where some occluder lies strictly between the ray origin and t = 1
+    in the ray's own parameterisation (the caller scales the shadow
+    direction so t = 1 lands at the light minus its epsilon band), else
+    0.0.  The u/v/t tests run on sign-folded PRODUCTS — a = w1*s,
+    b = w2*s, d = den*s, tt = tnum*s with s = sign(den) — so the kernel
+    does no division at all: u >= 0 iff a >= 0, u+v <= 1 iff a+b <= d,
+    0 <= t <= 1 iff 0 <= tt <= d, for either sign of den.  d > 0 guards
+    degenerate slots: all-zero padding rows (and rpb tail padding) yield
+    den == 0 and can never report a hit.
 
     ub independent ray-batch chains run per loop step (same latency
     rationale and bit-identical argument as _make_packed_kernel);
-    precision as in _make_packed_kernel."""
+    precision as in _make_packed_kernel (no reciprocal here to care
+    about — only the single matmul pass count)."""
     prec = _PREC_MAP[precision]
 
     def kernel(r2v_ref, flag_ref, tri_ref, rays_ref, out_ref):
+        del r2v_ref  # consumed by the BlockSpec index maps only
         r = pl.program_id(1)
         f = flag_ref[r]
         rb_size = rays_ref.shape[1]
-        big = jnp.float32(jnp.inf)
         nb = rb_size // BATCH_RAYS
 
         @pl.when(f == 2)
         def _init():
-            out_ref[...] = jnp.full(out_ref.shape, big)
+            out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
 
         @pl.when(f >= 1)
-        def _test_row():
-            mm = tri_ref[0]  # (16, 512)
+        def _test_block():
+            mm = tri_ref[0]  # (16, rpb*512)
 
             def one_batch(r0):
                 ft = rays_ref[:, pl.ds(r0, BATCH_RAYS)]  # (16, RS)
@@ -551,21 +565,29 @@ def _make_rows_occlusion_kernel(ub: int, precision: str = "highest"):
                     ft, mm, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec,
-                )  # (RS, 512)
-                w1 = p[:, 0:KERNEL_LEAF]
-                w2 = p[:, KERNEL_LEAF:2 * KERNEL_LEAF]
-                den = p[:, 2 * KERNEL_LEAF:3 * KERNEL_LEAF]
-                tnum = p[:, 3 * KERNEL_LEAF:4 * KERNEL_LEAF]
-                inv = (pl.reciprocal(den, approx=True)
-                       if precision == "default" else 1.0 / den)
-                u = w1 * inv
-                v = w2 * inv
-                t = tnum * inv
-                ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
-                tmin = jnp.min(jnp.where(ok, t, big), axis=1)  # (RS,)
+                )  # (RS, rpb*512)
+                occ = None
+                for k in range(rpb):
+                    base = k * MM_COLS
+                    w1 = p[:, base:base + KERNEL_LEAF]
+                    w2 = p[:, base + KERNEL_LEAF:base + 2 * KERNEL_LEAF]
+                    den = p[:, base + 2 * KERNEL_LEAF:
+                            base + 3 * KERNEL_LEAF]
+                    tnum = p[:, base + 3 * KERNEL_LEAF:
+                             base + 4 * KERNEL_LEAF]
+                    s = jnp.where(den >= 0.0, 1.0, -1.0)
+                    a = w1 * s
+                    b = w2 * s
+                    d = den * s
+                    tt = tnum * s
+                    ok = ((a >= 0.0) & (b >= 0.0) & (a + b <= d)
+                          & (tt >= 0.0) & (tt <= d) & (d > 0.0))
+                    occ = ok if occ is None else (occ | ok)
+                hit = jnp.max(
+                    jnp.where(occ, 1.0, 0.0), axis=1)  # (RS,)
                 cur = out_ref[0:1, pl.ds(r0, BATCH_RAYS)]
-                out_ref[0:1, pl.ds(r0, BATCH_RAYS)] = jnp.minimum(
-                    cur, tmin.reshape(1, BATCH_RAYS)
+                out_ref[0:1, pl.ds(r0, BATCH_RAYS)] = jnp.maximum(
+                    cur, hit.reshape(1, BATCH_RAYS)
                 )
 
             def ray_batch(sbi, _):
@@ -591,22 +613,25 @@ def _use_interpret() -> bool:
 @functools.partial(
     jax.jit, static_argnames=("nrb", "rb_size", "unroll_b", "precision"))
 def run_rows_occlusion(
-    r2v: jnp.ndarray,  # (T,) int32 row -> virtual group (light*NG + group)
-    flag: jnp.ndarray,  # (T,) int32: 2 first-of-group, 1 live, 0 padding
-    flat_rows: jnp.ndarray,  # (T, 16, 512) shared ragged payload table
+    r2v: jnp.ndarray,  # (TB,) int32 block -> virtual group (light*NG + g)
+    flag: jnp.ndarray,  # (TB,) int32: 2 first-of-group, 1 live, 0 padding
+    flat_rows: jnp.ndarray,  # (TB, 16, rpb*512) row-block payload table
     rays: jnp.ndarray,  # (16, NVG*NRB*rb_size) f32 PLANAR shadow rays
     nrb: int,
     rb_size: int,
     unroll_b: Optional[int] = None,
     precision: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Closest-t along shadow rays, (1, R) planar; +inf = unobstructed.
-    The caller compares t against the ray-to-light distance to decide
-    occlusion (traceOcclusion semantics, shaders.cu:135-163), and must
-    mask ray lanes whose virtual group has zero rows (their out block is
-    never initialised).  All lights trace in ONE dispatch: the ray vector
-    stacks each light's group-major block, virtual group = light*NG + g,
-    and the table's rows are sorted by virtual group (see _shadow_plan)."""
+    """Any-hit along shadow rays, (1, R) planar; 1.0 = occluded within
+    t in [0, 1] of the ray's own parameterisation, 0.0 = clear
+    (traceOcclusion semantics, shaders.cu:135-163 — the caller scales the
+    shadow direction so t = 1 is the light minus its epsilon band).  The
+    caller must mask ray lanes whose virtual group has zero rows (their
+    out block is never initialised).  All lights trace in ONE dispatch:
+    the ray vector stacks each light's group-major block, virtual group =
+    light*NG + g, and the table's row BLOCKS (rpb rows side by side on
+    the slot axis, rpb = flat_rows.shape[2] // 512) are sorted by virtual
+    group (see _shadow_plan)."""
     assert rb_size % BATCH_RAYS == 0, (
         f"rb_size={rb_size} must be a multiple of BATCH_RAYS={BATCH_RAYS}")
     if unroll_b is None:
@@ -616,13 +641,17 @@ def run_rows_occlusion(
         f"batches and emits uninitialised frames)")
     if precision is None:
         precision = PRECISION
-    t_pad = flat_rows.shape[0]
+    assert flat_rows.shape[2] % MM_COLS == 0, flat_rows.shape
+    rpb = flat_rows.shape[2] // MM_COLS
+    tb_pad = flat_rows.shape[0]
+    assert r2v.shape == (tb_pad,) and flag.shape == (tb_pad,), (
+        r2v.shape, flag.shape, flat_rows.shape)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nrb, t_pad),
+        grid=(nrb, tb_pad),
         in_specs=[
             pl.BlockSpec(
-                (1, MM_FEATS, MM_COLS),
+                (1, MM_FEATS, rpb * MM_COLS),
                 lambda rb, r, r2v, flag: (r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -639,7 +668,7 @@ def run_rows_occlusion(
         ),
     )
     return pl.pallas_call(
-        _make_rows_occlusion_kernel(unroll_b, precision),
+        _make_rows_occlusion_kernel(unroll_b, precision, rpb),
         out_shape=jax.ShapeDtypeStruct((1, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),

@@ -301,3 +301,85 @@ def test_shadow_plan_chunk_invariance():
         C.set_config(base)
     assert outs[0].max() > 0.0
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_shadow_rpb_frame_invariance():
+    """Lit frames must be BIT-identical for every shadow_rpb: the kernel's
+    rows-per-block packing (pipeline._shadow_plan / run_rows_occlusion)
+    only regroups the same occluder rows into wider MXU dots, and the
+    per-group zero-row tail padding can never report a hit.  Fresh scene
+    objects per setting keep the memoised shadow stores independent (rpb
+    is in the plan key, but a stale eye-plan cache must not couple runs)."""
+    import dataclasses
+
+    import jax
+
+    from compound_ray_tpu import config as C
+    from compound_ray_tpu.eye.pipeline import render_means_pallas
+    from compound_ray_tpu.scene.eye_io import Ommatidium, ommatidia_to_array
+
+    v1, f1 = box_mesh((0.0, -1.0, 0.0), (20.0, 0.2, 20.0))
+    v2, f2 = box_mesh((3.0, 3.0, 0.0), (4.0, 0.2, 4.0))
+    v3, f3 = box_mesh((-4.0, 1.0, 0.0), (0.2, 4.0, 6.0))
+    verts = np.concatenate([v1, v2, v3])
+    faces = np.concatenate([f1, f2 + len(v1), f3 + len(v1) + len(v2)])
+
+    omms = []
+    for ix in range(6):
+        for iz in range(5):
+            p = np.array([ix - 2.5, 2.0, iz - 2.0])
+            d = np.array([0.15 * (ix - 2.5), -1.0, 0.1 * (iz - 2.0)])
+            omms.append(Ommatidium(p, d / np.linalg.norm(d), 1e-6, 0.0))
+    omms_np = ommatidia_to_array(omms)
+    pos = jnp.zeros(3)
+    ls = jnp.eye(3)
+    key = jax.random.PRNGKey(17)
+
+    base = C.get_config()
+    outs = []
+    try:
+        for rpb in (1, 4):
+            C.set_config(dataclasses.replace(base, shadow_rpb=rpb))
+            scene = build_scene_from_arrays(
+                verts, faces, base_color=(0.4, 0.5, 0.6),
+                background_shader="black")
+            dev = scene.device_triangles()
+            lights = default_lights(scene.aabb_min, scene.aabb_max)
+            outs.append(np.asarray(render_means_pallas(
+                scene, dev, omms_np, pos, ls, key, 2, 2, lights=lights,
+            )))
+    finally:
+        C.set_config(base)
+    assert outs[0].max() > 0.0
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_shadow_rpb_validation():
+    """shadow_rpb values that don't divide the 64-row shard padding
+    quantum must fail loudly at plan time, not mis-pack the table."""
+    import dataclasses
+
+    import jax
+    import pytest
+
+    from compound_ray_tpu import config as C
+    from compound_ray_tpu.eye.pipeline import render_means_pallas
+    from compound_ray_tpu.scene.eye_io import Ommatidium, ommatidia_to_array
+
+    v1, f1 = box_mesh((0.0, -1.0, 0.0), (20.0, 0.2, 20.0))
+    omms = [Ommatidium(np.array([0.0, 2.0, 0.0]),
+                       np.array([0.0, -1.0, 0.0]), 1e-6, 0.0)]
+    omms_np = ommatidia_to_array(omms)
+    base = C.get_config()
+    try:
+        C.set_config(dataclasses.replace(base, shadow_rpb=3))
+        scene = build_scene_from_arrays(
+            v1, f1, base_color=(0.4, 0.5, 0.6), background_shader="black")
+        dev = scene.device_triangles()
+        lights = default_lights(scene.aabb_min, scene.aabb_max)
+        with pytest.raises(ValueError, match="shadow_rpb"):
+            render_means_pallas(
+                scene, dev, omms_np, jnp.zeros(3), jnp.eye(3),
+                jax.random.PRNGKey(0), 2, 2, lights=lights)
+    finally:
+        C.set_config(base)

@@ -442,10 +442,11 @@ def test_packed_tracer_batch_rays_bit_identical(monkeypatch):
         P._eye_plans.clear()  # stale rs-keyed plans must not leak out
 
 
-def test_occlusion_unroll_bit_identical():
-    """run_rows_occlusion with unroll_b > 1 must equal the single-chain
-    kernel (chains cover disjoint ray batches; min accumulation per batch
-    touches disjoint out slices)."""
+def test_occlusion_block_bit_identical():
+    """run_rows_occlusion any-hit output must be identical for every
+    (unroll_b, rows-per-block) combination: ub chains cover disjoint ray
+    batches, and rpb only repacks rows into wider blocks whose all-zero
+    tail-padding rows (den == 0) can never pass the d > 0 guard."""
     from compound_ray_tpu.eye import pipeline as P
     from compound_ray_tpu.trace.mm_tracer import run_rows_occlusion
 
@@ -466,20 +467,30 @@ def test_occlusion_unroll_bit_identical():
         tri_cl=splan.slot_tri_cl)
     rc_np = np.asarray(rc)
     pmm_np = np.asarray(pmm)
-    rows, r2v, flag = [], [], []
-    for g in range(eplan.ng):
-        for j in range(int(rc_np[g])):
-            rows.append(pmm_np[g, j])
-            r2v.append(g)
-            flag.append(2 if j == 0 else 1)
-    assert len(rows) >= 3, "need a non-trivial row table"
-    while len(rows) % 4:
-        rows.append(np.zeros_like(rows[0]))
-        r2v.append(0)
-        flag.append(0)
-    flat = jnp.asarray(np.stack(rows))
-    r2v = jnp.asarray(np.asarray(r2v, np.int32))
-    flag = jnp.asarray(np.asarray(flag, np.int32))
+    assert int(rc_np.sum()) >= 3, "need a non-trivial row table"
+
+    def build(rpb):
+        rows, r2v, flag = [], [], []
+        for g in range(eplan.ng):
+            c = int(rc_np[g])
+            if not c:
+                continue
+            grows = [pmm_np[g, j] for j in range(c)]
+            while len(grows) % rpb:  # per-group zero-row tail padding
+                grows.append(np.zeros_like(grows[0]))
+            nb = len(grows) // rpb
+            rows += grows
+            r2v += [g] * nb
+            flag += [2] + [1] * (nb - 1)
+        while (len(rows) // rpb) % 4:  # dead tail blocks exercise flag 0
+            rows += [np.zeros_like(rows[0])] * rpb
+            r2v.append(r2v[-1])
+            flag.append(0)
+        flat = (np.stack(rows).reshape(-1, rpb, 16, 512)
+                .transpose(0, 2, 1, 3).reshape(-1, 16, rpb * 512))
+        return (jnp.asarray(flat), jnp.asarray(np.asarray(r2v, np.int32)),
+                jnp.asarray(np.asarray(flag, np.int32)))
+
     key = jax.random.PRNGKey(9)
     k1, k2 = jax.random.split(key)
     sd = omms_p[:, 6] / P.FWHM_SD_RATIO
@@ -488,16 +499,23 @@ def test_occlusion_unroll_bit_identical():
     rays, _, _ = P._gen_ray_features(
         omms_p, pos, ls, splay, spin, samples=samples,
         ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+    # unit directions make t = 1 land one world unit out; scale the
+    # direction-linear feature rows (d and o x d) so the any-hit window
+    # covers the whole scene and the test sees both outcomes
+    rays = rays.at[0:6, :].multiply(50.0)
 
     live = np.repeat(rc_np > 0, eplan.rb_size)  # mask uninitialised groups
 
-    def run(ub):
+    def run(ub, rpb):
+        flat, r2v, flag = build(rpb)
         out = np.asarray(run_rows_occlusion(
             r2v, flag, flat, rays, nrb=eplan.nrb, rb_size=eplan.rb_size,
             unroll_b=ub))
         return out[0, live]
 
-    base = run(1)
-    assert np.isfinite(base).any(), "test must produce real occlusions"
-    for ub in (2, 3):
-        np.testing.assert_array_equal(base, run(ub))
+    base = run(1, 1)
+    assert set(np.unique(base)) <= {0.0, 1.0}
+    assert base.sum() > 0, "test must produce real occlusions"
+    assert (base == 0.0).any(), "test must leave some rays clear"
+    for ub, rpb in ((2, 1), (3, 1), (1, 2), (1, 4), (2, 4)):
+        np.testing.assert_array_equal(base, run(ub, rpb))

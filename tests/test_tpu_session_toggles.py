@@ -554,3 +554,83 @@ def test_lit_light_count_split(sandbox, monkeypatch):
     assert e["lit_1light_pipelined_ms"] == 19.0
     assert e["per_light_ms"] == 7.0
     assert e["lit_fixed_ms"] == 2.0
+
+
+class _FakeShadowRenderer:
+    """run_shadow's renderer surface; pipelined time keyed off the ACTIVE
+    config's shadow_rpb so the stage's winner selection is observable."""
+
+    def __init__(self, ms_by_rpb, explode_at=None):
+        self.ms_by_rpb = ms_by_rpb
+        self.explode_at = explode_at
+        self.lighting = False
+
+    def set_render_size(self, w, h):
+        pass
+
+    def get_current_eye_ommatidial_count(self):
+        return 8
+
+    def set_current_eye_samples_per_ommatidium(self, s):
+        pass
+
+    def set_lighting(self, on):
+        self.lighting = on
+
+    def render_frame(self):
+        pass
+
+    def render_frames_pipelined(self, n):
+        rpb = cfg.get_config().shadow_rpb
+        if rpb == self.explode_at:
+            raise RuntimeError("mosaic ICE on the wide block")
+        return self.ms_by_rpb[rpb] * n
+
+
+@pytest.fixture()
+def cfg_guard():
+    base = cfg.get_config()
+    yield
+    cfg.set_config(base)
+
+
+def test_shadow_adopts_fastest_rpb(sandbox, monkeypatch, cfg_guard):
+    monkeypatch.setattr(
+        ts.bench, "build_renderer",
+        lambda: (_FakeShadowRenderer({1: 4.0, 2: 3.0, 4: 2.0, 8: 2.5}),
+                 "natural"))
+    ts.run_shadow()
+    tuning = json.load(open(sandbox))
+    assert tuning["shadow_rpb"] == 4
+    assert tuning["shadow_rpb_lit_ms"]["natural"]["4"] == 2.0
+    # the finally re-merged tuning.json: later stages run the winner
+    assert cfg.get_config().shadow_rpb == 4
+
+
+def test_shadow_reverts_stale_adoption(sandbox, monkeypatch, cfg_guard):
+    # a previously-adopted rpb that re-measures as a regression must be
+    # reverted (always-write, like run_affine/run_equirect)
+    with open(sandbox, "w") as f:
+        json.dump({"shadow_rpb": 8}, f)
+    cfg.set_config(cfg.RenderConfig.from_env())
+    assert cfg.get_config().shadow_rpb == 8
+    monkeypatch.setattr(
+        ts.bench, "build_renderer",
+        lambda: (_FakeShadowRenderer({1: 2.0, 2: 3.0, 4: 4.0, 8: 5.0}),
+                 "natural"))
+    ts.run_shadow()
+    assert json.load(open(sandbox))["shadow_rpb"] == 1
+    assert cfg.get_config().shadow_rpb == 1
+
+
+def test_shadow_restores_on_mid_ab_failure(sandbox, monkeypatch, cfg_guard):
+    base_rpb = cfg.get_config().shadow_rpb
+    monkeypatch.setattr(
+        ts.bench, "build_renderer",
+        lambda: (_FakeShadowRenderer({1: 4.0, 2: 3.0, 4: 2.0, 8: 2.5},
+                                  explode_at=4),
+                 "natural"))
+    with pytest.raises(RuntimeError):
+        ts.run_shadow()
+    assert not os.path.exists(sandbox)  # nothing adopted
+    assert cfg.get_config().shadow_rpb == base_rpb  # not stuck mid-flip

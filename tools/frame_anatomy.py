@@ -328,9 +328,12 @@ def main():
         kw_unl["use_cache"] = False
         kw_unl["cache"] = None
         n_lights = int(lights_np.shape[0])
-        t_rows = int(kw_lit["shadow_flat"].shape[0])
+        sflat = kw_lit["shadow_flat"]  # (TB, 16, rpb*512) row blocks
+        rpb_l = int(sflat.shape[2]) // 512
+        t_rows = int(sflat.shape[0]) * rpb_l
         print(f"  lit split @{s_lit}: {n_lights} lights, "
-              f"{t_rows} shadow table rows")
+              f"{t_rows} shadow table rows ({sflat.shape[0]} blocks "
+              f"x rpb={rpb_l})")
 
         def f_lit_full():
             return P._render_frame(key=key, **kw_lit)
@@ -350,7 +353,7 @@ def main():
         def f_occ(r2v, flag, flat, rays):
             out = run_rows_occlusion(r2v, flag, flat, rays,
                                      nrb=ep_l.nrb, rb_size=ep_l.rb_size)
-            return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+            return jnp.sum(out)  # any-hit 0/1, always finite
 
         t_unl = timeit(f"unlit frame @{s_lit} (cache off)", f_unlit_s)
         t_lit = timeit(f"lit frame @{s_lit}", f_lit_full)

@@ -834,6 +834,70 @@ def run_sky():
             set_config(RenderConfig.from_env())
 
 
+def run_shadow():
+    """Occlusion rows-per-block A/B (cfg.shadow_rpb -> run_rows_occlusion):
+    lit pipelined frame time at LIT_SAMPLES on the natural scene for
+    rpb in {1, 2, 4, 8}.  The occlusion kernel's grid is latency-bound
+    (anatomy: 26k table rows x ~µs grid step at rpb=1 against ~0.5 TFLOP
+    of matmul — percent-level MXU utilisation), so packing rpb rows side
+    by side into one wide MXU dot cuts the step count rpb-fold; frames
+    are BIT-identical across rpb by construction
+    (tests/test_lighting.py::test_shadow_rpb_frame_invariance), so
+    adoption is on speed alone and the winner ALWAYS writes tuning.json
+    ("shadow_rpb"; RenderConfig.from_env adopts it in every later
+    process — including a measured revert to 1).  The bench headline is
+    unlit and independent of shadow_rpb, so no rebench; the stage runs
+    BEFORE run_lit so the recorded lit factor reflects the adopted
+    value."""
+    import dataclasses
+
+    from compound_ray_tpu.config import (
+        RenderConfig,
+        get_config,
+        load_tuning,
+        set_config,
+    )
+
+    base_cfg = get_config()
+    results = {}
+    winner = None  # None = A/B never concluded: restore pre-stage config
+    try:
+        r, name = bench.build_renderer()
+        r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+        r.set_current_eye_samples_per_ommatidium(LIT_SAMPLES)
+        r.set_lighting(True)
+        n = LIT_FRAMES
+        for rpb in (1, 2, 4, 8):
+            set_config(dataclasses.replace(RenderConfig.from_env(),
+                                           shadow_rpb=rpb))
+            for _ in range(2):
+                r.render_frame()  # plan + warm the per-rpb kernel shape
+            r.render_frames_pipelined(n)  # the burst is its own executable
+            ms = r.render_frames_pipelined(n) / n
+            results[str(rpb)] = round(float(ms), 3)
+            log(f"SHADOW rpb={rpb}: lit {name} @{LIT_SAMPLES} "
+                f"{ms:.2f} ms/frame pipelined")
+        r.set_lighting(False)
+        winner = int(min(results, key=results.get))
+        # read-merge-update; the measurement governs either way (a stale
+        # adoption must not outlive a re-measured regression)
+        tuning = load_tuning()
+        tuning["shadow_rpb"] = winner
+        tuning["shadow_rpb_lit_ms"] = {name: results}
+        with open(_mm.TUNING_PATH, "w") as f:
+            json.dump(tuning, f, indent=1)
+        log(f"SHADOW adopted rpb={winner} "
+            f"({results[str(winner)]:.2f} ms vs {results['1']:.2f} at 1): "
+            f"artifacts/tuning.json updated")
+    finally:
+        # from_env() re-merges tuning.json, so an adoption sticks and a
+        # mid-A/B failure (winner None) restores the pre-stage state
+        if winner is None:
+            set_config(base_cfg)
+        else:
+            set_config(RenderConfig.from_env())
+
+
 def run_rebench():
     """Re-run the full bench protocol with the tuning the A/B stages just
     adopted (artifacts/tuning.json), so BENCH-facing artifacts (stdout
@@ -1055,8 +1119,8 @@ def run_scale():
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
         "bench", "anatomy", "lit", "conformance", "unroll", "affine",
-        "precision", "equirect", "sky", "rebench", "scale", "unroll8",
-        "batch_rays"}
+        "precision", "equirect", "sky", "rebench", "shadow", "scale",
+        "unroll8", "batch_rays"}
     t0 = time.time()
     # adoption stages right after the defaults headline so a late-session
     # wedge cannot cost the tuned headline; slow diagnostics last
@@ -1066,6 +1130,7 @@ if __name__ == "__main__":
                      ("equirect", run_equirect),
                      ("sky", run_sky),
                      ("rebench", run_rebench),
+                     ("shadow", run_shadow),
                      ("lit", run_lit), ("anatomy", run_anatomy),
                      ("scale", run_scale),
                      ("conformance", run_conformance),
