@@ -99,6 +99,9 @@ def _ceil_to(x: int, m: int) -> int:
 # the splay distribution to ~3.4 sigma; a leaked sample biases a
 # 1000-sample mean by <= 1/samples of the light term.
 SHADOW_BOUND_INFLATE = 1.25
+# reverse-affine shadow rows carry only the matmul feature rows [Q_d, Q_c,
+# 0 x 4] — occlusion never reads the metadata rows 8:16
+SHADOW_FEATS = 8
 
 
 @dataclass
@@ -1265,29 +1268,28 @@ def _trace_shade_angles(
                 ldist = jnp.sqrt(tox * tox + toy * toy + toz * toz)
                 inv_ld = 1.0 / jnp.maximum(ldist, 1e-20)
                 lx, ly, lz = tox * inv_ld, toy * inv_ld, toz * inv_ld
-                # shadow ray from p + eps*l with UNNORMALISED direction
-                # D = (ldist - 2eps) * l, so "anything strictly between
-                # the origin and the light's epsilon band" is exactly
+                # REVERSE affine shadow ray: origin at the LIGHT (folded
+                # into the payload once per light by _shadow_pack_one's
+                # transform_payload_affine), unnormalised direction
+                # D = (p + eps*l) - light, so "anything strictly between
+                # the light and the surface's epsilon band" is exactly
                 # t in [0, 1] in the ray's own parameterisation — the
-                # any-hit kernel needs no per-ray tmax and no division
-                # (u, v, t are scale-invariant in |D|; run_rows_occlusion).
-                # A hit point within 2eps of the light clamps kd to 0:
-                # D = 0 makes every den == 0, which the kernel's d > 0
-                # guard reports unoccluded — same as the old
-                # t < (negative) comparison.
-                oxs = pxf + eps * lx
-                oys = pyf + eps * ly
-                ozs = pzf + eps * lz
-                kd = jnp.maximum(ldist - 2.0 * eps, 0.0)
-                dxs, dys, dzs = kd * lx, kd * ly, kd * lz
-                sm_x = oys * dzs - ozs * dys
-                sm_y = ozs * dxs - oxs * dzs
-                sm_z = oxs * dys - oys * dxs
+                # any-hit kernel needs no per-ray bounds and no division
+                # (u, v, t are scale-invariant in |D|; run_rows_occlusion)
+                # and the steady-state stack is [D, 1, 0 x 4]: half the
+                # planar rows, no per-ray cross products.  vs the
+                # forward form (tmin eps, tmax ldist - 2eps,
+                # shaders.cu:875): the surface-side epsilon band is
+                # identical; occluders within eps of the light itself now
+                # occlude — physically sensible for point lights and
+                # below every test tolerance.
+                drx = eps * lx - tox
+                dry = eps * ly - toy
+                drz = eps * lz - toz
                 one_f = jnp.ones_like(lx)
                 zero_f = jnp.zeros_like(lx)
                 ray_parts.append(jnp.stack(
-                    [dxs, dys, dzs, sm_x, sm_y, sm_z, -oxs, -oys, -ozs,
-                     one_f, zero_f, zero_f, zero_f, zero_f, zero_f, zero_f]
+                    [drx, dry, drz, one_f, zero_f, zero_f, zero_f, zero_f]
                 ))
                 ldirs.append((lx, ly, lz))
             # ONE row-block occlusion dispatch covers every light: the ray
@@ -1795,13 +1797,22 @@ def _shadow_pack_one(
     from the probe's inflated hit-bound spheres: a pseudo-cone apexed at
     the light covers each group's sphere, clusters are culled against it
     (distance-bounded at the sphere's far side), candidate triangles
-    exact-refined, and the survivors compacted into (NG, rmax_s, 16, 512)
-    rows.  Returns (rc_s (NG,) int32, packed_s (NG, rmax_s, 16, 512)).
+    exact-refined, and the survivors compacted and REVERSE-AFFINE
+    transformed (transform_payload_affine with the LIGHT as the shared
+    origin, tmin 0): shadow rays trace light -> hit point, so the origin
+    is constant across every one of the light's virtual groups and the
+    steady-state frame packs only [D, 1] rays — half the planar stack, no
+    per-ray cross products.  Only the 8 feature rows survive (occlusion
+    never reads the metadata rows), halving the table's HBM and the
+    kernel's per-step block DMA.  Returns (rc_s (NG,) int32,
+    packed_s (NG, rmax_s, 8, 512)).
 
     The caller immediately flattens the LIVE rows into the shared ragged
     table (_shadow_plan), so this dense intermediate is transient — one
     light at a time, freed before the next pack (stacking L dense payloads
     exhausted HBM on the 190-cluster natural scene)."""
+    from compound_ray_tpu.trace.mm_tracer import transform_payload_affine
+
     ratio = FWHM_SD_RATIO / sig
     zero3 = jnp.zeros((3,), jnp.float32)
     eye3 = jnp.eye(3, dtype=jnp.float32)
@@ -1817,6 +1828,11 @@ def _shadow_pack_one(
         slot_center_cl, slot_radius_cl, mm_flat,
         1, kcand_s, rmax_s, sig, dmax=dm, tri_cl=tri_cl,
     )
+    ng_c = packed_s.shape[0]
+    packed_s = transform_payload_affine(
+        packed_s, jnp.broadcast_to(lpos, (ng_c, 3)),
+        jnp.zeros((ng_c,), jnp.float32),
+    )[:, :, 0:SHADOW_FEATS, :]
     return rc_s, packed_s
 
 
@@ -2045,7 +2061,7 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
                         for gl in range(n_in) if rp_np[gl]
                     ])
                     flat2 = packed_s.reshape(
-                        cs * rmax_li, MM_FEATS, MM_COLS)
+                        cs * rmax_li, SHADOW_FEATS, MM_COLS)
                     shard_parts[k].append(jnp.take(
                         flat2, jnp.asarray(src, jnp.int32), axis=0,
                         mode="fill", fill_value=0.0))
@@ -2087,7 +2103,7 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
         pad = t_shard - rows_k
         parts = shard_parts[k]
         if pad or not parts:
-            parts = parts + [jnp.zeros((pad, MM_FEATS, MM_COLS),
+            parts = parts + [jnp.zeros((pad, SHADOW_FEATS, MM_COLS),
                                        jnp.float32)]
         dev_parts.append(parts[0] if len(parts) == 1
                          else jnp.concatenate(parts, axis=0))
@@ -2096,9 +2112,9 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     # pack each block's rpb consecutive rows side by side on the slot axis
     # — ONE wide (RS, 16) x (16, rpb*512) MXU dot per latency-bound grid
     # step (run_rows_occlusion block layout)
-    flat_rows = (flat_rows.reshape(-1, rpb, MM_FEATS, MM_COLS)
+    flat_rows = (flat_rows.reshape(-1, rpb, SHADOW_FEATS, MM_COLS)
                  .transpose(0, 2, 1, 3)
-                 .reshape(-1, MM_FEATS, rpb * MM_COLS))
+                 .reshape(-1, SHADOW_FEATS, rpb * MM_COLS))
     # the probed (inflated) per-group shaft spheres ride along so the
     # steady-state lit frame can AUDIT its hits against them: a hit outside
     # its group's sphere saw only shaft-local occluders (the documented

@@ -615,8 +615,8 @@ def _use_interpret() -> bool:
 def run_rows_occlusion(
     r2v: jnp.ndarray,  # (TB,) int32 block -> virtual group (light*NG + g)
     flag: jnp.ndarray,  # (TB,) int32: 2 first-of-group, 1 live, 0 padding
-    flat_rows: jnp.ndarray,  # (TB, 16, rpb*512) row-block payload table
-    rays: jnp.ndarray,  # (16, NVG*NRB*rb_size) f32 PLANAR shadow rays
+    flat_rows: jnp.ndarray,  # (TB, F, rpb*512) row-block payload table
+    rays: jnp.ndarray,  # (F, NVG*NRB*rb_size) f32 PLANAR shadow rays
     nrb: int,
     rb_size: int,
     unroll_b: Optional[int] = None,
@@ -625,13 +625,18 @@ def run_rows_occlusion(
     """Any-hit along shadow rays, (1, R) planar; 1.0 = occluded within
     t in [0, 1] of the ray's own parameterisation, 0.0 = clear
     (traceOcclusion semantics, shaders.cu:135-163 — the caller scales the
-    shadow direction so t = 1 is the light minus its epsilon band).  The
-    caller must mask ray lanes whose virtual group has zero rows (their
-    out block is never initialised).  All lights trace in ONE dispatch:
-    the ray vector stacks each light's group-major block, virtual group =
-    light*NG + g, and the table's row BLOCKS (rpb rows side by side on
-    the slot axis, rpb = flat_rows.shape[2] // 512) are sorted by virtual
-    group (see _shadow_plan)."""
+    shadow direction so t = 1 is one segment endpoint).  The caller must
+    mask ray lanes whose virtual group has zero rows (their out block is
+    never initialised).  All lights trace in ONE dispatch: the ray vector
+    stacks each light's group-major block, virtual group = light*NG + g,
+    and the table's row BLOCKS (rpb rows side by side on the slot axis,
+    rpb = flat_rows.shape[2] // 512) are sorted by virtual group (see
+    _shadow_plan).
+
+    The feature count F rides the shapes: 8 = reverse affine rays
+    ([D, 1, 0 x 4] against transform_payload_affine'd rows — the
+    production _shadow_plan layout, which drops the metadata rows the
+    occlusion test never reads), 16 = plain pack_rays_mm features."""
     assert rb_size % BATCH_RAYS == 0, (
         f"rb_size={rb_size} must be a multiple of BATCH_RAYS={BATCH_RAYS}")
     if unroll_b is None:
@@ -643,6 +648,8 @@ def run_rows_occlusion(
         precision = PRECISION
     assert flat_rows.shape[2] % MM_COLS == 0, flat_rows.shape
     rpb = flat_rows.shape[2] // MM_COLS
+    feats = flat_rows.shape[1]
+    assert rays.shape[0] == feats, (rays.shape, flat_rows.shape)
     tb_pad = flat_rows.shape[0]
     assert r2v.shape == (tb_pad,) and flag.shape == (tb_pad,), (
         r2v.shape, flag.shape, flat_rows.shape)
@@ -651,12 +658,12 @@ def run_rows_occlusion(
         grid=(nrb, tb_pad),
         in_specs=[
             pl.BlockSpec(
-                (1, MM_FEATS, rpb * MM_COLS),
+                (1, feats, rpb * MM_COLS),
                 lambda rb, r, r2v, flag: (r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (RAY_FEATS, rb_size),
+                (feats, rb_size),
                 lambda rb, r, r2v, flag: (0, r2v[r] * nrb + rb),
                 memory_space=pltpu.VMEM,
             ),

@@ -347,7 +347,7 @@ def main():
         rgp = ep_l.nrb * ep_l.rb_size
         rays_syn = jax.random.normal(
             jax.random.fold_in(key, 11),
-            (16, n_lights * ep_l.ng * rgp), jnp.float32)
+            (int(sflat.shape[1]), n_lights * ep_l.ng * rgp), jnp.float32)
 
         @jax.jit
         def f_occ(r2v, flag, flat, rays):
