@@ -178,6 +178,27 @@ _PREC_MAP = {
 }
 
 
+def _default_shadow_precision():
+    """Occlusion-kernel-only matmul precision: env > tuning > None (follow
+    the global PRECISION).  Separate from PRECISION because the any-hit
+    test compares sign-folded products — a one-pass bf16 matmul only
+    flips slots at the u/v/t decision boundary, so the lossy mode can be
+    safe for shadows on scenes where it fails the primary radiance gate
+    (the ofstad 0.92% same-seed failure was t-error in the RADIANCE
+    image).  Adoption is gated by tools/tpu_session.py run_shadow_prec's
+    same-seed lit control — never adopted by hand."""
+    v = os.environ.get("CR_TPU_SHADOW_PRECISION", "").strip().lower()
+    if v:
+        assert v in _PRECISIONS, (
+            f"CR_TPU_SHADOW_PRECISION={v!r} must be one of {_PRECISIONS}")
+        return v
+    t = str(load_tuning().get("shadow_precision", "")).lower()
+    return t if t in _PRECISIONS else None
+
+
+SHADOW_PRECISION = _default_shadow_precision()
+
+
 def build_mm_features(cluster_set, uv=None, texid=None, rgb=None) -> np.ndarray:
     """(C*128 + 128, 4, 16) per-slot matmul feature columns.
 
@@ -645,7 +666,7 @@ def run_rows_occlusion(
         f"unroll_b={unroll_b} must be >= 1 (ub < 1 traces zero ray "
         f"batches and emits uninitialised frames)")
     if precision is None:
-        precision = PRECISION
+        precision = SHADOW_PRECISION or PRECISION
     assert flat_rows.shape[2] % MM_COLS == 0, flat_rows.shape
     rpb = flat_rows.shape[2] // MM_COLS
     feats = flat_rows.shape[1]

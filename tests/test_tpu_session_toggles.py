@@ -634,3 +634,91 @@ def test_shadow_restores_on_mid_ab_failure(sandbox, monkeypatch, cfg_guard):
         ts.run_shadow()
     assert not os.path.exists(sandbox)  # nothing adopted
     assert cfg.get_config().shadow_rpb == base_rpb  # not stuck mid-flip
+
+
+class _FakeShadowPrecRenderer:
+    """run_shadow_prec surface: frame data + timing keyed off the ACTIVE
+    mm_tracer.SHADOW_PRECISION so gate and winner selection are
+    observable."""
+
+    def __init__(self, ms_by_prec, mae_pct=0.01, explode_at=None):
+        import numpy as np
+
+        self.ms_by_prec = ms_by_prec
+        self.explode_at = explode_at
+        # "default" frame differs from "highest" by mae_pct (% full scale)
+        self.base = np.full((8, 3), 0.5, np.float32)
+        self.delta = mae_pct / 100.0
+
+    def set_render_size(self, w, h):
+        pass
+
+    def get_current_eye_ommatidial_count(self):
+        return 8
+
+    def set_current_eye_samples_per_ommatidium(self, s):
+        pass
+
+    def set_lighting(self, on):
+        pass
+
+    def render_frame(self):
+        if mm.SHADOW_PRECISION == self.explode_at:
+            raise RuntimeError("wedged compile on the lossy kernel")
+
+    def get_camera_data(self):
+        if mm.SHADOW_PRECISION == "default":
+            return self.base + self.delta
+        return self.base
+
+    def render_frames_pipelined(self, n):
+        return self.ms_by_prec[mm.SHADOW_PRECISION or "highest"] * n
+
+
+@pytest.fixture()
+def sp_guard(monkeypatch):
+    monkeypatch.setattr(mm, "SHADOW_PRECISION", None)
+
+
+def test_shadow_prec_adopts_gated_win(sandbox, monkeypatch, sp_guard):
+    monkeypatch.setattr(
+        ts.bench, "build_renderer",
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "default": 3.0},
+                                         mae_pct=0.01), "natural"))
+    ts.run_shadow_prec()
+    tuning = json.load(open(sandbox))
+    assert tuning["shadow_precision"] == "default"
+    assert tuning["shadow_precision_gate_vs_control_mae_pct"] < 0.05
+    assert mm.SHADOW_PRECISION == "default"  # finally keeps the winner
+
+
+def test_shadow_prec_gate_rejects_big_diff(sandbox, monkeypatch, sp_guard):
+    # a 1% same-seed diff fails the 0.25% bar even with a 25% time win
+    monkeypatch.setattr(
+        ts.bench, "build_renderer",
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "default": 3.0},
+                                         mae_pct=1.0), "natural"))
+    ts.run_shadow_prec()
+    assert json.load(open(sandbox))["shadow_precision"] == "highest"
+    assert mm.SHADOW_PRECISION == "highest"
+
+
+def test_shadow_prec_rejects_wash(sandbox, monkeypatch, sp_guard):
+    monkeypatch.setattr(
+        ts.bench, "build_renderer",
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "default": 3.96},
+                                         mae_pct=0.01), "natural"))
+    ts.run_shadow_prec()
+    assert json.load(open(sandbox))["shadow_precision"] == "highest"
+
+
+def test_shadow_prec_restores_on_mid_ab_failure(sandbox, monkeypatch,
+                                                sp_guard):
+    monkeypatch.setattr(
+        ts.bench, "build_renderer",
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "default": 3.0},
+                                         explode_at="default"), "natural"))
+    with pytest.raises(RuntimeError):
+        ts.run_shadow_prec()
+    assert not os.path.exists(sandbox)  # nothing adopted
+    assert mm.SHADOW_PRECISION is None  # restored to follow-global

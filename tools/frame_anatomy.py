@@ -355,11 +355,29 @@ def main():
                                      nrb=ep_l.nrb, rb_size=ep_l.rb_size)
             return jnp.sum(out)  # any-hit 0/1, always finite
 
+        # kernel-variant differential: the any-hit test compares
+        # sign-folded PRODUCTS, so a one-pass bf16 matmul only flips
+        # slots at the u/v/t decision boundary — if this row is much
+        # cheaper, a gated shadow-only precision adoption is the next
+        # lit lever
+        @jax.jit
+        def f_occ_default(r2v, flag, flat, rays):
+            out = run_rows_occlusion(r2v, flag, flat, rays,
+                                     nrb=ep_l.nrb, rb_size=ep_l.rb_size,
+                                     precision="default")
+            return jnp.sum(out)
+
         t_unl = timeit(f"unlit frame @{s_lit} (cache off)", f_unlit_s)
         t_lit = timeit(f"lit frame @{s_lit}", f_lit_full)
         t_occ = timeit("  occlusion kernel (all lights)", f_occ,
                        kw_lit["shadow_r2v"], kw_lit["shadow_flag"],
                        kw_lit["shadow_flat"], rays_syn)
+        t_occ_d = timeit("  occlusion kernel (precision=default)",
+                         f_occ_default,
+                         kw_lit["shadow_r2v"], kw_lit["shadow_flag"],
+                         kw_lit["shadow_flat"], rays_syn)
+        stage_ms["lit: occlusion kernel (precision=default)"] = round(
+            t_occ_d, 3)
         ggx = t_lit - t_unl - t_occ
         print(f"  {'ggx+basis+shadow raygen':28s} {ggx:8.2f} ms (derived)")
         stage_ms["lit: ggx+basis (derived)"] = round(ggx, 3)

@@ -898,6 +898,72 @@ def run_shadow():
             set_config(RenderConfig.from_env())
 
 
+def run_shadow_prec():
+    """Shadow-only one-pass-bf16 matmul A/B (mm_tracer.SHADOW_PRECISION)
+    under a SAME-SEED lit gate.  The any-hit occlusion test compares
+    sign-folded products, so the lossy matmul only flips slots at the
+    u/v/t decision boundary — potentially safe for shadows even on
+    scenes where it fails the primary radiance gate.  Protocol: per
+    variant, a FRESH renderer (aligned frame counters -> identical
+    threefry streams), two lit frames, capture frame 2's camera data as
+    the gate image, then the burst-warmed pipelined timing.  Adopt
+    "default" iff its vs-control MAE < GATE_VS_CONTROL_PCT (% of full
+    scale) AND it wins >= 3% on time; the measured winner ALWAYS writes
+    tuning.json ("shadow_precision", read by
+    mm_tracer._default_shadow_precision in every later process).  The
+    bench headline is unlit and unaffected — no rebench."""
+    from compound_ray_tpu.config import load_tuning
+
+    results, frames = {}, {}
+    chosen = None  # None = A/B never concluded: restore pre-stage state
+    start = _mm.SHADOW_PRECISION
+
+    def set_sp(v):
+        if _mm.SHADOW_PRECISION != v:
+            _mm.SHADOW_PRECISION = v
+            jax.clear_caches()  # lit frame executables embed the kernel
+
+    try:
+        n = LIT_FRAMES
+        for sp in ("highest", "default"):
+            set_sp(sp)
+            r, name = bench.build_renderer()
+            r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+            r.set_current_eye_samples_per_ommatidium(LIT_SAMPLES)
+            r.set_lighting(True)
+            for _ in range(2):
+                r.render_frame()
+            frames[sp] = np.asarray(r.get_camera_data(), np.float32)
+            r.render_frames_pipelined(n)  # the burst is its own executable
+            ms = r.render_frames_pipelined(n) / n
+            results[sp] = round(float(ms), 3)
+            r.set_lighting(False)
+            log(f"SHADOW_PREC {sp}: lit {name} @{LIT_SAMPLES} "
+                f"{ms:.2f} ms/frame pipelined")
+        mae = float(np.abs(frames["default"] - frames["highest"]).mean()
+                    * 100.0)
+        ratio = results["default"] / results["highest"]
+        ok = mae < GATE_VS_CONTROL_PCT
+        adopt = ok and ratio < 0.97
+        chosen = "default" if adopt else "highest"
+        log(f"SHADOW_PREC gate: same-seed vs-control MAE {mae:.4f}% "
+            f"(bar {GATE_VS_CONTROL_PCT}) -> {'PASS' if ok else 'FAIL'}; "
+            f"time ratio {ratio:.3f}x -> "
+            f"{'ADOPT default' if adopt else 'keep highest'}")
+        # read-merge-update; the measurement governs either way
+        tuning = load_tuning()
+        tuning["shadow_precision"] = chosen
+        tuning["shadow_precision_lit_ms"] = results
+        tuning["shadow_precision_gate_vs_control_mae_pct"] = round(mae, 4)
+        with open(_mm.TUNING_PATH, "w") as f:
+            json.dump(tuning, f, indent=1)
+        log("SHADOW_PREC artifacts/tuning.json updated")
+    finally:
+        # a mid-A/B failure must not leave the lossy kernel half-adopted
+        # for later stages; a concluded A/B keeps the measured winner
+        set_sp(start if chosen is None else chosen)
+
+
 def run_rebench():
     """Re-run the full bench protocol with the tuning the A/B stages just
     adopted (artifacts/tuning.json), so BENCH-facing artifacts (stdout
@@ -1119,8 +1185,8 @@ def run_scale():
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
         "bench", "anatomy", "lit", "conformance", "unroll", "affine",
-        "precision", "equirect", "sky", "rebench", "shadow", "scale",
-        "unroll8", "batch_rays"}
+        "precision", "equirect", "sky", "rebench", "shadow",
+        "shadow_prec", "scale", "unroll8", "batch_rays"}
     t0 = time.time()
     # adoption stages right after the defaults headline so a late-session
     # wedge cannot cost the tuned headline; slow diagnostics last
@@ -1131,6 +1197,7 @@ if __name__ == "__main__":
                      ("sky", run_sky),
                      ("rebench", run_rebench),
                      ("shadow", run_shadow),
+                     ("shadow_prec", run_shadow_prec),
                      ("lit", run_lit), ("anatomy", run_anatomy),
                      ("scale", run_scale),
                      ("conformance", run_conformance),
