@@ -1185,8 +1185,9 @@ def _trace_shade_angles(
             # steady-state lit frame only builds the shadow rays and runs
             # one occlusion kernel + the GGX math.
             from compound_ray_tpu.trace.lighting import (
+                build_shading_rows,
                 ggx_light_contrib,
-                shading_basis,
+                shading_basis_from_rows,
             )
 
             def repad(x):  # (Np, S) -> (R,) flat in kernel ray order
@@ -1229,8 +1230,13 @@ def _trace_shade_angles(
             row_s = jnp.clip(out[3].astype(jnp.int32), 0,
                              slot_tri.shape[0] - 1)
             tid = jnp.maximum(slot_tri[row_s], 0)
+            # ONE wide row gather replaces the ~10 narrow per-triangle
+            # gathers (descriptor-rate-bound at R ~= 1e6 — see
+            # build_shading_rows); the O(T) table pack hoists out of the
+            # per-ray work
+            rows_g = build_shading_rows(scene_dev)[tid]
             e1g, e2g, n0g, n1g, n2g, has_n, metallic, roughness = (
-                shading_basis(scene_dev, tid)
+                shading_basis_from_rows(rows_g)
             )
             w_b = (1.0 - u_b - v_b)[:, None]
             n_sm = w_b * n0g + u_b[:, None] * n1g + v_b[:, None] * n2g
@@ -1245,14 +1251,14 @@ def _trace_shade_angles(
                 # references such a texture (scene/flat.py), so ordinary
                 # lit scenes skip the extra gathers entirely.
                 from compound_ray_tpu.trace.lighting import (
-                    apply_material_textures,
+                    apply_material_textures_from_rows,
                 )
 
-                uv_hit = (w_b * scene_dev["uv0"][tid]
-                          + u_b[:, None] * scene_dev["uv1"][tid]
-                          + v_b[:, None] * scene_dev["uv2"][tid])
-                n_vec, metallic, roughness = apply_material_textures(
-                    scene_dev, tid, uv_hit, n_vec, metallic, roughness
+                n_vec, metallic, roughness = (
+                    apply_material_textures_from_rows(
+                        scene_dev, rows_g, n_vec, metallic, roughness,
+                        u_b, v_b,
+                    )
                 )
             view = -jnp.stack([dxf, dyf, dzf], axis=-1)
             base = jnp.stack([repad(rr), repad(gg), repad(bb)], axis=-1)

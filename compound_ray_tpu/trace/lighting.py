@@ -54,6 +54,66 @@ def shading_basis(scene: Dict[str, Any], tri: jnp.ndarray):
     return e1, e2, n0, n1, n2, has_n, metallic, roughness
 
 
+# Wide shading-row table column layout (build_shading_rows).  The per-ray
+# row gather at these sizes is DESCRIPTOR-rate-bound, not byte-bound
+# (docs/performance.md gather table; docs/next-levers.md "CUT GATHER
+# COUNT, not bytes"), so packing every per-triangle lit attribute into one
+# (T, C) table turns the lit epilogue's ~10 narrow gathers (e1, e2,
+# n0..n2, has_n, mat_id -> metallic/roughness [+ uv0..uv2, mr/nm tex ids])
+# into ONE (R, C) gather.  Material scalars are baked PER TRIANGLE
+# (mat_metallic[mat_id[t]]), removing the two-step gather entirely; values
+# are bit-identical to the narrow path.  Texture ids ride as float32
+# (exact below 2^24) so the table stays one dtype.
+_BC_E1 = slice(0, 3)
+_BC_E2 = slice(3, 6)
+_BC_N0 = slice(6, 9)
+_BC_N1 = slice(9, 12)
+_BC_N2 = slice(12, 15)
+_BC_HAS_N = 15
+_BC_METALLIC = 16
+_BC_ROUGHNESS = 17
+_BC_UV0 = slice(18, 20)
+_BC_UV1 = slice(20, 22)
+_BC_UV2 = slice(22, 24)
+_BC_MR_TEX = 24
+_BC_NM_TEX = 25
+
+
+def build_shading_rows(scene: Dict[str, Any]) -> jnp.ndarray:
+    """(T, 18|26) packed per-triangle lit-attribute table (layout above).
+    The extra 8 texture columns exist only when some material references
+    an MR / normal texture (the same static pytree gate the narrow path
+    uses).  O(T) concat — negligible against the (R,) gathers it feeds,
+    and XLA hoists it out of the per-sample work."""
+    mat = jnp.maximum(scene["mat_id"], 0)
+    cols = [
+        scene["e1"], scene["e2"],
+        scene["n0"], scene["n1"], scene["n2"],
+        scene["has_normals"].astype(jnp.float32)[:, None],
+        scene["mat_metallic"][mat][:, None],
+        scene["mat_roughness"][mat][:, None],
+    ]
+    if "mat_mr_tex" in scene:
+        cols += [
+            scene["uv0"], scene["uv1"], scene["uv2"],
+            scene["mat_mr_tex"][mat].astype(jnp.float32)[:, None],
+            scene["mat_normal_tex"][mat].astype(jnp.float32)[:, None],
+        ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def shading_basis_from_rows(rows_g: jnp.ndarray):
+    """Unpack one gathered (R, C) slab of build_shading_rows into the
+    shading_basis tuple (e1, e2, n0, n1, n2, has_n, metallic, roughness) —
+    same values, one gather descriptor instead of ~8."""
+    return (
+        rows_g[:, _BC_E1], rows_g[:, _BC_E2],
+        rows_g[:, _BC_N0], rows_g[:, _BC_N1], rows_g[:, _BC_N2],
+        rows_g[:, _BC_HAS_N] > 0.5,
+        rows_g[:, _BC_METALLIC], rows_g[:, _BC_ROUGHNESS],
+    )
+
+
 def triangle_dpduv(scene: Dict[str, Any], tri: jnp.ndarray):
     """Per-triangle UV-parametrisation tangents dpdu/dpdv (R,3), the inputs
     to tangent-space normal mapping (cuda/LocalGeometry.h:193-205).
@@ -67,11 +127,17 @@ def triangle_dpduv(scene: Dict[str, Any], tri: jnp.ndarray):
     UV mapping (det == 0; the reference divides unguarded -> inf) returns
     zero tangents, which the caller's normalize-guard turns into a
     no-perturbation fallback."""
-    uv0 = scene["uv0"][tri]
-    uv1 = scene["uv1"][tri]
-    uv2 = scene["uv2"][tri]
-    dp1 = -scene["e2"][tri]
-    dp2 = scene["e1"][tri] - scene["e2"][tri]
+    return _dpduv_vals(
+        scene["e1"][tri], scene["e2"][tri],
+        scene["uv0"][tri], scene["uv1"][tri], scene["uv2"][tri],
+    )
+
+
+def _dpduv_vals(e1, e2, uv0, uv1, uv2):
+    """triangle_dpduv on already-gathered per-ray values (the packed
+    shading-row path feeds table columns here; no re-gather)."""
+    dp1 = -e2
+    dp2 = e1 - e2
     du1 = (uv0[:, 0] - uv2[:, 0])[:, None]
     du2 = (uv1[:, 0] - uv2[:, 0])[:, None]
     dv1 = (uv0[:, 1] - uv2[:, 1])[:, None]
@@ -107,12 +173,48 @@ def apply_material_textures(
     mat = jnp.maximum(scene["mat_id"][tri], 0)
     mr_tex = scene["mat_mr_tex"][mat]
     nm_tex = scene["mat_normal_tex"][mat]
+    dpdu, dpdv = triangle_dpduv(scene, tri)
+    return _apply_material_textures_vals(
+        scene, mr_tex, nm_tex, uv, n, metallic, roughness, dpdu, dpdv
+    )
+
+
+def apply_material_textures_from_rows(
+    scene: Dict[str, Any],
+    rows_g: jnp.ndarray,  # (R, 26) gathered build_shading_rows slab
+    n: jnp.ndarray,  # (R,3) unit shading normal
+    metallic: jnp.ndarray,  # (R,)
+    roughness: jnp.ndarray,  # (R,)
+    u: jnp.ndarray,  # (R,) barycentric u
+    v: jnp.ndarray,  # (R,) barycentric v
+):
+    """apply_material_textures fed from the packed shading-row slab: uv
+    interpolation, tex ids, and dpdu/dpdv all come from table columns the
+    caller already gathered — zero additional per-triangle gathers.
+    Returns (n, metallic, roughness)."""
+    w = (1.0 - u - v)[:, None]
+    uv0 = rows_g[:, _BC_UV0]
+    uv1 = rows_g[:, _BC_UV1]
+    uv2 = rows_g[:, _BC_UV2]
+    uv = w * uv0 + u[:, None] * uv1 + v[:, None] * uv2
+    mr_tex = rows_g[:, _BC_MR_TEX].astype(jnp.int32)
+    nm_tex = rows_g[:, _BC_NM_TEX].astype(jnp.int32)
+    dpdu, dpdv = _dpduv_vals(
+        rows_g[:, _BC_E1], rows_g[:, _BC_E2], uv0, uv1, uv2
+    )
+    return _apply_material_textures_vals(
+        scene, mr_tex, nm_tex, uv, n, metallic, roughness, dpdu, dpdv
+    )
+
+
+def _apply_material_textures_vals(
+    scene, mr_tex, nm_tex, uv, n, metallic, roughness, dpdu, dpdv
+):
     mr = sample_texture(scene, mr_tex, uv)
     has_mr = mr_tex >= 0
     roughness = jnp.where(has_mr, roughness * mr[:, 1], roughness)
     metallic = jnp.where(has_mr, metallic * mr[:, 2], metallic)
     nn = sample_texture(scene, nm_tex, uv) * 2.0 - 1.0
-    dpdu, dpdv = triangle_dpduv(scene, tri)
     n_pert = (nn[:, 0:1] * _unit(dpdu) + nn[:, 1:2] * _unit(dpdv)
               + nn[:, 2:3] * n)
     n = jnp.where((nm_tex >= 0)[:, None], _unit(n_pert), n)
