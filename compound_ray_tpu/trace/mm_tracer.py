@@ -178,6 +178,20 @@ _PREC_MAP = {
 }
 
 
+# Occlusion-kernel-only precisions: the plain tiers above plus "bf16x3" —
+# a manual hi/lo split (ft = ft_h + ft_l, mm = mm_h + mm_l with the hi
+# parts bf16-exact) running THREE one-pass DEFAULT dots
+# (ft_h@mm_h + ft_h@mm_l + ft_l@mm_h) instead of HIGHEST's six, for a
+# ~1.5e-5 relative product error (vs one-pass bf16's ~4e-3, which the
+# round-4 session-15 same-seed gate measured at a disqualifying 9.34%
+# lit MAE).  The PRIMARY kernel's bf16x3 was measured dead because its
+# t = tnum/den divide amplifies the product error without bound at
+# grazing incidence (docs/performance.md negative results); the any-hit
+# kernel has NO divide — decisions are sign/interval tests on the folded
+# products themselves — so that failure mechanism does not apply here.
+_SHADOW_PRECISIONS = _PRECISIONS + ("bf16x3",)
+
+
 def _default_shadow_precision():
     """Occlusion-kernel-only matmul precision: env > tuning > None (follow
     the global PRECISION).  Separate from PRECISION because the any-hit
@@ -189,11 +203,12 @@ def _default_shadow_precision():
     same-seed lit control — never adopted by hand."""
     v = os.environ.get("CR_TPU_SHADOW_PRECISION", "").strip().lower()
     if v:
-        assert v in _PRECISIONS, (
-            f"CR_TPU_SHADOW_PRECISION={v!r} must be one of {_PRECISIONS}")
+        assert v in _SHADOW_PRECISIONS, (
+            f"CR_TPU_SHADOW_PRECISION={v!r} must be one of "
+            f"{_SHADOW_PRECISIONS}")
         return v
     t = str(load_tuning().get("shadow_precision", "")).lower()
-    return t if t in _PRECISIONS else None
+    return t if t in _SHADOW_PRECISIONS else None
 
 
 SHADOW_PRECISION = _default_shadow_precision()
@@ -562,8 +577,12 @@ def _make_rows_occlusion_kernel(ub: int, precision: str = "highest",
     ub independent ray-batch chains run per loop step (same latency
     rationale and bit-identical argument as _make_packed_kernel);
     precision as in _make_packed_kernel (no reciprocal here to care
-    about — only the single matmul pass count)."""
-    prec = _PREC_MAP[precision]
+    about — only the matmul pass count).  "bf16x3" splits both operands
+    hi/lo IN-KERNEL (keeps the 8-row table DMA the reverse-affine layout
+    bought; the split is O(K x N) VPU work against O(RS x K x N) MXU
+    work) and runs three one-pass dots — see _SHADOW_PRECISIONS."""
+    bf16x3 = precision == "bf16x3"
+    prec = _PREC_MAP["default" if bf16x3 else precision]
 
     def kernel(r2v_ref, flag_ref, tri_ref, rays_ref, out_ref):
         del r2v_ref  # consumed by the BlockSpec index maps only
@@ -579,14 +598,30 @@ def _make_rows_occlusion_kernel(ub: int, precision: str = "highest",
         @pl.when(f >= 1)
         def _test_block():
             mm = tri_ref[0]  # (16, rpb*512)
+            if bf16x3:
+                mm_h = mm.astype(jnp.bfloat16).astype(jnp.float32)
+                mm_l = mm - mm_h
+
+            def _dot(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
 
             def one_batch(r0):
                 ft = rays_ref[:, pl.ds(r0, BATCH_RAYS)]  # (16, RS)
-                p = jax.lax.dot_general(
-                    ft, mm, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )  # (RS, rpb*512)
+                if bf16x3:
+                    # DEFAULT rounds operands to bf16; the hi parts are
+                    # bf16-exact, so the three passes compute
+                    # ft_h@mm_h + ft_h@mm_l + ft_l@mm_h in full —
+                    # dropping only the ~2^-16-relative ft_l@mm_l term
+                    ft_h = ft.astype(jnp.bfloat16).astype(jnp.float32)
+                    ft_l = ft - ft_h
+                    p = _dot(ft_h, mm_h) + _dot(ft_h, mm_l) \
+                        + _dot(ft_l, mm_h)
+                else:
+                    p = _dot(ft, mm)  # (RS, rpb*512)
                 occ = None
                 for k in range(rpb):
                     base = k * MM_COLS
@@ -667,6 +702,7 @@ def run_rows_occlusion(
         f"batches and emits uninitialised frames)")
     if precision is None:
         precision = SHADOW_PRECISION or PRECISION
+    assert precision in _SHADOW_PRECISIONS, precision
     assert flat_rows.shape[2] % MM_COLS == 0, flat_rows.shape
     rpb = flat_rows.shape[2] // MM_COLS
     feats = flat_rows.shape[1]

@@ -1,5 +1,6 @@
 """Pallas fused tracer vs the XLA oracle (interpret mode on CPU)."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -519,3 +520,92 @@ def test_occlusion_block_bit_identical():
     assert (base == 0.0).any(), "test must leave some rays clear"
     for ub, rpb in ((2, 1), (3, 1), (1, 2), (1, 4), (2, 4)):
         np.testing.assert_array_equal(base, run(ub, rpb))
+
+def test_occlusion_bf16x3_matches_highest():
+    """The shadow-only "bf16x3" precision (three one-pass hi/lo-split dots,
+    ~1.5e-5 relative product error — mm_tracer._SHADOW_PRECISIONS) must
+    reproduce the HIGHEST any-hit decisions exactly on geometry whose
+    decision margins dominate that error (the flip set is confined to
+    rays grazing within ~1e-5 of a triangle edge / the t window ends).
+    The casts are explicit in the kernel, so CPU interpret mode exercises
+    the real bf16 numerics, not an f32 shortcut."""
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_rows_occlusion
+
+    scene = make_big_scene(n_boxes=60, seed=5)
+    splan = P.scene_plan(scene)
+    omms_np = ommatidia_to_array(make_sphere_eye(16, acceptance_deg=4.0))
+    samples = 640
+    eplan = P.eye_plan(omms_np, samples)
+    omms_p = jnp.asarray(omms_np[eplan.perm])
+    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    kcand, rmax = P._plan_widths(
+        splan, eplan, omms_p, pos, ls, (eplan.sig, samples, b"occl-bf16x3"))
+    rc, pmm, _, _ = P._pack_fused(
+        splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+        splan.half_center, splan.half_radius, omms_p, pos, ls,
+        g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=4.0,
+        tri_cl=splan.slot_tri_cl)
+    rc_np = np.asarray(rc)
+    pmm_np = np.asarray(pmm)
+
+    rows, r2v, flag = [], [], []
+    for g in range(eplan.ng):
+        c = int(rc_np[g])
+        if not c:
+            continue
+        rows += [pmm_np[g, j] for j in range(c)]
+        r2v += [g] * c
+        flag += [2] + [1] * (c - 1)
+    while len(rows) % 4:
+        rows.append(np.zeros_like(rows[0]))
+        r2v.append(r2v[-1])
+        flag.append(0)
+    flat = jnp.asarray(np.stack(rows))
+    r2v = jnp.asarray(np.asarray(r2v, np.int32))
+    flag = jnp.asarray(np.asarray(flag, np.int32))
+
+    key = jax.random.PRNGKey(9)
+    k1, k2 = jax.random.split(key)
+    sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+    splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
+    spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
+    rays, _, _ = P._gen_ray_features(
+        omms_p, pos, ls, splay, spin, samples=samples,
+        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+    rays = rays.at[0:6, :].multiply(50.0)
+    live = np.repeat(rc_np > 0, eplan.rb_size)
+
+    def run(precision):
+        out = np.asarray(run_rows_occlusion(
+            r2v, flag, flat, rays, nrb=eplan.nrb, rb_size=eplan.rb_size,
+            unroll_b=1, precision=precision))
+        return out[0, live]
+
+    base = run("highest")
+    assert base.sum() > 0 and (base == 0.0).any()
+    np.testing.assert_array_equal(base, run("bf16x3"))
+
+
+def test_shadow_precision_validation():
+    """bf16x3 is shadow-only: run_rows_occlusion accepts it, the primary
+    tracer's precision map does not contain it, and the env plumbing
+    rejects unknown values."""
+    import compound_ray_tpu.trace.mm_tracer as mm
+
+    assert "bf16x3" in mm._SHADOW_PRECISIONS
+    assert "bf16x3" not in mm._PRECISIONS
+    assert "bf16x3" not in mm._PREC_MAP
+    old = os.environ.get("CR_TPU_SHADOW_PRECISION")
+    try:
+        os.environ["CR_TPU_SHADOW_PRECISION"] = "bf16x3"
+        assert mm._default_shadow_precision() == "bf16x3"
+        os.environ["CR_TPU_SHADOW_PRECISION"] = "fast"
+        with pytest.raises(AssertionError, match="SHADOW_PRECISION"):
+            mm._default_shadow_precision()
+    finally:
+        if old is None:
+            os.environ.pop("CR_TPU_SHADOW_PRECISION", None)
+        else:
+            os.environ["CR_TPU_SHADOW_PRECISION"] = old

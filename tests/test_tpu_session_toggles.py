@@ -646,7 +646,8 @@ class _FakeShadowPrecRenderer:
 
         self.ms_by_prec = ms_by_prec
         self.explode_at = explode_at
-        # "default" frame differs from "highest" by mae_pct (% full scale)
+        # the candidate frame differs from "highest" by mae_pct (% full
+        # scale)
         self.base = np.full((8, 3), 0.5, np.float32)
         self.delta = mae_pct / 100.0
 
@@ -667,7 +668,7 @@ class _FakeShadowPrecRenderer:
             raise RuntimeError("wedged compile on the lossy kernel")
 
     def get_camera_data(self):
-        if mm.SHADOW_PRECISION == "default":
+        if mm.SHADOW_PRECISION == "bf16x3":
             return self.base + self.delta
         return self.base
 
@@ -683,20 +684,20 @@ def sp_guard(monkeypatch):
 def test_shadow_prec_adopts_gated_win(sandbox, monkeypatch, sp_guard):
     monkeypatch.setattr(
         ts.bench, "build_renderer",
-        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "default": 3.0},
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "bf16x3": 3.0},
                                          mae_pct=0.01), "natural"))
     ts.run_shadow_prec()
     tuning = json.load(open(sandbox))
-    assert tuning["shadow_precision"] == "default"
+    assert tuning["shadow_precision"] == "bf16x3"
     assert tuning["shadow_precision_gate_vs_control_mae_pct"] < 0.05
-    assert mm.SHADOW_PRECISION == "default"  # finally keeps the winner
+    assert mm.SHADOW_PRECISION == "bf16x3"  # finally keeps the winner
 
 
 def test_shadow_prec_gate_rejects_big_diff(sandbox, monkeypatch, sp_guard):
     # a 1% same-seed diff fails the 0.25% bar even with a 25% time win
     monkeypatch.setattr(
         ts.bench, "build_renderer",
-        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "default": 3.0},
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "bf16x3": 3.0},
                                          mae_pct=1.0), "natural"))
     ts.run_shadow_prec()
     assert json.load(open(sandbox))["shadow_precision"] == "highest"
@@ -706,7 +707,7 @@ def test_shadow_prec_gate_rejects_big_diff(sandbox, monkeypatch, sp_guard):
 def test_shadow_prec_rejects_wash(sandbox, monkeypatch, sp_guard):
     monkeypatch.setattr(
         ts.bench, "build_renderer",
-        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "default": 3.96},
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "bf16x3": 3.96},
                                          mae_pct=0.01), "natural"))
     ts.run_shadow_prec()
     assert json.load(open(sandbox))["shadow_precision"] == "highest"
@@ -716,9 +717,28 @@ def test_shadow_prec_restores_on_mid_ab_failure(sandbox, monkeypatch,
                                                 sp_guard):
     monkeypatch.setattr(
         ts.bench, "build_renderer",
-        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "default": 3.0},
-                                         explode_at="default"), "natural"))
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "bf16x3": 3.0},
+                                         explode_at="bf16x3"), "natural"))
     with pytest.raises(RuntimeError):
         ts.run_shadow_prec()
     assert not os.path.exists(sandbox)  # nothing adopted
     assert mm.SHADOW_PRECISION is None  # restored to follow-global
+
+
+def test_shadow_prec_merges_prior_variant_datapoints(sandbox, monkeypatch,
+                                                     sp_guard):
+    """A re-run must not clobber measured datapoints for variants it
+    skipped — session 15's gate-rejected one-pass "default" stays on
+    record next to the new bf16x3 measurement."""
+    json.dump({"shadow_precision": "highest",
+               "shadow_precision_lit_ms": {"default": 106.48,
+                                           "highest": 205.91}},
+              open(sandbox, "w"))
+    monkeypatch.setattr(
+        ts.bench, "build_renderer",
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "bf16x3": 3.0},
+                                         mae_pct=0.01), "natural"))
+    ts.run_shadow_prec()
+    ms = json.load(open(sandbox))["shadow_precision_lit_ms"]
+    assert ms["default"] == 106.48  # preserved
+    assert ms["bf16x3"] == 3.0 and ms["highest"] == 4.0  # re-measured

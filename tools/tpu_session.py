@@ -899,24 +899,27 @@ def run_shadow():
 
 
 def run_shadow_prec():
-    """Shadow-only one-pass-bf16 matmul A/B (mm_tracer.SHADOW_PRECISION)
-    under a SAME-SEED lit gate.  The any-hit occlusion test compares
-    sign-folded products, so the lossy matmul only flips slots at the
-    u/v/t decision boundary — potentially safe for shadows even on
-    scenes where it fails the primary radiance gate.  Protocol: per
-    variant, a FRESH renderer (aligned frame counters -> identical
-    threefry streams), two lit frames, capture frame 2's camera data as
-    the gate image, then the burst-warmed pipelined timing.  Adopt
-    "default" iff its vs-control MAE < GATE_VS_CONTROL_PCT (% of full
-    scale) AND it wins >= 3% on time; the measured winner ALWAYS writes
-    tuning.json ("shadow_precision", read by
-    mm_tracer._default_shadow_precision in every later process).  The
+    """Shadow-only matmul precision A/B (mm_tracer.SHADOW_PRECISION)
+    under a SAME-SEED lit gate.  The candidate is "bf16x3" (manual hi/lo
+    split, three one-pass dots, ~1.5e-5 relative product error — see
+    mm_tracer._SHADOW_PRECISIONS): session 15 measured one-pass
+    "default" at 106.5 vs 205.9 ms (0.517x) but a disqualifying 9.34%
+    same-seed MAE, so the raw one-pass candidate is dead (recorded in
+    tuning.json); bf16x3 keeps ~half the win (3 of 6 passes) at ~250x
+    less error.  Protocol: per variant, a FRESH renderer (aligned frame
+    counters -> identical threefry streams), two lit frames, capture
+    frame 2's camera data as the gate image, then the burst-warmed
+    pipelined timing.  Adopt the candidate iff its vs-control MAE <
+    GATE_VS_CONTROL_PCT (% of full scale) AND it wins >= 3% on time; the
+    measured winner ALWAYS writes tuning.json ("shadow_precision", read
+    by mm_tracer._default_shadow_precision in every later process).  The
     bench headline is unlit and unaffected — no rebench."""
     from compound_ray_tpu.config import load_tuning
 
     results, frames = {}, {}
     chosen = None  # None = A/B never concluded: restore pre-stage state
     start = _mm.SHADOW_PRECISION
+    cand = "bf16x3"
 
     def set_sp(v):
         if _mm.SHADOW_PRECISION != v:
@@ -925,7 +928,7 @@ def run_shadow_prec():
 
     try:
         n = LIT_FRAMES
-        for sp in ("highest", "default"):
+        for sp in ("highest", cand):
             set_sp(sp)
             r, name = bench.build_renderer()
             r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
@@ -940,12 +943,12 @@ def run_shadow_prec():
             r.set_lighting(False)
             log(f"SHADOW_PREC {sp}: lit {name} @{LIT_SAMPLES} "
                 f"{ms:.2f} ms/frame pipelined")
-        mae = float(np.abs(frames["default"] - frames["highest"]).mean()
+        mae = float(np.abs(frames[cand] - frames["highest"]).mean()
                     * 100.0)
-        ratio = results["default"] / results["highest"]
+        ratio = results[cand] / results["highest"]
         ok = mae < GATE_VS_CONTROL_PCT
         adopt = ok and ratio < 0.97
-        chosen = "default" if adopt else "highest"
+        chosen = cand if adopt else "highest"
         log(f"SHADOW_PREC gate: same-seed vs-control MAE {mae:.4f}% "
             f"(bar {GATE_VS_CONTROL_PCT}) -> {'PASS' if ok else 'FAIL'}; "
             f"time ratio {ratio:.3f}x -> "
@@ -953,7 +956,11 @@ def run_shadow_prec():
         # read-merge-update; the measurement governs either way
         tuning = load_tuning()
         tuning["shadow_precision"] = chosen
-        tuning["shadow_precision_lit_ms"] = results
+        # merge: keep measured datapoints for variants this run skipped
+        # (e.g. session 15's gate-rejected one-pass "default")
+        merged = dict(tuning.get("shadow_precision_lit_ms", {}))
+        merged.update(results)
+        tuning["shadow_precision_lit_ms"] = merged
         tuning["shadow_precision_gate_vs_control_mae_pct"] = round(mae, 4)
         with open(_mm.TUNING_PATH, "w") as f:
             json.dump(tuning, f, indent=1)
