@@ -156,7 +156,13 @@ UNROLL_B = _default_unroll()
 # adoptable despite the ~9% frame win.  Both remain A/B-gated via
 # tools/tpu_session.py run_precision — never adopted by hand.  (Mosaic
 # lowers only DEFAULT and HIGHEST; Precision.HIGH does not lower.)
-_PRECISIONS = ("highest", "mixed", "default")
+# "f32x1" is the stacked-K mode: the operands' bf16 hi/mid/lo mask-splits
+# are stacked on the CONTRACTION axis (K = 16 -> 96, affine 8 -> 48) and
+# ONE DEFAULT-precision dot evaluates the six >=2^-20-relative product
+# terms HIGHEST spends six serial passes on — f32-class accuracy at
+# ~one-pass MXU cost (see _stack6_a; the skinny-K pass is output-tile
+# bound, not K-bound, below the 256-deep systolic array).
+_PRECISIONS = ("highest", "mixed", "default", "f32x1")
 
 
 def _default_precision() -> str:
@@ -175,7 +181,54 @@ _PREC_MAP = {
     "highest": jax.lax.Precision.HIGHEST,
     "mixed": jax.lax.Precision.DEFAULT,  # bf16 matmul, exact divides
     "default": jax.lax.Precision.DEFAULT,
+    "f32x1": jax.lax.Precision.DEFAULT,  # stacked-K split operands
 }
+
+
+def _trunc_bf16(x: jnp.ndarray) -> jnp.ndarray:
+    """bf16-representable truncation of f32 via mantissa bitmask.
+
+    Deliberately NOT `x.astype(bf16).astype(f32)`: XLA's
+    allow-excess-precision pass (on by default) elides precision-REDUCING
+    convert round-trips, which silently turns a hi/lo split into
+    (x, 0, 0) — measured on hardware 2026-08-19 (tools/microbench_k.py:
+    the stacked splits produced BIT-IDENTICAL output to a plain one-pass
+    bf16 dot).  Masking the low 16 mantissa bits is the same truncation
+    expressed as integer ops the compiler cannot legally fold away."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        xi & jnp.int32(-65536), jnp.float32)  # 0xFFFF0000
+
+
+def _split3(x: jnp.ndarray):
+    """x = h + m + l with h, m bf16-representable (exact under the MXU's
+    DEFAULT-precision operand rounding) and l the exact f32 residual
+    (rounded to bf16 only inside the dot itself).  Each level captures
+    ~8 significand bits; the subtractions are exact (Sterbenz: h shares
+    x's exponent and leading bits)."""
+    h = _trunc_bf16(x)
+    r = x - h
+    m = _trunc_bf16(r)
+    return h, m, r - m
+
+
+def _stack6_a(x: jnp.ndarray):
+    """A-side stacked-K operand [h, h, m, h, l, m] for the 6-term product
+    (pairs with _stack6_b's [h, m, h, l, h, m]): one DEFAULT-precision
+    dot over the stacked contraction axis evaluates
+    hh + hm + mh + hl + lh + mm — every product term down to ~2^-20
+    relative, i.e. f32-class — at ONE MXU pass.  The contraction depth
+    grows 6x (16 -> 96, affine 8 -> 48) but stays well under the MXU's
+    256-deep systolic array, where per-pass cost is dominated by the
+    (rays x slots) output tile, not K — this is the whole trick: HIGHEST
+    spends six passes re-streaming the same skinny-K operands."""
+    h, m, l = _split3(x)
+    return jnp.concatenate([h, h, m, h, l, m], axis=0)
+
+
+def _stack6_b(x: jnp.ndarray):
+    h, m, l = _split3(x)
+    return jnp.concatenate([h, m, h, l, h, m], axis=0)
 
 
 # Occlusion-kernel-only precisions: the plain tiers above plus "bf16x3" —
@@ -453,8 +506,16 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
     neg = _EMIT_NEG_INIT[emit]
     nbufs = _EMIT_NBUFS[emit]
     prec = _PREC_MAP[precision]
+    f32x1 = precision == "f32x1"
 
-    def kernel(counts_ref, tri_ref, rays_ref, out_ref):
+    def kernel(counts_ref, tri_ref, rays_ref, out_ref, *scratch):
+        # f32x1 carries a VMEM scratch (rmax, 6*ray_feats, 512) holding the
+        # stacked-K split of every live payload row, filled ONCE per grid
+        # step: an in-loop split was measured at ~14 us/row-step on
+        # hardware (tools/probe_f32x1.py, 2026-08-19) — the concat
+        # materialisation sat on the latency-bound dependent chain; the
+        # prologue amortises it over all nb ray batches
+        tri6_ref = scratch[0] if f32x1 else None
         g = pl.program_id(0)
         cnt = counts_ref[g]
         rb_size = rays_ref.shape[1]
@@ -487,15 +548,22 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
                 out_ref[i:i + 1, pl.ds(r0, RS)] = val.reshape(1, RS)
 
         def run_chains(r0s):
-            fts = [rays_ref[:, pl.ds(r0, RS)] for r0 in r0s]
+            # f32x1: rays are row-loop-invariant, so their stacked-K
+            # split is hoisted here — once per chain, not per row
+            fts = [
+                _stack6_a(rays_ref[:, pl.ds(r0, RS)]) if f32x1
+                else rays_ref[:, pl.ds(r0, RS)]
+                for r0 in r0s
+            ]
 
             def row_step(j, states):
                 # one payload load per row, shared by every chain.
                 # Precision is explicit and caller-selected (module
                 # PRECISION notes); register-carried winner state: a
                 # VMEM-scratch variant measured +69% on the primary frame.
-                mm = (tri_ref[0, j] if ray_feats == RAY_FEATS
-                      else tri_ref[0, j, 0:8, :])  # (ray_feats, 512)
+                mm = (tri6_ref[j] if f32x1
+                      else tri_ref[0, j] if ray_feats == RAY_FEATS
+                      else tri_ref[0, j, 0:8, :])  # ((6*)ray_feats, 512)
                 hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]
                 hi2 = (tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
                        if emit != "bary" else None)
@@ -524,6 +592,14 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
 
         @pl.when(cnt > 0)
         def _run_batches():
+            if f32x1:
+                def fill(j, _):
+                    mm = (tri_ref[0, j] if ray_feats == RAY_FEATS
+                          else tri_ref[0, j, 0:8, :])
+                    tri6_ref[j] = _stack6_b(mm)
+                    return 0
+
+                jax.lax.fori_loop(0, cnt, fill, 0)
             if ub == 1:
                 def one(rbi, _):
                     run_chains([pl.multiple_of(rbi * RS, RS)])
@@ -582,6 +658,7 @@ def _make_rows_occlusion_kernel(ub: int, precision: str = "highest",
     bought; the split is O(K x N) VPU work against O(RS x K x N) MXU
     work) and runs three one-pass dots — see _SHADOW_PRECISIONS."""
     bf16x3 = precision == "bf16x3"
+    f32x1 = precision == "f32x1"
     prec = _PREC_MAP["default" if bf16x3 else precision]
 
     def kernel(r2v_ref, flag_ref, tri_ref, rays_ref, out_ref):
@@ -601,6 +678,9 @@ def _make_rows_occlusion_kernel(ub: int, precision: str = "highest",
             if bf16x3:
                 mm_h = mm.astype(jnp.bfloat16).astype(jnp.float32)
                 mm_l = mm - mm_h
+            elif f32x1:
+                # stacked once per grid step, shared by every ray batch
+                mm = _stack6_b(mm)  # (6*F, rpb*512)
 
             def _dot(a, b):
                 return jax.lax.dot_general(
@@ -615,12 +695,18 @@ def _make_rows_occlusion_kernel(ub: int, precision: str = "highest",
                     # DEFAULT rounds operands to bf16; the hi parts are
                     # bf16-exact, so the three passes compute
                     # ft_h@mm_h + ft_h@mm_l + ft_l@mm_h in full —
-                    # dropping only the ~2^-16-relative ft_l@mm_l term
+                    # dropping only the ~2^-16-relative ft_l@mm_l term.
+                    # (Round-4 session-16 hardware gate: 3.41% lit MAE —
+                    # partly the missing term, partly that astype splits
+                    # are foldable by the compiler; superseded by f32x1's
+                    # mask splits + single stacked dot.)
                     ft_h = ft.astype(jnp.bfloat16).astype(jnp.float32)
                     ft_l = ft - ft_h
                     p = _dot(ft_h, mm_h) + _dot(ft_h, mm_l) \
                         + _dot(ft_l, mm_h)
                 else:
+                    if f32x1:
+                        ft = _stack6_a(ft)  # (6*F, RS)
                     p = _dot(ft, mm)  # (RS, rpb*512)
                 occ = None
                 for k in range(rpb):
@@ -802,9 +888,12 @@ def run_packed_tracer(
         f"batches and emits uninitialised frames)")
     if precision is None:
         precision = PRECISION
+    scratch = ([pltpu.VMEM((rmax, 6 * ray_feats, MM_COLS), jnp.float32)]
+               if precision == "f32x1" else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ng, nrb),
+        scratch_shapes=scratch,
         in_specs=[
             pl.BlockSpec(
                 (1, rmax, MM_FEATS, MM_COLS),

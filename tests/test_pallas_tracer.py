@@ -521,14 +521,17 @@ def test_occlusion_block_bit_identical():
     for ub, rpb in ((2, 1), (3, 1), (1, 2), (1, 4), (2, 4)):
         np.testing.assert_array_equal(base, run(ub, rpb))
 
-def test_occlusion_bf16x3_matches_highest():
-    """The shadow-only "bf16x3" precision (three one-pass hi/lo-split dots,
-    ~1.5e-5 relative product error — mm_tracer._SHADOW_PRECISIONS) must
-    reproduce the HIGHEST any-hit decisions exactly on geometry whose
-    decision margins dominate that error (the flip set is confined to
-    rays grazing within ~1e-5 of a triangle edge / the t window ends).
-    The casts are explicit in the kernel, so CPU interpret mode exercises
-    the real bf16 numerics, not an f32 shortcut."""
+@pytest.mark.parametrize("precision", ["bf16x3", "f32x1"])
+def test_occlusion_lossy_precision_matches_highest(precision):
+    """The reduced-pass occlusion precisions ("bf16x3": three one-pass
+    hi/lo-split dots, ~1.5e-5 relative product error; "f32x1": ONE
+    stacked-K dot over mask-split operands, ~2^-20 — see
+    mm_tracer._stack6_a) must reproduce the HIGHEST any-hit decisions
+    exactly on geometry whose decision margins dominate those errors (the
+    flip set is confined to rays grazing within ~1e-5 of a triangle edge
+    / the t window ends).  The casts/mask-splits are explicit in the
+    kernel, so CPU interpret mode exercises the real split numerics, not
+    an f32 shortcut."""
     from compound_ray_tpu.eye import pipeline as P
     from compound_ray_tpu.trace.mm_tracer import run_rows_occlusion
 
@@ -585,7 +588,35 @@ def test_occlusion_bf16x3_matches_highest():
 
     base = run("highest")
     assert base.sum() > 0 and (base == 0.0).any()
-    np.testing.assert_array_equal(base, run("bf16x3"))
+    np.testing.assert_array_equal(base, run(precision))
+
+
+def test_split3_exact_reconstruction():
+    """mm_tracer._split3: x == h + m + l EXACTLY, with h and m
+    bf16-representable (so the MXU's DEFAULT operand rounding is a no-op
+    on them) — the foundation of the f32x1 stacked-K mode.  Uses the
+    mask-based truncation precisely because astype round-trips are
+    foldable by XLA's allow-excess-precision pass (measured on hardware,
+    tools/microbench_k.py)."""
+    from compound_ray_tpu.trace import mm_tracer as mm
+
+    rng = np.random.default_rng(7)
+    # residuals sit ~2^-16 below the value, so keep |x| above ~1e-33:
+    # backends flush subnormal residuals to zero (measured: a 1.2e-38
+    # input lost its 6e-41 residual to FTZ), which is harmless for
+    # geometry (decision scales are >> 1e-33) but breaks exactness here
+    x = np.concatenate([
+        (rng.standard_normal(4096)
+         * 10.0 ** rng.uniform(-25, 25, 4096)).astype(np.float32),
+        np.asarray([0.0, -0.0, 1.0, -1.0, 3.0e38], np.float32),
+    ])
+    h, m, l = jax.jit(mm._split3)(jnp.asarray(x))
+    h, m, l = np.asarray(h), np.asarray(m), np.asarray(l)
+    np.testing.assert_array_equal(h + m + l, x)  # exact split
+    for part in (h, m):
+        bits = part.view(np.uint32)
+        assert (bits & np.uint32(0xFFFF) == 0).all(), (
+            "h/m must be bf16-representable (low mantissa bits clear)")
 
 
 def test_shadow_precision_validation():

@@ -74,6 +74,37 @@ def test_packed_tracer_precision_plumbing(emit):
     assert float(rel.max()) < 1e-2, f"t rel err {rel.max():.2e}"
 
 
+@pytest.mark.parametrize("emit", ["bary", "uvs"])
+def test_packed_tracer_f32x1_matches_highest(emit):
+    """"f32x1" (one stacked-K dot over mask-split operands — f32-class
+    ~2^-20 product error at one MXU pass, mm_tracer._stack6_a) must
+    reproduce HIGHEST's hit/miss decisions exactly on this well-separated
+    scene and match t to f32-rounding tolerance.  Unlike "default" it
+    keeps the exact divide, so the only deviation is the dropped
+    sub-2^-20 product terms; the mask splits are explicit ops, so CPU
+    interpret mode exercises the real stacked numerics."""
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    eplan, rc, pmm, rays, rmax = _kernel_inputs()
+
+    def run(prec):
+        return np.asarray(run_packed_tracer(
+            rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
+            rb_size=eplan.rb_size, rmax=rmax, emit=emit, precision=prec))
+
+    base = run("highest")
+    assert np.isfinite(base[0]).any(), "test must produce real hits"
+    acc = run("f32x1")
+    hit_b, hit_a = np.isfinite(base[0]), np.isfinite(acc[0])
+    np.testing.assert_array_equal(hit_b, hit_a)
+    t_b, t_a = base[0][hit_b], acc[0][hit_b]
+    rel = np.abs(t_b - t_a) / np.maximum(np.abs(t_b), 1e-6)
+    assert float(rel.max()) < 1e-4, f"t rel err {rel.max():.2e}"
+    # winner attributes must agree wherever the winning slot agrees
+    # (guards the metadata rows 8:16 staying un-split)
+    np.testing.assert_allclose(base[1:], acc[1:], rtol=1e-4, atol=1e-5)
+
+
 def test_default_precision_precedence(monkeypatch):
     """Env override > tuning.json > "highest"; invalid values fail loudly
     (env) or fall back (tuning file — it is machine-written)."""

@@ -668,7 +668,7 @@ class _FakeShadowPrecRenderer:
             raise RuntimeError("wedged compile on the lossy kernel")
 
     def get_camera_data(self):
-        if mm.SHADOW_PRECISION == "bf16x3":
+        if mm.SHADOW_PRECISION not in (None, "highest"):
             return self.base + self.delta
         return self.base
 
@@ -684,20 +684,20 @@ def sp_guard(monkeypatch):
 def test_shadow_prec_adopts_gated_win(sandbox, monkeypatch, sp_guard):
     monkeypatch.setattr(
         ts.bench, "build_renderer",
-        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "bf16x3": 3.0},
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "f32x1": 3.0},
                                          mae_pct=0.01), "natural"))
     ts.run_shadow_prec()
     tuning = json.load(open(sandbox))
-    assert tuning["shadow_precision"] == "bf16x3"
+    assert tuning["shadow_precision"] == "f32x1"
     assert tuning["shadow_precision_gate_vs_control_mae_pct"] < 0.05
-    assert mm.SHADOW_PRECISION == "bf16x3"  # finally keeps the winner
+    assert mm.SHADOW_PRECISION == "f32x1"  # finally keeps the winner
 
 
 def test_shadow_prec_gate_rejects_big_diff(sandbox, monkeypatch, sp_guard):
     # a 1% same-seed diff fails the 0.25% bar even with a 25% time win
     monkeypatch.setattr(
         ts.bench, "build_renderer",
-        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "bf16x3": 3.0},
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "f32x1": 3.0},
                                          mae_pct=1.0), "natural"))
     ts.run_shadow_prec()
     assert json.load(open(sandbox))["shadow_precision"] == "highest"
@@ -707,7 +707,7 @@ def test_shadow_prec_gate_rejects_big_diff(sandbox, monkeypatch, sp_guard):
 def test_shadow_prec_rejects_wash(sandbox, monkeypatch, sp_guard):
     monkeypatch.setattr(
         ts.bench, "build_renderer",
-        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "bf16x3": 3.96},
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "f32x1": 3.96},
                                          mae_pct=0.01), "natural"))
     ts.run_shadow_prec()
     assert json.load(open(sandbox))["shadow_precision"] == "highest"
@@ -717,8 +717,8 @@ def test_shadow_prec_restores_on_mid_ab_failure(sandbox, monkeypatch,
                                                 sp_guard):
     monkeypatch.setattr(
         ts.bench, "build_renderer",
-        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "bf16x3": 3.0},
-                                         explode_at="bf16x3"), "natural"))
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "f32x1": 3.0},
+                                         explode_at="f32x1"), "natural"))
     with pytest.raises(RuntimeError):
         ts.run_shadow_prec()
     assert not os.path.exists(sandbox)  # nothing adopted
@@ -728,17 +728,18 @@ def test_shadow_prec_restores_on_mid_ab_failure(sandbox, monkeypatch,
 def test_shadow_prec_merges_prior_variant_datapoints(sandbox, monkeypatch,
                                                      sp_guard):
     """A re-run must not clobber measured datapoints for variants it
-    skipped — session 15's gate-rejected one-pass "default" stays on
-    record next to the new bf16x3 measurement."""
+    skipped — session 15/16's gate-rejected "default"/"bf16x3" stay on
+    record next to the new f32x1 measurement."""
     json.dump({"shadow_precision": "highest",
                "shadow_precision_lit_ms": {"default": 106.48,
+                                           "bf16x3": 136.27,
                                            "highest": 205.91}},
               open(sandbox, "w"))
     monkeypatch.setattr(
         ts.bench, "build_renderer",
-        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "bf16x3": 3.0},
+        lambda: (_FakeShadowPrecRenderer({"highest": 4.0, "f32x1": 3.0},
                                          mae_pct=0.01), "natural"))
     ts.run_shadow_prec()
     ms = json.load(open(sandbox))["shadow_precision_lit_ms"]
-    assert ms["default"] == 106.48  # preserved
-    assert ms["bf16x3"] == 3.0 and ms["highest"] == 4.0  # re-measured
+    assert ms["default"] == 106.48 and ms["bf16x3"] == 136.27  # preserved
+    assert ms["f32x1"] == 3.0 and ms["highest"] == 4.0  # re-measured

@@ -222,12 +222,21 @@ def main():
         return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
 
     @jax.jit
+    def f_kern_f32x1(row_counts, packed_mm, rays):
+        out = run_packed_tracer(row_counts, packed_mm, rays, ng=ng, nrb=nrb,
+                                rb_size=rb_size, rmax=rmax, emit=emit,
+                                precision="f32x1")
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+
+    @jax.jit
     def f_kern_bary(row_counts, packed_mm, rays):
         out = run_packed_tracer(row_counts, packed_mm, rays, ng=ng, nrb=nrb,
                                 rb_size=rb_size, rmax=rmax, emit="bary")
         return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
 
     timeit("  kernel (precision=default)", f_kern_default,
+           row_counts, packed_mm, rays)
+    timeit("  kernel (precision=f32x1)", f_kern_f32x1,
            row_counts, packed_mm, rays)
     if emit != "bary":
         timeit("  kernel (emit=bary)", f_kern_bary,
@@ -372,12 +381,25 @@ def main():
         t_occ = timeit("  occlusion kernel (all lights)", f_occ,
                        kw_lit["shadow_r2v"], kw_lit["shadow_flag"],
                        kw_lit["shadow_flat"], rays_syn)
+        @jax.jit
+        def f_occ_f32x1(r2v, flag, flat, rays):
+            out = run_rows_occlusion(r2v, flag, flat, rays,
+                                     nrb=ep_l.nrb, rb_size=ep_l.rb_size,
+                                     precision="f32x1")
+            return jnp.sum(out)
+
         t_occ_d = timeit("  occlusion kernel (precision=default)",
                          f_occ_default,
                          kw_lit["shadow_r2v"], kw_lit["shadow_flag"],
                          kw_lit["shadow_flat"], rays_syn)
         stage_ms["lit: occlusion kernel (precision=default)"] = round(
             t_occ_d, 3)
+        t_occ_x = timeit("  occlusion kernel (precision=f32x1)",
+                         f_occ_f32x1,
+                         kw_lit["shadow_r2v"], kw_lit["shadow_flag"],
+                         kw_lit["shadow_flat"], rays_syn)
+        stage_ms["lit: occlusion kernel (precision=f32x1)"] = round(
+            t_occ_x, 3)
         ggx = t_lit - t_unl - t_occ
         print(f"  {'ggx+basis+shadow raygen':28s} {ggx:8.2f} ms (derived)")
         stage_ms["lit: ggx+basis (derived)"] = round(ggx, 3)

@@ -452,8 +452,12 @@ def _natural_scene_sig():
 def run_precision():
     """Intersection-matmul precision A/B (mm_tracer module PRECISION
     notes): full-frame pipelined @3200 on both bench scenes at "highest"
-    (exact f32, six bf16 MXU passes), "mixed" (ONE bf16 pass, exact
-    divides) and "default" (one pass + approximate reciprocal).  The lossy
+    (exact f32, six bf16 MXU passes), "default" (one pass + approximate
+    reciprocal) and "f32x1" (ONE stacked-K dot over mask-split operands:
+    f32-class ~2^-20 product error at ~one-pass MXU cost + exact
+    divides — expected to pass the gate on BOTH scenes, unlike the
+    one-pass modes; "mixed" is no longer re-measured: session 7b showed
+    it identical in error and slower than "default").  The lossy
     modes are NOT exact, so a speed win alone does not adopt one — and an
     absolute MAE-vs-golden bar cannot gate them: the quick conformance
     renders at reduced samples, where sample noise vs the goldens and
@@ -485,7 +489,7 @@ def run_precision():
     chosen = None  # decided after the gate; None = restore pre-stage state
     env_prec_before = os.environ.get("CR_TPU_PRECISION")
     try:
-        for prec in ("highest", "mixed", "default"):
+        for prec in ("highest", "default", "f32x1"):
             # the env var makes scene_plan's PER-SCENE resolution stand
             # down (pipeline._scene_precision), so the A/B measures the
             # flipped module mode even when a prior batch adopted a
@@ -512,7 +516,7 @@ def run_precision():
             return (float(np.exp(np.mean(np.log(ratios))))
                     if ratios else None)
 
-        gains = {p: geomean(p) for p in ("mixed", "default")}
+        gains = {p: geomean(p) for p in ("default", "f32x1")}
         for p, g in gains.items():
             if g is not None:
                 log(f"PRECISION geomean frame ratio {g:.3f}x "
@@ -900,13 +904,17 @@ def run_shadow():
 
 def run_shadow_prec():
     """Shadow-only matmul precision A/B (mm_tracer.SHADOW_PRECISION)
-    under a SAME-SEED lit gate.  The candidate is "bf16x3" (manual hi/lo
-    split, three one-pass dots, ~1.5e-5 relative product error — see
-    mm_tracer._SHADOW_PRECISIONS): session 15 measured one-pass
-    "default" at 106.5 vs 205.9 ms (0.517x) but a disqualifying 9.34%
-    same-seed MAE, so the raw one-pass candidate is dead (recorded in
-    tuning.json); bf16x3 keeps ~half the win (3 of 6 passes) at ~250x
-    less error.  Protocol: per variant, a FRESH renderer (aligned frame
+    under a SAME-SEED lit gate.  The candidate is "f32x1" (ONE stacked-K
+    dot over bf16 mask-split operands, ~2^-20 relative product error at
+    ~one-pass MXU cost — see mm_tracer._stack6_a).  Prior candidates,
+    measured dead on hardware: one-pass "default" 106.5 vs 205.9 ms
+    (0.517x) but a disqualifying 9.34% same-seed MAE (session 15);
+    "bf16x3" (three astype-split dots) 136.3 ms but 3.41% MAE (session
+    16 — partly the dropped 2^-16 term, partly that astype round-trips
+    are compiler-foldable; both recorded in tuning.json).  f32x1's mask
+    splits are fold-proof and its 6 product terms reach f32-class error,
+    so the gate is expected to pass at ~default's speed.  Protocol: per
+    variant, a FRESH renderer (aligned frame
     counters -> identical threefry streams), two lit frames, capture
     frame 2's camera data as the gate image, then the burst-warmed
     pipelined timing.  Adopt the candidate iff its vs-control MAE <
@@ -919,7 +927,7 @@ def run_shadow_prec():
     results, frames = {}, {}
     chosen = None  # None = A/B never concluded: restore pre-stage state
     start = _mm.SHADOW_PRECISION
-    cand = "bf16x3"
+    cand = "f32x1"
 
     def set_sp(v):
         if _mm.SHADOW_PRECISION != v:
@@ -952,7 +960,7 @@ def run_shadow_prec():
         log(f"SHADOW_PREC gate: same-seed vs-control MAE {mae:.4f}% "
             f"(bar {GATE_VS_CONTROL_PCT}) -> {'PASS' if ok else 'FAIL'}; "
             f"time ratio {ratio:.3f}x -> "
-            f"{'ADOPT default' if adopt else 'keep highest'}")
+            f"{('ADOPT ' + cand) if adopt else 'keep highest'}")
         # read-merge-update; the measurement governs either way
         tuning = load_tuning()
         tuning["shadow_precision"] = chosen
