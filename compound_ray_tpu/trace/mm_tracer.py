@@ -109,6 +109,11 @@ def _default_batch_rays() -> int:
 
 BATCH_RAYS = _default_batch_rays()
 
+# max payload rows for the f32x1 stacked-split VMEM scratch (see
+# run_packed_tracer): 16 rows x 196 KB = 3.1 MB, safely inside the 16 MB
+# scoped-vmem budget next to the payload block and ray stack
+_F32X1_SCRATCH_ROWS = 16
+
 
 def _default_unroll() -> int:
     """Env override > measured-on-TPU tuning file > 1.
@@ -514,8 +519,12 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
         # step: an in-loop split was measured at ~14 us/row-step on
         # hardware (tools/probe_f32x1.py, 2026-08-19) — the concat
         # materialisation sat on the latency-bound dependent chain; the
-        # prologue amortises it over all nb ray batches
-        tri6_ref = scratch[0] if f32x1 else None
+        # prologue amortises it over all nb ray batches.  Scenes whose
+        # rmax exceeds _F32X1_SCRATCH_ROWS get NO scratch (a 76-row
+        # conformance scene's 14.9 MB scratch blew the 16 MB scoped-vmem
+        # limit on hardware) and split in-loop instead — slower but
+        # correct, and fat-rmax scenes are off the hot path
+        tri6_ref = scratch[0] if scratch else None
         g = pl.program_id(0)
         cnt = counts_ref[g]
         rb_size = rays_ref.shape[1]
@@ -561,9 +570,11 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
                 # Precision is explicit and caller-selected (module
                 # PRECISION notes); register-carried winner state: a
                 # VMEM-scratch variant measured +69% on the primary frame.
-                mm = (tri6_ref[j] if f32x1
+                mm = (tri6_ref[j] if tri6_ref is not None
                       else tri_ref[0, j] if ray_feats == RAY_FEATS
                       else tri_ref[0, j, 0:8, :])  # ((6*)ray_feats, 512)
+                if f32x1 and tri6_ref is None:
+                    mm = _stack6_b(mm)  # no-scratch fallback (fat rmax)
                 hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]
                 hi2 = (tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
                        if emit != "bary" else None)
@@ -592,7 +603,7 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
 
         @pl.when(cnt > 0)
         def _run_batches():
-            if f32x1:
+            if tri6_ref is not None:
                 def fill(j, _):
                     mm = (tri_ref[0, j] if ray_feats == RAY_FEATS
                           else tri_ref[0, j, 0:8, :])
@@ -888,8 +899,14 @@ def run_packed_tracer(
         f"batches and emits uninitialised frames)")
     if precision is None:
         precision = PRECISION
+    # the stacked-split scratch scales with rmax: (rmax, 6*rf, 512) f32 =
+    # rmax * 196 KB (rf=16).  A 76-row conformance scene measured a scoped
+    # -vmem OOM at 19.07 MB (limit 16); cap the prologue path at rmax <=
+    # _F32X1_SCRATCH_ROWS (bench scenes sit at <= 8) and let fatter scenes
+    # take the slower in-loop split
     scratch = ([pltpu.VMEM((rmax, 6 * ray_feats, MM_COLS), jnp.float32)]
-               if precision == "f32x1" else [])
+               if precision == "f32x1" and rmax <= _F32X1_SCRATCH_ROWS
+               else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ng, nrb),

@@ -105,6 +105,35 @@ def test_packed_tracer_f32x1_matches_highest(emit):
     np.testing.assert_allclose(base[1:], acc[1:], rtol=1e-4, atol=1e-5)
 
 
+def test_f32x1_no_scratch_fallback_matches():
+    """rmax above mm_tracer._F32X1_SCRATCH_ROWS disables the stacked-split
+    VMEM scratch (a 76-row conformance scene blew the 16 MB scoped-vmem
+    limit on hardware) and splits in-loop instead.  Padding the payload
+    with dead rows past the cap must not change a single output bit —
+    rows beyond row_counts are never read, and the in-loop split computes
+    the same ops as the prologue."""
+    from compound_ray_tpu.trace import mm_tracer as mm
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    eplan, rc, pmm, rays, rmax = _kernel_inputs()
+    assert rmax <= mm._F32X1_SCRATCH_ROWS, "scene grew; pick a smaller one"
+    fat = mm._F32X1_SCRATCH_ROWS + 4
+    pmm_fat = jnp.concatenate(
+        [pmm, jnp.zeros(
+            (pmm.shape[0], fat - rmax) + pmm.shape[2:], jnp.float32)],
+        axis=1)
+
+    def run(p, r):
+        return np.asarray(run_packed_tracer(
+            rc, p, rays, ng=eplan.ng, nrb=eplan.nrb,
+            rb_size=eplan.rb_size, rmax=r, emit="uvs", precision="f32x1"))
+
+    base = run(pmm, rmax)        # scratch-prologue path
+    fallback = run(pmm_fat, fat)  # in-loop split path
+    assert np.isfinite(base[0]).any()
+    np.testing.assert_array_equal(base, fallback)
+
+
 def test_default_precision_precedence(monkeypatch):
     """Env override > tuning.json > "highest"; invalid values fail loudly
     (env) or fall back (tuning file — it is machine-written)."""
