@@ -237,6 +237,74 @@ def test_precision_per_scene_salvage(sandbox, monkeypatch):
     assert ts._TUNING_DIRTY is True
 
 
+def test_precision_global_f32x1_plus_per_scene_default(sandbox, monkeypatch):
+    """A candidate that passes the GLOBAL gate (f32x1) adopts globally,
+    AND a per-scene entry still lands for a scene where a faster
+    candidate (default) passes that scene's own configs — the mixed
+    end-state: precision="f32x1", precision_by_scene={natural:
+    "default"}.  The ofstad group must NOT get an entry (its only
+    faster-than-chosen candidate fails its configs)."""
+    import tools.conformance_report as cr
+
+    class _R:
+        def __init__(self, name):
+            self.name = name
+
+    monkeypatch.setattr(ts.bench, "build_renderer",
+                        lambda: (_R("natural"), "natural"))
+    monkeypatch.setattr(ts.bench, "build_ofstad_renderer",
+                        lambda: (_R("ofstad"), "ofstad"))
+    monkeypatch.setattr(_R, "set_render_size", lambda self, w, h: None,
+                        raising=False)
+    monkeypatch.setattr(
+        _R, "get_current_eye_ommatidial_count", lambda self: 8,
+        raising=False)
+    times = {("natural", "highest"): 1.0, ("ofstad", "highest"): 1.0,
+             ("natural", "default"): 0.5, ("ofstad", "default"): 0.52,
+             ("natural", "f32x1"): 0.6, ("ofstad", "f32x1"): 0.6}
+
+    def time_frames(r, samples, reps, warmup=3):
+        t = times[(r.name, mm.PRECISION)]
+        return t, 0.0, t
+
+    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
+
+    def fake_main(argv):
+        out = argv[argv.index("--out") + 1]
+        if "--save-frames" in argv:  # control
+            payload = {"worst_headline_mae_pct": 0.94, "results": {
+                "overview/uniform": {"headline_mae_pct": 0.04},
+                "ofstad/uniform": {"headline_mae_pct": 0.94}}}
+        elif mm.PRECISION == "default":
+            payload = {"worst_headline_mae_pct": 1.42,
+                       "worst_vs_control_mae_pct": 0.92, "results": {
+                           "overview/uniform": {"headline_mae_pct": 0.04,
+                                                "vs_control_mae_pct": 0.17},
+                           "ofstad/uniform": {"headline_mae_pct": 1.42,
+                                              "vs_control_mae_pct": 0.92}}}
+        else:  # f32x1: f32-class everywhere
+            payload = {"worst_headline_mae_pct": 0.94,
+                       "worst_vs_control_mae_pct": 0.0001, "results": {
+                           "overview/uniform": {
+                               "headline_mae_pct": 0.04,
+                               "vs_control_mae_pct": 0.0001},
+                           "ofstad/uniform": {
+                               "headline_mae_pct": 0.94,
+                               "vs_control_mae_pct": 0.0001}}}
+        with open(out, "w") as f:
+            json.dump(payload, f)
+
+    monkeypatch.setattr(cr, "main", fake_main)
+    monkeypatch.setattr(ts, "_natural_scene_sig", lambda: "cafe01")
+    monkeypatch.setattr(ts, "_ofstad_scene_sig", lambda: "0f57ad")
+    ts.run_precision()
+    assert mm.PRECISION == "f32x1"
+    tuning = json.load(open(sandbox))
+    assert tuning["precision"] == "f32x1"
+    assert tuning["precision_by_scene"] == {"cafe01": "default"}
+    assert ts._TUNING_DIRTY is True
+
+
 def test_precision_per_scene_rejects_natural_error(sandbox, monkeypatch):
     import tools.conformance_report as cr
 

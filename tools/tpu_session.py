@@ -449,6 +449,25 @@ def _natural_scene_sig():
         return None
 
 
+def _ofstad_scene_sig():
+    """Geometry hash of the ofstad bench arena.  The conformance ofstad
+    configs render the ACCEPTANCE-ANGLE .blend variant (1020 vs 1032
+    tris — primary-example.py:27), not this exact mesh, so the per-scene
+    gate evidence transfers across variants of the same closed arena
+    rather than being file-identical as in the natural case; the error
+    mode the gate guards (long-t closed-arena rays) is a property of the
+    arena class, not the 12-triangle diff."""
+    try:
+        from compound_ray_tpu.eye.pipeline import scene_sig
+
+        built = bench.build_ofstad_renderer()
+        r = built[0] if isinstance(built, tuple) else built
+        return scene_sig(r.scene) if r is not None else None
+    except Exception as e:
+        log(f"PRECISION per-scene: ofstad scene sig unavailable ({e!r})")
+        return None
+
+
 def run_precision():
     """Intersection-matmul precision A/B (mm_tracer module PRECISION
     notes): full-frame pipelined @3200 on both bench scenes at "highest"
@@ -588,41 +607,66 @@ def run_precision():
         if chosen is None:
             chosen = "highest"
         # per-scene salvage (docstring round-4 verdict): a candidate that
-        # failed GLOBALLY may still hold on the natural scene's configs —
-        # adopt it keyed by the scene's geometry hash (bench natural and
-        # the conformance natural configs load the same gltf, so the gate
-        # evidence transfers; pipeline._scene_precision serves it).
+        # failed GLOBALLY may still hold on one scene's configs — adopt it
+        # keyed by that scene's geometry hash (the bench natural scene and
+        # the conformance natural configs load the same gltf; the ofstad
+        # evidence transfers across arena variants — _ofstad_scene_sig
+        # docstring).  pipeline._scene_precision serves the adoption.
         per_scene = {}
-        if chosen == "highest" and gate_vs_control:
-            nat_sig = _natural_scene_sig()
-            for cand in candidates:
-                if nat_sig is None or cand not in gate_vs_control:
+        if gate_vs_control:
+            groups = (
+                ("natural", _natural_scene_sig,
+                 lambda k: not k.startswith("ofstad")),
+                ("ofstad", _ofstad_scene_sig,
+                 lambda k: k.startswith("ofstad")),
+            )
+            for gname, sig_fn, pred in groups:
+                # candidates strictly faster ON THIS SCENE than the
+                # adopted global mode (chosen may itself be a gated
+                # candidate — e.g. f32x1 global + a per-scene "default"
+                # where the scene's own configs tolerate the one-pass
+                # error), gated fastest-first
+                t_scene = results.get(gname, {})
+                base_ms = t_scene.get(chosen)
+                cands_g = sorted(
+                    (c for c in candidates
+                     if c != chosen and c in gate_vs_control
+                     and base_ms is not None
+                     and t_scene.get(c, float("inf")) < base_ms),
+                    key=lambda c: t_scene[c])
+                if not cands_g:
                     continue
-                try:
-                    with open("/tmp/conformance_precision_gate_"
-                              f"{cand}.json") as f:
-                        dc = json.load(f)["results"]
-                    with open("/tmp/conformance_precision_gate_"
-                              "highest.json") as f:
-                        dh = json.load(f)["results"]
-                except Exception:
+                sig = sig_fn()
+                if sig is None:
                     continue
-                nat = [k for k in dc if not k.startswith("ofstad")]
-                ok = bool(nat) and all(
-                    dc[k].get("vs_control_mae_pct", 99.0)
-                    < GATE_VS_CONTROL_PCT
-                    and dc[k]["headline_mae_pct"]
-                    <= dh[k]["headline_mae_pct"] + GATE_HEADLINE_SLACK_PP
-                    for k in nat)
-                worst_nat = max(
-                    (dc[k].get("vs_control_mae_pct", 99.0) for k in nat),
-                    default=99.0)
-                log(f"PRECISION per-scene gate [natural/{cand}]: worst "
-                    f"vs-control MAE {worst_nat:.4f}% over {len(nat)} "
-                    f"configs -> {'PASS' if ok else 'FAIL'}")
-                if ok:
-                    per_scene[nat_sig] = cand
-                    break
+                for cand in cands_g:
+                    try:
+                        with open("/tmp/conformance_precision_gate_"
+                                  f"{cand}.json") as f:
+                            dc = json.load(f)["results"]
+                        with open("/tmp/conformance_precision_gate_"
+                                  "highest.json") as f:
+                            dh = json.load(f)["results"]
+                    except Exception:
+                        continue
+                    cfgs = [k for k in dc if pred(k)]
+                    ok = bool(cfgs) and all(
+                        dc[k].get("vs_control_mae_pct", 99.0)
+                        < GATE_VS_CONTROL_PCT
+                        and dc[k]["headline_mae_pct"]
+                        <= dh[k]["headline_mae_pct"]
+                        + GATE_HEADLINE_SLACK_PP
+                        for k in cfgs)
+                    worst = max(
+                        (dc[k].get("vs_control_mae_pct", 99.0)
+                         for k in cfgs), default=99.0)
+                    log(f"PRECISION per-scene gate [{gname}/{cand}]: "
+                        f"worst vs-control MAE {worst:.4f}% over "
+                        f"{len(cfgs)} configs -> "
+                        f"{'PASS' if ok else 'FAIL'}")
+                    if ok:
+                        per_scene[sig] = cand
+                        break
         from compound_ray_tpu.config import load_tuning
 
         # read-merge-update; the measurement governs either way (a stale
