@@ -134,6 +134,17 @@ class RenderConfig:
     # divide 64 (the shard row-padding quantum).  Adopted via tuning.json
     # after the tpu_session "shadow" A/B; 1 = per-row grid (round-3 shape).
     shadow_rpb: int = 1
+    # occlusion-kernel rays per in-kernel step (trace/mm_tracer
+    # run_rows_occlusion batch_rays).  Unlike the primary kernel's
+    # BATCH_RAYS (whose 512 variant regressed on the carried winner-state
+    # register cliff), the any-hit kernel carries NO per-ray state across
+    # rows — wider batches halve the latency-bound step count with only
+    # transient register growth, so the cliff mechanism does not apply.
+    # Used only when it divides the frame's ray-block size (else the
+    # kernel falls back to the global BATCH_RAYS).  Adopted via
+    # tuning.json after the tpu_session "shadow_rs" A/B (bit-identical
+    # across values — batches partition rays).
+    shadow_batch_rays: int = 256
     # verbosity of the [PyEye] log lines
     verbose: bool = True
 
@@ -162,6 +173,7 @@ class RenderConfig:
             "CR_TPU_SKY_QUAD_SPLAY": ("sky_quad_splay", int),
             "CR_TPU_SKY_QUAD_SPIN": ("sky_quad_spin", int),
             "CR_TPU_SHADOW_RPB": ("shadow_rpb", int),
+            "CR_TPU_SHADOW_BATCH_RAYS": ("shadow_batch_rays", int),
         }
         # measured-on-TPU adoptions apply below env defaults: an explicit
         # CR_TPU_* always wins
@@ -172,6 +184,9 @@ class RenderConfig:
             cfg.sky_split = bool(tuning["sky_split"])
         if "shadow_rpb" in tuning and "CR_TPU_SHADOW_RPB" not in os.environ:
             cfg.shadow_rpb = int(tuning["shadow_rpb"])
+        if ("shadow_batch_rays" in tuning
+                and "CR_TPU_SHADOW_BATCH_RAYS" not in os.environ):
+            cfg.shadow_batch_rays = int(tuning["shadow_batch_rays"])
         for env, (field, typ) in mapping.items():
             raw = os.environ.get(env)
             if not raw:

@@ -1301,11 +1301,15 @@ def _trace_shade_angles(
             # ONE row-block occlusion dispatch covers every light: the ray
             # vector stacks each light's group-major block so virtual group
             # light*NG + g addresses its own rays (trace/mm_tracer.py
-            # run_rows_occlusion)
+            # run_rows_occlusion).  shadow_batch_rays is read at TRACE time
+            # (like the other tuning toggles): a mid-process config flip
+            # needs jax.clear_caches(), the run_rebench contract.
+            _srs = get_config().shadow_batch_rays
             occ_all = run_rows_occlusion(
                 shadow_r2v, shadow_flag, shadow_flat,
                 jnp.concatenate(ray_parts, axis=1),
                 nrb=nrb, rb_size=rb_size,
+                batch_rays=_srs if (_srs and rb_size % _srs == 0) else None,
             )[0]
             for li in range(n_lights):
                 lcol = lights[li, 0:3]

@@ -637,7 +637,7 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
 
 
 def _make_rows_occlusion_kernel(ub: int, precision: str = "highest",
-                                rpb: int = 1):
+                                rpb: int = 1, rs: int = None):
     """Row-block shadow traversal: grid = (NRB, TB) over BLOCKS of rpb
     occluder rows packed side by side on the slot axis — step (rb, r)
     tests block r's rpb rows against its (light, group) virtual group's
@@ -671,13 +671,15 @@ def _make_rows_occlusion_kernel(ub: int, precision: str = "highest",
     bf16x3 = precision == "bf16x3"
     f32x1 = precision == "f32x1"
     prec = _PREC_MAP["default" if bf16x3 else precision]
+    if rs is None:
+        rs = BATCH_RAYS
 
     def kernel(r2v_ref, flag_ref, tri_ref, rays_ref, out_ref):
         del r2v_ref  # consumed by the BlockSpec index maps only
         r = pl.program_id(1)
         f = flag_ref[r]
         rb_size = rays_ref.shape[1]
-        nb = rb_size // BATCH_RAYS
+        nb = rb_size // rs
 
         @pl.when(f == 2)
         def _init():
@@ -701,7 +703,7 @@ def _make_rows_occlusion_kernel(ub: int, precision: str = "highest",
                 )
 
             def one_batch(r0):
-                ft = rays_ref[:, pl.ds(r0, BATCH_RAYS)]  # (16, RS)
+                ft = rays_ref[:, pl.ds(r0, rs)]  # (16, RS)
                 if bf16x3:
                     # DEFAULT rounds operands to bf16; the hi parts are
                     # bf16-exact, so the three passes compute
@@ -738,23 +740,21 @@ def _make_rows_occlusion_kernel(ub: int, precision: str = "highest",
                     occ = ok if occ is None else (occ | ok)
                 hit = jnp.max(
                     jnp.where(occ, 1.0, 0.0), axis=1)  # (RS,)
-                cur = out_ref[0:1, pl.ds(r0, BATCH_RAYS)]
-                out_ref[0:1, pl.ds(r0, BATCH_RAYS)] = jnp.maximum(
-                    cur, hit.reshape(1, BATCH_RAYS)
+                cur = out_ref[0:1, pl.ds(r0, rs)]
+                out_ref[0:1, pl.ds(r0, rs)] = jnp.maximum(
+                    cur, hit.reshape(1, rs)
                 )
 
             def ray_batch(sbi, _):
                 for k in range(ub):
                     one_batch(
-                        pl.multiple_of((sbi * ub + k) * BATCH_RAYS,
-                                       BATCH_RAYS))
+                        pl.multiple_of((sbi * ub + k) * rs, rs))
                 return 0
 
             jax.lax.fori_loop(0, nb // ub, ray_batch, 0)
             for k in range(nb % ub):
                 one_batch(
-                    pl.multiple_of(((nb // ub) * ub + k) * BATCH_RAYS,
-                                   BATCH_RAYS))
+                    pl.multiple_of(((nb // ub) * ub + k) * rs, rs))
 
     return kernel
 
@@ -764,7 +764,8 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nrb", "rb_size", "unroll_b", "precision"))
+    jax.jit, static_argnames=("nrb", "rb_size", "unroll_b", "precision",
+                              "batch_rays"))
 def run_rows_occlusion(
     r2v: jnp.ndarray,  # (TB,) int32 block -> virtual group (light*NG + g)
     flag: jnp.ndarray,  # (TB,) int32: 2 first-of-group, 1 live, 0 padding
@@ -774,6 +775,7 @@ def run_rows_occlusion(
     rb_size: int,
     unroll_b: Optional[int] = None,
     precision: Optional[str] = None,
+    batch_rays: Optional[int] = None,
 ) -> jnp.ndarray:
     """Any-hit along shadow rays, (1, R) planar; 1.0 = occluded within
     t in [0, 1] of the ray's own parameterisation, 0.0 = clear
@@ -789,9 +791,18 @@ def run_rows_occlusion(
     The feature count F rides the shapes: 8 = reverse affine rays
     ([D, 1, 0 x 4] against transform_payload_affine'd rows — the
     production _shadow_plan layout, which drops the metadata rows the
-    occlusion test never reads), 16 = plain pack_rays_mm features."""
-    assert rb_size % BATCH_RAYS == 0, (
-        f"rb_size={rb_size} must be a multiple of BATCH_RAYS={BATCH_RAYS}")
+    occlusion test never reads), 16 = plain pack_rays_mm features.
+
+    batch_rays: rays per in-kernel step (None = the global BATCH_RAYS).
+    Shadow-only: the any-hit kernel carries NO per-ray winner state, so
+    wider batches shrink the latency-bound step count without the primary
+    kernel's 512-ray register cliff.  Bit-identical across values —
+    batches partition the rays (tests/test_pallas_tracer.py)."""
+    rs = batch_rays if batch_rays is not None else BATCH_RAYS
+    assert rs > 0 and rs % 128 == 0, (
+        f"batch_rays={rs} must be a positive multiple of 128 (lane tile)")
+    assert rb_size % rs == 0, (
+        f"rb_size={rb_size} must be a multiple of batch_rays={rs}")
     if unroll_b is None:
         unroll_b = UNROLL_B
     assert unroll_b >= 1, (
@@ -829,7 +840,7 @@ def run_rows_occlusion(
         ),
     )
     return pl.pallas_call(
-        _make_rows_occlusion_kernel(unroll_b, precision, rpb),
+        _make_rows_occlusion_kernel(unroll_b, precision, rpb, rs),
         out_shape=jax.ShapeDtypeStruct((1, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),

@@ -507,11 +507,11 @@ def test_occlusion_block_bit_identical():
 
     live = np.repeat(rc_np > 0, eplan.rb_size)  # mask uninitialised groups
 
-    def run(ub, rpb):
+    def run(ub, rpb, rs=None):
         flat, r2v, flag = build(rpb)
         out = np.asarray(run_rows_occlusion(
             r2v, flag, flat, rays, nrb=eplan.nrb, rb_size=eplan.rb_size,
-            unroll_b=ub))
+            unroll_b=ub, batch_rays=rs))
         return out[0, live]
 
     base = run(1, 1)
@@ -520,6 +520,17 @@ def test_occlusion_block_bit_identical():
     assert (base == 0.0).any(), "test must leave some rays clear"
     for ub, rpb in ((2, 1), (3, 1), (1, 2), (1, 4), (2, 4)):
         np.testing.assert_array_equal(base, run(ub, rpb))
+    # shadow-only batch width: batches partition the rays, so every rs
+    # dividing rb_size (768 here) is bit-identical — the knob the
+    # tpu_session "shadow_rs" stage A/Bs (no winner state -> no register
+    # cliff, unlike the primary kernel's BATCH_RAYS)
+    for rs in (128, 384, 768):
+        np.testing.assert_array_equal(base, run(1, 1, rs))
+    np.testing.assert_array_equal(base, run(2, 4, 384))
+    with pytest.raises(AssertionError, match="multiple"):
+        run(1, 1, 512)  # 512 does not divide 768
+    with pytest.raises(AssertionError, match="multiple of 128"):
+        run(1, 1, 96)
 
 @pytest.mark.parametrize("precision", ["bf16x3", "f32x1"])
 def test_occlusion_lossy_precision_matches_highest(precision):

@@ -704,6 +704,56 @@ def test_shadow_restores_on_mid_ab_failure(sandbox, monkeypatch, cfg_guard):
     assert cfg.get_config().shadow_rpb == base_rpb  # not stuck mid-flip
 
 
+class _FakeShadowRsRenderer(_FakeShadowRenderer):
+    """run_shadow_rs surface — same contract, keyed off shadow_batch_rays."""
+
+    def render_frames_pipelined(self, n):
+        rs = cfg.get_config().shadow_batch_rays
+        if rs == self.explode_at:
+            raise RuntimeError("mosaic ICE on the wide batch")
+        return self.ms_by_rpb[rs] * n
+
+
+def test_shadow_rs_adopts_fastest(sandbox, monkeypatch, cfg_guard):
+    monkeypatch.setattr(
+        ts.bench, "build_renderer",
+        lambda: (_FakeShadowRsRenderer({256: 4.0, 512: 3.0, 1024: 3.5}),
+                 "natural"))
+    ts.run_shadow_rs()
+    tuning = json.load(open(sandbox))
+    assert tuning["shadow_batch_rays"] == 512
+    assert tuning["shadow_batch_rays_lit_ms"]["natural"]["512"] == 3.0
+    assert cfg.get_config().shadow_batch_rays == 512
+
+
+def test_shadow_rs_reverts_stale_adoption(sandbox, monkeypatch, cfg_guard):
+    with open(sandbox, "w") as f:
+        json.dump({"shadow_batch_rays": 1024}, f)
+    cfg.set_config(cfg.RenderConfig.from_env())
+    assert cfg.get_config().shadow_batch_rays == 1024
+    monkeypatch.setattr(
+        ts.bench, "build_renderer",
+        lambda: (_FakeShadowRsRenderer({256: 2.0, 512: 3.0, 1024: 4.0}),
+                 "natural"))
+    ts.run_shadow_rs()
+    assert json.load(open(sandbox))["shadow_batch_rays"] == 256
+    assert cfg.get_config().shadow_batch_rays == 256
+
+
+def test_shadow_rs_restores_on_mid_ab_failure(sandbox, monkeypatch,
+                                              cfg_guard):
+    base_rs = cfg.get_config().shadow_batch_rays
+    monkeypatch.setattr(
+        ts.bench, "build_renderer",
+        lambda: (_FakeShadowRsRenderer({256: 4.0, 512: 3.0, 1024: 2.0},
+                                       explode_at=1024),
+                 "natural"))
+    with pytest.raises(RuntimeError):
+        ts.run_shadow_rs()
+    assert not os.path.exists(sandbox)  # nothing adopted
+    assert cfg.get_config().shadow_batch_rays == base_rs
+
+
 class _FakeShadowPrecRenderer:
     """run_shadow_prec surface: frame data + timing keyed off the ACTIVE
     mm_tracer.SHADOW_PRECISION so gate and winner selection are

@@ -946,6 +946,71 @@ def run_shadow():
             set_config(RenderConfig.from_env())
 
 
+def run_shadow_rs():
+    """Occlusion rays-per-step A/B (cfg.shadow_batch_rays ->
+    run_rows_occlusion batch_rays): lit pipelined frame time at
+    LIT_SAMPLES on the natural scene for rs in {256, 512, 1024}.  The
+    any-hit kernel carries NO per-ray winner state across rows, so wider
+    ray batches shrink the latency-bound step count without the primary
+    kernel's measured 512-ray register cliff (docs/performance.md
+    negative list) — with the f32x1 matmul adopted, step latency is the
+    occlusion kernel's remaining cost.  Values that do not divide the
+    frame's ray-block size fall back to the global BATCH_RAYS inside the
+    pipeline, so adoption is always safe; frames are bit-identical
+    across rs (batches partition the rays —
+    tests/test_pallas_tracer.py), so adoption is on speed alone and the
+    measured winner ALWAYS writes tuning.json ("shadow_batch_rays").
+    The knob changes kernel internals only (same shapes), so each
+    variant clears the jit caches to force a retrace.  Runs BEFORE
+    run_lit so the recorded lit factor reflects the adopted value."""
+    import dataclasses
+
+    from compound_ray_tpu.config import (
+        RenderConfig,
+        get_config,
+        load_tuning,
+        set_config,
+    )
+
+    base_cfg = get_config()
+    results = {}
+    winner = None  # None = A/B never concluded: restore pre-stage config
+    try:
+        r, name = bench.build_renderer()
+        r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+        r.set_current_eye_samples_per_ommatidium(LIT_SAMPLES)
+        r.set_lighting(True)
+        n = LIT_FRAMES
+        for rs in (256, 512, 1024):
+            set_config(dataclasses.replace(RenderConfig.from_env(),
+                                           shadow_batch_rays=rs))
+            jax.clear_caches()  # same shapes: executables embed the knob
+            for _ in range(2):
+                r.render_frame()
+            r.render_frames_pipelined(n)  # the burst is its own executable
+            ms = r.render_frames_pipelined(n) / n
+            results[str(rs)] = round(float(ms), 3)
+            log(f"SHADOW_RS rs={rs}: lit {name} @{LIT_SAMPLES} "
+                f"{ms:.2f} ms/frame pipelined")
+        r.set_lighting(False)
+        winner = int(min(results, key=results.get))
+        # read-merge-update; the measurement governs either way
+        tuning = load_tuning()
+        tuning["shadow_batch_rays"] = winner
+        tuning["shadow_batch_rays_lit_ms"] = {name: results}
+        with open(_mm.TUNING_PATH, "w") as f:
+            json.dump(tuning, f, indent=1)
+        log(f"SHADOW_RS adopted rs={winner} "
+            f"({results[str(winner)]:.2f} ms vs {results['256']:.2f} at "
+            f"256): artifacts/tuning.json updated")
+    finally:
+        if winner is None:
+            set_config(base_cfg)
+        else:
+            set_config(RenderConfig.from_env())
+        jax.clear_caches()
+
+
 def run_shadow_prec():
     """Shadow-only matmul precision A/B (mm_tracer.SHADOW_PRECISION)
     under a SAME-SEED lit gate.  The candidate is "f32x1" (ONE stacked-K
@@ -1245,7 +1310,7 @@ if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
         "bench", "anatomy", "lit", "conformance", "unroll", "affine",
         "precision", "equirect", "sky", "rebench", "shadow",
-        "shadow_prec", "scale", "unroll8", "batch_rays"}
+        "shadow_prec", "shadow_rs", "scale", "unroll8", "batch_rays"}
     t0 = time.time()
     # adoption stages right after the defaults headline so a late-session
     # wedge cannot cost the tuned headline; slow diagnostics last
@@ -1257,6 +1322,7 @@ if __name__ == "__main__":
                      ("rebench", run_rebench),
                      ("shadow", run_shadow),
                      ("shadow_prec", run_shadow_prec),
+                     ("shadow_rs", run_shadow_rs),
                      ("lit", run_lit), ("anatomy", run_anatomy),
                      ("scale", run_scale),
                      ("conformance", run_conformance),
