@@ -405,6 +405,94 @@ def main():
         stage_ms["lit: ggx+basis (derived)"] = round(ggx, 3)
         stage_ms["lit: shadow table rows"] = float(t_rows)
 
+        # ---- finer split of the ggx+basis blob (the round-5 lit lever
+        # selector): shading-basis gather+math, shadow-ray stack
+        # construction, and the per-light GGX contraction, each at the
+        # frame's real ray count with synthetic inputs.
+        from compound_ray_tpu.trace.lighting import (
+            build_shading_rows,
+            ggx_light_contrib,
+            shading_basis_from_rows,
+        )
+
+        sdev = scene.device_triangles()
+        R_l = ep_l.ng * rgp
+        n_tri = int(np.asarray(sdev["v0"]).shape[0])
+        kb = jax.random.split(jax.random.fold_in(key, 13), 6)
+        tid_syn = jax.random.randint(kb[0], (R_l,), 0, n_tri)
+        uv_syn = jax.random.uniform(kb[1], (2, R_l), maxval=0.5)
+
+        @jax.jit
+        def f_basis(tid, uv):
+            rows_g = build_shading_rows(sdev)[tid]
+            e1g, e2g, n0g, n1g, n2g, has_n, metallic, roughness = (
+                shading_basis_from_rows(rows_g))
+            u_b, v_b = uv[0], uv[1]
+            w_b = (1.0 - u_b - v_b)[:, None]
+            n_sm = w_b * n0g + u_b[:, None] * n1g + v_b[:, None] * n2g
+            n_vec = jnp.where(has_n[:, None], n_sm, jnp.cross(e1g, e2g))
+            n_vec = n_vec / jnp.maximum(
+                jnp.linalg.norm(n_vec, axis=-1, keepdims=True), 1e-20)
+            return (jnp.sum(n_vec) + jnp.sum(metallic)
+                    + jnp.sum(roughness))
+
+        t_b = timeit("  lit: basis gather+math", f_basis, tid_syn, uv_syn)
+        stage_ms["lit: basis gather+math"] = round(t_b, 3)
+
+        p_syn = jax.random.normal(kb[2], (3, R_l), jnp.float32)
+
+        @jax.jit
+        def f_sraygen(p, lights):
+            # mirrors the pipeline's reverse-affine shadow-ray stacks
+            eps_l = jnp.float32(1e-3)
+            parts = []
+            for li in range(n_lights):
+                lpos = lights[li, 4:7]
+                tox = lpos[0] - p[0]
+                toy = lpos[1] - p[1]
+                toz = lpos[2] - p[2]
+                ldist = jnp.sqrt(tox * tox + toy * toy + toz * toz)
+                inv_ld = 1.0 / jnp.maximum(ldist, 1e-20)
+                drx = eps_l * tox * inv_ld - tox
+                dry = eps_l * toy * inv_ld - toy
+                drz = eps_l * toz * inv_ld - toz
+                one_f = jnp.ones_like(tox)
+                zero_f = jnp.zeros_like(tox)
+                parts.append(jnp.stack(
+                    [drx, dry, drz, one_f, zero_f, zero_f, zero_f,
+                     zero_f]))
+            return jnp.sum(jnp.concatenate(parts, axis=1))
+
+        t_s = timeit("  lit: shadow raygen stacks", f_sraygen, p_syn,
+                     jnp.asarray(lights_np))
+        stage_ms["lit: shadow raygen stacks"] = round(t_s, 3)
+
+        def unit(x):
+            return x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-20)
+
+        nv_syn = unit(jax.random.normal(kb[3], (R_l, 3), jnp.float32))
+        vw_syn = unit(jax.random.normal(kb[4], (R_l, 3), jnp.float32))
+        base_syn = jax.random.uniform(kb[5], (R_l, 3), jnp.float32)
+
+        @jax.jit
+        def f_ggx(n_vec, view, base, mtl, rgh, lights, occ):
+            result = base
+            for li in range(n_lights):
+                lv = unit(lights[li, 4:7][None, :] - view)  # (R,3) proxy
+                contrib, facing = ggx_light_contrib(
+                    n_vec, view, lv, base, mtl, rgh,
+                    lights[li, 0:3], lights[li, 3])
+                sel = facing & (occ[li * R_l:(li + 1) * R_l] < 0.5)
+                result = result + jnp.where(sel[:, None], contrib, 0.0)
+            return jnp.sum(result)
+
+        t_g = timeit(
+            "  lit: ggx contraction x lights", f_ggx, nv_syn, vw_syn,
+            base_syn, base_syn[:, 0], base_syn[:, 1],
+            jnp.asarray(lights_np), rays_syn[0])
+        stage_ms["lit: ggx contraction"] = round(t_g, 3)
+
     # ---- sky-split sub-split (pipeline SKY SPLIT notes): dissect the
     # COMPACTED plan the steady state actually serves when the split is
     # adopted.  Runs when the session config adopted it (or forced via
