@@ -182,6 +182,51 @@ def _default_precision() -> str:
 
 
 PRECISION = _default_precision()
+
+
+def _default_rowmerge() -> bool:
+    """Env override > measured-on-TPU tuning file > False.
+
+    rowmerge reduces each payload row's 128 candidate lanes to per-ray
+    winners INSIDE the row step, so the fori_loop carries lane-major
+    (1, RS) buffers (~2 vregs each) instead of nbufs x (RS, 128) tiles
+    (32 vregs each) — the register budget that made unroll_b=2 regress
+    2.6x and BATCH_RAYS=512 regress 1.10x.  The win is unlocking
+    unroll (rowmerge_ub) on the latency-bound cnt~1 row step; adoption
+    is by the tools/tpu_session.py rowmerge A/B (bit-identical to the
+    standard kernel — tests/test_mm_tracer rowmerge tests)."""
+    v = os.environ.get("CR_TPU_ROWMERGE", "").strip().lower()
+    if v:
+        return v in ("1", "true", "on", "yes")
+    return bool(load_tuning().get("rowmerge", False))
+
+
+ROWMERGE = _default_rowmerge()
+
+
+def _default_rowmerge_ub() -> int:
+    """Unroll factor used by the PRIMARY kernel when rowmerge is on
+    (separate from UNROLL_B, which also governs the occlusion kernel and
+    the standard primary kernel — those were tuned at their own register
+    budgets and must not inherit a rowmerge-only sweep winner)."""
+    v = os.environ.get("CR_TPU_ROWMERGE_UB")
+    if v is not None:
+        ub = int(v)
+        assert ub >= 1, f"CR_TPU_ROWMERGE_UB={ub} must be >= 1"
+        return ub
+    try:
+        ub = int(load_tuning().get("rowmerge_ub", 4))
+    except (TypeError, ValueError):
+        ub = 0
+    if ub < 1:
+        print(f"[PyEye] warning: ignoring invalid rowmerge_ub in "
+              f"tuning.json ({load_tuning().get('rowmerge_ub')!r}); using 4")
+        return 4
+    return ub
+
+
+ROWMERGE_UB = _default_rowmerge_ub()
+
 _PREC_MAP = {
     "highest": jax.lax.Precision.HIGHEST,
     "mixed": jax.lax.Precision.DEFAULT,  # bf16 matmul, exact divides
@@ -487,7 +532,8 @@ def _row_candidates(p, hi1, hi2, emit, approx_inv=False):
 
 
 def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
-                        precision: str = "highest"):
+                        precision: str = "highest",
+                        row_merge: bool = False):
     """Build the packed tracer kernel for an output mode and batch-unroll
     factor.
 
@@ -507,7 +553,20 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
 
     precision selects the intersection matmul's MXU mode (module-level
     PRECISION notes: "highest" = exact f32 contract, "default" = one bf16
-    pass, A/B-adopted only under the conformance gate)."""
+    pass, A/B-adopted only under the conformance gate).
+
+    row_merge reduces each row's 128 candidate lanes to per-ray winners
+    inside the row step and carries lane-major (1, RS) state — see
+    _default_rowmerge.  Winner ordering is IDENTICAL to the standard
+    kernel's (min t, then min lane, then min row): the standard kernel's
+    per-lane strict-< row scan keeps the earliest row per lane and its
+    finalize picks the first lane among global minima; rowmerge gets the
+    same triple order by merging rows lexicographically on (t, lane) with
+    strict inequality (earlier row wins full ties) — so the two variants
+    are bit-identical, and the tuning A/B can adopt on speed alone.  For
+    cnt~1 scenes (both bench scenes) the per-row lane reduction replaces
+    the per-chain finalize at the same op count; fat-cnt scenes pay the
+    reduction per row, which is why adoption is measured, not assumed."""
     neg = _EMIT_NEG_INIT[emit]
     nbufs = _EMIT_NBUFS[emit]
     prec = _PREC_MAP[precision]
@@ -601,6 +660,88 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
             for k, r0 in enumerate(r0s):
                 finalize(states[k], r0)
 
+        def run_chains_merge(r0s):
+            fts = [
+                _stack6_a(rays_ref[:, pl.ds(r0, RS)]) if f32x1
+                else rays_ref[:, pl.ds(r0, RS)]
+                for r0 in r0s
+            ]
+
+            def state_init_m():
+                # lane-major reduced winner state: nbufs+1 x (1, RS) — a
+                # couple of vregs per buffer, vs 32 for an (RS, 128) tile.
+                # [0] best t (init +inf), [1] winning LANE index as f32
+                # (init 0: a fresh row's lane >= 0 can never beat it at a
+                # t-tie, so miss rows — whose reduced t stays +inf — never
+                # merge and the init payload values below survive exactly
+                # like the standard kernel's never-updated state),
+                # [2:] the emit payload values at their standard inits.
+                z = jnp.zeros((1, RS), jnp.float32)
+                return (jnp.full((1, RS), big), z) + tuple(
+                    jnp.full((1, RS), -1.0) if i in neg else z
+                    for i in range(1, nbufs)
+                )
+
+            def row_step(j, states):
+                mm = (tri6_ref[j] if tri6_ref is not None
+                      else tri_ref[0, j] if ray_feats == RAY_FEATS
+                      else tri_ref[0, j, 0:8, :])
+                if f32x1 and tri6_ref is None:
+                    mm = _stack6_b(mm)
+                hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]
+                hi2 = (tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
+                       if emit != "bary" else None)
+                new = []
+                for k, ft in enumerate(fts):
+                    p = jax.lax.dot_general(
+                        ft, mm, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )  # (RS, 512)
+                    ok, vals = _row_candidates(
+                        p, hi1, hi2, emit,
+                        approx_inv=(precision == "default"))
+                    # reduce this row's lanes to per-ray winners (the
+                    # standard kernel's finalize, done per row): masked t,
+                    # cross-lane min, first-occurrence lane, onehot select
+                    bt = jnp.where(ok, vals[0], big)
+                    tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (RS, KERNEL_LEAF), 1)
+                    cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
+                    first = jnp.min(cand, axis=1, keepdims=True)
+                    onehot = lane == first
+                    t_new = tmin_l.reshape(1, RS)
+                    l_new = first.astype(jnp.float32).reshape(1, RS)
+                    st = states[k]
+                    # lexicographic (t, lane) with strict <: earlier rows
+                    # win full ties — exactly the standard kernel's
+                    # (min t, min lane, min row) winner (docstring).  A
+                    # miss row ties at t = +inf with l_new >= l_cur-init 0
+                    # and is rejected.
+                    better = (t_new < st[0]) | (
+                        (t_new == st[0]) & (l_new < st[1]))
+                    outs = [jnp.where(better, t_new, st[0]),
+                            jnp.where(better, l_new, st[1])]
+                    for i in range(1, nbufs):
+                        vi = jnp.sum(
+                            jnp.where(onehot, vals[i], 0.0),
+                            axis=1, keepdims=True).reshape(1, RS)
+                        outs.append(jnp.where(better, vi, st[i + 1]))
+                    new.append(tuple(outs))
+                return tuple(new)
+
+            states = jax.lax.fori_loop(
+                0, cnt, row_step, tuple(state_init_m() for _ in r0s)
+            )
+            for k, r0 in enumerate(r0s):
+                st = states[k]
+                out_ref[0:1, pl.ds(r0, RS)] = st[0]
+                for i in range(1, nbufs):
+                    out_ref[i:i + 1, pl.ds(r0, RS)] = st[i + 1]
+
+        chains = run_chains_merge if row_merge else run_chains
+
         @pl.when(cnt > 0)
         def _run_batches():
             if tri6_ref is not None:
@@ -613,14 +754,14 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
                 jax.lax.fori_loop(0, cnt, fill, 0)
             if ub == 1:
                 def one(rbi, _):
-                    run_chains([pl.multiple_of(rbi * RS, RS)])
+                    chains([pl.multiple_of(rbi * RS, RS)])
                     return 0
 
                 jax.lax.fori_loop(0, nb, one, 0)
             else:
                 def super_step(sbi, _):
                     base = sbi * ub
-                    run_chains([
+                    chains([
                         pl.multiple_of((base + k) * RS, RS)
                         for k in range(ub)
                     ])
@@ -629,7 +770,7 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
                 jax.lax.fori_loop(0, nb // ub, super_step, 0)
                 # static tail: the batches ub doesn't divide run single-chain
                 for k in range(nb % ub):
-                    run_chains(
+                    chains(
                         [pl.multiple_of(((nb // ub) * ub + k) * RS, RS)]
                     )
 
@@ -850,7 +991,7 @@ def run_rows_occlusion(
 @functools.partial(
     jax.jit,
     static_argnames=("ng", "nrb", "rb_size", "rmax", "emit", "unroll_b",
-                     "ray_feats", "precision"),
+                     "ray_feats", "precision", "row_merge"),
 )
 def run_packed_tracer(
     row_counts: jnp.ndarray,  # (NG,) int32 payload rows per group
@@ -864,6 +1005,7 @@ def run_packed_tracer(
     unroll_b: Optional[int] = None,
     ray_feats: int = RAY_FEATS,
     precision: Optional[str] = None,
+    row_merge: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Returns PLANAR (8, R) rows; t = +inf on miss.  Row layout by emit:
     "bary": [t, u, v, slot-id, 0...] (barycentrics; the epilogue resolves
@@ -893,7 +1035,12 @@ def run_packed_tracer(
 
     precision: "highest" (exact f32) or "default" (one bf16 MXU pass);
     None uses the module PRECISION default (tuning-adopted — see the
-    module-level notes on the accuracy contract)."""
+    module-level notes on the accuracy contract).
+
+    row_merge: reduce candidate lanes per row step and carry (1, RS)
+    winner state (bit-identical to the standard kernel; None uses the
+    tuning-adopted ROWMERGE default, and unroll then defaults to
+    ROWMERGE_UB instead of UNROLL_B — see _default_rowmerge)."""
     # the payload's affine-ness is tracked only by the flag the callers
     # thread through — catch the forgotten-flag mix-up structurally (shapes
     # are static under jit, so this is free)
@@ -903,8 +1050,13 @@ def run_packed_tracer(
         f"rb_size={rb_size} must be a multiple of BATCH_RAYS={BATCH_RAYS} "
         f"(the kernel traces rb_size // BATCH_RAYS steps — a remainder "
         f"would go untraced)")
+    if row_merge is None:
+        row_merge = ROWMERGE
     if unroll_b is None:
-        unroll_b = UNROLL_B
+        # rowmerge has its own unroll budget (tiny carried state) —
+        # UNROLL_B was measured at the standard kernel's register cost
+        # and also governs the occlusion kernel
+        unroll_b = ROWMERGE_UB if row_merge else UNROLL_B
     assert unroll_b >= 1, (
         f"unroll_b={unroll_b} must be >= 1 (ub < 1 traces zero ray "
         f"batches and emits uninitialised frames)")
@@ -941,7 +1093,8 @@ def run_packed_tracer(
         ),
     )
     return pl.pallas_call(
-        _make_packed_kernel(emit, unroll_b, ray_feats, precision),
+        _make_packed_kernel(emit, unroll_b, ray_feats, precision,
+                            row_merge),
         out_shape=jax.ShapeDtypeStruct((OUT_COMPS, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),

@@ -64,8 +64,13 @@ def test_packed_tracer_precision_plumbing(emit):
 
     base = run("highest")
     assert np.isfinite(base[0]).any(), "test must produce real hits"
-    # None resolves the module default ("highest" in every test process)
-    np.testing.assert_array_equal(base, run(None))
+    # None resolves the ADOPTED module default — "highest" until a TPU
+    # batch adopts another mode into artifacts/tuning.json (f32x1 since
+    # round-4 session 18), after which test processes legitimately import
+    # that default.  The contract is None == PRECISION, not None ==
+    # "highest".
+    from compound_ray_tpu.trace import mm_tracer as mm
+    np.testing.assert_array_equal(run(mm.PRECISION), run(None))
     fast = run("default")
     hit_b, hit_f = np.isfinite(base[0]), np.isfinite(fast[0])
     np.testing.assert_array_equal(hit_b, hit_f)

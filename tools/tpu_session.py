@@ -378,6 +378,147 @@ def _adopt_unroll(results):
             f"latency {mean_ms:.2f} ms)")
 
 
+def run_rowmerge():
+    """Primary-kernel rowmerge A/B: run_packed_tracer with
+    row_merge=True at rowmerge_ub in {1, 2, 4, 8} vs the standard kernel,
+    kernel-level on both bench scenes' real payloads/rays (run_unroll
+    harness).  rowmerge reduces each row's candidate lanes in-step and
+    carries lane-major (1, RS) winner state (~2 vregs/buffer vs 32), so
+    the unroll factors that hit the standard kernel's register cliff
+    (ub=2 regressed 2.6x) become genuine latency overlap on the cnt~1
+    row step — the anatomy's 49.7 ms ofstad / 13.4 ms natural kernels
+    are ~pure step latency.  Every variant is bit-identical to the
+    standard kernel (tests/test_pallas_tracer.py rowmerge tests), so
+    adoption is on speed alone; the measured winner ALWAYS writes
+    tuning.json (a stale adoption must not outlive a re-measured
+    regression).  ub=8 runs last within the stage so a Mosaic hang —
+    unlikely at rowmerge's register budget, but the loop structure is
+    new — costs only that variant's compile."""
+    from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    sigmas = get_config().cull_sigmas
+    results = {}
+    for name, build in (("natural", bench.build_renderer),
+                        ("ofstad", bench.build_ofstad_renderer)):
+        built = build()
+        r = built[0] if isinstance(built, tuple) else built
+        if r is None:
+            continue
+        scene = r.scene
+        cam = r.current_camera()
+        splan = P.scene_plan(scene)
+        omms_np = cam.ommatidia
+        samples = SAMPLES
+        eplan = P.eye_plan(omms_np, samples)
+        omms_p = jnp.asarray(omms_np[eplan.perm])
+        pos = jnp.asarray(np.asarray(cam.position, np.float32))
+        ls = jnp.eye(3, dtype=jnp.float32)
+        kcand, rmax = P._plan_widths(
+            splan, eplan, omms_p, pos, ls,
+            (eplan.sig, samples, b"rowmerge-ab"))
+        rc, pmm, _, _ = P._pack_fused(
+            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+            splan.half_center, splan.half_radius, omms_p, pos, ls,
+            g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=sigmas,
+            tri_cl=splan.slot_tri_cl)
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+        splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
+        spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
+        rays, _, _ = P._gen_ray_features(
+            omms_p, pos, ls, splay, spin, samples=samples,
+            ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+        rays = jax.device_put(rays)
+        emit = "uvs" if splan.tex_static is not None else (
+            "uv" if splan.tex_only else "bary")
+        base = None
+        for label, merge, ub in [("off", False, None)] + [
+                (f"rm{u}", True, u) for u in (1, 2, 4, 8)]:
+            def go():
+                return run_packed_tracer(
+                    rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
+                    rb_size=eplan.rb_size, rmax=rmax, emit=emit,
+                    row_merge=merge, unroll_b=ub)
+            out = go()
+            _ = jax.device_get(out[0, :8])  # tunnel-safe sync
+            times = []
+            for _i in range(REPS):
+                t0 = time.perf_counter()
+                out = go()
+                _ = jax.device_get(out[0, :8])
+                times.append((time.perf_counter() - t0) * 1000.0)
+            ms = float(np.median(times))
+            results.setdefault(name, {})[label] = ms
+            log(f"ROWMERGE {name} emit={emit} rmax={rmax} {label}: "
+                f"{ms:.2f} ms/kernel")
+            if label == "off":
+                base = np.asarray(out)
+            else:
+                o = np.asarray(out)  # NaN-safe: miss-ray payload fields
+                same = bool(((base == o)
+                             | (np.isnan(base) & np.isnan(o))).all())
+                log(f"  bit-identical vs off: {same}")
+    _adopt_rowmerge(results)
+
+
+def _adopt_rowmerge(results):
+    """Pick the rowmerge ub with the best geomean kernel ratio vs the
+    standard kernel; adopt at a >=5% win.  Always-write semantics."""
+    best_label, best_ratio = "off", 1.0
+    for u in (1, 2, 4, 8):
+        label = f"rm{u}"
+        ratios = [t[label] / t["off"] for t in results.values()
+                  if "off" in t and label in t]
+        if not ratios:
+            continue
+        g = float(np.exp(np.mean(np.log(ratios))))
+        log(f"ROWMERGE {label}: geomean kernel ratio {g:.3f}x vs off")
+        if g < best_ratio:
+            best_ratio, best_label = g, label
+    adopt = best_label != "off" and best_ratio <= 0.95
+    best_ub = int(best_label[2:]) if best_label != "off" else \
+        _mm.ROWMERGE_UB
+    from compound_ray_tpu.config import load_tuning
+
+    tuning = load_tuning()
+    tuning.update(rowmerge=adopt, rowmerge_ub=best_ub,
+                  rowmerge_kernel_ms=results,
+                  measured=time.strftime("%Y-%m-%d %H:%M UTC",
+                                         time.gmtime()))
+    with open(_mm.TUNING_PATH, "w") as f:
+        json.dump(tuning, f, indent=1)
+    global _TUNING_DIRTY
+    changed = (_mm.ROWMERGE != adopt) or (adopt and
+                                          _mm.ROWMERGE_UB != best_ub)
+    if changed:
+        _mm.ROWMERGE = adopt
+        _mm.ROWMERGE_UB = best_ub
+        jax.clear_caches()  # frame programs traced the old kernel shape
+        _TUNING_DIRTY = True
+    if not adopt:
+        log(f"ROWMERGE: keeping the standard kernel (best alternative "
+            f"{best_label} {best_ratio:.3f}x); tuning.json records the "
+            f"measurement")
+        return
+    log(f"ROWMERGE-ADOPTED {best_label} ({best_ratio:.3f}x kernel); "
+        f"re-measuring full-frame headline")
+    for name, build in (("natural", bench.build_renderer),
+                        ("ofstad", bench.build_ofstad_renderer)):
+        built = build()
+        r = built[0] if isinstance(built, tuple) else built
+        if r is None:
+            continue
+        r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+        mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
+        n_omms = r.get_current_eye_ommatidial_count()
+        log(f"ROWMERGE-HEADLINE {name} @{SAMPLES}: {pipe:.2f} ms pipelined "
+            f"({n_omms * SAMPLES / pipe * 1000.0:.3e} rays/s; "
+            f"latency {mean_ms:.2f} ms)")
+
+
 def run_affine():
     """Affine-ray A/B (trace/mm_tracer.transform_payload_affine): full-frame
     pipelined time at 3200 samples with cfg.affine_rays off vs on, both
@@ -1308,14 +1449,16 @@ def run_scale():
 
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
-        "bench", "anatomy", "lit", "conformance", "unroll", "affine",
-        "precision", "equirect", "sky", "rebench", "shadow",
+        "bench", "anatomy", "lit", "conformance", "unroll", "rowmerge",
+        "affine", "precision", "equirect", "sky", "rebench", "shadow",
         "shadow_prec", "shadow_rs", "scale", "unroll8", "batch_rays"}
     t0 = time.time()
     # adoption stages right after the defaults headline so a late-session
     # wedge cannot cost the tuned headline; slow diagnostics last
     for name, fn in (("bench", run_bench),
-                     ("unroll", run_unroll), ("affine", run_affine),
+                     ("unroll", run_unroll),
+                     ("rowmerge", run_rowmerge),
+                     ("affine", run_affine),
                      ("precision", run_precision),
                      ("equirect", run_equirect),
                      ("sky", run_sky),
