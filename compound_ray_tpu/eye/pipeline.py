@@ -1186,8 +1186,8 @@ def _trace_shade_angles(
             # one occlusion kernel + the GGX math.
             from compound_ray_tpu.trace.lighting import (
                 build_shading_rows,
-                ggx_light_contrib,
-                shading_basis_from_rows,
+                ggx_light_contrib_planar,
+                unpack_shading_cols,
             )
 
             def repad(x):  # (Np, S) -> (R,) flat in kernel ray order
@@ -1233,36 +1233,50 @@ def _trace_shade_angles(
             # ONE wide row gather replaces the ~10 narrow per-triangle
             # gathers (descriptor-rate-bound at R ~= 1e6 — see
             # build_shading_rows); the O(T) table pack hoists out of the
-            # per-ray work
+            # per-ray work.  The slab then transposes ONCE to (C, R) so
+            # all downstream basis/GGX math is COMPONENT-PLANAR (R,) —
+            # the (R, 3) layout runs at 3/128 VPU lane occupancy (the
+            # module docstring's AoS warning).
             rows_g = build_shading_rows(scene_dev)[tid]
-            e1g, e2g, n0g, n1g, n2g, has_n, metallic, roughness = (
-                shading_basis_from_rows(rows_g)
+            cols_g = rows_g.T  # (C, R) planar relayout
+            (e1g, e2g, n0g, n1g, n2g, has_n, metallic, roughness) = (
+                unpack_shading_cols(cols_g)
             )
-            w_b = (1.0 - u_b - v_b)[:, None]
-            n_sm = w_b * n0g + u_b[:, None] * n1g + v_b[:, None] * n2g
-            n_vec = jnp.where(has_n[:, None], n_sm, jnp.cross(e1g, e2g))
-            n_vec = n_vec / jnp.maximum(
-                jnp.linalg.norm(n_vec, axis=-1, keepdims=True), 1e-20
-            )
+            w_b = 1.0 - u_b - v_b
+            gx = e1g[1] * e2g[2] - e1g[2] * e2g[1]
+            gy = e1g[2] * e2g[0] - e1g[0] * e2g[2]
+            gz = e1g[0] * e2g[1] - e1g[1] * e2g[0]
+            nx = jnp.where(has_n,
+                           w_b * n0g[0] + u_b * n1g[0] + v_b * n2g[0], gx)
+            ny = jnp.where(has_n,
+                           w_b * n0g[1] + u_b * n1g[1] + v_b * n2g[1], gy)
+            nz = jnp.where(has_n,
+                           w_b * n0g[2] + u_b * n1g[2] + v_b * n2g[2], gz)
+            n_inv = 1.0 / jnp.maximum(
+                jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20)
+            nx, ny, nz = nx * n_inv, ny * n_inv, nz * n_inv
             if "mat_mr_tex" in scene_dev:
                 # metallic-roughness / normal-map modulation (shaders.cu:
                 # 831-852).  Key presence is static pytree structure: the
                 # device dict carries these slots only when some material
                 # references such a texture (scene/flat.py), so ordinary
-                # lit scenes skip the extra gathers entirely.
+                # lit scenes skip the extra gathers entirely.  This branch
+                # stacks the planar normal for the (rare) textured-material
+                # path — AoS cost only where the feature is used.
                 from compound_ray_tpu.trace.lighting import (
                     apply_material_textures_from_rows,
                 )
 
                 n_vec, metallic, roughness = (
                     apply_material_textures_from_rows(
-                        scene_dev, rows_g, n_vec, metallic, roughness,
-                        u_b, v_b,
+                        scene_dev, rows_g,
+                        jnp.stack([nx, ny, nz], axis=-1),
+                        metallic, roughness, u_b, v_b,
                     )
                 )
-            view = -jnp.stack([dxf, dyf, dzf], axis=-1)
-            base = jnp.stack([repad(rr), repad(gg), repad(bb)], axis=-1)
-            result = base
+                nx, ny, nz = n_vec[:, 0], n_vec[:, 1], n_vec[:, 2]
+            base_p = (repad(rr), repad(gg), repad(bb))
+            res_r, res_g, res_b = base_p
             n_lights = lights.shape[0]
             r_per_light = ng * rg_pad
             ray_parts, ldirs = [], []
@@ -1314,7 +1328,6 @@ def _trace_shade_angles(
             for li in range(n_lights):
                 lcol = lights[li, 0:3]
                 lint = lights[li, 3]
-                lx, ly, lz = ldirs[li]
                 o_l = occ_all[li * r_per_light:(li + 1) * r_per_light]
                 # zero-row virtual groups are never visited by the kernel:
                 # their lanes hold garbage — mask to unobstructed
@@ -1322,20 +1335,21 @@ def _trace_shade_angles(
                     shadow_counts[li][:, None], (ng, rg_pad)
                 ).reshape(-1)
                 occ = (o_l > 0.0) & (cnt_ray > 0)
-                contrib, facing = ggx_light_contrib(
-                    n_vec, view,
-                    jnp.stack([lx, ly, lz], axis=-1),
-                    base, metallic, roughness, lcol, lint,
+                (c_r, c_g, c_b), facing = ggx_light_contrib_planar(
+                    (nx, ny, nz), (-dxf, -dyf, -dzf), ldirs[li],
+                    base_p, metallic, roughness, lcol, lint,
                 )
                 sel_l = facing & ~occ & hit_f2
-                result = result + jnp.where(sel_l[:, None], contrib, 0.0)
+                res_r = res_r + jnp.where(sel_l, c_r, 0.0)
+                res_g = res_g + jnp.where(sel_l, c_g, 0.0)
+                res_b = res_b + jnp.where(sel_l, c_b, 0.0)
 
             def unpad_f(x):  # (R,) -> (Np, S)
                 return x.reshape(ng, rg_pad)[:, :rg].reshape(n_pad, samples)
 
-            rr = unpad_f(result[:, 0])
-            gg = unpad_f(result[:, 1])
-            bb = unpad_f(result[:, 2])
+            rr = unpad_f(res_r)
+            gg = unpad_f(res_g)
+            bb = unpad_f(res_b)
         if use_cache:
             # the cache already encodes the miss shader for directions that
             # hit nothing at all

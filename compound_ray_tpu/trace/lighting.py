@@ -221,6 +221,68 @@ def _apply_material_textures_vals(
     return n, metallic, roughness
 
 
+def unpack_shading_cols(cols: jnp.ndarray):
+    """Planar unpack of a TRANSPOSED gathered shading slab (C, R) —
+    shading_basis_from_rows for the component-planar lit epilogue.
+
+    The (R, C) row gather is one descriptor (build_shading_rows); the
+    (C, R) transpose costs one relayout, after which every shading
+    quantity is an (R,) lane-major array and the basis/GGX math runs at
+    full VPU lane occupancy instead of an (R, 3) layout's 3/128 (the
+    pipeline docstring's AoS warning — measured ~70 ms/frame at 3.2M rays
+    for the primary path).  Returns ((e1x..e1z), (e2x..e2z), (n0..n2 as
+    3-tuples), has_n, metallic, roughness)."""
+    e1 = (cols[0], cols[1], cols[2])
+    e2 = (cols[3], cols[4], cols[5])
+    n0 = (cols[6], cols[7], cols[8])
+    n1 = (cols[9], cols[10], cols[11])
+    n2 = (cols[12], cols[13], cols[14])
+    return (e1, e2, n0, n1, n2, cols[_BC_HAS_N] > 0.5,
+            cols[_BC_METALLIC], cols[_BC_ROUGHNESS])
+
+
+def ggx_light_contrib_planar(
+    n,  # 3-tuple of (R,) unit shading normal components
+    view,  # 3-tuple of (R,) unit hit->camera components
+    l,  # 3-tuple of (R,) unit hit->light components
+    base,  # 3-tuple of (R,) linear base colour channels
+    metallic: jnp.ndarray,  # (R,)
+    roughness: jnp.ndarray,  # (R,)
+    lcol: jnp.ndarray,  # (3,)
+    lint: jnp.ndarray,  # ()
+):
+    """ggx_light_contrib on component-planar inputs: identical maths
+    (shaders.cu:826-881) with every array (R,) lane-major, so the whole
+    contraction runs at full VPU lane occupancy.  Returns
+    ((cr, cg, cb), facing)."""
+    nx, ny, nz = n
+    vx, vy, vz = view
+    lx, ly, lz = l
+    f0 = 0.04
+    one_m_m = 1.0 - metallic
+    alpha = roughness * roughness
+    hx, hy, hz = lx + vx, ly + vy, lz + vz
+    hinv = 1.0 / jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-20)
+    hx, hy, hz = hx * hinv, hy * hinv, hz * hinv
+    n_dot_l = nx * lx + ny * ly + nz * lz
+    n_dot_v = nx * vx + ny * vy + nz * vz
+    n_dot_h = nx * hx + ny * hy + nz * hz
+    v_dot_h = vx * hx + vy * hy + vz * hz
+    facing = (n_dot_l > 0.0) & (n_dot_v > 0.0)
+    pw5 = jnp.power(1.0 - v_dot_h, 5.0)
+    g_vis = _vis(n_dot_l, n_dot_v, alpha)
+    d = _ggx_normal(n_dot_h, alpha)
+    scale = lint * n_dot_l
+    out = []
+    for c, bc in enumerate(base):
+        spec_c = f0 * one_m_m + bc * metallic
+        diff_c = bc * (1.0 - f0) * one_m_m
+        f = spec_c + (1.0 - spec_c) * pw5
+        out.append(lcol[c] * scale
+                   * ((1.0 - f) * diff_c / jnp.pi + f * g_vis * d))
+    return tuple(out), facing
+
+
 def ggx_light_contrib(
     n: jnp.ndarray,  # (R,3) unit shading normal
     view: jnp.ndarray,  # (R,3) unit direction hit->camera
