@@ -519,6 +519,122 @@ def _adopt_rowmerge(results):
             f"latency {mean_ms:.2f} ms)")
 
 
+def run_packw():
+    """packw (packed-winner) kernel A/B + same-seed gate.  The per-step
+    dissection (tools/probe_step.py, docs/performance.md) measured the
+    carried winner-state buffers at 1.46 us/step — 44% of the uvs kernel
+    — so packw carries TWO packed int32 buffers instead of three f32
+    (key = t-bits | row, uv = wrapped 16+16-bit fixed point) and
+    recovers (t, cu, cv) at finalize.  NOT bit-identical (t truncated to
+    2^-19 relative, cu/cv quantized at 1.5e-5), so a speed win alone
+    does not adopt: the run_precision same-seed control gate applies —
+    control = packw off at the CURRENT adopted settings, candidate =
+    packw on, PASS iff worst vs-control MAE < GATE_VS_CONTROL_PCT and
+    the headline-vs-golden MAE stays within GATE_HEADLINE_SLACK_PP of
+    the control's.  Always-write semantics; both bench scenes take the
+    uvs emit, so both measure the live variant."""
+    global _TUNING_DIRTY
+    import compound_ray_tpu.trace.mm_tracer as mm
+
+    results = {}
+    env_before = os.environ.get("CR_TPU_PACKW")
+    start = mm.PACKW
+    chosen = None  # None = restore pre-stage state (mid-stage crash)
+    try:
+        for pw in (False, True):
+            os.environ["CR_TPU_PACKW"] = "1" if pw else "0"
+            if mm.PACKW != pw:
+                mm.PACKW = pw
+                jax.clear_caches()  # frame programs traced the old kernel
+            for name, build in (("natural", bench.build_renderer),
+                                ("ofstad", bench.build_ofstad_renderer)):
+                built = build()
+                r = built[0] if isinstance(built, tuple) else built
+                if r is None:
+                    continue
+                r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+                mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
+                results.setdefault(name, {})["on" if pw else "off"] = pipe
+                log(f"PACKW {name} @{SAMPLES} packw={pw}: {pipe:.2f} ms "
+                    f"pipelined (latency {mean_ms:.2f} ms)")
+        ratios = [t["on"] / t["off"] for t in results.values()
+                  if "on" in t and "off" in t]
+        g = (float(np.exp(np.mean(np.log(ratios)))) if ratios else None)
+        if g is not None:
+            log(f"PACKW geomean frame ratio {g:.3f}x vs standard kernel")
+        adopt = False
+        gate = {}
+        if g is not None and g < 0.97:
+            from tools import conformance_report
+
+            control_frames = "/tmp/packw-gate-frames-off"
+            try:
+                os.environ["CR_TPU_PACKW"] = "0"
+                if mm.PACKW:
+                    mm.PACKW = False
+                    jax.clear_caches()
+                ctrl_out = "/tmp/conformance_packw_gate_off.json"
+                conformance_report.main(
+                    ["--quick", "--out", ctrl_out,
+                     "--error-maps", "/tmp/packw-gate-maps-off",
+                     "--save-frames", control_frames])
+                with open(ctrl_out) as f:
+                    control_headline = float(
+                        json.load(f)["worst_headline_mae_pct"])
+                log(f"PACKW gate control [off]: worst headline MAE "
+                    f"{control_headline:.3f}%")
+                os.environ["CR_TPU_PACKW"] = "1"
+                mm.PACKW = True
+                jax.clear_caches()
+                gate_out = "/tmp/conformance_packw_gate_on.json"
+                conformance_report.main(
+                    ["--quick", "--out", gate_out,
+                     "--error-maps", "/tmp/packw-gate-maps-on",
+                     "--ref-frames", control_frames])
+                with open(gate_out) as f:
+                    d = json.load(f)
+                headline = float(d["worst_headline_mae_pct"])
+                vs_ctrl = float(d["worst_vs_control_mae_pct"])
+                adopt = (vs_ctrl < GATE_VS_CONTROL_PCT
+                         and headline <= control_headline
+                         + GATE_HEADLINE_SLACK_PP)
+                gate = {"vs_control_mae_pct": vs_ctrl,
+                        "headline_mae_pct": headline,
+                        "control_headline_mae_pct": control_headline,
+                        "pass": adopt}
+                log(f"PACKW gate: vs-control MAE {vs_ctrl:.4f}% (bar "
+                    f"<{GATE_VS_CONTROL_PCT}%), worst headline "
+                    f"{headline:.3f}% vs control {control_headline:.3f}% "
+                    f"(+{GATE_HEADLINE_SLACK_PP}pp slack) -> "
+                    f"{'PASS' if adopt else 'FAIL'}")
+            except Exception as e:
+                log(f"PACKW gate failed to run: {e!r}; not adopting")
+                adopt = False
+        chosen = adopt
+        from compound_ray_tpu.config import load_tuning
+
+        tuning = load_tuning()
+        tuning["packw"] = adopt
+        tuning["packw_frame_ms"] = results
+        if gate:
+            tuning["packw_gate"] = gate
+        with open(mm.TUNING_PATH, "w") as f:
+            json.dump(tuning, f, indent=1)
+        log(f"PACKW {'ADOPTED' if adopt else 'NOT adopted'}: "
+            f"artifacts/tuning.json updated")
+        if adopt != start:
+            _TUNING_DIRTY = True
+    finally:
+        if env_before is None:
+            os.environ.pop("CR_TPU_PACKW", None)
+        else:
+            os.environ["CR_TPU_PACKW"] = env_before
+        want = start if chosen is None else chosen
+        if mm.PACKW != want:
+            mm.PACKW = want
+            jax.clear_caches()
+
+
 def run_affine():
     """Affine-ray A/B (trace/mm_tracer.transform_payload_affine): full-frame
     pipelined time at 3200 samples with cfg.affine_rays off vs on, both
@@ -1450,14 +1566,16 @@ def run_scale():
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
         "bench", "anatomy", "lit", "conformance", "unroll", "rowmerge",
-        "affine", "precision", "equirect", "sky", "rebench", "shadow",
-        "shadow_prec", "shadow_rs", "scale", "unroll8", "batch_rays"}
+        "packw", "affine", "precision", "equirect", "sky", "rebench",
+        "shadow", "shadow_prec", "shadow_rs", "scale", "unroll8",
+        "batch_rays"}
     t0 = time.time()
     # adoption stages right after the defaults headline so a late-session
     # wedge cannot cost the tuned headline; slow diagnostics last
     for name, fn in (("bench", run_bench),
                      ("unroll", run_unroll),
                      ("rowmerge", run_rowmerge),
+                     ("packw", run_packw),
                      ("affine", run_affine),
                      ("precision", run_precision),
                      ("equirect", run_equirect),
