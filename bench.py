@@ -45,6 +45,10 @@ REFERENCE_EYE = "/root/reference/data/eyes/1000-equidistant.eye"
 
 # 2080 Ti rothamsted @3200 samples: 1.748 ms -> 1.83e9 rays/s (BASELINE.md)
 BASELINE_RAYS_PER_S = 1.83e9
+# 2080 Ti ofstad @3200 samples: 1.633 ms -> 1.96e9 rays/s (reference
+# speed-test row 3200, NVIDIA_GeForce_RTX_2080_Ti-ofstad-frame-rendertime-
+# averages-(1-3200-rays,500-samples).txt)
+BASELINE_OFSTAD_RAYS_PER_S = 1000 * 3200 / 1.633e-3
 
 
 REFERENCE_OFSTAD = "/root/reference/data/blend-files/ofstad.blend"
@@ -508,6 +512,14 @@ def run_protocol():
         "unit": "rays/s",
         "vs_baseline": headline / BASELINE_RAYS_PER_S,
     }
+    # the arena gap must be visible in every BENCH_r*.json, not only the
+    # natural headline (round-4 VERDICT #9): report the closed-arena
+    # ofstad ratio against its own 2080 Ti row alongside
+    of = detail.get("ofstad", {}).get(str(sweep[-1]))
+    if of:
+        record["ofstad_rays_per_s"] = of["rays_per_s"]
+        record["ofstad_vs_baseline"] = (
+            of["rays_per_s"] / BASELINE_OFSTAD_RAYS_PER_S)
     # persist as last-known-good: a future wedged round reports this number
     # (with an `error` field) instead of an unparseable stack trace
     try:

@@ -1090,10 +1090,6 @@ def _trace_shade_angles(
         ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax,
         emit=emit, ray_feats=(8 if affine else 16),
         precision=precision,
-        # packed-winner variant (tuning-gated): needs the single texture's
-        # static wrap modes to pre-wrap coordinates in-kernel
-        packw_wrap=((tex_static[3], tex_static[4])
-                    if emit == "uvs" else None),
     )
     t_f, cu_f, cv_f, texid_f, rgb_f = resolve_kernel_hits(
         out, attr_table, tex_only, packed=True, emit=emit,

@@ -184,83 +184,16 @@ def _default_precision() -> str:
 PRECISION = _default_precision()
 
 
-def _default_rowmerge() -> bool:
-    """Env override > measured-on-TPU tuning file > False.
-
-    rowmerge reduces each payload row's 128 candidate lanes to per-ray
-    winners INSIDE the row step, so the fori_loop carries lane-major
-    (1, RS) buffers (~2 vregs each) instead of nbufs x (RS, 128) tiles
-    (32 vregs each) — the register budget that made unroll_b=2 regress
-    2.6x and BATCH_RAYS=512 regress 1.10x.  The win is unlocking
-    unroll (rowmerge_ub) on the latency-bound cnt~1 row step; adoption
-    is by the tools/tpu_session.py rowmerge A/B (bit-identical to the
-    standard kernel — tests/test_mm_tracer rowmerge tests)."""
-    v = os.environ.get("CR_TPU_ROWMERGE", "").strip().lower()
-    if v:
-        return v in ("1", "true", "on", "yes")
-    return bool(load_tuning().get("rowmerge", False))
-
-
-ROWMERGE = _default_rowmerge()
-
-
-def _default_rowmerge_ub() -> int:
-    """Unroll factor used by the PRIMARY kernel when rowmerge is on
-    (separate from UNROLL_B, which also governs the occlusion kernel and
-    the standard primary kernel — those were tuned at their own register
-    budgets and must not inherit a rowmerge-only sweep winner)."""
-    v = os.environ.get("CR_TPU_ROWMERGE_UB")
-    if v is not None:
-        ub = int(v)
-        assert ub >= 1, f"CR_TPU_ROWMERGE_UB={ub} must be >= 1"
-        return ub
-    try:
-        ub = int(load_tuning().get("rowmerge_ub", 4))
-    except (TypeError, ValueError):
-        ub = 0
-    if ub < 1:
-        print(f"[PyEye] warning: ignoring invalid rowmerge_ub in "
-              f"tuning.json ({load_tuning().get('rowmerge_ub')!r}); using 4")
-        return 4
-    return ub
-
-
-ROWMERGE_UB = _default_rowmerge_ub()
-
-# packw (packed-winner) kernel variant: the per-step kernel dissection
-# (tools/probe_step.py, docs/performance.md) measured the carried
-# (RS, 128) winner-state buffers at ~1.46 us/step — 44% of the uvs
-# kernel — and attributed the cost to loop-carried register pressure
-# (uvs' 3 buffers = 96 vregs; the knock-outs with no carried state run
-# 2.2x faster).  packw carries TWO int32 buffers instead of three f32:
-#   kbuf  = (t_bits & ~0xF) | row   per-lane best over rows (IEEE f32
-#           ordering == int ordering for t >= 0, so jnp-min machinery
-#           works on the packed key; the low 4 mantissa bits carry the
-#           winning ROW for deterministic tie order — earliest row wins,
-#           matching the standard kernel up to the 2^-19-relative t
-#           truncation)
-#   uvbuf = (qu << 16) | qv         the candidate's WRAPPED texture
-#           coordinates in 16-bit fixed point (quantum 1.5e-5 — two
-#           orders under the half-texel addressing tolerance)
-# and recovers (t, cu, cv) once per chain at finalize.  Wrapping cu/cv
-# in-kernel (repeat: frac, clamp: clip, mirror: mod-2) is equivalent to
-# the epilogue's texel-space wrap because that wrap has period `w` and
-# is idempotent on wrapped inputs.  NOT bit-identical to the standard
-# kernel (t truncation + uv quantization), so adoption is by the
-# tools/tpu_session.py packw stage under the same-seed conformance gate
-# — exactly the precision-mode contract.
-_PACKW_MAX_ROWS = 16  # row index must fit the key's 4 low bits
-
-
-def _default_packw() -> bool:
-    """Env override > measured-on-TPU tuning file > False."""
-    v = os.environ.get("CR_TPU_PACKW", "").strip().lower()
-    if v:
-        return v in ("1", "true", "on", "yes")
-    return bool(load_tuning().get("packw", False))
-
-
-PACKW = _default_packw()
+# Two winner-state redesigns were built against the per-step dissection's
+# register-pressure diagnosis and both LOST their hardware A/Bs (round 4,
+# artifacts/tuning.json rowmerge_kernel_ms / packw_frame_ms; analysis in
+# docs/performance.md):
+#   rowmerge (commit 441ef10) -- per-row lane reduction carrying (1, RS)
+#     state: natural +11%, ofstad wash.
+#   packw (commit 72c031e) -- winner state as two packed int32 buffers:
+#     natural 25.2 -> 27.1 ms @3200, ofstad wash.
+# Both are deleted (git history keeps them); do not rebuild without fresh
+# probe evidence that the carried-buffer count is again the bottleneck.
 
 _PREC_MAP = {
     "highest": jax.lax.Precision.HIGHEST,
@@ -567,10 +500,7 @@ def _row_candidates(p, hi1, hi2, emit, approx_inv=False):
 
 
 def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
-                        precision: str = "highest",
-                        row_merge: bool = False,
-                        packw: bool = False,
-                        packw_wrap: tuple = (0, 0)):
+                        precision: str = "highest"):
     """Build the packed tracer kernel for an output mode and batch-unroll
     factor.
 
@@ -590,32 +520,11 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
 
     precision selects the intersection matmul's MXU mode (module-level
     PRECISION notes: "highest" = exact f32 contract, "default" = one bf16
-    pass, A/B-adopted only under the conformance gate).
-
-    row_merge reduces each row's 128 candidate lanes to per-ray winners
-    inside the row step and carries lane-major (1, RS) state — see
-    _default_rowmerge.  Winner ordering is IDENTICAL to the standard
-    kernel's (min t, then min lane, then min row): the standard kernel's
-    per-lane strict-< row scan keeps the earliest row per lane and its
-    finalize picks the first lane among global minima; rowmerge gets the
-    same triple order by merging rows lexicographically on (t, lane) with
-    strict inequality (earlier row wins full ties) — so the two variants
-    are bit-identical, and the tuning A/B can adopt on speed alone.  For
-    cnt~1 scenes (both bench scenes) the per-row lane reduction replaces
-    the per-chain finalize at the same op count; fat-cnt scenes pay the
-    reduction per row, which is why adoption is measured, not assumed.
-
-    packw (emit "uvs" only, rmax <= _PACKW_MAX_ROWS, gated adoption —
-    see the module-level notes) carries the winner as two packed int32
-    buffers and reconstructs (t, cu, cv) at finalize; packw_wrap is the
-    single texture's static (wrap_s, wrap_t) modes, applied in-kernel so
-    the quantized coordinates live in [0, 1]."""
+    pass, A/B-adopted only under the conformance gate)."""
     neg = _EMIT_NEG_INIT[emit]
     nbufs = _EMIT_NBUFS[emit]
     prec = _PREC_MAP[precision]
     f32x1 = precision == "f32x1"
-    assert not (packw and row_merge), "packw and row_merge are exclusive"
-    assert not packw or emit == "uvs", "packw supports emit='uvs' only"
 
     def kernel(counts_ref, tri_ref, rays_ref, out_ref, *scratch):
         # f32x1 carries a VMEM scratch (rmax, 6*ray_feats, 512) holding the
@@ -705,179 +614,6 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
             for k, r0 in enumerate(r0s):
                 finalize(states[k], r0)
 
-        def run_chains_merge(r0s):
-            fts = [
-                _stack6_a(rays_ref[:, pl.ds(r0, RS)]) if f32x1
-                else rays_ref[:, pl.ds(r0, RS)]
-                for r0 in r0s
-            ]
-
-            def state_init_m():
-                # lane-major reduced winner state: nbufs+1 x (1, RS) — a
-                # couple of vregs per buffer, vs 32 for an (RS, 128) tile.
-                # [0] best t (init +inf), [1] winning LANE index as f32
-                # (init 0: a fresh row's lane >= 0 can never beat it at a
-                # t-tie, so miss rows — whose reduced t stays +inf — never
-                # merge and the init payload values below survive exactly
-                # like the standard kernel's never-updated state),
-                # [2:] the emit payload values at their standard inits.
-                z = jnp.zeros((1, RS), jnp.float32)
-                return (jnp.full((1, RS), big), z) + tuple(
-                    jnp.full((1, RS), -1.0) if i in neg else z
-                    for i in range(1, nbufs)
-                )
-
-            def row_step(j, states):
-                mm = (tri6_ref[j] if tri6_ref is not None
-                      else tri_ref[0, j] if ray_feats == RAY_FEATS
-                      else tri_ref[0, j, 0:8, :])
-                if f32x1 and tri6_ref is None:
-                    mm = _stack6_b(mm)
-                hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]
-                hi2 = (tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
-                       if emit != "bary" else None)
-                new = []
-                for k, ft in enumerate(fts):
-                    p = jax.lax.dot_general(
-                        ft, mm, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=prec,
-                    )  # (RS, 512)
-                    ok, vals = _row_candidates(
-                        p, hi1, hi2, emit,
-                        approx_inv=(precision == "default"))
-                    # reduce this row's lanes to per-ray winners (the
-                    # standard kernel's finalize, done per row): masked t,
-                    # cross-lane min, first-occurrence lane, onehot select
-                    bt = jnp.where(ok, vals[0], big)
-                    tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
-                    lane = jax.lax.broadcasted_iota(
-                        jnp.int32, (RS, KERNEL_LEAF), 1)
-                    cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
-                    first = jnp.min(cand, axis=1, keepdims=True)
-                    onehot = lane == first
-                    t_new = tmin_l.reshape(1, RS)
-                    l_new = first.astype(jnp.float32).reshape(1, RS)
-                    st = states[k]
-                    # lexicographic (t, lane) with strict <: earlier rows
-                    # win full ties — exactly the standard kernel's
-                    # (min t, min lane, min row) winner (docstring).  A
-                    # miss row ties at t = +inf with l_new >= l_cur-init 0
-                    # and is rejected.
-                    better = (t_new < st[0]) | (
-                        (t_new == st[0]) & (l_new < st[1]))
-                    outs = [jnp.where(better, t_new, st[0]),
-                            jnp.where(better, l_new, st[1])]
-                    for i in range(1, nbufs):
-                        vi = jnp.sum(
-                            jnp.where(onehot, vals[i], 0.0),
-                            axis=1, keepdims=True).reshape(1, RS)
-                        outs.append(jnp.where(better, vi, st[i + 1]))
-                    new.append(tuple(outs))
-                return tuple(new)
-
-            states = jax.lax.fori_loop(
-                0, cnt, row_step, tuple(state_init_m() for _ in r0s)
-            )
-            for k, r0 in enumerate(r0s):
-                st = states[k]
-                out_ref[0:1, pl.ds(r0, RS)] = st[0]
-                for i in range(1, nbufs):
-                    out_ref[i:i + 1, pl.ds(r0, RS)] = st[i + 1]
-
-        def run_chains_packw(r0s):
-            fts = [
-                _stack6_a(rays_ref[:, pl.ds(r0, RS)]) if f32x1
-                else rays_ref[:, pl.ds(r0, RS)]
-                for r0 in r0s
-            ]
-            imax = jnp.int32(2147483647)
-            wrap_s, wrap_t = packw_wrap
-
-            def _prewrap(c, mode):
-                # equivalent to the epilogue's texel-space wrap (period w,
-                # idempotent on wrapped inputs — _addr_static): repeat
-                # reduces mod 1, clamp clips (out-of-range bilinear
-                # neighbours collapse to the same edge texel either way),
-                # mirror reduces mod its period 2 and stores half-scale so
-                # the fixed point still spans [0, 1]
-                if mode == 1:  # clamp
-                    return jnp.clip(c, 0.0, 1.0)
-                if mode == 2:  # mirror
-                    return (c - jnp.floor(c * 0.5) * 2.0) * 0.5
-                return c - jnp.floor(c)  # repeat
-
-            def state_init_p():
-                # kbuf: packed (t | row) keys, +inf-equivalent init;
-                # uvbuf: packed 16+16-bit fixed-point (cu, cv), init 0
-                # (never selected for miss rays — the epilogue masks by
-                # t < 1e30 exactly as for the standard kernel)
-                return (jnp.full((RS, KERNEL_LEAF), imax, jnp.int32),
-                        jnp.zeros((RS, KERNEL_LEAF), jnp.int32))
-
-            def row_step(j, states):
-                mm = (tri6_ref[j] if tri6_ref is not None
-                      else tri_ref[0, j] if ray_feats == RAY_FEATS
-                      else tri_ref[0, j, 0:8, :])
-                if f32x1 and tri6_ref is None:
-                    mm = _stack6_b(mm)
-                hi1 = tri_ref[0, j, 8:16, 0:KERNEL_LEAF]
-                hi2 = tri_ref[0, j, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
-                new = []
-                for k, ft in enumerate(fts):
-                    p = jax.lax.dot_general(
-                        ft, mm, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=prec,
-                    )  # (RS, 512)
-                    ok, (t, cu, cv) = _row_candidates(
-                        p, hi1, hi2, "uvs",
-                        approx_inv=(precision == "default"))
-                    # IEEE f32 ordering == int32 ordering for t >= 0 (ok
-                    # guarantees it), so min over packed keys is min over
-                    # (t-truncated-to-2^-19, row)
-                    ti = jax.lax.bitcast_convert_type(t, jnp.int32)
-                    key = jnp.where(ok, (ti & jnp.int32(-16)) | j, imax)
-                    qu = (_prewrap(cu, wrap_s) * 65535.0
-                          + 0.5).astype(jnp.int32)
-                    qv = (_prewrap(cv, wrap_t) * 65535.0
-                          + 0.5).astype(jnp.int32)
-                    uvq = (qu << 16) | qv
-                    kbuf, uvbuf = states[k]
-                    okk = key < kbuf
-                    new.append((jnp.where(okk, key, kbuf),
-                                jnp.where(okk, uvq, uvbuf)))
-                return tuple(new)
-
-            states = jax.lax.fori_loop(
-                0, cnt, row_step, tuple(state_init_p() for _ in r0s)
-            )
-            su = 2.0 if wrap_s == 2 else 1.0  # mirror stored half-scale
-            sv = 2.0 if wrap_t == 2 else 1.0
-            for k, r0 in enumerate(r0s):
-                kbuf, uvbuf = states[k]
-                kmin = jnp.min(kbuf, axis=1, keepdims=True)  # (RS, 1)
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (RS, KERNEL_LEAF), 1)
-                cand = jnp.where(kbuf == kmin, lane, KERNEL_LEAF)
-                first = jnp.min(cand, axis=1, keepdims=True)
-                onehot = lane == first
-                uvsel = jnp.sum(jnp.where(onehot, uvbuf, 0),
-                                axis=1, keepdims=True)
-                t_out = jax.lax.bitcast_convert_type(
-                    kmin & jnp.int32(-16), jnp.float32)
-                t_out = jnp.where(kmin == imax, big, t_out)
-                cu_out = ((uvsel >> 16) & 0xFFFF).astype(
-                    jnp.float32) * jnp.float32(su / 65535.0)
-                cv_out = (uvsel & 0xFFFF).astype(
-                    jnp.float32) * jnp.float32(sv / 65535.0)
-                out_ref[0:1, pl.ds(r0, RS)] = t_out.reshape(1, RS)
-                out_ref[1:2, pl.ds(r0, RS)] = cu_out.reshape(1, RS)
-                out_ref[2:3, pl.ds(r0, RS)] = cv_out.reshape(1, RS)
-
-        chains = (run_chains_packw if packw
-                  else run_chains_merge if row_merge else run_chains)
-
         @pl.when(cnt > 0)
         def _run_batches():
             if tri6_ref is not None:
@@ -890,14 +626,14 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
                 jax.lax.fori_loop(0, cnt, fill, 0)
             if ub == 1:
                 def one(rbi, _):
-                    chains([pl.multiple_of(rbi * RS, RS)])
+                    run_chains([pl.multiple_of(rbi * RS, RS)])
                     return 0
 
                 jax.lax.fori_loop(0, nb, one, 0)
             else:
                 def super_step(sbi, _):
                     base = sbi * ub
-                    chains([
+                    run_chains([
                         pl.multiple_of((base + k) * RS, RS)
                         for k in range(ub)
                     ])
@@ -906,7 +642,7 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
                 jax.lax.fori_loop(0, nb // ub, super_step, 0)
                 # static tail: the batches ub doesn't divide run single-chain
                 for k in range(nb % ub):
-                    chains(
+                    run_chains(
                         [pl.multiple_of(((nb // ub) * ub + k) * RS, RS)]
                     )
 
@@ -1127,10 +863,9 @@ def run_rows_occlusion(
 @functools.partial(
     jax.jit,
     static_argnames=("ng", "nrb", "rb_size", "rmax", "emit", "unroll_b",
-                     "ray_feats", "precision", "row_merge", "packw",
-                     "packw_wrap"),
+                     "ray_feats", "precision"),
 )
-def _run_packed_tracer(
+def run_packed_tracer(
     row_counts: jnp.ndarray,  # (NG,) int32 payload rows per group
     packed_mm: jnp.ndarray,  # (NG, rmax, 16, 512) f32
     rays: jnp.ndarray,  # (ray_feats, NG*NRB*RB) f32 PLANAR
@@ -1142,9 +877,6 @@ def _run_packed_tracer(
     unroll_b: Optional[int] = None,
     ray_feats: int = RAY_FEATS,
     precision: Optional[str] = None,
-    row_merge: Optional[bool] = None,
-    packw: bool = False,
-    packw_wrap: tuple = (0, 0),
 ) -> jnp.ndarray:
     """Returns PLANAR (8, R) rows; t = +inf on miss.  Row layout by emit:
     "bary": [t, u, v, slot-id, 0...] (barycentrics; the epilogue resolves
@@ -1174,20 +906,7 @@ def _run_packed_tracer(
 
     precision: "highest" (exact f32) or "default" (one bf16 MXU pass);
     None uses the module PRECISION default (tuning-adopted — see the
-    module-level notes on the accuracy contract).
-
-    row_merge: reduce candidate lanes per row step and carry (1, RS)
-    winner state (bit-identical to the standard kernel; None uses the
-    tuning-adopted ROWMERGE default, and unroll then defaults to
-    ROWMERGE_UB instead of UNROLL_B — see _default_rowmerge).
-
-    packw: carry the winner as two packed int32 buffers (module-level
-    PACKW notes) and recover (t, cu, cv) at finalize.  None uses the
-    tuning-adopted PACKW default; engages only for emit="uvs" with
-    packw_wrap (the single texture's static (wrap_s, wrap_t)) given and
-    rmax <= _PACKW_MAX_ROWS, else falls back to the standard kernel.
-    NOT bit-identical (t truncated to 2^-19 relative, cu/cv wrapped +
-    16-bit quantized) — adoption is same-seed-conformance-gated."""
+    module-level notes on the accuracy contract)."""
     # the payload's affine-ness is tracked only by the flag the callers
     # thread through — catch the forgotten-flag mix-up structurally (shapes
     # are static under jit, so this is free)
@@ -1197,15 +916,8 @@ def _run_packed_tracer(
         f"rb_size={rb_size} must be a multiple of BATCH_RAYS={BATCH_RAYS} "
         f"(the kernel traces rb_size // BATCH_RAYS steps — a remainder "
         f"would go untraced)")
-    if row_merge is None:
-        row_merge = ROWMERGE
-    if packw:
-        row_merge = False
     if unroll_b is None:
-        # rowmerge has its own unroll budget (tiny carried state) —
-        # UNROLL_B was measured at the standard kernel's register cost
-        # and also governs the occlusion kernel
-        unroll_b = ROWMERGE_UB if row_merge else UNROLL_B
+        unroll_b = UNROLL_B
     assert unroll_b >= 1, (
         f"unroll_b={unroll_b} must be >= 1 (ub < 1 traces zero ray "
         f"batches and emits uninitialised frames)")
@@ -1242,38 +954,8 @@ def _run_packed_tracer(
         ),
     )
     return pl.pallas_call(
-        _make_packed_kernel(emit, unroll_b, ray_feats, precision,
-                            row_merge, packw, packw_wrap),
+        _make_packed_kernel(emit, unroll_b, ray_feats, precision),
         out_shape=jax.ShapeDtypeStruct((OUT_COMPS, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(row_counts, packed_mm, rays)
-
-
-def run_packed_tracer(
-    row_counts, packed_mm, rays, ng, nrb, rb_size, rmax,
-    emit: str = "bary",
-    unroll_b: Optional[int] = None,
-    ray_feats: int = RAY_FEATS,
-    precision: Optional[str] = None,
-    row_merge: Optional[bool] = None,
-    packw: Optional[bool] = None,
-    packw_wrap: Optional[tuple] = None,
-) -> jnp.ndarray:
-    """_run_packed_tracer with the packw envelope resolved OUTSIDE the jit
-    boundary: the jit cache must key on the kernel actually built, so the
-    (packw, packw_wrap) statics it sees are the post-resolution values —
-    a module-global default change (tuning adoption, tests) can never
-    alias a cached variant.  packw engages only where its key layout is
-    valid: emit "uvs" (single-texture scenes), a known static wrap-mode
-    pair, and payload row indices that fit the key's 4 low bits; every
-    other call falls back to the standard (exact) kernel."""
-    if packw is None:
-        packw = PACKW
-    packw = bool(packw and emit == "uvs" and packw_wrap is not None
-                 and rmax <= _PACKW_MAX_ROWS)
-    return _run_packed_tracer(
-        row_counts, packed_mm, rays, ng=ng, nrb=nrb, rb_size=rb_size,
-        rmax=rmax, emit=emit, unroll_b=unroll_b, ray_feats=ray_feats,
-        precision=precision, row_merge=row_merge, packw=packw,
-        packw_wrap=(packw_wrap if packw else (0, 0)))

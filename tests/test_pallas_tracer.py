@@ -384,105 +384,6 @@ def test_packed_tracer_unroll_bit_identical(emit):
         np.testing.assert_array_equal(base, run(ub))
 
 
-@pytest.mark.parametrize("emit", ["bary", "uv", "uvs", "flat"])
-def test_packed_tracer_rowmerge_bit_identical(emit):
-    """row_merge=True reduces each row's candidate lanes in-step and
-    carries (1, RS) winner state; its (min t, min lane, min row) ordering
-    is the standard kernel's exactly (mm_tracer._make_packed_kernel), so
-    outputs must be bit-identical for every unroll factor — including
-    miss rays' payload init values, which both variants leave untouched.
-    The tools/tpu_session.py rowmerge A/B adopts on speed alone on the
-    strength of this contract."""
-    from compound_ray_tpu.eye import pipeline as P
-    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
-
-    scene = make_big_scene(n_boxes=60, seed=5)
-    splan = P.scene_plan(scene)
-    omms_np = ommatidia_to_array(make_sphere_eye(16, acceptance_deg=4.0))
-    samples = 640  # rb_size 768 = 3 ray batches (super-step + tail at ub=2)
-    eplan = P.eye_plan(omms_np, samples)
-    omms_p = jnp.asarray(omms_np[eplan.perm])
-    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
-    ls = jnp.eye(3, dtype=jnp.float32)
-    kcand, rmax = P._plan_widths(
-        splan, eplan, omms_p, pos, ls, (eplan.sig, samples, b"rowmerge-test"))
-    rc, pmm, _, _ = P._pack_fused(
-        splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
-        splan.half_center, splan.half_radius, omms_p, pos, ls,
-        g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=4.0,
-        tri_cl=splan.slot_tri_cl)
-    key = jax.random.PRNGKey(3)
-    k1, k2 = jax.random.split(key)
-    sd = omms_p[:, 6] / P.FWHM_SD_RATIO
-    splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
-    spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
-    rays, _, _ = P._gen_ray_features(
-        omms_p, pos, ls, splay, spin, samples=samples,
-        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
-
-    def run(merge, ub, precision=None):
-        return np.asarray(run_packed_tracer(
-            rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
-            rb_size=eplan.rb_size, rmax=rmax, emit=emit, unroll_b=ub,
-            row_merge=merge, precision=precision))
-
-    base = run(False, 1)
-    assert np.isfinite(base[0]).any(), "test must produce real hits"
-    assert (~np.isfinite(base[0])).any(), "test must produce miss rays"
-    for ub in (1, 2, 3):
-        np.testing.assert_array_equal(base, run(True, ub))
-    # the f32x1 stacked-split path shares the chain structure: rowmerge
-    # must agree with the standard kernel under it too
-    np.testing.assert_array_equal(
-        run(False, 1, precision="f32x1"), run(True, 2, precision="f32x1"))
-
-
-def test_packed_tracer_rowmerge_affine_bit_identical():
-    """rowmerge under the affine ray path (ray_feats=8, origin folded into
-    the payload): same bit-identity contract as the planar path."""
-    from compound_ray_tpu.eye import pipeline as P
-    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
-
-    scene = make_big_scene(n_boxes=60, seed=5)
-    splan = P.scene_plan(scene)
-    omms_np = ommatidia_to_array(make_sphere_eye(16, acceptance_deg=4.0))
-    samples = 640
-    eplan = P.eye_plan(omms_np, samples)
-    assert eplan.g == 1, "affine path needs one omm per group"
-    omms_p = jnp.asarray(omms_np[eplan.perm])
-    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
-    ls = jnp.eye(3, dtype=jnp.float32)
-    kcand, rmax = P._plan_widths(
-        splan, eplan, omms_p, pos, ls,
-        (eplan.sig, samples, b"rowmerge-affine"))
-    rc, pmm, _, _ = P._pack_fused(
-        splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
-        splan.half_center, splan.half_radius, omms_p, pos, ls,
-        g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=4.0,
-        tri_cl=splan.slot_tri_cl, affine=True)
-    key = jax.random.PRNGKey(3)
-    k1, k2 = jax.random.split(key)
-    sd = omms_p[:, 6] / P.FWHM_SD_RATIO
-    splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
-    spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
-    rays, _, _ = P._gen_ray_features(
-        omms_p, pos, ls, splay, spin, samples=samples,
-        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
-        affine=True)
-    assert rays.shape[0] == 8
-
-    def run(merge, ub):
-        return np.asarray(run_packed_tracer(
-            rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
-            rb_size=eplan.rb_size, rmax=rmax, emit="uv", unroll_b=ub,
-            ray_feats=8, row_merge=merge))
-
-    base = run(False, 1)
-    assert np.isfinite(base[0]).any(), "test must produce real hits"
-    for ub in (1, 2):
-        np.testing.assert_array_equal(base, run(True, ub))
-
-
 def test_packed_tracer_batch_rays_bit_identical(monkeypatch):
     """BATCH_RAYS only regroups rays into in-kernel step sizes (rb_size
     rounds up to it, so plans differ); every REAL ray's winner sequence is

@@ -861,102 +861,3 @@ def test_shadow_prec_merges_prior_variant_datapoints(sandbox, monkeypatch,
     ms = json.load(open(sandbox))["shadow_precision_lit_ms"]
     assert ms["default"] == 106.48 and ms["bf16x3"] == 136.27  # preserved
     assert ms["f32x1"] == 3.0 and ms["highest"] == 4.0  # re-measured
-
-
-# ---- packw stage (packed-winner kernel A/B + same-seed gate) ----------
-
-
-def _packw_wins(monkeypatch):
-    def time_frames(r, samples, reps, warmup=3):
-        return 1.0, 0.0, 0.5 if mm.PACKW else 1.0
-
-    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
-
-
-@pytest.fixture()
-def packw_guard(monkeypatch):
-    monkeypatch.setattr(mm, "PACKW", False)
-    monkeypatch.delenv("CR_TPU_PACKW", raising=False)
-
-
-def test_packw_gate_adopts_on_small_control_diff(sandbox, monkeypatch,
-                                                 packw_guard):
-    _packw_wins(monkeypatch)
-    calls = _fake_conformance(monkeypatch, control_headline=1.42,
-                              cand_headline=1.423, vs_control=0.004)
-    ts.run_packw()
-    assert mm.PACKW is True
-    tuning = json.load(open(sandbox))
-    assert tuning["packw"] is True
-    assert tuning["packw_gate"]["pass"] is True
-    assert tuning["packw_frame_ms"]["natural"] == {"off": 1.0, "on": 0.5}
-    assert ts._TUNING_DIRTY is True
-    assert len(calls) == 2  # one control render, one candidate render
-    assert os.environ.get("CR_TPU_PACKW") is None  # env restored
-
-
-def test_packw_gate_rejects_big_control_diff(sandbox, monkeypatch,
-                                             packw_guard):
-    _packw_wins(monkeypatch)
-    _fake_conformance(monkeypatch, vs_control=0.5)  # > 0.25% bar
-    ts.run_packw()
-    assert mm.PACKW is False
-    tuning = json.load(open(sandbox))
-    assert tuning["packw"] is False
-    assert tuning["packw_gate"]["pass"] is False
-    # the speed measurement stays on record
-    assert tuning["packw_frame_ms"]["natural"]["on"] == 0.5
-    assert ts._TUNING_DIRTY is False
-
-
-def test_packw_wash_skips_gate(sandbox, monkeypatch, packw_guard):
-    def time_frames(r, samples, reps, warmup=3):
-        return 1.0, 0.0, 1.0
-
-    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
-    calls = _fake_conformance(monkeypatch)
-    ts.run_packw()
-    assert mm.PACKW is False
-    tuning = json.load(open(sandbox))
-    assert tuning["packw"] is False
-    assert "packw_gate" not in tuning
-    assert len(calls) == 0  # no conformance renders on a wash
-
-
-def test_packw_control_failure_adopts_nothing(sandbox, monkeypatch,
-                                              packw_guard):
-    _packw_wins(monkeypatch)
-    _fake_conformance(monkeypatch, fail_control=True)
-    ts.run_packw()
-    assert mm.PACKW is False
-    assert json.load(open(sandbox))["packw"] is False
-
-
-def test_packw_restores_on_mid_ab_failure(sandbox, monkeypatch,
-                                          packw_guard):
-    def time_frames(r, samples, reps, warmup=3):
-        if mm.PACKW:
-            raise RuntimeError("mosaic ICE on the packw variant")
-        return 1.0, 0.0, 1.0
-
-    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
-    with pytest.raises(RuntimeError):
-        ts.run_packw()
-    assert mm.PACKW is False  # restored, not left half-flipped
-    assert os.environ.get("CR_TPU_PACKW") is None
-
-
-def test_packw_regression_reverts_stale_adoption(sandbox, monkeypatch):
-    """A re-measured wash must revert a previously-adopted packw (the
-    always-write contract shared with rowmerge/affine)."""
-    monkeypatch.setattr(mm, "PACKW", True)
-    monkeypatch.delenv("CR_TPU_PACKW", raising=False)
-
-    def time_frames(r, samples, reps, warmup=3):
-        return 1.0, 0.0, 1.0
-
-    monkeypatch.setattr(ts.bench, "time_frames", time_frames)
-    ts.run_packw()
-    assert mm.PACKW is False
-    assert json.load(open(sandbox))["packw"] is False
-    assert ts._TUNING_DIRTY is True  # bench artifacts reflect the old mode

@@ -378,263 +378,6 @@ def _adopt_unroll(results):
             f"latency {mean_ms:.2f} ms)")
 
 
-def run_rowmerge():
-    """Primary-kernel rowmerge A/B: run_packed_tracer with
-    row_merge=True at rowmerge_ub in {1, 2, 4, 8} vs the standard kernel,
-    kernel-level on both bench scenes' real payloads/rays (run_unroll
-    harness).  rowmerge reduces each row's candidate lanes in-step and
-    carries lane-major (1, RS) winner state (~2 vregs/buffer vs 32), so
-    the unroll factors that hit the standard kernel's register cliff
-    (ub=2 regressed 2.6x) become genuine latency overlap on the cnt~1
-    row step — the anatomy's 49.7 ms ofstad / 13.4 ms natural kernels
-    are ~pure step latency.  Every variant is bit-identical to the
-    standard kernel (tests/test_pallas_tracer.py rowmerge tests), so
-    adoption is on speed alone; the measured winner ALWAYS writes
-    tuning.json (a stale adoption must not outlive a re-measured
-    regression).  ub=8 runs last within the stage so a Mosaic hang —
-    unlikely at rowmerge's register budget, but the loop structure is
-    new — costs only that variant's compile."""
-    from compound_ray_tpu.config import get_config
-    from compound_ray_tpu.eye import pipeline as P
-    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
-
-    sigmas = get_config().cull_sigmas
-    results = {}
-    for name, build in (("natural", bench.build_renderer),
-                        ("ofstad", bench.build_ofstad_renderer)):
-        built = build()
-        r = built[0] if isinstance(built, tuple) else built
-        if r is None:
-            continue
-        scene = r.scene
-        cam = r.current_camera()
-        splan = P.scene_plan(scene)
-        omms_np = cam.ommatidia
-        samples = SAMPLES
-        eplan = P.eye_plan(omms_np, samples)
-        omms_p = jnp.asarray(omms_np[eplan.perm])
-        pos = jnp.asarray(np.asarray(cam.position, np.float32))
-        ls = jnp.eye(3, dtype=jnp.float32)
-        kcand, rmax = P._plan_widths(
-            splan, eplan, omms_p, pos, ls,
-            (eplan.sig, samples, b"rowmerge-ab"))
-        rc, pmm, _, _ = P._pack_fused(
-            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
-            splan.half_center, splan.half_radius, omms_p, pos, ls,
-            g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=sigmas,
-            tri_cl=splan.slot_tri_cl)
-        key = jax.random.PRNGKey(3)
-        k1, k2 = jax.random.split(key)
-        sd = omms_p[:, 6] / P.FWHM_SD_RATIO
-        splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
-        spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
-        rays, _, _ = P._gen_ray_features(
-            omms_p, pos, ls, splay, spin, samples=samples,
-            ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
-        rays = jax.device_put(rays)
-        emit = "uvs" if splan.tex_static is not None else (
-            "uv" if splan.tex_only else "bary")
-        base = None
-        for label, merge, ub in [("off", False, None)] + [
-                (f"rm{u}", True, u) for u in (1, 2, 4, 8)]:
-            def go():
-                return run_packed_tracer(
-                    rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
-                    rb_size=eplan.rb_size, rmax=rmax, emit=emit,
-                    row_merge=merge, unroll_b=ub)
-            out = go()
-            _ = jax.device_get(out[0, :8])  # tunnel-safe sync
-            times = []
-            for _i in range(REPS):
-                t0 = time.perf_counter()
-                out = go()
-                _ = jax.device_get(out[0, :8])
-                times.append((time.perf_counter() - t0) * 1000.0)
-            ms = float(np.median(times))
-            results.setdefault(name, {})[label] = ms
-            log(f"ROWMERGE {name} emit={emit} rmax={rmax} {label}: "
-                f"{ms:.2f} ms/kernel")
-            if label == "off":
-                base = np.asarray(out)
-            else:
-                o = np.asarray(out)  # NaN-safe: miss-ray payload fields
-                same = bool(((base == o)
-                             | (np.isnan(base) & np.isnan(o))).all())
-                log(f"  bit-identical vs off: {same}")
-    _adopt_rowmerge(results)
-
-
-def _adopt_rowmerge(results):
-    """Pick the rowmerge ub with the best geomean kernel ratio vs the
-    standard kernel; adopt at a >=5% win.  Always-write semantics."""
-    best_label, best_ratio = "off", 1.0
-    for u in (1, 2, 4, 8):
-        label = f"rm{u}"
-        ratios = [t[label] / t["off"] for t in results.values()
-                  if "off" in t and label in t]
-        if not ratios:
-            continue
-        g = float(np.exp(np.mean(np.log(ratios))))
-        log(f"ROWMERGE {label}: geomean kernel ratio {g:.3f}x vs off")
-        if g < best_ratio:
-            best_ratio, best_label = g, label
-    adopt = best_label != "off" and best_ratio <= 0.95
-    best_ub = int(best_label[2:]) if best_label != "off" else \
-        _mm.ROWMERGE_UB
-    from compound_ray_tpu.config import load_tuning
-
-    tuning = load_tuning()
-    tuning.update(rowmerge=adopt, rowmerge_ub=best_ub,
-                  rowmerge_kernel_ms=results,
-                  measured=time.strftime("%Y-%m-%d %H:%M UTC",
-                                         time.gmtime()))
-    with open(_mm.TUNING_PATH, "w") as f:
-        json.dump(tuning, f, indent=1)
-    global _TUNING_DIRTY
-    changed = (_mm.ROWMERGE != adopt) or (adopt and
-                                          _mm.ROWMERGE_UB != best_ub)
-    if changed:
-        _mm.ROWMERGE = adopt
-        _mm.ROWMERGE_UB = best_ub
-        jax.clear_caches()  # frame programs traced the old kernel shape
-        _TUNING_DIRTY = True
-    if not adopt:
-        log(f"ROWMERGE: keeping the standard kernel (best alternative "
-            f"{best_label} {best_ratio:.3f}x); tuning.json records the "
-            f"measurement")
-        return
-    log(f"ROWMERGE-ADOPTED {best_label} ({best_ratio:.3f}x kernel); "
-        f"re-measuring full-frame headline")
-    for name, build in (("natural", bench.build_renderer),
-                        ("ofstad", bench.build_ofstad_renderer)):
-        built = build()
-        r = built[0] if isinstance(built, tuple) else built
-        if r is None:
-            continue
-        r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
-        mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
-        n_omms = r.get_current_eye_ommatidial_count()
-        log(f"ROWMERGE-HEADLINE {name} @{SAMPLES}: {pipe:.2f} ms pipelined "
-            f"({n_omms * SAMPLES / pipe * 1000.0:.3e} rays/s; "
-            f"latency {mean_ms:.2f} ms)")
-
-
-def run_packw():
-    """packw (packed-winner) kernel A/B + same-seed gate.  The per-step
-    dissection (tools/probe_step.py, docs/performance.md) measured the
-    carried winner-state buffers at 1.46 us/step — 44% of the uvs kernel
-    — so packw carries TWO packed int32 buffers instead of three f32
-    (key = t-bits | row, uv = wrapped 16+16-bit fixed point) and
-    recovers (t, cu, cv) at finalize.  NOT bit-identical (t truncated to
-    2^-19 relative, cu/cv quantized at 1.5e-5), so a speed win alone
-    does not adopt: the run_precision same-seed control gate applies —
-    control = packw off at the CURRENT adopted settings, candidate =
-    packw on, PASS iff worst vs-control MAE < GATE_VS_CONTROL_PCT and
-    the headline-vs-golden MAE stays within GATE_HEADLINE_SLACK_PP of
-    the control's.  Always-write semantics; both bench scenes take the
-    uvs emit, so both measure the live variant."""
-    global _TUNING_DIRTY
-    import compound_ray_tpu.trace.mm_tracer as mm
-
-    results = {}
-    env_before = os.environ.get("CR_TPU_PACKW")
-    start = mm.PACKW
-    chosen = None  # None = restore pre-stage state (mid-stage crash)
-    try:
-        for pw in (False, True):
-            os.environ["CR_TPU_PACKW"] = "1" if pw else "0"
-            if mm.PACKW != pw:
-                mm.PACKW = pw
-                jax.clear_caches()  # frame programs traced the old kernel
-            for name, build in (("natural", bench.build_renderer),
-                                ("ofstad", bench.build_ofstad_renderer)):
-                built = build()
-                r = built[0] if isinstance(built, tuple) else built
-                if r is None:
-                    continue
-                r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
-                mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
-                results.setdefault(name, {})["on" if pw else "off"] = pipe
-                log(f"PACKW {name} @{SAMPLES} packw={pw}: {pipe:.2f} ms "
-                    f"pipelined (latency {mean_ms:.2f} ms)")
-        ratios = [t["on"] / t["off"] for t in results.values()
-                  if "on" in t and "off" in t]
-        g = (float(np.exp(np.mean(np.log(ratios)))) if ratios else None)
-        if g is not None:
-            log(f"PACKW geomean frame ratio {g:.3f}x vs standard kernel")
-        adopt = False
-        gate = {}
-        if g is not None and g < 0.97:
-            from tools import conformance_report
-
-            control_frames = "/tmp/packw-gate-frames-off"
-            try:
-                os.environ["CR_TPU_PACKW"] = "0"
-                if mm.PACKW:
-                    mm.PACKW = False
-                    jax.clear_caches()
-                ctrl_out = "/tmp/conformance_packw_gate_off.json"
-                conformance_report.main(
-                    ["--quick", "--out", ctrl_out,
-                     "--error-maps", "/tmp/packw-gate-maps-off",
-                     "--save-frames", control_frames])
-                with open(ctrl_out) as f:
-                    control_headline = float(
-                        json.load(f)["worst_headline_mae_pct"])
-                log(f"PACKW gate control [off]: worst headline MAE "
-                    f"{control_headline:.3f}%")
-                os.environ["CR_TPU_PACKW"] = "1"
-                mm.PACKW = True
-                jax.clear_caches()
-                gate_out = "/tmp/conformance_packw_gate_on.json"
-                conformance_report.main(
-                    ["--quick", "--out", gate_out,
-                     "--error-maps", "/tmp/packw-gate-maps-on",
-                     "--ref-frames", control_frames])
-                with open(gate_out) as f:
-                    d = json.load(f)
-                headline = float(d["worst_headline_mae_pct"])
-                vs_ctrl = float(d["worst_vs_control_mae_pct"])
-                adopt = (vs_ctrl < GATE_VS_CONTROL_PCT
-                         and headline <= control_headline
-                         + GATE_HEADLINE_SLACK_PP)
-                gate = {"vs_control_mae_pct": vs_ctrl,
-                        "headline_mae_pct": headline,
-                        "control_headline_mae_pct": control_headline,
-                        "pass": adopt}
-                log(f"PACKW gate: vs-control MAE {vs_ctrl:.4f}% (bar "
-                    f"<{GATE_VS_CONTROL_PCT}%), worst headline "
-                    f"{headline:.3f}% vs control {control_headline:.3f}% "
-                    f"(+{GATE_HEADLINE_SLACK_PP}pp slack) -> "
-                    f"{'PASS' if adopt else 'FAIL'}")
-            except Exception as e:
-                log(f"PACKW gate failed to run: {e!r}; not adopting")
-                adopt = False
-        chosen = adopt
-        from compound_ray_tpu.config import load_tuning
-
-        tuning = load_tuning()
-        tuning["packw"] = adopt
-        tuning["packw_frame_ms"] = results
-        if gate:
-            tuning["packw_gate"] = gate
-        with open(mm.TUNING_PATH, "w") as f:
-            json.dump(tuning, f, indent=1)
-        log(f"PACKW {'ADOPTED' if adopt else 'NOT adopted'}: "
-            f"artifacts/tuning.json updated")
-        if adopt != start:
-            _TUNING_DIRTY = True
-    finally:
-        if env_before is None:
-            os.environ.pop("CR_TPU_PACKW", None)
-        else:
-            os.environ["CR_TPU_PACKW"] = env_before
-        want = start if chosen is None else chosen
-        if mm.PACKW != want:
-            mm.PACKW = want
-            jax.clear_caches()
-
-
 def run_affine():
     """Affine-ray A/B (trace/mm_tracer.transform_payload_affine): full-frame
     pipelined time at 3200 samples with cfg.affine_rays off vs on, both
@@ -1565,8 +1308,7 @@ def run_scale():
 
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
-        "bench", "anatomy", "lit", "conformance", "unroll", "rowmerge",
-        "packw", "affine", "precision", "equirect", "sky", "rebench",
+        "bench", "anatomy", "lit", "conformance", "unroll", "affine", "precision", "equirect", "sky", "rebench",
         "shadow", "shadow_prec", "shadow_rs", "scale", "unroll8",
         "batch_rays"}
     t0 = time.time()
@@ -1574,8 +1316,6 @@ if __name__ == "__main__":
     # wedge cannot cost the tuned headline; slow diagnostics last
     for name, fn in (("bench", run_bench),
                      ("unroll", run_unroll),
-                     ("rowmerge", run_rowmerge),
-                     ("packw", run_packw),
                      ("affine", run_affine),
                      ("precision", run_precision),
                      ("equirect", run_equirect),
