@@ -195,6 +195,32 @@ PRECISION = _default_precision()
 # Both are deleted (git history keeps them); do not rebuild without fresh
 # probe evidence that the carried-buffer count is again the bottleneck.
 
+
+def _default_direct1() -> bool:
+    """Env override > measured-on-TPU tuning file > False.
+
+    direct1 specialises the cnt == 1 chain (the overwhelmingly common
+    case on both bench scenes: the natural scene's production plans have
+    AT MOST one payload row per group after the far-field split, and the
+    ofstad arena averages 1.01 — docs/performance.md "Kernel work
+    accounting"): a chain is then init -> ONE row step -> finalize, so
+    the winner state never needs to cross a fori_loop boundary at all.
+    The row-0 candidates resolve to the output in straight SSA dataflow
+    — no loop-carried (RS, 128) buffers, the register-pressure mechanism
+    the per-step dissection measured at ~1.46 us/step.  Unlike rowmerge/
+    packw (which restructured the carried state and lost), this removes
+    the carry entirely for the dominant chain shape and leaves fat
+    chains on the standard loop.  Bit-identical to the standard kernel
+    (same candidate algebra and winner order), so the tools/
+    tpu_session.py direct1 A/B adopts on speed alone."""
+    v = os.environ.get("CR_TPU_DIRECT1", "").strip().lower()
+    if v:
+        return v in ("1", "true", "on", "yes")
+    return bool(load_tuning().get("direct1", False))
+
+
+DIRECT1 = _default_direct1()
+
 _PREC_MAP = {
     "highest": jax.lax.Precision.HIGHEST,
     "mixed": jax.lax.Precision.DEFAULT,  # bf16 matmul, exact divides
@@ -500,7 +526,8 @@ def _row_candidates(p, hi1, hi2, emit, approx_inv=False):
 
 
 def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
-                        precision: str = "highest"):
+                        precision: str = "highest",
+                        direct1: bool = False):
     """Build the packed tracer kernel for an output mode and batch-unroll
     factor.
 
@@ -520,7 +547,14 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
 
     precision selects the intersection matmul's MXU mode (module-level
     PRECISION notes: "highest" = exact f32 contract, "default" = one bf16
-    pass, A/B-adopted only under the conformance gate)."""
+    pass, A/B-adopted only under the conformance gate).
+
+    direct1 compiles an extra cnt == 1 branch that evaluates the chain as
+    straight SSA dataflow (no fori_loop, no carried winner state) — see
+    _default_direct1.  Groups with cnt != 1 take the standard loop; the
+    branch is selected per grid cell from the prefetched counts.
+    Bit-identical by construction (identical candidate algebra and winner
+    ordering, identical miss-ray init values)."""
     neg = _EMIT_NEG_INIT[emit]
     nbufs = _EMIT_NBUFS[emit]
     prec = _PREC_MAP[precision]
@@ -614,26 +648,67 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
             for k, r0 in enumerate(r0s):
                 finalize(states[k], r0)
 
-        @pl.when(cnt > 0)
-        def _run_batches():
-            if tri6_ref is not None:
-                def fill(j, _):
-                    mm = (tri_ref[0, j] if ray_feats == RAY_FEATS
-                          else tri_ref[0, j, 0:8, :])
-                    tri6_ref[j] = _stack6_b(mm)
-                    return 0
+        def run_chains_direct(r0s):
+            # cnt == 1 specialisation: init -> ONE row step -> finalize
+            # means the row-0 candidates ARE the final winner state, so
+            # the whole chain is SSA dataflow with no loop-carried
+            # (RS, 128) buffers (the ~1.46 us/step register-pressure cost
+            # in the per-step dissection).  Algebra is the standard path
+            # at cnt == 1 verbatim: okk = ok & (t < init-inf), buffers
+            # select between the candidate and their init value, and the
+            # finalize argmin/onehot is byte-for-byte finalize()'s —
+            # bit-identical including miss rays.
+            fts = [
+                _stack6_a(rays_ref[:, pl.ds(r0, RS)]) if f32x1
+                else rays_ref[:, pl.ds(r0, RS)]
+                for r0 in r0s
+            ]
+            mm = (tri6_ref[0] if tri6_ref is not None
+                  else tri_ref[0, 0] if ray_feats == RAY_FEATS
+                  else tri_ref[0, 0, 0:8, :])
+            if f32x1 and tri6_ref is None:
+                mm = _stack6_b(mm)
+            hi1 = tri_ref[0, 0, 8:16, 0:KERNEL_LEAF]
+            hi2 = (tri_ref[0, 0, 8:16, KERNEL_LEAF:2 * KERNEL_LEAF]
+                   if emit != "bary" else None)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (RS, KERNEL_LEAF), 1)
+            for k, ft in enumerate(fts):
+                p = jax.lax.dot_general(
+                    ft, mm, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )  # (RS, 512)
+                ok, vals = _row_candidates(
+                    p, hi1, hi2, emit,
+                    approx_inv=(precision == "default"))
+                okk = ok & (vals[0] < big)
+                bt = jnp.where(okk, vals[0], big)
+                tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)
+                cand = jnp.where(bt == tmin_l, lane, KERNEL_LEAF)
+                first = jnp.min(cand, axis=1, keepdims=True)
+                onehot = lane == first
+                r0 = r0s[k]
+                out_ref[0:1, pl.ds(r0, RS)] = jnp.where(
+                    jnp.isfinite(tmin_l), tmin_l, big
+                ).reshape(1, RS)
+                for i in range(1, nbufs):
+                    init = jnp.float32(-1.0 if i in neg else 0.0)
+                    sel = jnp.where(okk, vals[i], init)
+                    val = jnp.sum(jnp.where(onehot, sel, 0.0),
+                                  axis=1, keepdims=True)
+                    out_ref[i:i + 1, pl.ds(r0, RS)] = val.reshape(1, RS)
 
-                jax.lax.fori_loop(0, cnt, fill, 0)
+        def batch_loop(chain_fn):
             if ub == 1:
                 def one(rbi, _):
-                    run_chains([pl.multiple_of(rbi * RS, RS)])
+                    chain_fn([pl.multiple_of(rbi * RS, RS)])
                     return 0
 
                 jax.lax.fori_loop(0, nb, one, 0)
             else:
                 def super_step(sbi, _):
                     base = sbi * ub
-                    run_chains([
+                    chain_fn([
                         pl.multiple_of((base + k) * RS, RS)
                         for k in range(ub)
                     ])
@@ -642,9 +717,37 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
                 jax.lax.fori_loop(0, nb // ub, super_step, 0)
                 # static tail: the batches ub doesn't divide run single-chain
                 for k in range(nb % ub):
-                    run_chains(
+                    chain_fn(
                         [pl.multiple_of(((nb // ub) * ub + k) * RS, RS)]
                     )
+
+        def fill_scratch(nrows):
+            def fill(j, _):
+                mm = (tri_ref[0, j] if ray_feats == RAY_FEATS
+                      else tri_ref[0, j, 0:8, :])
+                tri6_ref[j] = _stack6_b(mm)
+                return 0
+
+            jax.lax.fori_loop(0, nrows, fill, 0)
+
+        if direct1:
+            @pl.when(cnt == 1)
+            def _run_single():
+                if tri6_ref is not None:
+                    fill_scratch(1)
+                batch_loop(run_chains_direct)
+
+            @pl.when(cnt > 1)
+            def _run_multi():
+                if tri6_ref is not None:
+                    fill_scratch(cnt)
+                batch_loop(run_chains)
+        else:
+            @pl.when(cnt > 0)
+            def _run_batches():
+                if tri6_ref is not None:
+                    fill_scratch(cnt)
+                batch_loop(run_chains)
 
     return kernel
 
@@ -863,7 +966,7 @@ def run_rows_occlusion(
 @functools.partial(
     jax.jit,
     static_argnames=("ng", "nrb", "rb_size", "rmax", "emit", "unroll_b",
-                     "ray_feats", "precision"),
+                     "ray_feats", "precision", "direct1"),
 )
 def run_packed_tracer(
     row_counts: jnp.ndarray,  # (NG,) int32 payload rows per group
@@ -877,6 +980,7 @@ def run_packed_tracer(
     unroll_b: Optional[int] = None,
     ray_feats: int = RAY_FEATS,
     precision: Optional[str] = None,
+    direct1: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Returns PLANAR (8, R) rows; t = +inf on miss.  Row layout by emit:
     "bary": [t, u, v, slot-id, 0...] (barycentrics; the epilogue resolves
@@ -906,7 +1010,11 @@ def run_packed_tracer(
 
     precision: "highest" (exact f32) or "default" (one bf16 MXU pass);
     None uses the module PRECISION default (tuning-adopted — see the
-    module-level notes on the accuracy contract)."""
+    module-level notes on the accuracy contract).
+
+    direct1: compile the cnt == 1 SSA fast path next to the standard loop
+    (bit-identical — see _default_direct1; None uses the tuning-adopted
+    DIRECT1 default)."""
     # the payload's affine-ness is tracked only by the flag the callers
     # thread through — catch the forgotten-flag mix-up structurally (shapes
     # are static under jit, so this is free)
@@ -918,6 +1026,8 @@ def run_packed_tracer(
         f"would go untraced)")
     if unroll_b is None:
         unroll_b = UNROLL_B
+    if direct1 is None:
+        direct1 = DIRECT1
     assert unroll_b >= 1, (
         f"unroll_b={unroll_b} must be >= 1 (ub < 1 traces zero ray "
         f"batches and emits uninitialised frames)")
@@ -954,7 +1064,8 @@ def run_packed_tracer(
         ),
     )
     return pl.pallas_call(
-        _make_packed_kernel(emit, unroll_b, ray_feats, precision),
+        _make_packed_kernel(emit, unroll_b, ray_feats, precision,
+                            direct1=direct1),
         out_shape=jax.ShapeDtypeStruct((OUT_COMPS, rays.shape[1]), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),

@@ -384,6 +384,109 @@ def test_packed_tracer_unroll_bit_identical(emit):
         np.testing.assert_array_equal(base, run(ub))
 
 
+@pytest.mark.parametrize("emit", ["bary", "uv", "uvs", "flat"])
+def test_packed_tracer_direct1_bit_identical(emit):
+    """The cnt == 1 SSA fast path (mm_tracer._make_packed_kernel direct1)
+    must be bit-identical to the standard loop: identical candidate
+    algebra, winner order, and miss-ray init values.  The plan must mix
+    cnt == 1 groups (which take the new branch) with cnt > 1 groups and
+    empty groups (which must keep standard behavior) for the contract to
+    mean anything — asserted below.  The tools/tpu_session.py direct1
+    A/B adopts on speed alone on the strength of this test."""
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    scene = make_big_scene(n_boxes=60, seed=5)
+    splan = P.scene_plan(scene)
+    # 20 deg acceptance: the 16-omm plan mixes empty, 1-row and 2-row
+    # groups (asserted below) so every branch of the kernel executes
+    omms_np = ommatidia_to_array(make_sphere_eye(16, acceptance_deg=20.0))
+    samples = 640
+    eplan = P.eye_plan(omms_np, samples)
+    omms_p = jnp.asarray(omms_np[eplan.perm])
+    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    kcand, rmax = P._plan_widths(
+        splan, eplan, omms_p, pos, ls, (eplan.sig, samples, b"direct1-test"))
+    rc, pmm, _, _ = P._pack_fused(
+        splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+        splan.half_center, splan.half_radius, omms_p, pos, ls,
+        g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=4.0,
+        tri_cl=splan.slot_tri_cl)
+    rc_np = np.asarray(rc)
+    assert (rc_np == 1).any(), "plan must exercise the direct branch"
+    assert (rc_np > 1).any(), "plan must exercise the loop fallback"
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+    splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
+    spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
+    rays, _, _ = P._gen_ray_features(
+        omms_p, pos, ls, splay, spin, samples=samples,
+        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+
+    def run(d1, ub=1, precision=None):
+        return np.asarray(run_packed_tracer(
+            rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
+            rb_size=eplan.rb_size, rmax=rmax, emit=emit, unroll_b=ub,
+            direct1=d1, precision=precision))
+
+    base = run(False)
+    assert np.isfinite(base[0]).any(), "test must produce real hits"
+    assert (~np.isfinite(base[0])).any(), "test must produce miss rays"
+    np.testing.assert_array_equal(base, run(True))
+    # unrolled chains and the f32x1 stacked-split prologue share the
+    # direct branch -- pin those shapes too
+    np.testing.assert_array_equal(base, run(True, ub=2))
+    np.testing.assert_array_equal(
+        run(False, precision="f32x1"), run(True, precision="f32x1"))
+
+
+def test_packed_tracer_direct1_affine_bit_identical():
+    """direct1 under the affine ray path (ray_feats=8, origin folded into
+    the payload): same bit-identity contract as the planar path."""
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    scene = make_big_scene(n_boxes=60, seed=5)
+    splan = P.scene_plan(scene)
+    omms_np = ommatidia_to_array(make_sphere_eye(16, acceptance_deg=4.0))
+    samples = 640
+    eplan = P.eye_plan(omms_np, samples)
+    assert eplan.g == 1, "affine path needs one omm per group"
+    omms_p = jnp.asarray(omms_np[eplan.perm])
+    pos = jnp.asarray([0.0, 2.0, 0.0], jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    kcand, rmax = P._plan_widths(
+        splan, eplan, omms_p, pos, ls,
+        (eplan.sig, samples, b"direct1-affine"))
+    rc, pmm, _, _ = P._pack_fused(
+        splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+        splan.half_center, splan.half_radius, omms_p, pos, ls,
+        g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=4.0,
+        tri_cl=splan.slot_tri_cl, affine=True)
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+    splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
+    spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
+    rays, _, _ = P._gen_ray_features(
+        omms_p, pos, ls, splay, spin, samples=samples,
+        ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size,
+        affine=True)
+    assert rays.shape[0] == 8
+
+    def run(d1):
+        return np.asarray(run_packed_tracer(
+            rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
+            rb_size=eplan.rb_size, rmax=rmax, emit="uv",
+            ray_feats=8, direct1=d1))
+
+    base = run(False)
+    assert np.isfinite(base[0]).any(), "test must produce real hits"
+    np.testing.assert_array_equal(base, run(True))
+
+
 def test_packed_tracer_batch_rays_bit_identical(monkeypatch):
     """BATCH_RAYS only regroups rays into in-kernel step sizes (rb_size
     rounds up to it, so plans differ); every REAL ray's winner sequence is

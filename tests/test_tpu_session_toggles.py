@@ -414,6 +414,58 @@ def test_unroll8_restores_on_mid_ab_failure(sandbox, monkeypatch):
     assert "unroll8_frame_ms" not in json.load(open(sandbox))
 
 
+# ---- direct1 stage (cnt==1 SSA fast-path adoption) --------------------
+
+
+def test_direct1_adopts_measured_win(sandbox, monkeypatch):
+    monkeypatch.setattr(mm, "DIRECT1", False)
+    monkeypatch.setattr(ts, "_SESSION_START_DIRECT1", False)
+    monkeypatch.setattr(ts.bench, "time_frames",
+                        lambda r, samples, reps, warmup=3: (1.0, 0.0, 0.5))
+    ts._adopt_direct1({"natural": {False: 10.0, True: 8.0},
+                       "ofstad": {False: 50.0, True: 35.0}})
+    assert mm.DIRECT1 is True
+    tuning = json.load(open(sandbox))
+    assert tuning["direct1"] is True
+    assert tuning["direct1_kernel_ms"]["ofstad"] == {"off": 50.0, "on": 35.0}
+    assert ts._TUNING_DIRTY is True
+
+
+def test_direct1_rejects_wash(sandbox, monkeypatch):
+    monkeypatch.setattr(mm, "DIRECT1", False)
+    monkeypatch.setattr(ts, "_SESSION_START_DIRECT1", False)
+    ts._adopt_direct1({"natural": {False: 10.0, True: 9.9}})
+    assert mm.DIRECT1 is False
+    tuning = json.load(open(sandbox))
+    assert tuning["direct1"] is False  # measurement recorded, not adopted
+    assert ts._TUNING_DIRTY is False
+
+
+def test_direct1_reverts_stale_adoption(sandbox, monkeypatch):
+    """A re-measured regression must revert a previously-adopted direct1
+    (the always-write contract shared with unroll/affine)."""
+    with open(sandbox, "w") as f:
+        json.dump({"direct1": True}, f)
+    monkeypatch.setattr(mm, "DIRECT1", True)
+    monkeypatch.setattr(ts, "_SESSION_START_DIRECT1", True)
+    ts._adopt_direct1({"natural": {False: 10.0, True: 11.0}})
+    assert mm.DIRECT1 is False
+    assert json.load(open(sandbox))["direct1"] is False
+    assert ts._TUNING_DIRTY is True  # bench artifacts used the old mode
+
+
+def test_direct1_bit_identity_failure_poisons_adoption(sandbox, monkeypatch):
+    """run_direct1 poisons a scene's 'on' time to inf when the on-hardware
+    bit-identity check fails; the adopt helper must then never adopt, no
+    matter how fast the other scene measured."""
+    monkeypatch.setattr(mm, "DIRECT1", False)
+    monkeypatch.setattr(ts, "_SESSION_START_DIRECT1", False)
+    ts._adopt_direct1({"natural": {False: 10.0, True: 1.0},
+                       "ofstad": {False: 50.0, True: float("inf")}})
+    assert mm.DIRECT1 is False
+    assert json.load(open(sandbox))["direct1"] is False
+
+
 def _fake_sky_gate(monkeypatch, worst=0.55, fail=False):
     import tools.conformance_report as cr
 

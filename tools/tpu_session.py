@@ -121,6 +121,7 @@ import compound_ray_tpu.trace.mm_tracer as _mm  # noqa: E402
 import compound_ray_tpu.eye.pipeline as _pl  # noqa: E402
 
 _SESSION_START_UNROLL = _mm.UNROLL_B
+_SESSION_START_DIRECT1 = _mm.DIRECT1
 _SESSION_START_PRECISION = _mm.PRECISION
 _SESSION_START_FAST_EQUIRECT = _pl.FAST_EQUIRECT
 
@@ -374,6 +375,136 @@ def _adopt_unroll(results):
         mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
         n_omms = r.get_current_eye_ommatidial_count()
         log(f"UNROLL-HEADLINE {name} @{SAMPLES}: {pipe:.2f} ms pipelined "
+            f"({n_omms * SAMPLES / pipe * 1000.0:.3e} rays/s; "
+            f"latency {mean_ms:.2f} ms)")
+
+
+def run_direct1():
+    """cnt == 1 SSA fast-path A/B (mm_tracer direct1): kernel-differential
+    timing with explicit direct1= args on both bench scenes (the flag is a
+    jit static, so the A/B never trusts a module-global flip), plus a
+    NaN-safe bit-identity check.  Bit-identical by construction
+    (tests/test_pallas_tracer.py direct1 tests), so adoption is on speed
+    alone: a >=3% geomean kernel win writes "direct1": true into
+    artifacts/tuning.json, flips mm.DIRECT1 for the rest of the batch
+    (with jax.clear_caches() so frame programs retrace), and re-measures
+    the full-frame headline."""
+    from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    sigmas = get_config().cull_sigmas
+    results = {}
+    for name, build in (("natural", bench.build_renderer),
+                        ("ofstad", bench.build_ofstad_renderer)):
+        built = build()
+        r = built[0] if isinstance(built, tuple) else built
+        if r is None:
+            continue
+        scene = r.scene
+        cam = r.current_camera()
+        splan = P.scene_plan(scene)
+        omms_np = cam.ommatidia
+        samples = SAMPLES
+        eplan = P.eye_plan(omms_np, samples)
+        omms_p = jnp.asarray(omms_np[eplan.perm])
+        pos = jnp.asarray(np.asarray(cam.position, np.float32))
+        ls = jnp.eye(3, dtype=jnp.float32)
+        kcand, rmax = P._plan_widths(
+            splan, eplan, omms_p, pos, ls,
+            (eplan.sig, samples, b"direct1-ab"))
+        rc, pmm, _, _ = P._pack_fused(
+            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+            splan.half_center, splan.half_radius, omms_p, pos, ls,
+            g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=sigmas,
+            tri_cl=splan.slot_tri_cl)
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+        splay = jax.random.normal(k1, (omms_p.shape[0], samples)) * sd[:, None]
+        spin = jax.random.uniform(k2, (omms_p.shape[0], samples)) * jnp.pi
+        rays, _, _ = P._gen_ray_features(
+            omms_p, pos, ls, splay, spin, samples=samples,
+            ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+        rays = jax.device_put(rays)
+        emit = "uvs" if splan.tex_static is not None else (
+            "uv" if splan.tex_only else "bary")
+        cnt1 = float((np.asarray(rc) == 1).mean())
+        log(f"DIRECT1 {name}: cnt==1 groups {cnt1:.1%} of {len(np.asarray(rc))}")
+        base = None
+        for d1 in (False, True):
+            def go():
+                return run_packed_tracer(
+                    rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
+                    rb_size=eplan.rb_size, rmax=rmax, emit=emit,
+                    direct1=d1)
+            out = go()
+            _ = jax.device_get(out[0, :8])  # tunnel-safe sync
+            times = []
+            for _i in range(REPS):
+                t0 = time.perf_counter()
+                out = go()
+                _ = jax.device_get(out[0, :8])
+                times.append((time.perf_counter() - t0) * 1000.0)
+            ms = float(np.median(times))
+            results.setdefault(name, {})[d1] = ms
+            log(f"DIRECT1 {name} emit={emit} rmax={rmax} direct1={d1}: "
+                f"{ms:.2f} ms/kernel")
+            if not d1:
+                base = np.asarray(out)
+            else:
+                o = np.asarray(out)
+                same = bool(((base == o)
+                             | (np.isnan(base) & np.isnan(o))).all())
+                log(f"  bit-identical vs standard: {same}")
+                if not same:
+                    log("DIRECT1 BIT-IDENTITY FAILED on hardware -- "
+                        "not adopting")
+                    results[name][True] = float("inf")
+    _adopt_direct1(results)
+
+
+def _adopt_direct1(results):
+    """Adopt direct1 on a >=3% geomean kernel win (bit-identity verified
+    per scene in run_direct1; an on-hardware mismatch poisons the ratio
+    to inf so adoption is impossible)."""
+    ratios = [t[True] / t[False] for t in results.values()
+              if True in t and False in t]
+    if not ratios:
+        return
+    g = float(np.exp(np.mean(np.log(ratios))))
+    log(f"DIRECT1 geomean kernel ratio {g:.3f}x vs standard loop")
+    import compound_ray_tpu.trace.mm_tracer as mm
+    from compound_ray_tpu.config import load_tuning
+
+    adopt = g < 0.97
+    tuning = load_tuning()
+    tuning["direct1"] = adopt
+    tuning["direct1_kernel_ms"] = {
+        k: {("on" if a else "off"): ms for a, ms in v.items()}
+        for k, v in results.items()}
+    with open(mm.TUNING_PATH, "w") as f:
+        json.dump(tuning, f, indent=1)
+    global _TUNING_DIRTY
+    if mm.DIRECT1 != adopt:
+        mm.DIRECT1 = adopt
+        jax.clear_caches()
+    if adopt != _SESSION_START_DIRECT1:
+        _TUNING_DIRTY = True
+    log(f"DIRECT1 {'ADOPTED' if adopt else 'NOT adopted'} ({g:.3f}x): "
+        f"artifacts/tuning.json updated")
+    if not adopt:
+        return
+    for name, build in (("natural", bench.build_renderer),
+                        ("ofstad", bench.build_ofstad_renderer)):
+        built = build()
+        r = built[0] if isinstance(built, tuple) else built
+        if r is None:
+            continue
+        r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+        mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
+        n_omms = r.get_current_eye_ommatidial_count()
+        log(f"DIRECT1-HEADLINE {name} @{SAMPLES}: {pipe:.2f} ms pipelined "
             f"({n_omms * SAMPLES / pipe * 1000.0:.3e} rays/s; "
             f"latency {mean_ms:.2f} ms)")
 
@@ -1308,7 +1439,8 @@ def run_scale():
 
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
-        "bench", "anatomy", "lit", "conformance", "unroll", "affine", "precision", "equirect", "sky", "rebench",
+        "bench", "anatomy", "lit", "conformance", "unroll", "direct1",
+        "affine", "precision", "equirect", "sky", "rebench",
         "shadow", "shadow_prec", "shadow_rs", "scale", "unroll8",
         "batch_rays"}
     t0 = time.time()
@@ -1316,6 +1448,7 @@ if __name__ == "__main__":
     # wedge cannot cost the tuned headline; slow diagnostics last
     for name, fn in (("bench", run_bench),
                      ("unroll", run_unroll),
+                     ("direct1", run_direct1),
                      ("affine", run_affine),
                      ("precision", run_precision),
                      ("equirect", run_equirect),
