@@ -154,12 +154,26 @@ def pose_sweep(r, samples: int = 100, n_poses: int = 20, seed: int = 0):
         cam.set_position(tuple(p))
         r.render_frame()
     seq_ms = (time.perf_counter() - t0) * 1000.0 / n_poses
+    # pose STREAM: one-pose-at-a-time dispatch (fresh plan/cull/pack per
+    # pose, exactly like the sequential loop) but pipelined — no per-pose
+    # sync; every deferred width check resolves in the terminal sync's
+    # single transfer.  This is the per-pose analogue of the headline's
+    # pipelined frame protocol; `sequential` keeps the per-pose sync and
+    # so carries a ~26 ms tunnel round trip per pose that a local PJRT
+    # deployment would not pay (closed-loop floor).
+    poses2 = base[None, :] + rng.uniform(-0.5, 0.5, (n_poses, 3))
+    t0 = time.perf_counter()
+    for p in poses2:
+        cam.set_position(tuple(p))
+        r.render_frame(sync=False)
+    r.sync()
+    stream_ms = (time.perf_counter() - t0) * 1000.0 / n_poses
     pose_list = [(tuple(p), np.eye(3)) for p in poses]
     r.render_batch_poses(pose_list)  # warm the folded-eye plan + kernel
     t0 = time.perf_counter()
     r.render_batch_poses(pose_list)
     bat_ms = (time.perf_counter() - t0) * 1000.0 / n_poses
-    return seq_ms, bat_ms
+    return seq_ms, stream_ms, bat_ms
 
 
 LKG_PATH = os.path.join(os.path.dirname(__file__), "artifacts",
@@ -453,13 +467,16 @@ def run_protocol():
     if (os.environ.get("BENCH_POSES", "1") != "0"
             and time.time() - t_start < budget_s):
         n_poses = int(os.environ.get("BENCH_N_POSES", "20"))
-        seq_ms, bat_ms = pose_sweep(r, samples=100, n_poses=n_poses)
+        seq_ms, stream_ms, bat_ms = pose_sweep(r, samples=100,
+                                               n_poses=n_poses)
         detail["pose_sweep"] = {
             "samples": 100, "poses": n_poses,
             "sequential_ms_per_pose": round(seq_ms, 3),
+            "stream_ms_per_pose": round(stream_ms, 3),
             "batched_ms_per_pose": round(bat_ms, 3),
         }
         print(f"# pose sweep @100: {seq_ms:.2f} ms/pose sequential, "
+              f"{stream_ms:.2f} ms/pose streamed, "
               f"{bat_ms:.2f} ms/pose batched", file=sys.stderr)
 
     # secondary config: the ofstad arena (2080 Ti: 1.633 ms @3200 = 1.96e9);

@@ -103,6 +103,13 @@ class EyeRenderer:
         # lit-frame shadow-shaft audit (see _check_shadow_audit)
         self._pending_shadow_audit = None
         self._shadow_audit_warned: set = set()
+        # outstanding speculative-plan confirms (see _resolve_confirms):
+        # each record is {"splan", "pending", "pose_sig", "replay"} from a
+        # frame dispatched at an unseen pose with the width check deferred
+        # to the next sync
+        self._plan_confirms: list = []
+        self._last_plan_handle = None  # set by _render_means per dispatch
+        self._dispatch_count = 0  # compound dispatches (replay visibility)
 
     # ------------------------------------------------------------------ config
     def set_verbosity(self, v: bool) -> None:
@@ -220,39 +227,70 @@ class EyeRenderer:
             ls = np.asarray(cam.local_space, np.float32)
             s = cam.samples_per_ommatidium
             need_raw = cam.projection == "raw_ommatidial_samples"
-            if need_raw:
-                raw = self._render_raw_samples(
-                    scene_dev, omms_np, omms, pos, ls, key, s, background, lights
-                )
-                self._raw_samples = raw
-                self._device_means = jnp.mean(raw, axis=0)
-            else:
-                self._raw_samples = None
-                self._device_means = self._render_means(
-                    scene_dev, omms_np, pos, ls, key, s, background, lights
-                )
-            outputs.append(self._device_means)
-            self._camera_data = None  # lazily fetched in get_camera_data
-            cam.rng_frame += 1
+            # a frame dispatched at THIS pose may still have its width
+            # check outstanding (a previous unsynced dispatch): resolve
+            # before re-planning, so the memoised plan is committed and
+            # this frame doesn't speculatively re-pack the same pose
+            pose_sig = (pos.tobytes(), ls.tobytes())
+            if any(rec["pose_sig"] == pose_sig for rec in self._plan_confirms):
+                self._resolve_confirms()
 
-            if self.require_noncompound_pipeline and self.width * self.height > 0:
-                raw_in = (
-                    self._raw_samples
-                    if self._raw_samples is not None
-                    else jnp.zeros((1, omms.shape[0], 3), jnp.float32)
-                )
-                frame = project_frame(
-                    cam.projection,
-                    self._device_means,
-                    raw_in,
-                    omm_pos,
-                    omm_dir,
-                    self.width,
-                    self.height,
-                )
-                outputs.append(frame)
-                self._device_frame = frame
-                self._frame_buffer = None  # fetched lazily by get_frame_pointer
+            def dispatch(force_exact: bool = False):
+                """Means (+ optional projection) for this frame's key; the
+                replay path re-runs it with force_exact=True when a
+                deferred width check failed (identical key => identical
+                result to the exact plan)."""
+                outs = []
+                self._last_plan_handle = None  # only the pallas means path sets it
+                if need_raw:
+                    raw = self._render_raw_samples(
+                        scene_dev, omms_np, omms, pos, ls, key, s,
+                        background, lights
+                    )
+                    self._raw_samples = raw
+                    self._device_means = jnp.mean(raw, axis=0)
+                else:
+                    self._raw_samples = None
+                    self._device_means = self._render_means(
+                        scene_dev, omms_np, pos, ls, key, s, background,
+                        lights, force_exact=force_exact
+                    )
+                outs.append(self._device_means)
+                self._camera_data = None  # lazily fetched in get_camera_data
+                if (self.require_noncompound_pipeline
+                        and self.width * self.height > 0):
+                    raw_in = (
+                        self._raw_samples
+                        if self._raw_samples is not None
+                        else jnp.zeros((1, omms.shape[0], 3), jnp.float32)
+                    )
+                    frame = project_frame(
+                        cam.projection,
+                        self._device_means,
+                        raw_in,
+                        omm_pos,
+                        omm_dir,
+                        self.width,
+                        self.height,
+                    )
+                    outs.append(frame)
+                    self._device_frame = frame
+                    self._frame_buffer = None  # lazy in get_frame_pointer
+                return outs
+
+            outputs = dispatch()
+            self._dispatch_count += 1
+            handle = self._last_plan_handle
+            self._last_plan_handle = None
+            if handle is not None:
+                self._plan_confirms.append(dict(
+                    splan=handle[0], pending=handle[1], pose_sig=pose_sig,
+                    replay=dispatch, dispatch_id=self._dispatch_count))
+                # bound outstanding speculative packs (each pins its
+                # payload on device until confirmed)
+                if len(self._plan_confirms) >= 32:
+                    self._resolve_confirms()
+            cam.rng_frame += 1
         else:
             if self.require_noncompound_pipeline and self.width * self.height > 0:
                 # param stays host-side: the Pallas fast path plans its
@@ -297,18 +335,69 @@ class EyeRenderer:
         outs = getattr(self, "_last_outputs", None)
         if outs:
             self._sync_one(outs[-1])
+        elif self._plan_confirms:
+            self._resolve_confirms()
 
     def _sync_one(self, out) -> None:
         """One terminal sync: fetch a single element — and the pending
-        shadow audit, if any, in the SAME transfer, so a synced lit frame
-        pays exactly one tunnel round trip (~26 ms each)."""
+        shadow audit and every outstanding speculative-plan confirm in the
+        SAME transfer, so a synced frame pays exactly one tunnel round
+        trip (~26 ms each) even at a fresh pose.  A failed confirm (the
+        speculative pack truncated) replays its frame with an exact plan
+        and re-syncs — rare, and the high-water widths only grow, so it
+        self-extinguishes over a pose sweep."""
         audit = getattr(self, "_pending_shadow_audit", None)
-        if audit is None:
-            jax.device_get(out.ravel()[0])
-            return
         self._pending_shadow_audit = None
-        _, audit_host = jax.device_get((out.ravel()[0], audit))
-        self._check_shadow_audit(audit_host)
+        confirms = self._plan_confirms
+        self._plan_confirms = []
+        items = [out.ravel()[0]]
+        if audit is not None:
+            items.append(audit)
+        items.extend(rec["pending"]["need"] for rec in confirms)
+        host = jax.device_get(tuple(items))
+        pos = 1
+        if audit is not None:
+            self._check_shadow_audit(host[pos])
+            pos += 1
+        self._finish_confirms(confirms, host[pos:], synced=True)
+
+    def _resolve_confirms(self) -> None:
+        """Resolve outstanding width checks NOW (needs-only fetch — waits
+        for the packs, not the frames).  Called before re-planning a pose
+        that still has its check in flight, and as the outstanding-pack
+        bound in render_frame."""
+        confirms = self._plan_confirms
+        self._plan_confirms = []
+        if not confirms:
+            return
+        host = jax.device_get(
+            tuple(rec["pending"]["need"] for rec in confirms))
+        self._finish_confirms(confirms, host, synced=False)
+
+    def _finish_confirms(self, confirms, needs_host, synced: bool) -> None:
+        """Commit validated speculative plans; replay a truncated one.
+
+        Only a failure from the MOST RECENT dispatch is replayed: every
+        earlier frame's buffers were already overwritten by later
+        dispatches, so its (truncated) means are unobservable through
+        this API — its plan simply stays uncommitted and the pose
+        replans exactly on its next visit."""
+        from compound_ray_tpu.eye.pipeline import _confirm_pending
+
+        failed = [rec for rec, need in zip(confirms, needs_host)
+                  if not _confirm_pending(rec["splan"], rec["pending"],
+                                          need_host=need)]
+        replay = [rec for rec in failed
+                  if rec["dispatch_id"] == self._dispatch_count]
+        if len(failed) > len(replay):
+            self._log(f"{len(failed) - len(replay)} overwritten speculative "
+                      f"frame(s) overflowed; their poses replan on revisit")
+        for rec in replay:
+            self._log("speculative plan overflowed; re-rendering exactly")
+            outs = rec["replay"](force_exact=True)
+            self._last_outputs = outs
+        if replay and synced:
+            jax.device_get(self._last_outputs[-1].ravel()[0])
 
     def _check_shadow_audit(self, audit_host) -> None:
         """Surface the lit-frame shadow-shaft audit (ADVICE r3): hits
@@ -526,7 +615,8 @@ class EyeRenderer:
             self.lighting, jnp.asarray(lights) if lights is not None else None,
         )
 
-    def _render_means(self, scene_dev, omms_np, pos, ls, key, samples, background, lights):
+    def _render_means(self, scene_dev, omms_np, pos, ls, key, samples,
+                      background, lights, force_exact=False):
         """Dispatch: sharded mesh > Pallas kernel > culled XLA > brute force."""
         from compound_ray_tpu.config import get_config
 
@@ -559,12 +649,17 @@ class EyeRenderer:
             # payloads memoised per (pose, lights) from the probed hit
             # points (eye/pipeline._shadow_plan)
             lit = self.lighting and lights is not None
-            out = render_means_pallas(
+            out, handle = render_means_pallas(
                 self.scene, scene_dev, omms_np, pos, ls, key, samples,
                 background,
                 lights=(lights if lit else None),
                 shadow_audit=lit,
+                force_exact=force_exact,
+                # the width check rides the frame's own sync transfer
+                # (render_frame collects the handle; _sync_one resolves)
+                defer_confirm=True,
             )
+            self._last_plan_handle = handle
             if lit:
                 means, audit = out
                 self._pending_shadow_audit = audit  # fetched lazily at sync

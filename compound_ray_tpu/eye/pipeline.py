@@ -1489,12 +1489,16 @@ def _packed_put(splan, pk, out, cfg):
     splan.packed_store[pk] = out
 
 
-def _confirm_pending(splan, pending) -> bool:
+def _confirm_pending(splan, pending, need_host=None) -> bool:
     """Resolve a deferred speculative-pack check: fetch the pack's need
     counters (ONE host sync — issued after the frame dispatch, so it
     overlaps frame execution) and commit the width/payload memo entries on
     success.  False = the pack truncated; the caller must re-plan exactly
     and re-render.
+
+    need_host: the already-fetched counter pair, for callers that folded
+    the fetch into another transfer (api.renderer._sync_one batches every
+    outstanding confirm plus the frame sync into ONE ~26 ms round trip).
 
     When the frame was served through a provisional SKY plan
     (pending["sky_commit"], set by _plan_frame), a validated pack commits
@@ -1502,7 +1506,9 @@ def _confirm_pending(splan, pending) -> bool:
     that pose never touches packed_store again (the short-circuit), so
     persisting the dense pack would only double the pose's HBM footprint
     — exactly the round-4 conformance-gate OOM."""
-    nk, nr = (int(v) for v in np.asarray(jax.device_get(pending["need"])))
+    if need_host is None:
+        need_host = jax.device_get(pending["need"])
+    nk, nr = (int(v) for v in np.asarray(need_host))
     if nk <= pending["kcand"] and nr <= pending["rmax"]:
         splan.kmax_cache[pending["wkey"]] = (pending["kcand"],
                                              pending["rmax"])
@@ -2392,6 +2398,8 @@ def render_means_pallas(
     background: int,
     lights: Optional[np.ndarray] = None,  # (L,7) host rows enable lighting
     shadow_audit: bool = False,  # lit frames: also return leak counts
+    force_exact: bool = False,
+    defer_confirm: bool = False,
 ) -> jnp.ndarray:
     """Full Pallas frame; returns (N,3) means in original ommatidium order.
 
@@ -2404,13 +2412,29 @@ def render_means_pallas(
     With `shadow_audit` and lighting on, returns (means, audit) where
     audit = [out-of-shaft hits, total hits] (int32 device scalars): hits
     outside their group's memoised shadow shaft saw only shaft-local
-    occluders and may have leaked light (SHADOW_BOUND_INFLATE note)."""
+    occluders and may have leaked light (SHADOW_BOUND_INFLATE note).
+
+    defer_confirm hands the speculative-pack check to the CALLER instead
+    of resolving it here: the return becomes (means, handle) with handle
+    None (nothing to confirm) or (splan, pending) to pass through
+    _confirm_pending.  A False confirm means the means are truncated —
+    the caller must re-render with force_exact=True and the same key.
+    This is how api.renderer folds the check into the frame's own sync
+    transfer, making a fresh pose cost ONE tunnel round trip instead of
+    two (the closed-loop/GA sequential-pose path)."""
     audit_on = shadow_audit and lights is not None
     kwargs, eplan, (splan, pending) = _plan_frame(
         scene_flat, scene_dev, ommatidia_np, position, local_space, key,
-        samples, background, lights, defer_check=True,
+        samples, background, lights, defer_check=(not force_exact),
+        force_exact=force_exact,
     )
     means_p = _render_frame(key=key, shadow_audit=audit_on, **kwargs)
+    if defer_confirm:
+        handle = None if pending is None else (splan, pending)
+        if audit_on:
+            means_p, audit = means_p
+            return (means_p[eplan.inv_valid_dev], audit), handle
+        return means_p[eplan.inv_valid_dev], handle
     if pending is not None and not _confirm_pending(splan, pending):
         kwargs, eplan, _ = _plan_frame(
             scene_flat, scene_dev, ommatidia_np, position, local_space,

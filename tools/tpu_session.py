@@ -379,6 +379,124 @@ def _adopt_unroll(results):
             f"latency {mean_ms:.2f} ms)")
 
 
+def run_timing():
+    """Transport/method calibration (round-5): the same computation timed
+    three ways so kernel/frame numbers from different stages can be
+    reconciled.  Writes artifacts/timing.json:
+      * rtt_ms           — device_get of an already-computed scalar
+      * dispatch_ms      — tiny jit, pipelined x50 (host dispatch floor)
+      * kernel_sync/pipe — production packed-tracer kernel per scene,
+                           per-rep-synced median vs pipelined x10
+      * frame_disp/scan  — full frame as N unsynced render_frame dispatches
+                           + one sync, vs render_frames_pipelined(N) (the
+                           lax.scan burst the headline uses).  A gap here
+                           means the headline protocol itself is leaving
+                           frame time on the table."""
+    from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    out = {}
+    # --- rtt: fetch a ready scalar
+    x = jnp.ones((8,), jnp.float32) + 1.0
+    _ = jax.device_get(x[0])
+    ts = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        _ = jax.device_get(x[0])
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    out["rtt_ms"] = float(np.median(ts))
+    log(f"TIMING rtt {out['rtt_ms']:.2f} ms")
+
+    # --- dispatch floor: tiny jit, pipelined
+    tiny = jax.jit(lambda v: v + 1.0)
+    _ = jax.device_get(tiny(x)[0])
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(50):
+        y = tiny(y)
+    _ = jax.device_get(y[0])
+    out["dispatch_ms"] = (time.perf_counter() - t0) * 1000.0 / 50
+    log(f"TIMING dispatch {out['dispatch_ms']:.3f} ms (pipelined x50)")
+
+    sigmas = get_config().cull_sigmas
+    for name, build in (("natural", bench.build_renderer),
+                        ("ofstad", bench.build_ofstad_renderer)):
+        built = build()
+        r = built[0] if isinstance(built, tuple) else built
+        if r is None:
+            continue
+        scene = r.scene
+        cam = r.current_camera()
+        splan = P.scene_plan(scene)
+        omms_np = cam.ommatidia
+        eplan = P.eye_plan(omms_np, SAMPLES)
+        omms_p = jnp.asarray(omms_np[eplan.perm])
+        pos = jnp.asarray(np.asarray(cam.position, np.float32))
+        ls = jnp.eye(3, dtype=jnp.float32)
+        kcand, rmax = P._plan_widths(
+            splan, eplan, omms_p, pos, ls,
+            (eplan.sig, SAMPLES, b"timing"))
+        rc, pmm, _, _ = P._pack_fused(
+            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+            splan.half_center, splan.half_radius, omms_p, pos, ls,
+            g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=sigmas,
+            tri_cl=splan.slot_tri_cl)
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+        splay = jax.random.normal(k1, (omms_p.shape[0], SAMPLES)) * sd[:, None]
+        spin = jax.random.uniform(k2, (omms_p.shape[0], SAMPLES)) * jnp.pi
+        rays, _, _ = P._gen_ray_features(
+            omms_p, pos, ls, splay, spin, samples=SAMPLES,
+            ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+        rays = jax.device_put(rays)
+        emit = "uvs" if splan.tex_static is not None else (
+            "uv" if splan.tex_only else "bary")
+
+        def go():
+            return run_packed_tracer(
+                rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
+                rb_size=eplan.rb_size, rmax=rmax, emit=emit)
+
+        _ = jax.device_get(go()[0, :8])
+        ts = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            _ = jax.device_get(go()[0, :8])
+            ts.append((time.perf_counter() - t0) * 1000.0)
+        out[f"kernel_sync_ms_{name}"] = float(np.median(ts))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [go() for _ in range(10)]
+            _ = jax.device_get(outs[-1][0, :8])
+            ts.append((time.perf_counter() - t0) * 1000.0 / 10)
+        out[f"kernel_pipe_ms_{name}"] = float(np.median(ts))
+        log(f"TIMING {name} kernel: synced {out[f'kernel_sync_ms_{name}']:.2f}"
+            f" ms (incl rtt), pipelined {out[f'kernel_pipe_ms_{name}']:.2f}")
+
+        # full frame: unsynced dispatch stream vs the scan burst
+        r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+        r.set_current_eye_samples_per_ommatidium(SAMPLES)
+        for _ in range(3):
+            r.render_frame()
+        t0 = time.perf_counter()
+        for _ in range(10):
+            r.render_frame(sync=False)
+        r.sync()
+        out[f"frame_disp_ms_{name}"] = (time.perf_counter() - t0) * 100.0
+        r.render_frames_pipelined(10)
+        out[f"frame_scan_ms_{name}"] = r.render_frames_pipelined(10) / 10
+        log(f"TIMING {name} frame: dispatch-stream "
+            f"{out[f'frame_disp_ms_{name}']:.2f} ms/frame, scan burst "
+            f"{out[f'frame_scan_ms_{name}']:.2f} ms/frame")
+    out["measured"] = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    with open(os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                           "timing.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def run_direct1():
     """cnt == 1 SSA fast-path A/B (mm_tracer direct1): kernel-differential
     timing with explicit direct1= args on both bench scenes (the flag is a
@@ -440,16 +558,21 @@ def run_direct1():
                     direct1=d1)
             out = go()
             _ = jax.device_get(out[0, :8])  # tunnel-safe sync
+            # pipelined timing: K dispatches, ONE terminal sync — the
+            # per-rep-synced style charges a full ~26 ms tunnel round
+            # trip to every rep, which halves a true 5% kernel delta
+            # (round-5 session-1 lesson; artifacts/timing.json separates
+            # the transports)
             times = []
-            for _i in range(REPS):
+            for _i in range(3):
                 t0 = time.perf_counter()
-                out = go()
-                _ = jax.device_get(out[0, :8])
-                times.append((time.perf_counter() - t0) * 1000.0)
+                outs = [go() for _ in range(REPS)]
+                _ = jax.device_get(outs[-1][0, :8])
+                times.append((time.perf_counter() - t0) * 1000.0 / REPS)
             ms = float(np.median(times))
             results.setdefault(name, {})[d1] = ms
             log(f"DIRECT1 {name} emit={emit} rmax={rmax} direct1={d1}: "
-                f"{ms:.2f} ms/kernel")
+                f"{ms:.2f} ms/kernel (pipelined)")
             if not d1:
                 base = np.asarray(out)
             else:
@@ -1439,7 +1562,7 @@ def run_scale():
 
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
-        "bench", "anatomy", "lit", "conformance", "unroll", "direct1",
+        "bench", "anatomy", "lit", "conformance", "unroll", "direct1", "timing",
         "affine", "precision", "equirect", "sky", "rebench",
         "shadow", "shadow_prec", "shadow_rs", "scale", "unroll8",
         "batch_rays"}
@@ -1448,6 +1571,7 @@ if __name__ == "__main__":
     # wedge cannot cost the tuned headline; slow diagnostics last
     for name, fn in (("bench", run_bench),
                      ("unroll", run_unroll),
+                     ("timing", run_timing),
                      ("direct1", run_direct1),
                      ("affine", run_affine),
                      ("precision", run_precision),
