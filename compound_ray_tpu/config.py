@@ -93,6 +93,12 @@ class RenderConfig:
     # default-off until the TPU A/B (tools/tpu_session.py) adopts it via
     # artifacts/tuning.json.
     affine_rays: bool = False
+    # lit frames resolve winner attributes + shading basis via a one-hot
+    # MXU contraction against pose-memoised PER-GROUP local tables
+    # (pipeline._local_resolve) instead of two descriptor-rate-bound
+    # per-ray global row gathers (~16.6 + ~16 ms per 1e6 rays).
+    # Bit-identical resolve values; default on (escape hatch for A/Bs).
+    lit_local_resolve: bool = True
     # sky split (eye/pipeline SKY SPLIT notes): steady-state frames at a
     # MEMOISED pose compact the planned-live groups (row_counts > 0) and
     # serve every zero-row group — a shaft the conservative cull proved
@@ -169,6 +175,7 @@ class RenderConfig:
             "CR_TPU_SPEC_WIDTHS": ("speculative_widths", _env_bool),
             "CR_TPU_SHADOW_CHUNK": ("shadow_pack_chunk", int),
             "CR_TPU_AFFINE_RAYS": ("affine_rays", _env_bool),
+            "CR_TPU_LIT_LOCAL": ("lit_local_resolve", _env_bool),
             "CR_TPU_SKY_SPLIT": ("sky_split", _env_bool),
             "CR_TPU_SKY_QUAD_SPLAY": ("sky_quad_splay", int),
             "CR_TPU_SKY_QUAD_SPIN": ("sky_quad_spin", int),
@@ -182,6 +189,9 @@ class RenderConfig:
             cfg.affine_rays = bool(tuning["affine_rays"])
         if "sky_split" in tuning and "CR_TPU_SKY_SPLIT" not in os.environ:
             cfg.sky_split = bool(tuning["sky_split"])
+        if ("lit_local_resolve" in tuning
+                and "CR_TPU_LIT_LOCAL" not in os.environ):
+            cfg.lit_local_resolve = bool(tuning["lit_local_resolve"])
         if "shadow_rpb" in tuning and "CR_TPU_SHADOW_RPB" not in os.environ:
             cfg.shadow_rpb = int(tuning["shadow_rpb"])
         if ("shadow_batch_rays" in tuning

@@ -137,6 +137,7 @@ class ScenePlan:
     cache_store: Dict = None
     packed_store: Dict = None  # pose -> (row_counts, packed_mm), bounded
     shadow_store: Dict = None  # (pose, lights) -> per-light shadow payloads
+    loctab_store: Dict = None  # pose/widths -> per-group local resolve tables
     sky_store: Dict = None  # pose -> sky-split plan (_sky_plan), bounded
     scene_sig: str = ""  # geometry content hash (per-scene adoptions)
     precision: Optional[str] = None  # per-scene adopted mode (or None)
@@ -298,6 +299,7 @@ def scene_plan(scene_flat) -> ScenePlan:
             packed_store={},
             shadow_store={},
             sky_store={},
+            loctab_store={},
         )
         plan.scene_sig = scene_sig(scene_flat)
         plan.precision = _scene_precision(plan.scene_sig)
@@ -699,6 +701,118 @@ def _refine_pack(
     return row_counts, packed_mm, need_r
 
 
+def _attrs_from_rows(attr, u, v, tex_only: bool, flat_attrs: bool):
+    """The resolve_kernel_hits attribute math on an already-materialised
+    (R, A) attr slab (shared by the gather path and the one-hot local
+    resolve so the two stay formula-identical)."""
+    w0n = 1.0 - u - v
+    cu = w0n * attr[:, 0] + u * attr[:, 2] + v * attr[:, 4]
+    cv = w0n * attr[:, 1] + u * attr[:, 3] + v * attr[:, 5]
+    texid = attr[:, 6].astype(jnp.int32)
+    if tex_only:
+        rgb = None
+    elif flat_attrs:
+        rgb = (attr[:, 7], attr[:, 8], attr[:, 9])
+    else:
+        lin = attr[:, 7] > 0.5
+        rgb = tuple(
+            jnp.where(lin, jnp.power(jnp.maximum(ch, 0.0), 2.2), ch)
+            for ch in (
+                w0n * attr[:, 8] + u * attr[:, 11] + v * attr[:, 14],
+                w0n * attr[:, 9] + u * attr[:, 12] + v * attr[:, 15],
+                w0n * attr[:, 10] + u * attr[:, 13] + v * attr[:, 16],
+            )
+        )
+    return cu, cv, texid, rgb
+
+
+# group chunk for the one-hot local resolve: bounds the materialised
+# one-hot operand at chunk * rg_pad * 128 f32 (~9 MB at 16 x 1064)
+_LOC_RESOLVE_CHUNK = 16
+
+
+@functools.partial(jax.jit, static_argnames=("ng", "rg_pad"))
+def _local_resolve(loc_f, loc_tab, ng: int, rg_pad: int):
+    """(R, C) winner-attribute rows via a one-hot MXU contraction against
+    per-group LOCAL tables — the TPU-native replacement for the
+    descriptor-rate-bound global row gather (~16.6 ms per 1e6 rays,
+    docs/performance.md gather table; the contraction streams ~10x fewer
+    HBM bytes and its MACs are noise).
+
+    loc_f: (R,) f32 winner LOCAL index (emit "loc": payload row j, lane l
+    -> j*128 + l; -1 on miss).  loc_tab: (NG, rmax, 128, C) per-group
+    tables (_build_local_tables).  Two-level one-hot — lanes (128) via a
+    HIGHEST-precision batched matmul, payload rows (rmax, tiny) via a
+    second exact contraction — keeps the materialised one-hot at
+    (chunk, rg_pad, 128) instead of (R, rmax*128).  Every product is
+    1.0 * value or 0.0 and each sum has at most one nonzero term, so the
+    result is BIT-IDENTICAL to the gathered rows (miss rays resolve to
+    exact zeros)."""
+    rmax_l, leaf, c = loc_tab.shape[1], loc_tab.shape[2], loc_tab.shape[3]
+    hp = jax.lax.Precision.HIGHEST
+    loc = loc_f.reshape(ng, rg_pad).astype(jnp.int32)
+    cs = min(_LOC_RESOLVE_CHUNK, ng)
+    nch = -(-ng // cs)
+    pad = nch * cs - ng
+    if pad:
+        loc = jnp.pad(loc, ((0, pad), (0, 0)), constant_values=-1)
+        loc_tab = jnp.pad(loc_tab, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    locc = loc.reshape(nch, cs, rg_pad)
+    tabc = loc_tab.reshape(nch, cs, rmax_l, leaf, c)
+
+    def one(args):
+        l, tb = args  # (cs, rg_pad), (cs, rmax, 128, C)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cs, rg_pad, leaf), 2)
+        ohl = jnp.where((lane == (l % leaf)[..., None])
+                        & (l >= 0)[..., None], 1.0, 0.0)
+        a = jnp.einsum("gsl,gjlc->gsjc", ohl, tb, precision=hp)
+        jix = jax.lax.broadcasted_iota(jnp.int32, (cs, rg_pad, rmax_l), 2)
+        ohj = jnp.where(jix == (l // leaf)[..., None], 1.0, 0.0)
+        return jnp.einsum("gsjc,gsj->gsc", a, ohj, precision=hp)
+
+    rows = jax.lax.map(one, (locc, tabc))  # (nch, cs, rg_pad, C)
+    return rows.reshape(-1, rg_pad, c)[:ng].reshape(ng * rg_pad, c)
+
+
+@functools.partial(jax.jit, static_argnames=("with_shading",))
+def _build_local_tables(packed_mm, attr_table, scene_dev,
+                        slot_tri, with_shading: bool = True):
+    """(NG, rmax, 128, A [+ Cs]) per-group local attribute tables for the
+    one-hot resolve: the packed payload's OWN slot ids (feature row 10 of
+    the w1 block — byte-identical under the affine transform) gathered
+    against the global attr table and, for lit frames, the per-triangle
+    shading rows.  One (NG * rmax * 128)-row gather at PLAN time
+    (pose-memoised via _loc_tab_plan) replaces one-to-two per-RAY gathers
+    every frame."""
+    from compound_ray_tpu.trace.lighting import build_shading_rows
+
+    ids = packed_mm[:, :, 10, 0:KERNEL_LEAF].astype(jnp.int32)
+    ids = jnp.clip(ids, 0, attr_table.shape[0] - 1)
+    parts = [attr_table[ids]]
+    if with_shading:
+        tid = jnp.maximum(slot_tri[ids], 0)
+        parts.append(build_shading_rows(scene_dev)[tid])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _loc_tab_plan(splan, pk, packed_mm, scene_dev, with_shading: bool):
+    """Memoised _build_local_tables (keyed alongside the packed plan —
+    same widths/pose => same payload => same tables).  Bounded like the
+    shadow store."""
+    cfg = get_config()
+    key = (pk, with_shading)
+    hit = splan.loctab_store.get(key)
+    if hit is not None:
+        splan.loctab_store[key] = splan.loctab_store.pop(key)
+        return hit
+    tab = _build_local_tables(packed_mm, splan.attr_table, scene_dev,
+                              splan.slot_tri, with_shading=with_shading)
+    while len(splan.loctab_store) >= max(1, cfg.shadow_store_size):
+        splan.loctab_store.pop(next(iter(splan.loctab_store)))
+    splan.loctab_store[key] = tab
+    return tab
+
+
 def resolve_kernel_hits(
     out: jnp.ndarray,  # (R, 8) kernel rows [t, u, v, cluster-id, lane, ...]
     attr_table: jnp.ndarray,  # (C*128, A) build_attr_table rows
@@ -755,27 +869,11 @@ def resolve_kernel_hits(
         lane = jnp.clip(out_t[4].astype(jnp.int32), 0, KERNEL_LEAF - 1)
         row = cluster * KERNEL_LEAF + lane
     attr = attr_table[row]  # (R, A)
-    w0n = 1.0 - u - v
-    cu = w0n * attr[:, 0] + u * attr[:, 2] + v * attr[:, 4]
-    cv = w0n * attr[:, 1] + u * attr[:, 3] + v * attr[:, 5]
-    texid = attr[:, 6].astype(jnp.int32)
-    if tex_only:
-        rgb = None
-    elif attr_table.shape[1] == ATTR_COMPS_FLAT:
-        # no vertex colours in the scene: the non-texture colour is the
-        # material base colour — a per-triangle CONSTANT used raw
-        # (shaders.cu:813-815) — so no interpolation and no linearize
-        rgb = (attr[:, 7], attr[:, 8], attr[:, 9])
-    else:
-        lin = attr[:, 7] > 0.5
-        rgb = tuple(
-            jnp.where(lin, jnp.power(jnp.maximum(ch, 0.0), 2.2), ch)
-            for ch in (
-                w0n * attr[:, 8] + u * attr[:, 11] + v * attr[:, 14],
-                w0n * attr[:, 9] + u * attr[:, 12] + v * attr[:, 15],
-                w0n * attr[:, 10] + u * attr[:, 13] + v * attr[:, 16],
-            )
-        )
+    # flat-attr scenes: the non-texture colour is the material base
+    # colour used raw (shaders.cu:813-815); vertex-colour scenes
+    # interpolate + linearize — shared math in _attrs_from_rows
+    cu, cv, texid, rgb = _attrs_from_rows(
+        attr, u, v, tex_only, attr_table.shape[1] == ATTR_COMPS_FLAT)
     return t, cu, cv, texid, rgb
 
 
@@ -889,6 +987,7 @@ def _render_frame(
     sky_means=None,  # sky-split base output (SKY SPLIT notes)
     sky_scatter=None,
     precision: Optional[str] = None,  # per-scene adopted mode (or module)
+    loc_tab=None,  # (NG, rmax, 128, C) one-hot local-resolve tables
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
@@ -908,7 +1007,7 @@ def _render_frame(
         tex_static=tex_static, quad_gray=quad_gray, affine=affine,
         shadow_sph=shadow_sph, shadow_audit=shadow_audit,
         sky_means=sky_means, sky_scatter=sky_scatter,
-        precision=precision,
+        precision=precision, loc_tab=loc_tab,
     )
 
 
@@ -1049,6 +1148,8 @@ def _trace_shade_angles(
     sky_means=None,  # (N0, 3) sky-split base output (SKY SPLIT notes)
     sky_scatter=None,  # (Np,) int32 live -> original group; N0 = padding
     precision: Optional[str] = None,  # per-scene adopted mode (or module)
+    loc_tab=None,  # (NG, rmax, 128, C) tables -> emit "loc" + one-hot
+    #   resolve instead of per-ray global row gathers (_local_resolve)
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
     path draws angles GLOBALLY and feeds per-device slices here, so results
@@ -1078,7 +1179,11 @@ def _trace_shade_angles(
     # unlit flat-attr scenes (constant material colours) resolve EVERYTHING
     # in-register — no epilogue attribute gather in either case
     flat_attrs = attr_table.shape[1] == ATTR_COMPS_FLAT
-    if lights is None:
+    if loc_tab is not None:
+        # the winner resolves via per-group one-hot contraction tables —
+        # the kernel only needs the LOCAL winner index (3+1 buffers)
+        emit = "loc"
+    elif lights is None:
         if tex_only:
             emit = "uvs" if tex_static is not None else "uv"
         else:
@@ -1091,9 +1196,17 @@ def _trace_shade_angles(
         emit=emit, ray_feats=(8 if affine else 16),
         precision=precision,
     )
-    t_f, cu_f, cv_f, texid_f, rgb_f = resolve_kernel_hits(
-        out, attr_table, tex_only, packed=True, emit=emit,
-    )
+    loc_rows = None
+    if emit == "loc":
+        loc_rows = _local_resolve(out[3], loc_tab, ng=ng, rg_pad=rg_pad)
+        t_f = out[0]
+        cu_f, cv_f, texid_f, rgb_f = _attrs_from_rows(
+            loc_rows[:, :attr_table.shape[1]], out[1], out[2],
+            tex_only, flat_attrs)
+    else:
+        t_f, cu_f, cv_f, texid_f, rgb_f = resolve_kernel_hits(
+            out, attr_table, tex_only, packed=True, emit=emit,
+        )
 
     def unpad(x):
         return x.reshape(ng, rg_pad)[:, :rg].reshape(n_pad, samples)
@@ -1227,17 +1340,23 @@ def _trace_shade_angles(
                                    jnp.sum(hm2.astype(jnp.int32))])
             u_b = out[1]
             v_b = out[2]
-            row_s = jnp.clip(out[3].astype(jnp.int32), 0,
-                             slot_tri.shape[0] - 1)
-            tid = jnp.maximum(slot_tri[row_s], 0)
-            # ONE wide row gather replaces the ~10 narrow per-triangle
-            # gathers (descriptor-rate-bound at R ~= 1e6 — see
-            # build_shading_rows); the O(T) table pack hoists out of the
-            # per-ray work.  The slab then transposes ONCE to (C, R) so
-            # all downstream basis/GGX math is COMPONENT-PLANAR (R,) —
-            # the (R, 3) layout runs at 3/128 VPU lane occupancy (the
-            # module docstring's AoS warning).
-            rows_g = build_shading_rows(scene_dev)[tid]
+            if loc_rows is not None:
+                # shading rows came out of the same one-hot contraction
+                # that resolved the colour attributes — zero per-ray
+                # gathers on the whole lit path
+                rows_g = loc_rows[:, attr_table.shape[1]:]
+            else:
+                row_s = jnp.clip(out[3].astype(jnp.int32), 0,
+                                 slot_tri.shape[0] - 1)
+                tid = jnp.maximum(slot_tri[row_s], 0)
+                # ONE wide row gather replaces the ~10 narrow per-triangle
+                # gathers (descriptor-rate-bound at R ~= 1e6 — see
+                # build_shading_rows); the O(T) table pack hoists out of
+                # the per-ray work.  The slab then transposes ONCE to
+                # (C, R) so all downstream basis/GGX math is
+                # COMPONENT-PLANAR (R,) — the (R, 3) layout runs at 3/128
+                # VPU lane occupancy (the module docstring's AoS warning).
+                rows_g = build_shading_rows(scene_dev)[tid]
             cols_g = rows_g.T  # (C, R) planar relayout
             (e1g, e2g, n0g, n1g, n2g, has_n, metallic, roughness) = (
                 unpack_shading_cols(cols_g)
@@ -2314,7 +2433,9 @@ def _plan_frame(
         shadow_counts = shadow_r2v = None
         shadow_flag = shadow_flat = lights_dev = None
         shadow_sph = None
+        loc_tab = None
     else:
+        loc_tab = None
         kcand, rmax, (row_counts, packed_mm), pending = _plan_widths_pack(
             splan, eplan, omms_p, position, local_space, pose_sig, samples,
             near_mask=near_mask, use_cache=use_cache,
@@ -2336,6 +2457,13 @@ def _plan_frame(
                 affine=affine,
             )
             lights_dev = jnp.asarray(lights_np)
+            if cfg.lit_local_resolve:
+                loc_tab = _loc_tab_plan(
+                    splan,
+                    _packed_key(eplan, samples, pose_sig, kcand, rmax,
+                                use_cache, d_thresh if use_cache else 0.0,
+                                cfg, affine),
+                    packed_mm, scene_dev, with_shading=True)
         else:
             shadow_counts, shadow_r2v = None, None
             shadow_flag, shadow_flat, lights_dev = None, None, None
@@ -2382,7 +2510,7 @@ def _plan_frame(
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         shadow_sph=shadow_sph,
         tex_static=splan.tex_static, quad_gray=splan.quad_gray,
-        affine=affine,
+        affine=affine, loc_tab=loc_tab,
     )
     return kwargs, eplan, (splan, pending)
 
@@ -2465,7 +2593,7 @@ def _render_frames_scanned(
     lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
     affine: bool = False, shadow_sph=None, sky_means=None, sky_scatter=None,
-    precision: Optional[str] = None,
+    precision: Optional[str] = None, loc_tab=None,
 ):
     """F consecutive frames in ONE dispatch: a lax.scan over the stacked
     per-frame PRNG keys, each step drawing its own jitter and running the
@@ -2489,7 +2617,7 @@ def _render_frames_scanned(
             shadow_flag=shadow_flag, shadow_flat=shadow_flat,
             tex_static=tex_static, quad_gray=quad_gray, affine=affine,
             sky_means=sky_means, sky_scatter=sky_scatter,
-            precision=precision,
+            precision=precision, loc_tab=loc_tab,
         )
         return carry, means
 
@@ -2521,7 +2649,7 @@ def _render_frames_stacked(
     lights=None, slot_tri=None, shadow_counts=None, shadow_r2v=None,
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
     affine: bool = False, shadow_sph=None, sky_means=None, sky_scatter=None,
-    precision: Optional[str] = None,
+    precision: Optional[str] = None, loc_tab=None,
 ):
     """F consecutive frames in ONE kernel call: per-frame jitter stacked on
     the sample axis (column f*S+s = frame f's sample s), so the packed
@@ -2558,7 +2686,7 @@ def _render_frames_stacked(
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         tex_static=tex_static, quad_gray=quad_gray, frames=f, affine=affine,
         sky_means=sky_means, sky_scatter=sky_scatter,
-        precision=precision,
+        precision=precision, loc_tab=loc_tab,
     )  # (Np, F, 3) — N0 (the pre-compaction count) under the sky split
     return jnp.transpose(out, (1, 0, 2))
 

@@ -478,15 +478,19 @@ def pack_rays_mm(dirs, origins, tmin):
 
 # winner-state layouts per kernel output mode: which state buffers init to
 # -1 (id/texid lanes) instead of 0; buffer 0 is always the best-t (init inf)
-_EMIT_NEG_INIT = {"bary": (3,), "uv": (3, 4), "uvs": (), "flat": (4, 5)}
-_EMIT_NBUFS = {"bary": 4, "uv": 5, "uvs": 3, "flat": 6}
+_EMIT_NEG_INIT = {"bary": (3,), "uv": (3, 4), "uvs": (), "flat": (4, 5),
+                  "loc": (3,)}
+_EMIT_NBUFS = {"bary": 4, "uv": 5, "uvs": 3, "flat": 6, "loc": 4}
 
 
-def _row_candidates(p, hi1, hi2, emit, approx_inv=False):
+def _row_candidates(p, hi1, hi2, emit, approx_inv=False, j=None):
     """Per-row candidate quantities from the matmul product p (RS, 512) and
     the payload's high feature rows (sublane-aligned (8, 128) ref loads).
     Returns (ok, vals): vals[0] is t and the tuple matches the emit mode's
-    winner-state layout (run_packed_tracer docstring).
+    winner-state layout (run_packed_tracer docstring).  `j` is the payload
+    row index (emit "loc" encodes the winner's GROUP-LOCAL slot index
+    j*128 + lane, the key into the per-group one-hot resolve tables —
+    pipeline._local_resolve).
 
     den == 0 (parallel ray or all-zero padding column) -> inv inf -> u/v/t
     inf or NaN -> every comparison False: compaction padding self-masks.
@@ -507,6 +511,14 @@ def _row_candidates(p, hi1, hi2, emit, approx_inv=False):
         # slot ids ride feature row 10 of the w1 block ([2] of the 8:16
         # load is a register slice)
         return ok, (t, u, v, hi1[2:3, :])
+    if emit == "loc":
+        # group-LOCAL winner index: payload row j, lane l -> j*128 + l
+        # (exact in f32 far below 2^24).  The epilogue resolves attributes
+        # against per-group tables with a one-hot MXU contraction instead
+        # of a descriptor-rate-bound global row gather.
+        loc = (j * KERNEL_LEAF + jax.lax.broadcasted_iota(
+            jnp.int32, (1, KERNEL_LEAF), 1)).astype(jnp.float32)
+        return ok, (t, u, v, loc)
     # texture-coordinate affine constants (build_mm_features rows 11-15)
     cu = hi1[3:4, :] + u * hi1[5:6, :] + v * hi1[7:8, :]
     cv = hi1[4:5, :] + u * hi1[6:7, :] + v * hi2[2:3, :]
@@ -634,7 +646,7 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
                     )  # (RS, 512)
                     ok, vals = _row_candidates(
                         p, hi1, hi2, emit,
-                        approx_inv=(precision == "default"))
+                        approx_inv=(precision == "default"), j=j)
                     okk = ok & (vals[0] < states[k][0])
                     new.append(tuple(
                         jnp.where(okk, v, s)
@@ -680,7 +692,7 @@ def _make_packed_kernel(emit: str, ub: int, ray_feats: int = RAY_FEATS,
                 )  # (RS, 512)
                 ok, vals = _row_candidates(
                     p, hi1, hi2, emit,
-                    approx_inv=(precision == "default"))
+                    approx_inv=(precision == "default"), j=0)
                 okk = ok & (vals[0] < big)
                 bt = jnp.where(okk, vals[0], big)
                 tmin_l = jnp.min(bt, axis=1, keepdims=True)  # (RS, 1)

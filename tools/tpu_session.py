@@ -144,6 +144,127 @@ def run_anatomy():
             log(f"anatomy {which} failed: {e!r}")
 
 
+def run_litlocal():
+    """One-hot local-resolve A/B (config.lit_local_resolve): lit frame
+    pipelined time at LIT_SAMPLES with the per-ray gathers vs the
+    per-group one-hot contraction.  Resolved values are bit-identical
+    (tests/test_local_resolve.py), so adoption is on speed alone with the
+    revert-on-regress always-write contract.  Runs BEFORE run_lit so the
+    factor lands under the adopted mode."""
+    import dataclasses
+
+    from compound_ray_tpu.config import (RenderConfig, get_config,
+                                         load_tuning, set_config)
+
+    r, name = bench.build_renderer()
+    r.set_render_size(r.get_current_eye_ommatidial_count(), 1)
+    r.set_current_eye_samples_per_ommatidium(LIT_SAMPLES)
+    n = LIT_FRAMES
+    base_cfg = get_config()
+    results = {}
+    try:
+        r.set_lighting(True)
+        for local in (False, True):
+            set_config(dataclasses.replace(RenderConfig.from_env(),
+                                           lit_local_resolve=local))
+            for _ in range(3):
+                r.render_frame()
+            r.render_frames_pipelined(n)
+            ms = r.render_frames_pipelined(n) / n
+            results["on" if local else "off"] = float(ms)
+            log(f"LITLOCAL {name} @{LIT_SAMPLES} local={local}: "
+                f"{ms:.2f} ms lit pipelined")
+    finally:
+        r.set_lighting(False)
+        set_config(base_cfg)
+    if "on" not in results or "off" not in results:
+        return
+    ratio = results["on"] / results["off"]
+    adopt = ratio < 0.97
+    import compound_ray_tpu.trace.mm_tracer as mm
+
+    tuning = load_tuning()
+    tuning["lit_local_resolve"] = adopt
+    tuning["litlocal_lit_ms"] = {k: round(v, 3) for k, v in results.items()}
+    with open(mm.TUNING_PATH, "w") as f:
+        json.dump(tuning, f, indent=1)
+    # the base config object predates the adoption: rebuild so later
+    # stages (run_lit) run the measured winner
+    set_config(RenderConfig.from_env())
+    jax.clear_caches()
+    log(f"LITLOCAL {'ADOPTED' if adopt else 'NOT adopted'} "
+        f"({ratio:.3f}x): artifacts/tuning.json updated")
+
+
+def run_slice():
+    """1/8-slice scaling evidence (round-4 VERDICT #3): the x8 = 1.12e9
+    rays/s claim was pure linear extrapolation of the 1000-omm single-chip
+    headline.  An 8-chip mesh shards the OMM axis, so each chip renders a
+    125-omm slice — measure that slice ON the single real chip (own plans,
+    own padding, the per-chip fixed costs that do NOT shrink 8x), plus the
+    jit-of-shard_map path on a 1-device mesh to bound shard_map overhead.
+    The implied 8-chip aggregate = full frame rays / slice time lands in
+    bench_detail.slice_scaling next to the linear claim; if it is lower,
+    IT is the number docs/performance.md must quote."""
+    r, name = bench.build_renderer()
+    cam = r.current_camera()
+    omms_full = np.asarray(cam.ommatidia).copy()
+    n_full = omms_full.shape[0]
+    n_slice = n_full // 8
+    try:
+        r.set_ommatidia(omms_full[:n_slice])
+        r.set_render_size(n_slice, 1)
+        mean_ms, _std, pipe = bench.time_frames(r, SAMPLES, REPS)
+        log(f"SLICE {name}: {n_slice}/{n_full} omms @{SAMPLES}: "
+            f"{pipe:.3f} ms pipelined (latency {mean_ms:.2f})")
+    finally:
+        r.set_ommatidia(omms_full)
+        r.set_render_size(n_full, 1)
+    implied = n_full * SAMPLES / (pipe / 1000.0)
+    log(f"SLICE implied 8-chip aggregate (slice-time bound, ICI psum "
+        f"excluded): {implied:.3e} rays/s")
+    # shard_map overhead bound: the production sharded path on a 1-device
+    # mesh vs the plain pipeline, full eye
+    sh = {}
+    try:
+        from compound_ray_tpu.eye.pipeline import render_means_pallas
+        from compound_ray_tpu.parallel.sharding import (
+            make_eye_mesh, pick_sample_parallel, render_means_sharded_packed)
+
+        scene = r.scene
+        scene_dev = r._scene_dev()
+        key = jax.random.PRNGKey(5)
+        pos = np.asarray(cam.position, np.float32)
+        ls = np.asarray(cam.local_space, np.float32)
+        mesh = make_eye_mesh(n_devices=1,
+                             sample_parallel=pick_sample_parallel(
+                                 SAMPLES, n_devices=1))
+        for label, fn in (
+            ("plain", lambda: render_means_pallas(
+                scene, scene_dev, omms_full, pos, ls, key, SAMPLES, 0)),
+            ("shard1", lambda: render_means_sharded_packed(
+                scene, scene_dev, omms_full, pos, ls, key, SAMPLES, 0,
+                mesh)),
+        ):
+            out = fn()
+            _ = jax.device_get(out[0, 0])  # warm + tunnel-safe sync
+            t0 = time.perf_counter()
+            outs = [fn() for _ in range(max(3, REPS // 2))]
+            _ = jax.device_get(outs[-1][0, 0])
+            sh[label] = (time.perf_counter() - t0) * 1000.0 / len(outs)
+            log(f"SLICE shard-overhead {label}: {sh[label]:.2f} ms/frame "
+                f"(pipelined, full eye @{SAMPLES})")
+    except Exception as e:
+        log(f"SLICE shard-overhead measurement failed: {e!r}")
+    _merge_bench_detail("slice_scaling", {
+        "scene": name, "omms_slice": int(n_slice), "samples": SAMPLES,
+        "slice_pipelined_ms": round(float(pipe), 3),
+        "slice_latency_ms": round(float(mean_ms), 3),
+        "implied_x8_rays_per_s": float(implied),
+        "shard_overhead_ms": {k: round(v, 3) for k, v in sh.items()},
+    })
+
+
 def run_lit():
     """Lit-vs-unlit factor at 1000 samples on the natural scene, plus a
     light-count differential (all 4 reference lights vs 1) that splits the
@@ -573,13 +694,20 @@ def run_direct1():
             results.setdefault(name, {})[d1] = ms
             log(f"DIRECT1 {name} emit={emit} rmax={rmax} direct1={d1}: "
                 f"{ms:.2f} ms/kernel (pipelined)")
+            # compare LIVE lanes only: groups with cnt == 0 skip the
+            # kernel in BOTH variants and their out lanes are
+            # uninitialised VMEM (nondeterministic on hardware — the
+            # session-2 "failure" was exactly this; CPU interpret zeros
+            # them, which is why the unit tests never saw it)
+            live = np.repeat(np.asarray(rc) > 0,
+                             eplan.nrb * eplan.rb_size)
             if not d1:
-                base = np.asarray(out)
+                base = np.asarray(out)[:, live]
             else:
-                o = np.asarray(out)
+                o = np.asarray(out)[:, live]
                 same = bool(((base == o)
                              | (np.isnan(base) & np.isnan(o))).all())
-                log(f"  bit-identical vs standard: {same}")
+                log(f"  bit-identical vs standard (live lanes): {same}")
                 if not same:
                     log("DIRECT1 BIT-IDENTITY FAILED on hardware -- "
                         "not adopting")
@@ -1562,7 +1690,8 @@ def run_scale():
 
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
-        "bench", "anatomy", "lit", "conformance", "unroll", "direct1", "timing",
+        "bench", "anatomy", "lit", "litlocal", "slice", "conformance",
+        "unroll", "direct1", "timing",
         "affine", "precision", "equirect", "sky", "rebench",
         "shadow", "shadow_prec", "shadow_rs", "scale", "unroll8",
         "batch_rays"}
@@ -1581,6 +1710,8 @@ if __name__ == "__main__":
                      ("shadow", run_shadow),
                      ("shadow_prec", run_shadow_prec),
                      ("shadow_rs", run_shadow_rs),
+                     ("slice", run_slice),
+                     ("litlocal", run_litlocal),
                      ("lit", run_lit), ("anatomy", run_anatomy),
                      ("scale", run_scale),
                      ("conformance", run_conformance),
