@@ -185,7 +185,7 @@ LKG_PATH = os.path.join(os.path.dirname(__file__), "artifacts",
 # each stamped with the tuning it was measured under)
 DETAIL_OWNED_KEYS = frozenset({
     "scene", "ommatidia", "frames", "sweep", "burst_samples1",
-    "pose_sweep", "ofstad", "notes", "tuning"})
+    "pose_sweep", "ofstad", "notes", "tuning", "samples1_floor"})
 
 
 def write_detail(detail: dict, path: str) -> None:
@@ -478,6 +478,30 @@ def run_protocol():
         print(f"# pose sweep @100: {seq_ms:.2f} ms/pose sequential, "
               f"{stream_ms:.2f} ms/pose streamed, "
               f"{bat_ms:.2f} ms/pose batched", file=sys.stderr)
+
+    # samples=1 transport split (round-4 VERDICT #6): the sequential
+    # samples=1 latency conflates the renderer with the axon tunnel; the
+    # run_timing calibration (artifacts/timing.json) measures the
+    # round-trip on an already-computed scalar and the pipelined dispatch
+    # floor, so the renderer-attributable floor a local PJRT deployment
+    # would see is latency - rtt
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "artifacts",
+                               "timing.json")) as f:
+            tim = json.load(f)
+        lat1 = detail["sweep"]["1"]["latency_ms"]
+        detail["samples1_floor"] = {
+            "sequential_latency_ms": round(lat1, 3),
+            "tunnel_rtt_ms": round(tim["rtt_ms"], 3),
+            "dispatch_floor_ms": round(tim["dispatch_ms"], 3),
+            "renderer_floor_ms": round(max(0.0, lat1 - tim["rtt_ms"]), 3),
+            "pipelined_ms": round(detail["sweep"]["1"]["pipelined_ms"], 3),
+            "timing_measured": tim.get("measured", ""),
+        }
+        print(f"# samples=1 floor: {detail['samples1_floor']}",
+              file=sys.stderr)
+    except (OSError, ValueError, KeyError):
+        pass
 
     # secondary config: the ofstad arena (2080 Ti: 1.633 ms @3200 = 1.96e9);
     # skipped when the soft time budget is spent (cold compiles are slow

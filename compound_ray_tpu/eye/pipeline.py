@@ -138,6 +138,7 @@ class ScenePlan:
     packed_store: Dict = None  # pose -> (row_counts, packed_mm), bounded
     shadow_store: Dict = None  # (pose, lights) -> per-light shadow payloads
     loctab_store: Dict = None  # pose/widths -> per-group local resolve tables
+    shadow_sound_all: bool = False  # leak detected: use guaranteed bounds
     sky_store: Dict = None  # pose -> sky-split plan (_sky_plan), bounded
     scene_sig: str = ""  # geometry content hash (per-scene adoptions)
     precision: Optional[str] = None  # per-scene adopted mode (or None)
@@ -1932,6 +1933,54 @@ def _hit_bound_spheres(hit_f, px, py, pz, ng: int, rg_pad: int):
             jnp.where(any_h, r, -1.0))
 
 
+@jax.jit
+def _sound_bound_spheres(packed_mm, sc_flat, sr_flat):
+    """GUARANTEED per-group hit bounds from the packed payload itself:
+    every hit lies on one of the group's candidate triangles, so the
+    enclosing sphere of the candidates' bounding spheres covers every
+    possible hit of every future frame at this pose — unlike the probe's
+    inflated hit-cloud sphere, whose coverage is only statistical (the
+    silhouette-edge leak, SHADOW_BOUND_INFLATE).  Used after the runtime
+    audit observes an out-of-shaft hit (mark_shadow_unsound): bounds
+    grow (more occluder rows per shaft), correctness becomes exact.
+
+    Padding slots are all-zero payload columns — detected via the den
+    block's normal rows, which the affine transform preserves bitwise
+    (transform_payload_affine: Q_d = n exactly)."""
+    leaf = KERNEL_LEAF
+    ids = jnp.clip(packed_mm[:, :, 10, 0:leaf].astype(jnp.int32),
+                   0, sr_flat.shape[0] - 1)  # (NG, rmax, 128)
+    nmag = jnp.sum(jnp.abs(packed_mm[:, :, 0:3, 2 * leaf:3 * leaf]), axis=2)
+    valid = nmag > 0.0
+    c = sc_flat[ids]  # (NG, rmax, 128, 3)
+    r = jnp.maximum(sr_flat[ids], 0.0)
+    big = jnp.float32(3e38)
+    lo = jnp.min(jnp.where(valid[..., None], c - r[..., None], big),
+                 axis=(1, 2))
+    hi = jnp.max(jnp.where(valid[..., None], c + r[..., None], -big),
+                 axis=(1, 2))
+    any_v = jnp.any(valid, axis=(1, 2))
+    ctr = jnp.where(any_v[:, None], 0.5 * (lo + hi), 0.0)
+    rad = 0.5 * jnp.linalg.norm(hi - lo, axis=-1) + 1e-3
+    return ctr, jnp.where(any_v, rad, -1.0)
+
+
+def mark_shadow_unsound(scene_flat) -> bool:
+    """Corrective response to the lit-frame shadow audit (round-4 VERDICT
+    #7): once ANY hit lands outside its memoised probed shaft, every later
+    shadow plan for this scene derives its shafts from the guaranteed
+    candidate-triangle extent (_sound_bound_spheres) instead of the
+    probe's inflated hit cloud, and the memoised unsound plans are
+    evicted so the next lit frame replans.  Returns True when this call
+    flipped the mode (False = already sound)."""
+    splan = scene_plan(scene_flat)
+    if splan.shadow_sound_all:
+        return False
+    splan.shadow_sound_all = True
+    splan.shadow_store.clear()
+    return True
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kcand_s", "rmax_s", "sig"),
@@ -2042,7 +2091,25 @@ def _shadow_probe(
     # its occluders -> light leak)
     rg_sph = jnp.where(rg_sph >= 0.0,
                        rg_sph * SHADOW_BOUND_INFLATE + 1e-2, rg_sph)
+    return _shadow_probe_widths(
+        cg, rg_sph, lights, half_center, half_radius,
+        slot_center_cl, slot_radius_cl, tri_cl, ng,
+        cull_sigmas, kcand_probe, probe_chunk)
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ng", "cull_sigmas", "kcand_probe", "probe_chunk"),
+)
+def _shadow_probe_widths(
+    cg, rg_sph, lights, half_center, half_radius,
+    slot_center_cl, slot_radius_cl, tri_cl, ng: int,
+    cull_sigmas: float, kcand_probe: int, probe_chunk: int = 128,
+):
+    """Per-light shaft width measure on GIVEN per-group bound spheres —
+    the tail of _shadow_probe, callable directly with the guaranteed
+    candidate-extent spheres (mark_shadow_unsound sound-bounds mode, which
+    needs no probe trace at all)."""
     ratio = FWHM_SD_RATIO / cull_sigmas
     zero3 = jnp.zeros((3,), jnp.float32)
     eye3 = jnp.eye(3, dtype=jnp.float32)
@@ -2131,7 +2198,8 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     # mode's hit-bound shafts.  rpb in the key: the table's block layout
     # depends on it, and a config flip must not serve stale blocks
     sk = (eplan.sig, samples, pose_sig, lights_np.tobytes(),
-          cfg.cull_sigmas, cfg.refine_mode, shards, affine, rpb)
+          cfg.cull_sigmas, cfg.refine_mode, shards, affine, rpb,
+          splan.shadow_sound_all)
     hit = splan.shadow_store.get(sk)
     if hit is not None:
         splan.shadow_store[sk] = splan.shadow_store.pop(sk)  # LRU refresh
@@ -2142,15 +2210,31 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     # the farthest occluder rows (light leaks) on >128-cluster scenes
     kcand_probe = splan.num_clusters
     tri_cl = splan.slot_tri_cl if cfg.refine_mode == "exact" else None
-    kc_need, rows_need, cg, rg_sph = _shadow_probe(
-        packed_mm, row_counts, omms_p, position, local_space, key,
-        jnp.asarray(lights_np), splan.half_center, splan.half_radius,
-        splan.slot_center_cl, splan.slot_radius_cl, tri_cl,
-        samples=samples, ng=eplan.ng, g=eplan.g, nrb=eplan.nrb,
-        rb_size=eplan.rb_size, rmax=rmax,
-        cull_sigmas=cfg.cull_sigmas, kcand_probe=kcand_probe,
-        affine=affine, probe_chunk=cfg.shadow_pack_chunk,
-    )
+    if splan.shadow_sound_all:
+        # corrective mode (mark_shadow_unsound): shafts derive from the
+        # guaranteed candidate-triangle extent — no probe trace, no
+        # statistical coverage gap, bigger shafts
+        cg_s, rg_s = _sound_bound_spheres(
+            packed_mm,
+            splan.slot_center_cl.reshape(-1, 3),
+            splan.slot_radius_cl.reshape(-1))
+        kc_need, rows_need, cg, rg_sph = _shadow_probe_widths(
+            cg_s, rg_s, jnp.asarray(lights_np),
+            splan.half_center, splan.half_radius,
+            splan.slot_center_cl, splan.slot_radius_cl, tri_cl,
+            ng=eplan.ng, cull_sigmas=cfg.cull_sigmas,
+            kcand_probe=kcand_probe, probe_chunk=cfg.shadow_pack_chunk,
+        )
+    else:
+        kc_need, rows_need, cg, rg_sph = _shadow_probe(
+            packed_mm, row_counts, omms_p, position, local_space, key,
+            jnp.asarray(lights_np), splan.half_center, splan.half_radius,
+            splan.slot_center_cl, splan.slot_radius_cl, tri_cl,
+            samples=samples, ng=eplan.ng, g=eplan.g, nrb=eplan.nrb,
+            rb_size=eplan.rb_size, rmax=rmax,
+            cull_sigmas=cfg.cull_sigmas, kcand_probe=kcand_probe,
+            affine=affine, probe_chunk=cfg.shadow_pack_chunk,
+        )
     kc = int(np.asarray(jax.device_get(jnp.max(kc_need))))
     rw_all = np.asarray(jax.device_get(rows_need))
     shadow_kmax = min(splan.num_clusters, _ceil_to(max(kc, 1), 8))

@@ -119,3 +119,81 @@ def test_silhouette_leak_audited_and_bounded():
     # the construction must actually exercise the approximation: at least
     # one of 8 frames crosses the silhouette edge out of a clean shaft
     assert leak_frames >= 1, "adversarial geometry produced no leak at all"
+
+
+def test_leak_triggers_sound_replan():
+    """Corrective audit (round-4 VERDICT #7): once a leaking frame is
+    observed, mark_shadow_unsound flips the scene to guaranteed
+    candidate-extent shadow bounds — every later lit frame must match the
+    brute-force exact-occlusion oracle AND audit zero out-of-shaft hits,
+    for every seed (not just statistically most of them)."""
+    from compound_ray_tpu.eye import pipeline as P
+
+    scene = make_silhouette_leak_scene(pillar_half_width=PILLAR_HALF_W)
+    dev = scene.device_triangles()
+    lights = leak_scene_light()
+    omms_np = _edge_eye()
+    pos = jnp.zeros(3, jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+
+    k_probe = jax.random.PRNGKey(100)
+    render_means_pallas(scene, dev, omms_np, pos, ls, k_probe, S, 2,
+                        lights=lights)
+    leaked_any = False
+    for seed in range(8):
+        _, audit = render_means_pallas(
+            scene, dev, omms_np, pos, ls, jax.random.PRNGKey(seed), S, 2,
+            lights=lights, shadow_audit=True)
+        if int(np.asarray(audit)[0]) > 0:
+            leaked_any = True
+            break
+    assert leaked_any, "adversarial geometry produced no leak to correct"
+
+    # the corrective flip (what api.renderer._check_shadow_audit calls)
+    assert P.mark_shadow_unsound(scene) is True
+    assert P.mark_shadow_unsound(scene) is False  # idempotent
+    splan = P.scene_plan(scene)
+    assert not splan.shadow_store, "unsound plans must be evicted"
+
+    for seed in range(8):
+        k = jax.random.PRNGKey(seed)
+        got, audit = render_means_pallas(
+            scene, dev, omms_np, pos, ls, k, S, 2, lights=lights,
+            shadow_audit=True)
+        leaks, hits = (int(x) for x in np.asarray(audit))
+        assert hits > 0 and leaks == 0, (
+            f"seed {seed}: {leaks} hits escaped the GUARANTEED bounds")
+        truth = np.asarray(render_compound_means(
+            dev, jnp.asarray(omms_np), pos, ls, k, S, 2, True,
+            jnp.asarray(lights)))
+        err = float(np.abs(np.asarray(got) - truth).max())
+        # tolerance: the pallas-vs-oracle backends disagree on ~1 grazing
+        # PRIMARY hit per frame (measured 0.0073 max in the UNLIT frames
+        # too — a float-ordering nearest-hit flip, not occlusion), while
+        # a genuinely missing occluder here un-shadows a whole group's
+        # wall samples (>= ~0.05, the per-sample wall light term).  0.02
+        # separates the two regimes decisively.
+        assert err < 2e-2, f"seed {seed}: sound-bounds frame differs {err}"
+
+
+def test_renderer_audit_marks_scene_unsound(monkeypatch):
+    """The renderer's audit hook must call the corrective mark."""
+    from compound_ray_tpu.api.renderer import EyeRenderer
+    from compound_ray_tpu.cameras.types import CompoundEyeCamera
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.scene.eye_io import ommatidia_to_array as o2a
+
+    r = EyeRenderer(verbose=False)
+    r.scene = make_silhouette_leak_scene(pillar_half_width=PILLAR_HALF_W)
+    cam = CompoundEyeCamera(
+        "eye", "single_dimension_fast",
+        [Ommatidium(np.zeros(3), np.array([0.0, 0.0, -1.0]), ACCEPT, 0.0)])
+    r.scene.cameras.append(cam)
+    r.require_noncompound_pipeline = False
+    r._backend = "pallas"
+    r._lights = leak_scene_light()
+    # feed the hook a synthetic leaking audit (the geometry-driven path is
+    # pinned above); the renderer must flip the scene mode
+    assert not P.scene_plan(r.scene).shadow_sound_all
+    r._check_shadow_audit(np.asarray([3, 100], np.int32))
+    assert P.scene_plan(r.scene).shadow_sound_all
