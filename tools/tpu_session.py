@@ -265,6 +265,104 @@ def run_slice():
     })
 
 
+def run_emitloc():
+    """Ofstad epilogue/kernel shape probe: the uvs emit computes texture
+    coords per CANDIDATE in-kernel (3 winner buffers); the loc emit defers
+    them to the per-group one-hot resolve (4 buffers carrying the local
+    index, ~zero per-candidate uv math).  The round-4 anatomy ranked bary
+    35.6 vs uvs 49.8 ms on ofstad but its timing method is now suspect
+    (run_timing session-2: per-stage numbers disagree with pipelined
+    timing 2x).  This stage measures, pipelined, (a) the production
+    kernel under emits uvs / bary / loc and (b) the _local_resolve
+    contraction cost at frame scale — enough to decide whether wiring
+    emit=loc into unlit tex_only frames is worth a conformance-gated
+    adoption.  Writes artifacts/emitloc.json; no adoption."""
+    from compound_ray_tpu.config import get_config
+    from compound_ray_tpu.eye import pipeline as P
+    from compound_ray_tpu.trace.mm_tracer import run_packed_tracer
+
+    sigmas = get_config().cull_sigmas
+    out_js = {}
+    for name, build in (("ofstad", bench.build_ofstad_renderer),
+                        ("natural", bench.build_renderer)):
+        built = build()
+        r = built[0] if isinstance(built, tuple) else built
+        if r is None:
+            continue
+        scene = r.scene
+        cam = r.current_camera()
+        splan = P.scene_plan(scene)
+        omms_np = cam.ommatidia
+        eplan = P.eye_plan(omms_np, SAMPLES)
+        omms_p = jnp.asarray(omms_np[eplan.perm])
+        pos = jnp.asarray(np.asarray(cam.position, np.float32))
+        ls = jnp.eye(3, dtype=jnp.float32)
+        kcand, rmax = P._plan_widths(
+            splan, eplan, omms_p, pos, ls,
+            (eplan.sig, SAMPLES, b"emitloc"))
+        rc, pmm, _, _ = P._pack_fused(
+            splan.mm_flat, splan.slot_center_cl, splan.slot_radius_cl,
+            splan.half_center, splan.half_radius, omms_p, pos, ls,
+            g=eplan.g, kcand=kcand, rmax=rmax, cull_sigmas=sigmas,
+            tri_cl=splan.slot_tri_cl)
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        sd = omms_p[:, 6] / P.FWHM_SD_RATIO
+        splay = jax.random.normal(k1, (omms_p.shape[0], SAMPLES)) * sd[:, None]
+        spin = jax.random.uniform(k2, (omms_p.shape[0], SAMPLES)) * jnp.pi
+        rays, _, _ = P._gen_ray_features(
+            omms_p, pos, ls, splay, spin, samples=SAMPLES,
+            ng=eplan.ng, g=eplan.g, nrb=eplan.nrb, rb_size=eplan.rb_size)
+        rays = jax.device_put(rays)
+        res = {}
+        for emit in ("uvs", "bary", "loc"):
+            def go():
+                return run_packed_tracer(
+                    rc, pmm, rays, ng=eplan.ng, nrb=eplan.nrb,
+                    rb_size=eplan.rb_size, rmax=rmax, emit=emit)
+            try:
+                out = go()
+                _ = jax.device_get(out[0, :8])
+                ts = []
+                for _i in range(3):
+                    t0 = time.perf_counter()
+                    outs = [go() for _ in range(REPS)]
+                    _ = jax.device_get(outs[-1][0, :8])
+                    ts.append((time.perf_counter() - t0) * 1000.0 / REPS)
+                res[f"kernel_{emit}_ms"] = round(float(np.median(ts)), 3)
+                log(f"EMITLOC {name} kernel emit={emit}: "
+                    f"{res[f'kernel_{emit}_ms']:.2f} ms (pipelined)")
+            except Exception as e:
+                log(f"EMITLOC {name} emit={emit} FAILED: {e!r}")
+        # the one-hot resolve at frame scale (attr cols only, unlit)
+        try:
+            tab = P._build_local_tables(pmm, splan.attr_table,
+                                        r._scene_dev(), splan.slot_tri,
+                                        with_shading=False)
+            loc = out[3]  # (R,) from the last (loc) kernel run
+
+            def rgo():
+                return P._local_resolve(loc, tab, ng=eplan.ng,
+                                        rg_pad=eplan.nrb * eplan.rb_size)
+            _ = jax.device_get(rgo()[0, :4])
+            ts = []
+            for _i in range(3):
+                t0 = time.perf_counter()
+                outs = [rgo() for _ in range(REPS)]
+                _ = jax.device_get(outs[-1][0, :4])
+                ts.append((time.perf_counter() - t0) * 1000.0 / REPS)
+            res["local_resolve_ms"] = round(float(np.median(ts)), 3)
+            log(f"EMITLOC {name} local-resolve (A={tab.shape[-1]}): "
+                f"{res['local_resolve_ms']:.2f} ms")
+        except Exception as e:
+            log(f"EMITLOC {name} resolve timing FAILED: {e!r}")
+        out_js[name] = res
+    out_js["measured"] = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    with open(os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                           "emitloc.json"), "w") as f:
+        json.dump(out_js, f, indent=1)
+
+
 def run_lit():
     """Lit-vs-unlit factor at 1000 samples on the natural scene, plus a
     light-count differential (all 4 reference lights vs 1) that splits the
@@ -1690,8 +1788,8 @@ def run_scale():
 
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {
-        "bench", "anatomy", "lit", "litlocal", "slice", "conformance",
-        "unroll", "direct1", "timing",
+        "bench", "anatomy", "lit", "litlocal", "slice", "emitloc",
+        "conformance", "unroll", "direct1", "timing",
         "affine", "precision", "equirect", "sky", "rebench",
         "shadow", "shadow_prec", "shadow_rs", "scale", "unroll8",
         "batch_rays"}
@@ -1711,6 +1809,7 @@ if __name__ == "__main__":
                      ("shadow_prec", run_shadow_prec),
                      ("shadow_rs", run_shadow_rs),
                      ("slice", run_slice),
+                     ("emitloc", run_emitloc),
                      ("litlocal", run_litlocal),
                      ("lit", run_lit), ("anatomy", run_anatomy),
                      ("scale", run_scale),
