@@ -407,16 +407,22 @@ class EyeRenderer:
         silent.  Fetched at an existing sync point, folded into the same
         transfer (_sync_one) so it costs no extra round trip; warns once
         per distinct leak fraction decade to stay quiet in steady state."""
-        leaked, total = (int(x) for x in np.asarray(audit_host))
+        a = np.asarray(audit_host)
+        leaked, total = int(a[0]), int(a[1])
         if leaked <= 0 or total <= 0:
             return
-        # CORRECTIVE, not just advisory (round-4 VERDICT #7): flip the
-        # scene to guaranteed candidate-extent shadow bounds and evict
-        # the unsound memoised plans — the next lit frame at any pose of
-        # this scene replans with shafts that cover EVERY possible hit
+        # CORRECTIVE, not just advisory (round-4 VERDICT #7): the groups
+        # whose hits escaped their probed shafts switch to guaranteed
+        # candidate-extent shadow bounds and the unsound memoised plans
+        # are evicted — the next lit frame replans with shafts that cover
+        # every possible hit of the flagged groups.  Per-group (the
+        # audit's tail) so the handful of silhouette-crossing groups
+        # fatten while every other shaft keeps its probed tightness; an
+        # audit without the per-group tail flips the whole scene.
         from compound_ray_tpu.eye.pipeline import mark_shadow_unsound
 
-        replanned = mark_shadow_unsound(self.scene)
+        groups = np.nonzero(a[2:])[0] if a.shape[0] > 2 else None
+        replanned = mark_shadow_unsound(self.scene, leak_groups=groups)
         frac = leaked / total
         import math
 

@@ -139,6 +139,10 @@ class ScenePlan:
     shadow_store: Dict = None  # (pose, lights) -> per-light shadow payloads
     loctab_store: Dict = None  # pose/widths -> per-group local resolve tables
     shadow_sound_all: bool = False  # leak detected: use guaranteed bounds
+    shadow_unsound_groups: set = None  # per-GROUP corrective (see
+    #   mark_shadow_unsound): only these groups get candidate-extent
+    #   shafts — group indices are eye-plan-permutation positions, which
+    #   are pose-independent for a given eye
     sky_store: Dict = None  # pose -> sky-split plan (_sky_plan), bounded
     scene_sig: str = ""  # geometry content hash (per-scene adoptions)
     precision: Optional[str] = None  # per-scene adopted mode (or None)
@@ -301,6 +305,7 @@ def scene_plan(scene_flat) -> ScenePlan:
             shadow_store={},
             sky_store={},
             loctab_store={},
+            shadow_unsound_groups=set(),
         )
         plan.scene_sig = scene_sig(scene_flat)
         plan.precision = _scene_precision(plan.scene_sig)
@@ -1337,8 +1342,15 @@ def _trace_shade_angles(
                 # r < 0 marks "group hit nothing in the probe": ANY
                 # steady-state hit there traced zero occluder rows
                 leak = hm2 & ((d2 > r_s * r_s) | (r_s < 0.0))
-                audit = jnp.stack([jnp.sum(leak.astype(jnp.int32)),
-                                   jnp.sum(hm2.astype(jnp.int32))])
+                # [leaked_total, hits_total, per-group leak counts]:
+                # the per-group tail lets the corrective response flip
+                # ONLY the leaking groups to guaranteed bounds
+                # (mark_shadow_unsound) instead of fattening every shaft
+                leak_g = jnp.sum(leak.astype(jnp.int32), axis=1)
+                audit = jnp.concatenate([
+                    jnp.stack([jnp.sum(leak_g),
+                               jnp.sum(hm2.astype(jnp.int32))]),
+                    leak_g])
             u_b = out[1]
             v_b = out[2]
             if loc_rows is not None:
@@ -1965,18 +1977,29 @@ def _sound_bound_spheres(packed_mm, sc_flat, sr_flat):
     return ctr, jnp.where(any_v, rad, -1.0)
 
 
-def mark_shadow_unsound(scene_flat) -> bool:
+def mark_shadow_unsound(scene_flat, leak_groups=None) -> bool:
     """Corrective response to the lit-frame shadow audit (round-4 VERDICT
-    #7): once ANY hit lands outside its memoised probed shaft, every later
-    shadow plan for this scene derives its shafts from the guaranteed
-    candidate-triangle extent (_sound_bound_spheres) instead of the
-    probe's inflated hit cloud, and the memoised unsound plans are
-    evicted so the next lit frame replans.  Returns True when this call
-    flipped the mode (False = already sound)."""
+    #7): groups whose hits landed outside their memoised probed shafts
+    switch to GUARANTEED candidate-extent bounds (_sound_bound_spheres)
+    and the memoised unsound plans are evicted so the next lit frame
+    replans.  With `leak_groups` (an iterable of group indices — the
+    audit's per-group tail) only those groups fatten; without it the
+    whole scene flips (shadow_sound_all).  Per-group is the production
+    default: leaks are silhouette-local (the natural bench pose audits
+    0.009% of hits in a handful of groups), so correcting only the
+    offenders keeps every other shaft at its probed tightness.  Returns
+    True when this call changed the mode."""
     splan = scene_plan(scene_flat)
-    if splan.shadow_sound_all:
+    if leak_groups is None:
+        if splan.shadow_sound_all:
+            return False
+        splan.shadow_sound_all = True
+        splan.shadow_store.clear()
+        return True
+    new = set(int(g) for g in leak_groups) - splan.shadow_unsound_groups
+    if not new:
         return False
-    splan.shadow_sound_all = True
+    splan.shadow_unsound_groups |= new
     splan.shadow_store.clear()
     return True
 
@@ -2199,7 +2222,8 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     # depends on it, and a config flip must not serve stale blocks
     sk = (eplan.sig, samples, pose_sig, lights_np.tobytes(),
           cfg.cull_sigmas, cfg.refine_mode, shards, affine, rpb,
-          splan.shadow_sound_all)
+          splan.shadow_sound_all,
+          tuple(sorted(splan.shadow_unsound_groups)))
     hit = splan.shadow_store.get(sk)
     if hit is not None:
         splan.shadow_store[sk] = splan.shadow_store.pop(sk)  # LRU refresh
@@ -2210,6 +2234,7 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
     # the farthest occluder rows (light leaks) on >128-cluster scenes
     kcand_probe = splan.num_clusters
     tri_cl = splan.slot_tri_cl if cfg.refine_mode == "exact" else None
+    unsound = splan.shadow_unsound_groups
     if splan.shadow_sound_all:
         # corrective mode (mark_shadow_unsound): shafts derive from the
         # guaranteed candidate-triangle extent — no probe trace, no
@@ -2225,6 +2250,37 @@ def _shadow_plan(splan, eplan, omms_p, position, local_space, pose_sig,
             ng=eplan.ng, cull_sigmas=cfg.cull_sigmas,
             kcand_probe=kcand_probe, probe_chunk=cfg.shadow_pack_chunk,
         )
+    elif unsound:
+        # per-group corrective: probed bounds everywhere except the
+        # groups the audit flagged, which get the guaranteed extent
+        cg_s, rg_s = _sound_bound_spheres(
+            packed_mm,
+            splan.slot_center_cl.reshape(-1, 3),
+            splan.slot_radius_cl.reshape(-1))
+        kc_need, rows_need, cg, rg_sph = _shadow_probe(
+            packed_mm, row_counts, omms_p, position, local_space, key,
+            jnp.asarray(lights_np), splan.half_center, splan.half_radius,
+            splan.slot_center_cl, splan.slot_radius_cl, tri_cl,
+            samples=samples, ng=eplan.ng, g=eplan.g, nrb=eplan.nrb,
+            rb_size=eplan.rb_size, rmax=rmax,
+            cull_sigmas=cfg.cull_sigmas, kcand_probe=kcand_probe,
+            affine=affine, probe_chunk=cfg.shadow_pack_chunk,
+        )
+        um = np.zeros((eplan.ng,), bool)
+        um[[g_ for g_ in unsound if g_ < eplan.ng]] = True
+        um_d = jnp.asarray(um)
+        cg = jnp.where(um_d[:, None], cg_s, cg)
+        rg_sph = jnp.where(um_d, rg_s, rg_sph)
+        # widths were measured on the probed spheres; re-measure on the
+        # hybrid so the pack's rmax covers the fattened shafts
+        kc2, rows2, _, _ = _shadow_probe_widths(
+            cg, rg_sph, jnp.asarray(lights_np),
+            splan.half_center, splan.half_radius,
+            splan.slot_center_cl, splan.slot_radius_cl, tri_cl,
+            ng=eplan.ng, cull_sigmas=cfg.cull_sigmas,
+            kcand_probe=kcand_probe, probe_chunk=cfg.shadow_pack_chunk,
+        )
+        kc_need, rows_need = kc2, rows2
     else:
         kc_need, rows_need, cg, rg_sph = _shadow_probe(
             packed_mm, row_counts, omms_p, position, local_space, key,

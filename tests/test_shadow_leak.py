@@ -97,7 +97,7 @@ def test_silhouette_leak_audited_and_bounded():
             scene, dev, omms_np, pos, ls, k, S, 2, lights=lights,
             shadow_audit=True)
         got = np.asarray(got)
-        leaks, hits = (int(x) for x in np.asarray(audit))
+        leaks, hits = (int(x) for x in np.asarray(audit)[:2])
         truth = np.asarray(render_compound_means(
             dev, jnp.asarray(omms_np), pos, ls, k, S, 2, True,
             jnp.asarray(lights)))
@@ -160,7 +160,7 @@ def test_leak_triggers_sound_replan():
         got, audit = render_means_pallas(
             scene, dev, omms_np, pos, ls, k, S, 2, lights=lights,
             shadow_audit=True)
-        leaks, hits = (int(x) for x in np.asarray(audit))
+        leaks, hits = (int(x) for x in np.asarray(audit)[:2])
         assert hits > 0 and leaks == 0, (
             f"seed {seed}: {leaks} hits escaped the GUARANTEED bounds")
         truth = np.asarray(render_compound_means(
@@ -192,8 +192,66 @@ def test_renderer_audit_marks_scene_unsound(monkeypatch):
     r.require_noncompound_pipeline = False
     r._backend = "pallas"
     r._lights = leak_scene_light()
-    # feed the hook a synthetic leaking audit (the geometry-driven path is
-    # pinned above); the renderer must flip the scene mode
-    assert not P.scene_plan(r.scene).shadow_sound_all
-    r._check_shadow_audit(np.asarray([3, 100], np.int32))
+    # feed the hook a synthetic leaking audit with a per-group tail (the
+    # geometry-driven path is pinned above); the renderer must flag
+    # exactly the leaking groups
+    splan = P.scene_plan(r.scene)
+    assert not splan.shadow_sound_all and not splan.shadow_unsound_groups
+    r._check_shadow_audit(np.asarray([3, 100, 0, 2, 0, 1], np.int32))
+    assert splan.shadow_unsound_groups == {1, 3}
+    assert not splan.shadow_sound_all
+    # a tail-less audit (older/sharded producers) falls back to the
+    # whole-scene flip
+    r._check_shadow_audit(np.asarray([1, 50], np.int32))
     assert P.scene_plan(r.scene).shadow_sound_all
+
+
+def test_per_group_corrective_converges():
+    """Production corrective path: each audited leak marks ONLY its
+    groups (mark_shadow_unsound(leak_groups=...)); repeated render-mark
+    cycles must converge to zero leaks everywhere within a few rounds
+    (each round can only add groups), with non-flagged groups keeping
+    their probed shafts, and the converged frames matching the oracle."""
+    from compound_ray_tpu.eye import pipeline as P
+
+    scene = make_silhouette_leak_scene(pillar_half_width=PILLAR_HALF_W)
+    dev = scene.device_triangles()
+    lights = leak_scene_light()
+    omms_np = _edge_eye()
+    pos = jnp.zeros(3, jnp.float32)
+    ls = jnp.eye(3, dtype=jnp.float32)
+    render_means_pallas(scene, dev, omms_np, pos, ls,
+                        jax.random.PRNGKey(100), S, 2, lights=lights)
+    splan = P.scene_plan(scene)
+    for round_i in range(6):
+        marked = False
+        for seed in range(8):
+            _, audit = render_means_pallas(
+                scene, dev, omms_np, pos, ls, jax.random.PRNGKey(seed),
+                S, 2, lights=lights, shadow_audit=True)
+            a = np.asarray(audit)
+            if int(a[0]) > 0:
+                groups = np.nonzero(a[2:])[0]
+                assert len(groups) > 0
+                assert P.mark_shadow_unsound(scene, leak_groups=groups)
+                marked = True
+        if not marked:
+            break
+    else:
+        raise AssertionError("per-group corrective did not converge")
+    assert splan.shadow_unsound_groups, "the scene must have flagged groups"
+    assert not splan.shadow_sound_all, "per-group mode must not flip all"
+    ng = P.eye_plan(omms_np, S).ng
+    assert len(splan.shadow_unsound_groups) < ng, (
+        "corrective should flag a strict subset of groups")
+    for seed in range(8):
+        k = jax.random.PRNGKey(seed)
+        got, audit = render_means_pallas(
+            scene, dev, omms_np, pos, ls, k, S, 2, lights=lights,
+            shadow_audit=True)
+        assert int(np.asarray(audit)[0]) == 0
+        truth = np.asarray(render_compound_means(
+            dev, jnp.asarray(omms_np), pos, ls, k, S, 2, True,
+            jnp.asarray(lights)))
+        err = float(np.abs(np.asarray(got) - truth).max())
+        assert err < 2e-2, f"seed {seed}: converged frame differs {err}"
