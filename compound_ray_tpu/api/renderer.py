@@ -411,19 +411,25 @@ class EyeRenderer:
         leaked, total = int(a[0]), int(a[1])
         if leaked <= 0 or total <= 0:
             return
-        # CORRECTIVE, not just advisory (round-4 VERDICT #7): the groups
-        # whose hits escaped their probed shafts switch to guaranteed
-        # candidate-extent shadow bounds and the unsound memoised plans
-        # are evicted — the next lit frame replans with shafts that cover
-        # every possible hit of the flagged groups.  Per-group (the
-        # audit's tail) so the handful of silhouette-crossing groups
-        # fatten while every other shaft keeps its probed tightness; an
-        # audit without the per-group tail flips the whole scene.
+        frac = leaked / total
+        # CORRECTIVE, not just advisory (round-4 VERDICT #7) — but
+        # thresholded: each out-of-shaft sample biases its ommatidium's
+        # S-sample mean by at most 1/S of the local light term, so the
+        # frame's error is bounded by ~frac x light term.  Below
+        # cfg.shadow_leak_tolerance (default 2e-3, an order under the 1%
+        # conformance band) the leak is warn-only; above it the flagged
+        # groups switch to guaranteed candidate-extent shadow bounds
+        # (their shafts fatten — the natural bench pose measured the
+        # whole-scene flip at ~+20% lit frame time for a 6e-5-bounded
+        # leak, which is the wrong trade).  Per-group via the audit's
+        # tail; a tail-less audit flips the whole scene.
+        from compound_ray_tpu.config import get_config
         from compound_ray_tpu.eye.pipeline import mark_shadow_unsound
 
-        groups = np.nonzero(a[2:])[0] if a.shape[0] > 2 else None
-        replanned = mark_shadow_unsound(self.scene, leak_groups=groups)
-        frac = leaked / total
+        replanned = False
+        if frac >= get_config().shadow_leak_tolerance:
+            groups = np.nonzero(a[2:])[0] if a.shape[0] > 2 else None
+            replanned = mark_shadow_unsound(self.scene, leak_groups=groups)
         import math
 
         decade = int(math.floor(math.log10(max(frac, 1e-12))))
@@ -437,7 +443,10 @@ class EyeRenderer:
                 + ("Future lit frames replan with guaranteed "
                    "candidate-extent shadow bounds."
                    if replanned else
-                   "Scene already in guaranteed-bounds mode.")
+                   (f"Bounded error ~{frac:.2g} x local light term is "
+                    f"under shadow_leak_tolerance; advisory only."
+                    if frac < get_config().shadow_leak_tolerance else
+                    "Scene already in guaranteed-bounds mode."))
             )
 
     def render_frames_pipelined(self, n: int) -> float:

@@ -99,6 +99,12 @@ class RenderConfig:
     # per-ray global row gathers (~16.6 + ~16 ms per 1e6 rays).
     # Bit-identical resolve values; default on (escape hatch for A/Bs).
     lit_local_resolve: bool = True
+    # corrective-shadow-audit trigger: flip leaking groups to guaranteed
+    # candidate-extent bounds only when the leak FRACTION exceeds this
+    # (the documented image-error bound is ~frac x local light term, so
+    # 2e-3 keeps the worst bias an order below the 1% conformance band;
+    # sub-threshold leaks warn with the bound stated).  0 = always flip.
+    shadow_leak_tolerance: float = 2e-3
     # sky split (eye/pipeline SKY SPLIT notes): steady-state frames at a
     # MEMOISED pose compact the planned-live groups (row_counts > 0) and
     # serve every zero-row group — a shaft the conservative cull proved
@@ -176,6 +182,7 @@ class RenderConfig:
             "CR_TPU_SHADOW_CHUNK": ("shadow_pack_chunk", int),
             "CR_TPU_AFFINE_RAYS": ("affine_rays", _env_bool),
             "CR_TPU_LIT_LOCAL": ("lit_local_resolve", _env_bool),
+            "CR_TPU_SHADOW_LEAK_TOL": ("shadow_leak_tolerance", float),
             "CR_TPU_SKY_SPLIT": ("sky_split", _env_bool),
             "CR_TPU_SKY_QUAD_SPLAY": ("sky_quad_splay", int),
             "CR_TPU_SKY_QUAD_SPIN": ("sky_quad_spin", int),

@@ -197,6 +197,11 @@ def test_renderer_audit_marks_scene_unsound(monkeypatch):
     # exactly the leaking groups
     splan = P.scene_plan(r.scene)
     assert not splan.shadow_sound_all and not splan.shadow_unsound_groups
+    # below shadow_leak_tolerance (2e-3): advisory only, no flip — the
+    # bounded image error is an order under the conformance band and the
+    # guaranteed bounds cost ~20% lit frame time
+    r._check_shadow_audit(np.asarray([1, 10000, 0, 1, 0, 0], np.int32))
+    assert not splan.shadow_unsound_groups and not splan.shadow_sound_all
     r._check_shadow_audit(np.asarray([3, 100, 0, 2, 0, 1], np.int32))
     assert splan.shadow_unsound_groups == {1, 3}
     assert not splan.shadow_sound_all
