@@ -94,10 +94,13 @@ def build_perf_section():
             f"{BASELINE_SAMPLES1_MS} ms).")
     pose = detail.get("pose_sweep")
     if pose:
+        stream = pose.get("stream_ms_per_pose")
         lines.append(
             f"GA pose loop @{pose.get('samples')} samples: "
-            f"{pose.get('sequential_ms_per_pose')} ms/pose sequential, "
-            f"**{pose.get('batched_ms_per_pose')} ms/pose batched** "
+            f"{pose.get('sequential_ms_per_pose')} ms/pose sequential"
+            + (f", {stream} ms/pose streamed (unsynced dispatches, one "
+               f"terminal sync)" if stream is not None else "")
+            + f", **{pose.get('batched_ms_per_pose')} ms/pose batched** "
             f"({pose.get('poses')} fresh poses, plan+cull+pack included).")
     lit = detail.get("lit_natural")
     if lit:
@@ -278,7 +281,12 @@ def build_readme_headline():
         f"({rps / BASELINE_RAYS_PER_S:.1%} of the RTX 2080 Ti reference "
         f"per chip"]
     if rps > 0:
-        bits.append(f"; v5e-8 linear-scaling projection {8 * rps:.1e} rays/s")
+        # WEAK scaling: 8 chips each carrying this whole workload (the
+        # measured 1/8-slice shows per-chip fixed costs do not shrink —
+        # bench_detail slice_scaling; strong scaling of THIS eye is far
+        # lower)
+        bits.append(f"; v5e-8 weak-scaling projection (8x the ommatidia) "
+                    f"{8 * rps:.1e} rays/s")
     bits.append(").")
     txt = "".join(bits)
     of = detail.get("ofstad", {})
