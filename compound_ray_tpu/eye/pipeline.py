@@ -146,6 +146,7 @@ class ScenePlan:
     sky_store: Dict = None  # pose -> sky-split plan (_sky_plan), bounded
     scene_sig: str = ""  # geometry content hash (per-scene adoptions)
     precision: Optional[str] = None  # per-scene adopted mode (or None)
+    direct1: Optional[bool] = None  # per-scene adopted cnt==1 fast path
 
 
 def scene_sig(scene_flat) -> str:
@@ -176,6 +177,19 @@ def _scene_precision(sig: str) -> Optional[str]:
     from compound_ray_tpu.trace.mm_tracer import _PRECISIONS
 
     return p if p in _PRECISIONS else None
+
+
+def _scene_direct1(sig: str):
+    """Per-scene direct1 (the cnt==1 SSA fast path) from tuning.json
+    "direct1_by_scene" — bit-identical to the standard loop, so adoption
+    is by measured speed per scene (the ofstad arena gains ~4% kernel
+    while the natural scene is a wash; tools/tpu_session run_direct1).
+    None = the module default (tuning "direct1")."""
+    if os.environ.get("CR_TPU_DIRECT1", "").strip():
+        return None
+    per_scene = load_tuning().get("direct1_by_scene", {})
+    v = per_scene.get(sig) if isinstance(per_scene, dict) else None
+    return bool(v) if v is not None else None
 
 
 def scene_plan(scene_flat) -> ScenePlan:
@@ -309,6 +323,7 @@ def scene_plan(scene_flat) -> ScenePlan:
         )
         plan.scene_sig = scene_sig(scene_flat)
         plan.precision = _scene_precision(plan.scene_sig)
+        plan.direct1 = _scene_direct1(plan.scene_sig)
         scene_flat._kernel_plan = plan
     return plan
 
@@ -953,7 +968,7 @@ def _pack_fused(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "want_samples", "use_cache", "tex_only", "cache_shape",
-        "tex_static", "affine", "shadow_audit", "precision",
+        "tex_static", "affine", "shadow_audit", "precision", "direct1",
     ),
 )
 def _render_frame(
@@ -994,6 +1009,7 @@ def _render_frame(
     sky_scatter=None,
     precision: Optional[str] = None,  # per-scene adopted mode (or module)
     loc_tab=None,  # (NG, rmax, 128, C) one-hot local-resolve tables
+    direct1: Optional[bool] = None,
 ) -> jnp.ndarray:
     # draw jitter directly in (N, S) layout: the (S,N)->(N,S) transpose of
     # three 38 MB tensors was a measurable fraction of the frame
@@ -1013,7 +1029,7 @@ def _render_frame(
         tex_static=tex_static, quad_gray=quad_gray, affine=affine,
         shadow_sph=shadow_sph, shadow_audit=shadow_audit,
         sky_means=sky_means, sky_scatter=sky_scatter,
-        precision=precision, loc_tab=loc_tab,
+        precision=precision, loc_tab=loc_tab, direct1=direct1,
     )
 
 
@@ -1156,6 +1172,7 @@ def _trace_shade_angles(
     precision: Optional[str] = None,  # per-scene adopted mode (or module)
     loc_tab=None,  # (NG, rmax, 128, C) tables -> emit "loc" + one-hot
     #   resolve instead of per-ray global row gathers (_local_resolve)
+    direct1: Optional[bool] = None,  # per-scene adopted cnt==1 fast path
 ) -> jnp.ndarray:
     """Angle-parameterised frame core (trace + shade + reduce): the sharded
     path draws angles GLOBALLY and feeds per-device slices here, so results
@@ -1200,7 +1217,7 @@ def _trace_shade_angles(
         row_counts, packed_mm, rays,
         ng=ng, nrb=nrb, rb_size=rb_size, rmax=rmax,
         emit=emit, ray_feats=(8 if affine else 16),
-        precision=precision,
+        precision=precision, direct1=direct1,
     )
     loc_rows = None
     if emit == "loc":
@@ -2651,6 +2668,7 @@ def _plan_frame(
         shadow_sph=shadow_sph,
         tex_static=splan.tex_static, quad_gray=splan.quad_gray,
         affine=affine, loc_tab=loc_tab,
+        direct1=splan.direct1,
     )
     return kwargs, eplan, (splan, pending)
 
@@ -2720,7 +2738,7 @@ def render_means_pallas(
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "use_cache", "tex_only", "cache_shape", "tex_static",
-        "affine", "precision",
+        "affine", "precision", "direct1",
     ),
 )
 def _render_frames_scanned(
@@ -2734,6 +2752,7 @@ def _render_frames_scanned(
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
     affine: bool = False, shadow_sph=None, sky_means=None, sky_scatter=None,
     precision: Optional[str] = None, loc_tab=None,
+    direct1: Optional[bool] = None,
 ):
     """F consecutive frames in ONE dispatch: a lax.scan over the stacked
     per-frame PRNG keys, each step drawing its own jitter and running the
@@ -2757,7 +2776,7 @@ def _render_frames_scanned(
             shadow_flag=shadow_flag, shadow_flat=shadow_flat,
             tex_static=tex_static, quad_gray=quad_gray, affine=affine,
             sky_means=sky_means, sky_scatter=sky_scatter,
-            precision=precision, loc_tab=loc_tab,
+            precision=precision, loc_tab=loc_tab, direct1=direct1,
         )
         return carry, means
 
@@ -2776,7 +2795,7 @@ STACK_BURST_MAX_SAMPLES = 4096
     static_argnames=(
         "samples", "background", "ng", "g", "nrb", "rb_size", "rmax",
         "textured", "use_cache", "tex_only", "cache_shape", "tex_static",
-        "affine", "precision",
+        "affine", "precision", "direct1",
     ),
 )
 def _render_frames_stacked(
@@ -2790,6 +2809,7 @@ def _render_frames_stacked(
     shadow_flag=None, shadow_flat=None, tex_static=None, quad_gray=None,
     affine: bool = False, shadow_sph=None, sky_means=None, sky_scatter=None,
     precision: Optional[str] = None, loc_tab=None,
+    direct1: Optional[bool] = None,
 ):
     """F consecutive frames in ONE kernel call: per-frame jitter stacked on
     the sample axis (column f*S+s = frame f's sample s), so the packed
@@ -2826,7 +2846,7 @@ def _render_frames_stacked(
         shadow_flag=shadow_flag, shadow_flat=shadow_flat,
         tex_static=tex_static, quad_gray=quad_gray, frames=f, affine=affine,
         sky_means=sky_means, sky_scatter=sky_scatter,
-        precision=precision, loc_tab=loc_tab,
+        precision=precision, loc_tab=loc_tab, direct1=direct1,
     )  # (Np, F, 3) — N0 (the pre-compaction count) under the sky split
     return jnp.transpose(out, (1, 0, 2))
 

@@ -454,6 +454,32 @@ def test_direct1_reverts_stale_adoption(sandbox, monkeypatch):
     assert ts._TUNING_DIRTY is True  # bench artifacts used the old mode
 
 
+def test_direct1_per_scene_salvage(sandbox, monkeypatch):
+    """A scene that clears the bar individually is adopted per scene when
+    the geomean does not (mirrors the precision salvage)."""
+    monkeypatch.setattr(mm, "DIRECT1", False)
+    monkeypatch.setattr(ts, "_SESSION_START_DIRECT1", False)
+    monkeypatch.setattr(ts, "_natural_scene_sig", lambda: "sigA")
+    monkeypatch.setattr(ts, "_ofstad_scene_sig", lambda: "sigB")
+    ts._adopt_direct1({"natural": {False: 10.0, True: 10.0},
+                       "ofstad": {False: 50.0, True: 48.0}})
+    tuning = json.load(open(sandbox))
+    assert tuning["direct1"] is False  # geomean 0.98 misses the bar
+    assert tuning["direct1_by_scene"] == {"sigB": True}
+    assert mm.DIRECT1 is False
+
+
+def test_direct1_per_scene_salvage_evicted_on_wash(sandbox, monkeypatch):
+    monkeypatch.setattr(mm, "DIRECT1", False)
+    monkeypatch.setattr(ts, "_SESSION_START_DIRECT1", False)
+    monkeypatch.setattr(ts, "_natural_scene_sig", lambda: "sigA")
+    monkeypatch.setattr(ts, "_ofstad_scene_sig", lambda: "sigB")
+    with open(sandbox, "w") as f:
+        json.dump({"direct1_by_scene": {"sigB": True}}, f)
+    ts._adopt_direct1({"ofstad": {False: 50.0, True: 50.0}})
+    assert json.load(open(sandbox))["direct1_by_scene"] == {}
+
+
 def test_direct1_bit_identity_failure_poisons_adoption(sandbox, monkeypatch):
     """run_direct1 poisons a scene's 'on' time to inf when the on-hardware
     bit-identity check fails; the adopt helper must then never adopt, no

@@ -822,14 +822,19 @@ def run_direct1():
 
 
 def _adopt_direct1(results):
-    """Adopt direct1 on a >=3% geomean kernel win (bit-identity verified
-    per scene in run_direct1; an on-hardware mismatch poisons the ratio
-    to inf so adoption is impossible)."""
-    ratios = [t[True] / t[False] for t in results.values()
-              if True in t and False in t]
+    """Adopt direct1 on a >=3% geomean kernel win globally, or PER SCENE
+    (tuning "direct1_by_scene", resolved by pipeline scene signature like
+    the precision salvage) for individual scenes that clear the bar when
+    the geomean does not — measured round 5: the ofstad arena gains
+    ~4% kernel from the cnt==1 fast path while the natural scene is a
+    wash.  Bit-identity is verified per scene in run_direct1; an
+    on-hardware mismatch poisons that scene's ratio to inf so adoption
+    is impossible."""
+    ratios = {k: t[True] / t[False] for k, t in results.items()
+              if True in t and False in t}
     if not ratios:
         return
-    g = float(np.exp(np.mean(np.log(ratios))))
+    g = float(np.exp(np.mean(np.log(list(ratios.values())))))
     log(f"DIRECT1 geomean kernel ratio {g:.3f}x vs standard loop")
     import compound_ray_tpu.trace.mm_tracer as mm
     from compound_ray_tpu.config import load_tuning
@@ -840,6 +845,19 @@ def _adopt_direct1(results):
     tuning["direct1_kernel_ms"] = {
         k: {("on" if a else "off"): ms for a, ms in v.items()}
         for k, v in results.items()}
+    # per-scene salvage (always-write: a re-measured wash evicts a stale
+    # per-scene adoption)
+    sigs = {"natural": _natural_scene_sig, "ofstad": _ofstad_scene_sig}
+    by_scene = {}
+    if not adopt:
+        for name, ratio in ratios.items():
+            if ratio < 0.97 and name in sigs:
+                sig = sigs[name]()
+                if sig:
+                    by_scene[sig] = True
+                    log(f"DIRECT1 per-scene ADOPTED for {name} "
+                        f"({ratio:.3f}x, sig {sig})")
+    tuning["direct1_by_scene"] = by_scene
     with open(mm.TUNING_PATH, "w") as f:
         json.dump(tuning, f, indent=1)
     global _TUNING_DIRTY
